@@ -1,0 +1,48 @@
+package graft.pipelines
+
+import graft.domain.EtlConfig
+import graft.io.LayoutYaml
+import graft.ops.SensorTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Layout ingestion: YAML sensor-center database → per-face sensor
+  * tables (SURVEY §3.2 step 1; reference bias_voltage.py:23-50).
+  */
+object Layouts {
+
+  val defaultYaml = "/root/reference/layouts/database_new.yaml"
+
+  /** Face index convention used throughout the engine (matches the
+    * acceptance harness layer order): 0=disk1/front, 1=disk1/back,
+    * 2=disk2/front, 3=disk2/back. */
+  val faceOrder: Seq[(String, String)] =
+    Seq("disk1" -> "front", "disk1" -> "back", "disk2" -> "front", "disk2" -> "back")
+
+  /** All four faces as one sensor table with a `face` column and
+    * outline/active-area corners for the TAMALES sensor prototype. */
+  def faceSensors(spark: SparkSession, yamlPath: String = defaultYaml, layout: String = "new"): DataFrame = {
+    import spark.implicits._
+    val centers = LayoutYaml.read(spark, yamlPath).filter($"layout" === layout)
+    val faceIdx = faceOrder.zipWithIndex
+      .map { case ((d, f), i) => (d, f, i) }
+      .toDF("disk", "face_name", "face")
+    val withFace = centers
+      .withColumnRenamed("face", "face_name")
+      .join(broadcast(faceIdx), Seq("disk", "face_name"))
+    SensorTable.fromCenters(
+      withFace,
+      EtlConfig.sensorHeight,
+      EtlConfig.sensorWidth,
+      EtlConfig.sensorDeadspace
+    )
+  }
+
+  /** One face's centers (for the reconstruction pipelines; D2 = disk1/back). */
+  def faceCenters(spark: SparkSession, disk: String, face: String, yamlPath: String = defaultYaml, layout: String = "new"): DataFrame = {
+    import spark.implicits._
+    LayoutYaml.read(spark, yamlPath)
+      .filter($"layout" === layout && $"disk" === disk && $"face" === face)
+      .select("x", "y")
+  }
+}
