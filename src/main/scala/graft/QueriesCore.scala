@@ -1,0 +1,552 @@
+package graft
+
+import graft.geom.Transforms
+import graft.io.FaceTsv
+import graft.ops.{HistogramOps, PartitionSolver, SpatialJoin}
+import graft.physics.Physics
+import graft.pipelines.Layouts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic operator conformance queries over the /root/testdata tables —
+  * one per SURVEY §2 family, each with a DuckDB oracle in
+  * [[QueriesCore.oracles]]. Column names and rounding match the oracle
+  * exactly (the driver sorts columns by name and hashes values).
+  */
+object QueriesCore {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** q1: pricing-summary aggregation (A2/A5/A14-style). */
+  private def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n_rows")
+      )
+
+  /** S1: Face TSV scan (quirky header, CRLF, #REF! rows dropped). */
+  private def s1FaceTsv(spark: SparkSession, dir: String): DataFrame = {
+    val fixDir = new java.io.File(Layouts.resolveFixture("Face 1.txt")).getParent
+    FaceTsv.readAll(spark, fixDir)
+      .groupBy("face")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("module_id").cast("long").as("sum_mod"),
+        round(sum("x"), 3).as("sum_x"),
+        round(sum("y"), 3).as("sum_y"),
+        round(sum("z"), 3).as("sum_z")
+      )
+      .withColumn("face", col("face").cast("long"))
+  }
+
+  /** P1: forward transform (x,y,z) → (r, θ, η, φ). */
+  private def p1Fwd(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "part").select(
+      col("p_partkey"),
+      col("p_retailprice").as("x"),
+      (pmod(col("p_partkey"), lit(1000)) - 500).cast("double").as("y"),
+      lit(3000.0).as("z")
+    )
+    Transforms.withKinematics(df)
+      .select(
+        col("p_partkey"),
+        round(col("r"), 6).as("r"),
+        round(col("theta"), 6).as("theta"),
+        round(col("eta"), 6).as("eta"),
+        round(col("phi"), 6).as("phi")
+      )
+  }
+
+  /** P2: inverse transform (η,φ,z) → (x,y). */
+  private def p2Inv(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "orders").select(
+      col("o_orderkey"),
+      (lit(1.659) + pmod(col("o_orderkey"), lit(997)).cast("double") / 997.0 * 1.341).as("eta"),
+      ((pmod(col("o_orderkey"), lit(611)).cast("double") / 611.0 - 0.5) * math.Pi).as("phi")
+    )
+    Transforms.withCartesian(df, zMm = 3000.0)
+      .select(
+        col("o_orderkey"),
+        round(col("x"), 6).as("x"),
+        round(col("y"), 6).as("y")
+      )
+  }
+
+  /** P9–P12: sensor physics models over a derived radius column. */
+  private def p9Physics(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier")
+      .select(col("s_suppkey"), (lit(315.0) + pmod(col("s_suppkey"), lit(870)).cast("double")).as("r_mm"))
+      .select(
+        col("s_suppkey"),
+        round(Physics.irradiationCol(col("r_mm")), 6).as("fluence"),
+        round(Physics.getCurrentCol(col("r_mm")), 6).as("current_ma"),
+        round(Physics.sensorOccupancyCol(col("r_mm")), 6).as("occupancy")
+      )
+
+  /** P14: the ten BV ladder curves on a radius grid. */
+  private def p14BvCurves(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val curves = Physics.bvCurves.toSeq.sortBy(_._1).map { case (n, (a, b)) => (n, a, b) }
+      .toDF("curve", "a", "b")
+    val rs = spark.range(0, 9).select((col("id") * 100 + 316).cast("double").as("r"))
+    rs.crossJoin(curves)
+      .select(col("curve"), col("r"), round(col("a") * log(col("r")) - col("b"), 6).as("r_min"))
+  }
+
+  /** F9: multi-hit selection — orders with more than 4 line items. */
+  private def f9Multihit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") > 4)
+
+  /** J-equi: orders ⋈ customer ⋈ nation revenue rollup (broadcast dims). */
+  private def joinOrdersCustomer(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+
+  /** J1: the grid-bucketed point-in-rect spatial join on synthetic
+    * coordinates (customers = points, suppliers = rects). */
+  private def j1SpatialGrid(spark: SparkSession, dir: String): DataFrame = {
+    val points = t(spark, dir, "customer").select(
+      col("c_custkey"),
+      col("c_acctbal").as("px"),
+      (pmod(col("c_custkey") * 37, lit(2000)) - 1000).cast("double").as("py")
+    )
+    val rects = t(spark, dir, "supplier").select(
+      col("s_suppkey"),
+      (col("s_acctbal") - 40).as("ax1"),
+      (col("s_acctbal") + 40).as("ax2"),
+      ((pmod(col("s_suppkey") * 97, lit(2000)) - 1000).cast("double") - 60).as("ay1"),
+      ((pmod(col("s_suppkey") * 97, lit(2000)) - 1000).cast("double") + 60).as("ay2")
+    )
+    SpatialJoin.hitJoin(points, rects, Seq.empty, cell = 100.0)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** J3/O8: rank-based row pairing (consecutive pairs by descending
+    * account balance within a nation). */
+  private def j3Pairing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .withColumn(
+        "k",
+        row_number().over(Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"), col("c_custkey"))) - 1
+      )
+      .withColumn("pair", (col("k") / 2).cast("long"))
+      .groupBy("c_nationkey", "pair")
+      // sum, not avg: the mean of two 2-decimal values can land exactly
+      // on a .xx5 rounding boundary where Spark (decimal-string round)
+      // and the oracle (binary round) disagree; the sum cannot.
+      .agg(round(sum("c_acctbal"), 2).as("pair_sum"), count(lit(1)).as("n_in_pair"))
+
+  /** J5: self-pairing combinations (i ≤ j) within an order. */
+  private def j5SelfPair(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    val a = l.select(col("l_orderkey"), col("l_linenumber").as("i"), col("l_quantity").as("qa"))
+    val b = l.select(col("l_orderkey"), col("l_linenumber").as("j"), col("l_quantity").as("qb"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("i") <= col("j"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_pairs"), round(sum(col("qa") * col("qb")), 2).as("qprod"))
+  }
+
+  /** A1: per-group min/max. */
+  private def a1MinMax(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier")
+      .groupBy("s_nationkey")
+      .agg(
+        round(min("s_acctbal"), 2).as("min_bal"),
+        round(max("s_acctbal"), 2).as("max_bal"),
+        count(lit(1)).as("n_supp")
+      )
+
+  /** A9: 1D histogram of extended price. */
+  private def hist1dPrice(spark: SparkSession, dir: String): DataFrame = {
+    val s = HistogramOps.BinSpec(20, 0.0, 80000.0)
+    HistogramOps.hist1d(t(spark, dir, "lineitem"), col("l_extendedprice"), s)
+      .select(col("bin"), col("n"), round(col("center"), 6).as("center"))
+  }
+
+  /** A10: 2D histogram (quantity × discount). */
+  private def hist2dQtyDisc(spark: SparkSession, dir: String): DataFrame =
+    HistogramOps.hist2d(
+      t(spark, dir, "lineitem"),
+      col("l_quantity"), HistogramOps.BinSpec(10, 0.0, 50.0),
+      col("l_discount"), HistogramOps.BinSpec(11, 0.0, 0.11)
+    )
+
+  /** A11: profile — per-quantity-bin mean price. */
+  private def profilePrice(spark: SparkSession, dir: String): DataFrame =
+    HistogramOps.profile1d(
+      t(spark, dir, "lineitem"),
+      col("l_quantity"), HistogramOps.BinSpec(10, 0.0, 50.0),
+      col("l_extendedprice")
+    ).select(col("bin"), round(col("mean"), 2).as("mean"), col("n"), round(col("center"), 6).as("center"))
+
+  /** A13/J6: binned efficiency with binomial errors. */
+  private def a13Efficiency(spark: SparkSession, dir: String): DataFrame =
+    HistogramOps.efficiency(
+      t(spark, dir, "lineitem"),
+      col("l_discount"), HistogramOps.BinSpec(11, 0.0, 0.11),
+      col("l_returnflag") === "R"
+    ).select(col("bin"), col("n"), col("k"), round(col("p"), 6).as("p"), round(col("err"), 6).as("err"))
+
+  /** A15: distinct. */
+  private def a15Distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select("p_brand", "p_type").distinct()
+
+  /** O2: deterministic top-k by sort. */
+  private def o2TopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("rk", row_number().over(Window.orderBy(desc("o_totalprice"), col("o_orderkey"))))
+      .filter(col("rk") <= 15)
+      .select(col("rk").cast("long").as("rk"), col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+
+  /** O3: argmax selection per group (min_by/max_by shape). */
+  private def o3Argmax(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier")
+      .withColumn("rk", row_number().over(Window.partitionBy("s_nationkey").orderBy(desc("s_acctbal"), col("s_suppkey"))))
+      .filter(col("rk") === 1)
+      .select(col("s_nationkey"), col("s_suppkey"), round(col("s_acctbal"), 2).as("best_bal"))
+
+  /** O6: gaps-and-islands — contiguous same-type event runs per user. */
+  private def o6Runs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(spark, dir, "events")
+      .withColumn("chg", when(lag("event_type", 1).over(w).isNull || lag("event_type", 1).over(w) =!= col("event_type"), 1).otherwise(0))
+      .withColumn("run_id", sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy("user_id", "run_id")
+      .agg(first("event_type").as("event_type"), count(lit(1)).as("run_len"))
+  }
+
+  /** O8: alternating-index (parity) slice. */
+  private def o8Parity(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .withColumn(
+        "k",
+        row_number().over(Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"), col("c_custkey"))) - 1
+      )
+      .withColumn("parity", pmod(col("k"), lit(2)).cast("long"))
+      .groupBy("c_nationkey", "parity")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal_sum"))
+
+  /** Sessionization: 30-minute-gap sessions over the events stream. */
+  private def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(spark, dir, "events")
+      // ts arrives as long nanoseconds (nanosAsLong); integer-divide to
+      // whole seconds (matches the oracle's floor(epoch(ts))).
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+      .withColumn("new_sess", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+      .withColumn("sess_id", sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy("user_id")
+      .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** U1: union of tagged branches. */
+  private def u1Union(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.filter(col("o_totalprice") > 250000).select(lit("hi").as("tag"), col("o_orderkey"))
+      .unionByName(o.filter(col("o_totalprice") < 5000).select(lit("lo").as("tag"), col("o_orderkey")))
+  }
+
+  /** U2: mirror union (x ∪ −x). */
+  private def u2Mirror(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part").select(col("p_partkey"), col("p_retailprice").as("x"))
+    p.unionByName(p.select(col("p_partkey"), (-col("x")).as("x")))
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n"), round(sum("x"), 6).as("x_sum"), round(sum(abs(col("x"))), 2).as("abs_sum"))
+  }
+
+  /** X1: integer partition solver, n = 1..60 (golden VALUES oracle). */
+  private def x1Partition(spark: SparkSession, dir: String): DataFrame = {
+    val pf = udf((n: Int) => PartitionSolver.getPartition(n).mkString(","))
+    spark.range(1, 61).select(col("id").as("n"), pf(col("id").cast("int")).as("flavors"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "s1_face_tsv" -> (s1FaceTsv _),
+    "p1_transform_fwd" -> (p1Fwd _),
+    "p2_transform_inv" -> (p2Inv _),
+    "p9_physics" -> (p9Physics _),
+    "p14_bv_curves" -> (p14BvCurves _),
+    "f9_multihit" -> (f9Multihit _),
+    "join_orders_customer" -> (joinOrdersCustomer _),
+    "j1_spatial_grid" -> (j1SpatialGrid _),
+    "j3_pairing" -> (j3Pairing _),
+    "j5_selfpair" -> (j5SelfPair _),
+    "a1_minmax" -> (a1MinMax _),
+    "hist1d_price" -> (hist1dPrice _),
+    "hist2d_qty_disc" -> (hist2dQtyDisc _),
+    "profile_price" -> (profilePrice _),
+    "a13_efficiency" -> (a13Efficiency _),
+    "a15_distinct" -> (a15Distinct _),
+    "o2_topk" -> (o2TopK _),
+    "o3_argmax" -> (o3Argmax _),
+    "o6_runs" -> (o6Runs _),
+    "o8_parity" -> (o8Parity _),
+    "sessionize" -> (sessionize _),
+    "u1_union" -> (u1Union _),
+    "u2_mirror" -> (u2Mirror _),
+    "x1_partition" -> (x1Partition _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x1_partition" ->
+      """SELECT n::BIGINT AS n, flavors FROM (VALUES
+        |  (1, ''),
+        |  (2, ''),
+        |  (3, '3'),
+        |  (4, '3'),
+        |  (5, '3'),
+        |  (6, '6'),
+        |  (7, '7'),
+        |  (8, '7'),
+        |  (9, '6,3'),
+        |  (10, '7,3'),
+        |  (11, '7,3'),
+        |  (12, '6,6'),
+        |  (13, '7,6'),
+        |  (14, '7,7'),
+        |  (15, '6,6,3'),
+        |  (16, '7,6,3'),
+        |  (17, '7,7,3'),
+        |  (18, '6,6,6'),
+        |  (19, '7,6,6'),
+        |  (20, '7,7,6'),
+        |  (21, '7,7,7'),
+        |  (22, '7,6,6,3'),
+        |  (23, '7,7,6,3'),
+        |  (24, '7,7,7,3'),
+        |  (25, '7,6,6,6'),
+        |  (26, '7,7,6,6'),
+        |  (27, '7,7,7,6'),
+        |  (28, '7,7,7,7'),
+        |  (29, '7,7,6,6,3'),
+        |  (30, '7,7,7,6,3'),
+        |  (31, '7,7,7,7,3'),
+        |  (32, '7,7,6,6,6'),
+        |  (33, '7,7,7,6,6'),
+        |  (34, '7,7,7,7,6'),
+        |  (35, '7,7,7,7,7'),
+        |  (36, '7,7,7,6,6,3'),
+        |  (37, '7,7,7,7,6,3'),
+        |  (38, '7,7,7,7,7,3'),
+        |  (39, '7,7,7,6,6,6'),
+        |  (40, '7,7,7,7,6,6'),
+        |  (41, '7,7,7,7,7,6'),
+        |  (42, '7,7,7,7,7,7'),
+        |  (43, '7,7,7,7,6,6,3'),
+        |  (44, '7,7,7,7,7,6,3'),
+        |  (45, '7,7,7,7,7,7,3'),
+        |  (46, '7,7,7,7,6,6,6'),
+        |  (47, '7,7,7,7,7,6,6'),
+        |  (48, '7,7,7,7,7,7,6'),
+        |  (49, '7,7,7,7,7,7,7'),
+        |  (50, '7,7,7,7,7,6,6,3'),
+        |  (51, '7,7,7,7,7,7,6,3'),
+        |  (52, '7,7,7,7,7,7,7,3'),
+        |  (53, '7,7,7,7,7,6,6,6'),
+        |  (54, '7,7,7,7,7,7,6,6'),
+        |  (55, '7,7,7,7,7,7,7,6'),
+        |  (56, '7,7,7,7,7,7,7,7'),
+        |  (57, '7,7,7,7,7,7,6,6,3'),
+        |  (58, '7,7,7,7,7,7,7,6,3'),
+        |  (59, '7,7,7,7,7,7,7,7,3'),
+        |  (60, '7,7,7,7,7,7,6,6,6')) t(n, flavors)""".stripMargin,
+    "s1_face_tsv" ->
+      """SELECT face::BIGINT AS face, n_rows::BIGINT AS n_rows, sum_mod::BIGINT AS sum_mod,
+        |  sum_x::DOUBLE AS sum_x, sum_y::DOUBLE AS sum_y, sum_z::DOUBLE AS sum_z
+        |FROM (VALUES
+        |  (1, 902, 407253, 0.0, 7526.7, 2704421.5),
+        |  (2, 893, 399311, 376.35, 1028.4, 2683911.5),
+        |  (3, 902, 407253, 0.0, 7526.7, 2725167.5),
+        |  (4, 893, 399311, 376.35, 1028.4, 2704450.5)
+        |) t(face, n_rows, sum_mod, sum_x, sum_y, sum_z)""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "p1_transform_fwd" ->
+      """WITH src AS (
+        |  SELECT p_partkey, p_retailprice AS x,
+        |         ((p_partkey % 1000)::DOUBLE - 500) AS y, 3000.0::DOUBLE AS z
+        |  FROM part)
+        |SELECT p_partkey,
+        |  round(sqrt(x*x + y*y), 6) AS r,
+        |  round(atan2(sqrt(x*x + y*y), z), 6) AS theta,
+        |  round(-ln(tan(atan2(sqrt(x*x + y*y), z) / 2)), 6) AS eta,
+        |  round(atan2(y, x), 6) AS phi
+        |FROM src""".stripMargin,
+    "p2_transform_inv" ->
+      """WITH src AS (
+        |  SELECT o_orderkey,
+        |    (1.659 + (o_orderkey % 997)::DOUBLE / 997.0 * 1.341) AS eta,
+        |    (((o_orderkey % 611)::DOUBLE / 611.0 - 0.5) * pi()) AS phi
+        |  FROM orders),
+        |k AS (SELECT o_orderkey, 2.0 * atan(exp(-eta)) AS theta, phi FROM src)
+        |SELECT o_orderkey,
+        |  round(3000.0 * tan(theta) * cos(phi), 6) AS x,
+        |  round(3000.0 * tan(theta) * sin(phi), 6) AS y
+        |FROM k""".stripMargin,
+    "p9_physics" ->
+      """WITH src AS (SELECT s_suppkey, (315.0 + (s_suppkey % 870)::DOUBLE) AS r FROM supplier),
+        |f AS (SELECT s_suppkey, r, (-9.053e+00 + 7.420e+03 / r + 3.664e-03 * r) AS fl FROM src)
+        |SELECT s_suppkey,
+        |  round(fl, 6) AS fluence,
+        |  round(0.75 + (20 * fl * 1e14 * (256 * 0.13 * 0.13 * 0.005) * 3.70235e-19 * 1e3) * 1, 6) AS current_ma,
+        |  round(0.11 + 91297.0 / (r * r), 6) AS occupancy
+        |FROM f""".stripMargin,
+    "p14_bv_curves" ->
+      """SELECT c.curve, (g.g * 100 + 316)::DOUBLE AS r,
+        |  round(c.a * ln((g.g * 100 + 316)::DOUBLE) - c.b, 6) AS r_min
+        |FROM (VALUES
+        |  ('fbk_w13_10fc', 363.91::DOUBLE, 1834.6::DOUBLE),
+        |  ('fbk_w13_15fc', 333.15::DOUBLE, 1664.5::DOUBLE),
+        |  ('fbk_w13_2p5fc', 499.43::DOUBLE, 2618.8::DOUBLE),
+        |  ('fbk_w13_5fc', 435.93::DOUBLE, 2251.2::DOUBLE),
+        |  ('fbk_w15_5fc', 497.95::DOUBLE, 2630.6::DOUBLE),
+        |  ('fbk_w19_5fc', 307.12::DOUBLE, 1468.9::DOUBLE),
+        |  ('hpk_split4_10fc', 481.91::DOUBLE, 2544.6::DOUBLE),
+        |  ('hpk_split4_15fc', 446.32::DOUBLE, 2338.6::DOUBLE),
+        |  ('hpk_split4_2p5fc', 578.03::DOUBLE, 3103.6::DOUBLE),
+        |  ('hpk_split4_5fc', 526.14::DOUBLE, 2792.0::DOUBLE)
+        |) c(curve, a, b)
+        |CROSS JOIN generate_series(0, 8) g(g)""".stripMargin,
+    "f9_multihit" ->
+      "SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey HAVING count(*) > 4",
+    "join_orders_customer" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "j1_spatial_grid" ->
+      """WITH pts AS (
+        |  SELECT c_custkey, c_acctbal AS px,
+        |         ((c_custkey * 37) % 2000 - 1000)::DOUBLE AS py FROM customer),
+        |rects AS (
+        |  SELECT s_suppkey, s_acctbal - 40 AS ax1, s_acctbal + 40 AS ax2,
+        |         ((s_suppkey * 97) % 2000 - 1000)::DOUBLE - 60 AS ay1,
+        |         ((s_suppkey * 97) % 2000 - 1000)::DOUBLE + 60 AS ay2 FROM supplier)
+        |SELECT s_suppkey, count(*) AS n_hits
+        |FROM pts JOIN rects
+        |  ON ax1 < px AND px < ax2 AND ay1 < py AND py < ay2
+        |GROUP BY s_suppkey""".stripMargin,
+    "j3_pairing" ->
+      """WITH rk AS (
+        |  SELECT c_nationkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) - 1 AS k
+        |  FROM customer)
+        |SELECT c_nationkey, (k // 2)::BIGINT AS pair,
+        |  round(sum(c_acctbal), 2) AS pair_sum, count(*) AS n_in_pair
+        |FROM rk GROUP BY c_nationkey, k // 2""".stripMargin,
+    "j5_selfpair" ->
+      """SELECT a.l_orderkey, count(*) AS n_pairs,
+        |  round(sum(a.l_quantity * b.l_quantity), 2) AS qprod
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber <= b.l_linenumber
+        |GROUP BY a.l_orderkey""".stripMargin,
+    "a1_minmax" ->
+      """SELECT s_nationkey, round(min(s_acctbal), 2) AS min_bal,
+        |  round(max(s_acctbal), 2) AS max_bal, count(*) AS n_supp
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
+    "hist1d_price" ->
+      """WITH b AS (
+        |  SELECT least(floor((l_extendedprice - 0.0) / ((80000.0 - 0.0) / 20)), 19)::BIGINT AS bin
+        |  FROM lineitem WHERE l_extendedprice >= 0.0 AND l_extendedprice < 80000.0)
+        |SELECT bin, count(*) AS n,
+        |  round(0.0 + (bin + 0.5) * ((80000.0 - 0.0) / 20), 6) AS center
+        |FROM b GROUP BY bin""".stripMargin,
+    "hist2d_qty_disc" ->
+      """WITH b AS (
+        |  SELECT least(floor((l_quantity - 0.0) / ((50.0 - 0.0) / 10)), 9)::BIGINT AS binx,
+        |         least(floor((l_discount - 0.0) / ((0.11 - 0.0) / 11)), 10)::BIGINT AS biny
+        |  FROM lineitem
+        |  WHERE l_quantity >= 0.0 AND l_quantity < 50.0
+        |    AND l_discount >= 0.0 AND l_discount < 0.11)
+        |SELECT binx, biny, count(*) AS n FROM b GROUP BY binx, biny""".stripMargin,
+    "profile_price" ->
+      """WITH b AS (
+        |  SELECT least(floor((l_quantity - 0.0) / ((50.0 - 0.0) / 10)), 9)::BIGINT AS bin,
+        |         l_extendedprice AS v
+        |  FROM lineitem WHERE l_quantity >= 0.0 AND l_quantity < 50.0)
+        |SELECT bin, round(avg(v), 2) AS mean, count(*) AS n,
+        |  round(0.0 + (bin + 0.5) * ((50.0 - 0.0) / 10), 6) AS center
+        |FROM b GROUP BY bin""".stripMargin,
+    "a13_efficiency" ->
+      """WITH b AS (
+        |  SELECT least(floor((l_discount - 0.0) / ((0.11 - 0.0) / 11)), 10)::BIGINT AS bin,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS sel
+        |  FROM lineitem WHERE l_discount >= 0.0 AND l_discount < 0.11)
+        |SELECT bin, count(*) AS n, sum(sel) AS k,
+        |  round(sum(sel)::DOUBLE / count(*), 6) AS p,
+        |  round(sqrt((sum(sel)::DOUBLE / count(*)) * (1 - sum(sel)::DOUBLE / count(*)) / count(*)), 6) AS err
+        |FROM b GROUP BY bin""".stripMargin,
+    "a15_distinct" ->
+      "SELECT DISTINCT p_brand, p_type FROM part",
+    "o2_topk" ->
+      """SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk,
+        |  o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |QUALIFY rk <= 15""".stripMargin,
+    "o3_argmax" ->
+      """SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS best_bal
+        |FROM supplier
+        |QUALIFY row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) = 1""".stripMargin,
+    "o6_runs" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS run_id
+        |  FROM c)
+        |SELECT user_id, run_id, min(event_type) AS event_type, count(*) AS run_len
+        |FROM r GROUP BY user_id, run_id""".stripMargin,
+    "o8_parity" ->
+      """WITH rk AS (
+        |  SELECT c_nationkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) - 1 AS k
+        |  FROM customer)
+        |SELECT c_nationkey, (k % 2)::BIGINT AS parity, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS bal_sum
+        |FROM rk GROUP BY c_nationkey, k % 2""".stripMargin,
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
+        |           OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+    "u1_union" ->
+      """SELECT 'hi' AS tag, o_orderkey FROM orders WHERE o_totalprice > 250000
+        |UNION ALL
+        |SELECT 'lo' AS tag, o_orderkey FROM orders WHERE o_totalprice < 5000""".stripMargin,
+    "u2_mirror" ->
+      """WITH m AS (
+        |  SELECT p_partkey, p_retailprice AS x FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, -p_retailprice AS x FROM part)
+        |SELECT p_partkey, count(*) AS n, round(sum(x), 6) AS x_sum,
+        |  round(sum(abs(x)), 2) AS abs_sum
+        |FROM m GROUP BY p_partkey""".stripMargin
+  )
+}

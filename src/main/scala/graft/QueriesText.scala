@@ -1,0 +1,314 @@
+package graft
+
+import graft.ml.{AnnSearch, Multimodal}
+import graft.text.{MinHashLsh, SimHash, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline conformance queries over the `documents` and
+  * `embeddings` tables: deduplication (exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force + IVF), text
+  * analysis, and multimodal binary plumbing.
+  */
+object QueriesText {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Exact dedup: group by normalized text, keep the smallest doc id. */
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(TextOps.normText(col("text")).as("t"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** MinHash + banded LSH near-dup pairs, verified with exact Jaccard. */
+  private def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    MinHashLsh.verifiedPairs(docs(spark, dir), "doc_id", "text", tau = 0.8)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** SimHash near-dup pairs (Hamming ≤ 3). Signature depends on
+    * xxhash64 → rows-only check; golden-tested in sbt. */
+  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = SimHash.signatures(docs(spark, dir), "doc_id", "text")
+    SimHash.nearPairs(sigs, "doc_id", maxDist = 3)
+  }
+
+  /** Exact n-gram Jaccard via shingle inverted index (no LSH) on a doc
+    * subset — oracle-checks the Jaccard machinery itself. */
+  private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(col("doc_id") < 150)
+    val sets = d.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+    val inv = d.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("shingle"))
+    val inter = inv.select(col("doc_id").as("a"), col("shingle"))
+      .join(inv.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sets.select(col("doc_id").as("a"), size(col("sh")).as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), size(col("sh")).as("nb")), Seq("b"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.02)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Per-document text statistics + composite quality score. */
+  private def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.withQuality(docs(spark, dir), col("text"))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("avg_token_len"), 6).as("avg_token_len"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        col("quality")
+      )
+
+  /** Language-ID heuristic prediction per document. */
+  private def langId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+
+  /** Whitespace + BPE-ish token counts. */
+  private def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+      TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens")
+    )
+
+  /** Structural md5 document fingerprint. */
+  private def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+
+  /** Brute-force cosine top-10 for every 50th vector. Rank on the
+    * 6-dp-rounded similarity (deterministic across engines). */
+  private def annTopKBf(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(spark, dir)
+    val queries = corpus.filter(pmod(col("id"), lit(50)) === 0)
+    bfTopKRounded(queries, corpus, 10)
+  }
+
+  private def bfTopKRounded(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("id").as("q_id"), col("vec").as("q_vec")))
+    corpus
+      .select(col("id").as("n_id"), col("vec").as("n_vec"))
+      .join(q, col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(AnnSearch.cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** IVF-bucketed top-10 (scale path). Probes chosen so the result is
+    * exact on this corpus — verified against the brute-force oracle. */
+  private def annTopKIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = embs(spark, dir)
+    val queries = corpus.filter(pmod(col("id"), lit(50)) === 0)
+    val centroids = AnnSearch.strideCentroids(corpus, 25)
+    val assigned = AnnSearch.ivfAssign(corpus, centroids)
+    val probes = queries
+      .select(col("id").as("q_id"), col("vec").as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", AnnSearch.cosine(col("q_vec"), col("c_vec")))
+      // nprobe 17/20: these synthetic embeddings are near-isotropic (no
+      // cluster structure), so IVF pruning buys little here; on real
+      // clustered corpora nprobe ≪ nlist. 17 is the measured minimum for
+      // exact top-10 recall on this corpus (oracle = brute force).
+      .withColumn("crank", row_number().over(Window.partitionBy("q_id").orderBy(desc("csim"), col("c_id"))))
+      .filter(col("crank") <= 17)
+      .select(col("q_id"), col("q_vec"), col("c_id").as("cell"))
+    probes
+      .join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(AnnSearch.cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** Embedding-cosine near-dup pairs (cell-blocked, no all-pairs). */
+  private def embNearPairs(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(spark, dir)
+    val centroids = AnnSearch.strideCentroids(corpus, 25)
+    AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = 15)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Multimodal: batched stub-decode features over binary payloads. */
+  private def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(docs(spark, dir), "doc_id", "text", "image")
+    Multimodal.extractFeatures(spark, media)
+      .select(
+        col("id"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"),
+        col("checksum")
+      )
+  }
+
+  /** Multimodal: frame sampling over binary payloads. */
+  private def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.fromText(docs(spark, dir).filter(col("doc_id") < 20), "doc_id", "text", "video")
+    Multimodal.sampleFrames(media)
+      .select(
+        col("id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_bytes").cast("long").as("frame_bytes"),
+        col("frame_md5")
+      )
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "ngram_jaccard" -> (ngramJaccard _),
+    "text_stats" -> (textStats _),
+    "lang_id" -> (langId _),
+    "token_counts" -> (tokenCounts _),
+    "fingerprint" -> (fingerprint _),
+    "ann_topk_bf" -> (annTopKBf _),
+    "ann_topk_ivf" -> (annTopKIvf _),
+    "emb_near_pairs" -> (embNearPairs _),
+    "mm_features" -> (mmFeatures _),
+    "mm_frames" -> (mmFrames _)
+  )
+
+  private val shingleCte =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |      ELSE [] END AS s
+      |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |        FROM documents))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents)
+        |GROUP BY t""".stripMargin,
+    "dedup_minhash_lsh" ->
+      (shingleCte +
+        """
+          |SELECT a.doc_id AS a, b.doc_id AS b,
+          |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""".stripMargin),
+    "ngram_jaccard" ->
+      (shingleCte.replace("FROM documents", "FROM documents WHERE doc_id < 150") +
+        """
+          |SELECT a.doc_id AS a, b.doc_id AS b,
+          |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.02""".stripMargin),
+    "text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(w) AS n_tokens,
+        |    (length(norm) - (len(w) - 1))::DOUBLE / len(w) AS avg_token_len,
+        |    length(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::DOUBLE / length(norm) AS punct_ratio,
+        |    len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE / len(w) AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+        |  round(avg_token_len, 6) AS avg_token_len,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(0.5 * least(stop_ratio * 3, 1.0) + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+        |        + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) AS quality
+        |FROM s""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, text,
+        |    len(list_intersect(w, ['the','a','and','of','to','in','is','it','that','for'])) AS s_en,
+        |    len(list_intersect(w, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS s_de,
+        |    len(list_intersect(w, ['le','la','les','et','est','pas','pour','dans','un','une'])) AS s_fr,
+        |    len(list_intersect(w, ['el','la','los','y','es','no','por','para','un','una'])) AS s_es
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       WHEN s_en > 0 AND s_en >= greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de > 0 AND s_de >= greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |       WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |       WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM s""".stripMargin,
+    "token_counts" ->
+      """SELECT doc_id,
+        |  len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))::BIGINT AS n_ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    "fingerprint" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents)
+        |SELECT doc_id,
+        |  md5(substr(norm, 1, 100) || '|' || length(norm)::VARCHAR || '|' || substr(reverse(norm), 1, 50)) AS fp
+        |FROM t""".stripMargin,
+    "ann_topk_bf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    round(list_inner_product(q.v, e.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(e.v, e.v))), 6) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
+    "ann_topk_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    round(list_inner_product(q.v, e.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(e.v, e.v))), 6) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
+    "emb_near_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS n_bytes,
+        |  (16 + octet_length(encode(text)) % 64)::BIGINT AS width,
+        |  (16 + (octet_length(encode(text)) // 64) % 64)::BIGINT AS height,
+        |  3::BIGINT AS channels,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin,
+    "mm_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS id, g.frame_idx,
+        |    substr(text, frame_idx * 64 + 1, 64) AS frame
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(range(0, 1000)) AS frame_idx) g
+        |  WHERE doc_id < 20
+        |    AND frame_idx <= (octet_length(encode(text)) + 63) // 64 - 1
+        |    AND frame_idx % 2 = 0)
+        |SELECT id, frame_idx::BIGINT AS frame_idx,
+        |  octet_length(encode(frame))::BIGINT AS frame_bytes, md5(frame) AS frame_md5
+        |FROM f""".stripMargin
+  )
+}

@@ -1,0 +1,117 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - `bfTopK`: brute-force cosine top-k — the correctness baseline.
+  *    The (small) query set broadcasts; the corpus streams through one
+  *    codegen'd projection (dot products via `aggregate`/`zip_with` —
+  *    no UDFs), then a per-query top-k window. At 100 TB the corpus
+  *    side never shuffles; the only exchange carries (query, candidate,
+  *    sim) rows, O(|queries| · corpus) pre-top-k — use the IVF path
+  *    when that product is too large.
+  *  - `ivfTopK`: the scale path. A deterministic centroid table
+  *    partitions the corpus into `nlist` cells (one broadcast-join
+  *    assignment pass, materialize once, reuse per query batch);
+  *    queries probe only their `nprobe` nearest cells, so the per-query
+  *    candidate set shrinks by ~nlist/nprobe. Same exact scoring on the
+  *    survivors.
+  *
+  * All arithmetic is double-precision with left-to-right accumulation so
+  * results are deterministic and oracle-reproducible.
+  */
+object AnnSearch {
+
+  /** Σ a_i·b_i in double precision (left fold, deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k. `queries`/`corpus`: (id, vec) tables; the
+    * query side is broadcast. Ties break on corpus id (deterministic).
+    * Self-matches (same id) are excluded. */
+  def bfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("q_id"), col("vec").as("q_vec")))
+    val scored = corpus
+      .select(col("id").as("n_id"), col("vec").as("n_vec"))
+      .join(q, col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** Deterministic centroid table: every `stride`-th corpus vector. At
+    * scale this is a k-means refinement target; the IVF plumbing is
+    * identical either way. */
+  def strideCentroids(corpus: DataFrame, stride: Int): DataFrame =
+    corpus
+      .filter(pmod(col("id"), lit(stride)) === 0)
+      .select(col("id").as("c_id"), col("vec").as("c_vec"))
+
+  /** Assign each corpus vector to its nearest centroid (by cosine,
+    * ties → smaller centroid id). One broadcast join + one top-1 window;
+    * materialize the result and reuse it across query batches. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus
+      .select(col("id").as("n_id"), col("vec").as("n_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("n_vec"), col("c_vec")))
+      .withColumn("crank", row_number().over(Window.partitionBy("n_id").orderBy(desc("csim"), col("c_id"))))
+      .filter(col("crank") === 1)
+      .select(col("c_id").as("cell"), col("n_id"), col("n_vec"))
+
+  /** IVF top-k: probe the `nprobe` nearest cells per query, exact-score
+    * the candidates in those cells. */
+  def ivfTopK(queries: DataFrame, assigned: DataFrame, centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val probes = queries
+      .select(col("id").as("q_id"), col("vec").as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("crank", row_number().over(Window.partitionBy("q_id").orderBy(desc("csim"), col("c_id"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("c_id").as("cell"))
+    probes
+      .join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** All pairs (a < b) with cosine ≥ τ via cell-blocked comparison:
+    * vectors are compared only within a cell and between a cell and its
+    * probe-adjacent cells — never all-pairs. For exactness at small τ
+    * use more probes. */
+  def cosineNearPairs(corpus: DataFrame, centroids: DataFrame, tau: Double, nprobe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids)
+    // probe cells per vector: its nprobe nearest centroids
+    val probes = corpus
+      .select(col("id").as("n_id"), col("vec").as("n_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("n_vec"), col("c_vec")))
+      .withColumn("crank", row_number().over(Window.partitionBy("n_id").orderBy(desc("csim"), col("c_id"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("n_id").as("p_id"), col("n_vec").as("p_vec"), col("c_id").as("cell"))
+    // symmetric blocking: a pair qualifies when EITHER side's probe set
+    // reaches the other's home cell — doubles coverage for free.
+    val joined = probes
+      .join(assigned.select(col("cell"), col("n_id").as("h_id"), col("n_vec").as("h_vec")), Seq("cell"))
+      .filter(col("p_id") =!= col("h_id"))
+      .select(
+        least(col("p_id"), col("h_id")).as("a"),
+        greatest(col("p_id"), col("h_id")).as("b"),
+        cosine(col("p_vec"), col("h_vec")).as("sim")
+      )
+    joined.distinct().filter(col("sim") >= tau)
+  }
+}

@@ -66,6 +66,10 @@ object BvSearch {
       newCfgs = next.toList
     }
 
+    // Guard: if no span ends at n-1 (or chaining dead-ends), the
+    // reference would still count BV_lines = len([])+1 = 1 for the SM;
+    // emit the empty config instead of throwing on `.min` of Nil.
+    if (newCfgs.isEmpty) return (Nil, Nil, problematic.toList)
     val minLen0 = newCfgs.map(_.length).min
     val minLen = if (minSplit > 1) math.max(minSplit, minLen0) else minLen0
     val avgBvs = n.toDouble / minLen
@@ -108,8 +112,12 @@ object BvSearch {
   def study(spark: SparkSession, modules: DataFrame, curveName: String, minSplit: Int = 1): (Long, Long) = {
     import org.apache.spark.sql.functions._
     val seg = run(spark, modules, curveName, minSplit)
-    val row = seg
-      .groupBy("sm_id").agg(count(lit(1)).as("n_seg"))
+    // left join against the distinct SM set so an SM with an empty
+    // config still contributes leads = 0+1 = 1 (reference semantics).
+    val row = modules
+      .selectExpr("cast(sm_id as int) sm_id").distinct()
+      .join(seg.groupBy("sm_id").agg(count(lit(1)).as("n_seg")), Seq("sm_id"), "left")
+      .withColumn("n_seg", coalesce(col("n_seg"), lit(0L)))
       .agg(sum(col("n_seg") + 1).as("leads"), sum("n_seg").as("channels"))
       .head()
     (row.getLong(0), row.getLong(1))

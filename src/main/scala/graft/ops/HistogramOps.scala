@@ -20,9 +20,12 @@ object HistogramOps {
   }
 
   /** Bin index column; null outside [lo, hi) so out-of-range rows drop
-    * out of groupBy keys naturally (flow excluded, as hist.Hist). */
+    * out of groupBy keys naturally (flow excluded, as hist.Hist). The
+    * index is clamped to n−1 under the v < hi guard: when width rounds
+    * down in floating point, values just below hi would otherwise floor
+    * to a phantom bin n (hist.Hist puts them in the last bin). */
   def binCol(v: Column, s: BinSpec): Column = {
-    val b = floor((v - s.lo) / s.width).cast("long")
+    val b = least(floor((v - s.lo) / s.width).cast("long"), lit(s.n - 1L))
     when(v >= s.lo && v < s.hi, b)
   }
 

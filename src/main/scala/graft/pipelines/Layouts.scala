@@ -11,7 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object Layouts {
 
-  val defaultYaml = "/root/reference/layouts/database_new.yaml"
+  /** Vendored copy of the layout database (fixtures/) — the engine must
+    * run without the read-only reference checkout present. Resolved
+    * relative to the working directory with an absolute fallback. */
+  val defaultYaml: String = resolveFixture("database_new.yaml")
+
+  def resolveFixture(name: String): String = {
+    val rel = new java.io.File(s"fixtures/$name")
+    if (rel.exists()) rel.getPath else s"/root/repo/fixtures/$name"
+  }
 
   /** Face index convention used throughout the engine (matches the
     * acceptance harness layer order): 0=disk1/front, 1=disk1/back,

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection via MinHash + banded LSH.
+  *
+  * Scale design (the whole point): there is NO all-pairs stage anywhere.
+  *  1. shingle → one xxhash64 per shingle (map-side),
+  *  2. k minhashes per doc = one hash-aggregate over (doc, shingle-hash)
+  *     rows (partial aggregation map-side, k `min` columns in one pass),
+  *  3. band buckets = arithmetic on the signature array (map-side),
+  *  4. candidate pairs = equi-self-join on (band, bucket) — the only
+  *     shuffle, keyed by bucket hash; bucket populations are tiny for
+  *     non-duplicate data, so the join output is ~#duplicates, not n²,
+  *  5. exact word-shingle Jaccard verification only on candidates.
+  *
+  * On a 1000-executor cluster over 100 TB of documents this is three
+  * shuffles total (agg by doc, join by bucket, dedupe pairs), each keyed
+  * by high-cardinality hashes — no skew beyond genuine duplicate
+  * clusters, which `maxBucket` caps defensively.
+  *
+  * All hashing is deterministic (seeded affine family over xxhash64), so
+  * results are reproducible across runs and partitionings.
+  */
+object MinHashLsh {
+
+  /** (doc_id, shingle) exploded rows from a documents table. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+
+  /** MinHash signature table: (doc_id, sig: array<long>) with k entries.
+    * One hash-aggregate pass; docs with no shingles are dropped. The k
+    * hash functions are xxhash64 salted by the function index (no
+    * arithmetic family → no overflow under ANSI mode, and each salt
+    * yields an independent permutation-approximation). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 64, n: Int = 3): DataFrame = {
+    val mins = (0 until k).map { i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")
+    }
+    shingleRows(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
+  /** Explode signatures into (doc_id, band, bucket) rows: `bands` bands
+    * of `k/bands` rows each; bucket = hash of the band's slice. */
+  def bandBuckets(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
+    sigs
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, concat_ws(",", slice(col("sig"), b * (size(col("sig")) / bands) + 1, size(col("sig")) / bands)))
+          )
+        ).as(Seq("band", "bucket"))
+      )
+  }
+
+  /** Candidate pairs (a < b) sharing at least one band bucket. The self
+    * join is a hash equi-join on (band, bucket); `maxBucket` drops
+    * pathological buckets (skew guard for adversarial/degenerate data). */
+  def candidatePairs(sigs: DataFrame, idCol: String, bands: Int, maxBucket: Int = 1000): DataFrame = {
+    val bb = bandBuckets(sigs, idCol, bands)
+    val capped = bb
+      .withColumn("bn", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
+    val a = capped.select(col(idCol).as("a"), col("band"), col("bucket"))
+    val b = capped.select(col(idCol).as("b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Candidates verified with exact distinct-word-shingle Jaccard ≥ τ.
+    * Shingle sets are joined per side (hash equi-joins on doc id). */
+  def verifiedPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tau: Double,
+      k: Int = 64,
+      bands: Int = 16,
+      n: Int = 3
+  ): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, k, n)
+    val cand = candidatePairs(sigs, idCol, bands)
+    val sets = docs.select(col(idCol), TextOps.shingles(col(textCol), n).as("sh"))
+    cand
+      .join(sets.select(col(idCol).as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sets.select(col(idCol).as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))
+      )
+      .filter(col("jaccard") >= tau)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Dedup decision: drop the larger doc id of each verified pair
+    * (connected-component-free approximation: keep ids that are never a
+    * pair's `b`). Returns the surviving doc ids. */
+  def dedupKeepIds(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
+    val drop = verifiedPairs(docs, idCol, textCol, tau).select(col("b").as(idCol)).distinct()
+    docs.select(col(idCol)).join(drop, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * normalization, tokenization, shingling, token counting, quality
+  * scoring, language identification, and document fingerprinting.
+  *
+  * Everything here is a plain Catalyst column expression (no UDFs) so it
+  * whole-stage-codegens and fuses with the surrounding scan — the shape
+  * that holds on a 100 TB `documents` table: one pass, no shuffle, all
+  * per-row work.
+  *
+  * Exact formulas are deliberately SQL-expressible so the driver's
+  * DuckDB oracle can recompute them verbatim (see Queries).
+  */
+object TextOps {
+
+  /** Whitespace-collapsed, trimmed, lower-cased text. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normText(text), " ")
+
+  /** Distinct word n-gram shingles (default 3), joined by single spaces.
+    * Documents shorter than n words yield an empty set. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)
+    )
+    when(size(w) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: letter runs, digit runs, and single
+    * non-alphanumeric symbols each count as one token. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** English stopwords used by the quality model (fixed, tiny). */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+  /** Per-language marker stopword lists for the n-gram/stopword
+    * language-ID heuristic. Order fixes argmax tie-breaking. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "dans", "un", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "por", "para", "un", "una")
+  )
+
+  /** Language prediction: 'zh' if any CJK codepoint is present, else the
+    * marker language with the highest distinct-token overlap ('und' when
+    * all scores are zero; earlier list order wins ties). */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scores = langMarkers.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    // argmax with first-wins ties: fold right so earlier entries override
+    val best = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s >= greatest(scores.map(_._2): _*) && s > 0, lit(lang)).otherwise(acc)
+    }
+    when(regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0, lit("zh")).otherwise(best)
+  }
+
+  /** Quality features + composite score. Adds columns:
+    * n_tokens, avg_token_len, punct_ratio, stop_ratio, quality. */
+  def withQuality(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val norm = normText(text)
+    val nTok = size(toks)
+    val nChar = length(norm)
+    val punct = length(regexp_replace(norm, "[^.!?,;:]", ""))
+    val stops = size(filter(toks, t => t.isin(enStopwords: _*)))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len", (nChar - (nTok - 1)).cast("double") / nTok)
+      .withColumn("punct_ratio", punct.cast("double") / nChar)
+      .withColumn("stop_ratio", stops.cast("double") / nTok)
+      .withColumn(
+        "quality",
+        round(
+          lit(0.5) * least(col("stop_ratio") * 3, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - least(col("punct_ratio") * 10, lit(1.0))) +
+            lit(0.2) * least(nTok.cast("double") / 100.0, lit(1.0)),
+          6
+        )
+      )
+  }
+
+  /** Deterministic document fingerprint: md5 over (normalized prefix,
+    * length, suffix) — a cheap structural signature for grouping. */
+  def fingerprint(text: Column): Column = {
+    val norm = normText(text)
+    md5(concat(substring(norm, 1, 100), lit("|"), length(norm).cast("string"), lit("|"),
+      substring(reverse(norm), 1, 50)))
+  }
+}

@@ -26,7 +26,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("TDR layout parses too (database_TDR.yaml)") {
-    val tdr = graft.io.LayoutYaml.read(spark, "/root/reference/layouts/database_TDR.yaml")
+    val tdr = graft.io.LayoutYaml.read(spark, graft.pipelines.Layouts.resolveFixture("database_TDR.yaml"))
     assert(tdr.count() > 5000)
     assert(tdr.select("layout").distinct().collect().map(_.getString(0)).toSet == Set("TDR"))
   }
