@@ -1,0 +1,113 @@
+package graft
+
+import graft.ml.{AnnSearch, Multimodal}
+import graft.text.{MinHashLsh, SimHash, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operator specs: text ops, MinHash-LSH,
+  * SimHash, ANN search, multimodal plumbing. */
+class TextMlSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("normText collapses whitespace; tokens/shingles handle short docs") {
+    import spark.implicits._
+    val df = docsDf(Seq(
+      (0L, "  Hello   WORLD  foo bar "),
+      (1L, "one two"),
+      (2L, "a b c")
+    )).select(
+      col("doc_id"),
+      TextOps.normText(col("text")).as("norm"),
+      TextOps.tokenCount(col("text")).as("n"),
+      size(TextOps.shingles(col("text"))).as("nsh")
+    ).orderBy("doc_id").as[(Long, String, Int, Int)].collect()
+    assert(df(0) == ((0L, "hello world foo bar", 4, 2)))
+    assert(df(1) == ((1L, "one two", 2, 0))) // < 3 words → no shingles
+    assert(df(2) == ((2L, "a b c", 3, 1)))
+  }
+
+  test("minhash LSH finds planted near-dup and identical pair, not unrelated docs") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val unrelated = (1 to 60).map(i => s"z$i").mkString(" ")
+    val docs = docsDf(Seq((0L, base), (1L, nearDup), (2L, unrelated), (3L, base)))
+    val pairs = MinHashLsh.verifiedPairs(docs, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    val exact = pairs.find(p => (p._1, p._2) == ((0L, 3L))).get
+    assert(exact._3 == 1.0)
+  }
+
+  test("simhash: identical docs at distance 0, one-word edit within 3, unrelated not paired") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val oneEdit = (1 to 80).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val unrelated = (1 to 80).map(i => s"q$i").mkString(" ")
+    val docs = docsDf(Seq((0L, base), (1L, oneEdit), (2L, unrelated), (3L, base)))
+    val sigs = SimHash.signatures(docs, "doc_id", "text")
+    val pairs = SimHash.nearPairs(sigs, "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L)))
+    assert(pairs.find(p => (p._1, p._2) == ((0L, 3L))).get._3 == 0)
+    assert(keys.contains((0L, 1L)) || keys.contains((1L, 3L))) // one-word edit stays close
+    assert(!keys.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ANN brute-force top-k ranks by cosine with deterministic ties") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+    // columns: q_id, rank, n_id, sim
+    val got = AnnSearch.bfTopK(vecs.filter($"id" === 0), vecs, 3)
+      .orderBy("rank").select("n_id").as[Long].collect().toSeq
+    assert(got == Seq(4L, 1L, 2L)) // exact copy first, near second, orthogonal third
+  }
+
+  test("IVF with all cells probed equals brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f))).toDF("id", "vec")
+    val queries = vecs.filter(pmod($"id", lit(10)) === 0)
+    val centroids = AnnSearch.strideCentroids(vecs, 8) // 5 centroids
+    val assigned = AnnSearch.ivfAssign(vecs, centroids)
+    val ivf = AnnSearch.ivfTopK(queries, assigned, centroids, k = 5, nprobe = 5)
+      .orderBy("q_id", "rank").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val bf = AnnSearch.bfTopK(queries, vecs, 5)
+      .orderBy("q_id", "rank").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(ivf == bf)
+  }
+
+  test("multimodal: frame sampling covers payload; features are deterministic") {
+    import spark.implicits._
+    val docs = docsDf(Seq((0L, "x" * 200), (1L, "short")))
+    val media = Multimodal.fromText(docs, "doc_id", "text", "video")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 1)
+      .orderBy("id", "frame_idx")
+      .select("id", "frame_idx", "frame_bytes").as[(Long, Int, Int)].collect().toSeq
+    assert(frames.filter(_._1 == 0L) == Seq((0L, 0, 64), (0L, 1, 64), (0L, 2, 64), (0L, 3, 8)))
+    assert(frames.filter(_._1 == 1L) == Seq((1L, 0, 5)))
+    val feats = Multimodal.extractFeatures(spark, media)
+      .orderBy("id").select("n_bytes", "checksum").collect()
+    assert(feats(0).getInt(0) == 200)
+    assert(feats(1).getInt(0) == 5)
+    // md5("short") — stable reference value
+    assert(feats(1).getString(1) == "4f09daa9d95bcb166a302407a0e0babe")
+  }
+
+  test("dedup keep-ids drops only the larger id of verified pairs") {
+    val base = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = docsDf(Seq((10L, base), (20L, base), (30L, "totally different text " * 10)))
+    val keep = MinHashLsh.dedupKeepIds(docs, "doc_id", "text", tau = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(keep == Set(10L, 30L))
+  }
+}

@@ -13,9 +13,6 @@ class TransformsSpec extends SparkSpec {
     val fwd = Transforms.withCartesian(df, zMm = 3000.0)
       .drop("theta", "r")
     val back = Transforms.withKinematics(fwd.withColumn("z", lit(3000.0)), "x", "y", "z")
-    val bad = back
-      .withColumn("d_eta", abs(col("eta") - Transforms.etaOfTheta(col("theta"))))
-      .filter(col("d_eta") > 1e-12)
     // withKinematics overwrites eta — recompute diff against original columns
     val joined = back.select(col("id"), col("eta").as("eta2"))
       .join(df.select(col("id"), col("eta").as("eta1")), "id")
