@@ -18,6 +18,11 @@ object QueriesDomain {
   private def particles(spark: SparkSession): DataFrame =
     spark.read.parquet(Layouts.resolveFixture("particles_seed42.parquet"))
 
+  private def d2Sms(spark: SparkSession): DataFrame = {
+    val half = Layouts.faceCenters(spark, "disk1", "back").filter(col("x") > 0)
+    SmReconstruct.supermodules(spark, half, EtlConfig.modPartitions.map(_._3))
+  }
+
   private def d2Sensors(spark: SparkSession): DataFrame = {
     val centers = Layouts.faceCenters(spark, "disk1", "back")
     SmReconstruct.reconstruct(spark, centers)
@@ -93,7 +98,51 @@ object QueriesDomain {
     rows.toDF("config", "leads", "channels")
   }
 
+  /** Greedy radial BV grouping (F5/O1/O4/F7) group rollup. */
+  private def greedyGroups(spark: SparkSession, dir: String): DataFrame = {
+    val mods = SmReconstruct.moduleStats(d2Sensors(spark))
+    val grouped = graft.ops.GreedyGrouping.fromModuleStats(spark, mods)
+    graft.ops.GreedyGrouping.groupSummary(grouped)
+      .select(
+        col("vendor"),
+        col("group").cast("long").as("grp"),
+        col("n_mods"),
+        round(col("group_current"), 6).as("group_current")
+      )
+  }
+
+  /** O5/A16: ring split of the supermodule table. */
+  private def ringSplit(spark: SparkSession, dir: String): DataFrame = {
+    val sms = d2Sms(spark)
+    val ringed = graft.ops.RingSplit.classify(sms)
+    graft.ops.RingSplit.checkInvariance(sms, ringed)
+    ringed.groupBy("ring").agg(
+      count(lit(1)).as("n_sm"),
+      sum("n_mod").cast("long").as("n_modules")
+    )
+  }
+
+  /** Per-SM ring membership (debug granularity). */
+  private def ringMembers(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RingSplit.classify(d2Sms(spark))
+      .select(col("row_idx").cast("long").as("row_idx"), col("sm_seq").cast("long").as("sm_seq"),
+        col("n_mod").cast("long").as("n_mod"), round(col("y_row"), 3).as("y_row"), col("ring"))
+
+  /** Mixed-vendor min_split BV studies over the ring split. */
+  private def minsplitStudies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ringed = graft.ops.RingSplit.classify(d2Sms(spark))
+    val mods = SmReconstruct.moduleStats(d2Sensors(spark)).cache()
+    val rows = graft.ops.RingSplit.referenceStudies(spark, mods, ringed)
+    mods.unpersist()
+    rows.toDF("study", "leads", "channels", "n_fbk", "n_hpk")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ring_split" -> (ringSplit _),
+    "ring_members" -> (ringMembers _),
+    "minsplit_studies" -> (minsplitStudies _),
+    "greedy_groups" -> (greedyGroups _),
     "acc_stats" -> (accStats _),
     "acc_hist" -> (accHist _),
     "sm_counts" -> (smCounts _),
@@ -105,6 +154,146 @@ object QueriesDomain {
   )
 
   val oracles: Map[String, String] = Map(
+    "ring_members" ->
+      """SELECT row_idx::BIGINT AS row_idx, sm_seq::BIGINT AS sm_seq, n_mod::BIGINT AS n_mod,
+        |  y_row::DOUBLE AS y_row, ring FROM (VALUES
+        |  (0, 0, 7, 1028.4, 'outer'),
+        |  (1, 0, 7, 942.7, 'middle'),
+        |  (1, 1, 6, 942.7, 'outer'),
+        |  (2, 0, 7, 857.0, 'middle'),
+        |  (2, 1, 6, 857.0, 'middle'),
+        |  (2, 2, 3, 857.0, 'outer'),
+        |  (3, 0, 6, 771.3, 'middle'),
+        |  (3, 1, 6, 771.3, 'middle'),
+        |  (3, 2, 6, 771.3, 'outer'),
+        |  (4, 0, 7, 685.6, 'middle'),
+        |  (4, 1, 7, 685.6, 'middle'),
+        |  (4, 2, 6, 685.6, 'outer'),
+        |  (5, 0, 7, 599.9, 'inner'),
+        |  (5, 1, 6, 599.9, 'middle'),
+        |  (5, 2, 6, 599.9, 'middle'),
+        |  (5, 3, 3, 599.9, 'outer'),
+        |  (6, 0, 7, 514.2, 'inner'),
+        |  (6, 1, 7, 514.2, 'inner'),
+        |  (6, 2, 6, 514.2, 'middle'),
+        |  (6, 3, 3, 514.2, 'outer'),
+        |  (7, 0, 7, 428.5, 'inner'),
+        |  (7, 1, 6, 428.5, 'inner'),
+        |  (7, 2, 6, 428.5, 'middle'),
+        |  (7, 3, 3, 428.5, 'outer'),
+        |  (8, 0, 7, 342.8, 'inner'),
+        |  (8, 1, 6, 342.8, 'middle'),
+        |  (8, 2, 3, 342.8, 'outer'),
+        |  (9, 0, 7, 257.1, 'inner'),
+        |  (9, 1, 6, 257.1, 'middle'),
+        |  (9, 2, 6, 257.1, 'outer'),
+        |  (10, 0, 6, 171.4, 'inner'),
+        |  (10, 1, 6, 171.4, 'middle'),
+        |  (10, 2, 6, 171.4, 'outer'),
+        |  (11, 0, 7, 85.7, 'inner'),
+        |  (11, 1, 7, 85.7, 'middle'),
+        |  (11, 2, 3, 85.7, 'outer'),
+        |  (12, 0, 6, 0.0, 'inner'),
+        |  (12, 1, 6, 0.0, 'middle'),
+        |  (12, 2, 3, 0.0, 'outer'),
+        |  (13, 0, 6, -85.7, 'inner'),
+        |  (13, 1, 6, -85.7, 'middle'),
+        |  (13, 2, 3, -85.7, 'outer'),
+        |  (14, 0, 6, -171.4, 'inner'),
+        |  (14, 1, 6, -171.4, 'middle'),
+        |  (14, 2, 6, -171.4, 'outer'),
+        |  (15, 0, 7, -257.1, 'inner'),
+        |  (15, 1, 6, -257.1, 'middle'),
+        |  (15, 2, 6, -257.1, 'outer'),
+        |  (16, 0, 7, -342.8, 'inner'),
+        |  (16, 1, 6, -342.8, 'middle'),
+        |  (16, 2, 6, -342.8, 'outer'),
+        |  (17, 0, 3, -428.5, 'inner'),
+        |  (17, 1, 7, -428.5, 'inner'),
+        |  (17, 2, 7, -428.5, 'middle'),
+        |  (17, 3, 3, -428.5, 'outer'),
+        |  (18, 0, 7, -514.2, 'inner'),
+        |  (18, 1, 7, -514.2, 'inner'),
+        |  (18, 2, 6, -514.2, 'middle'),
+        |  (18, 3, 3, -514.2, 'outer'),
+        |  (19, 0, 7, -599.9, 'inner'),
+        |  (19, 1, 6, -599.9, 'inner'),
+        |  (19, 2, 6, -599.9, 'middle'),
+        |  (19, 3, 3, -599.9, 'outer'),
+        |  (20, 0, 7, -685.6, 'middle'),
+        |  (20, 1, 7, -685.6, 'middle'),
+        |  (20, 2, 7, -685.6, 'outer'),
+        |  (21, 0, 7, -771.3, 'middle'),
+        |  (21, 1, 6, -771.3, 'middle'),
+        |  (21, 2, 6, -771.3, 'outer'),
+        |  (22, 0, 7, -857.0, 'middle'),
+        |  (22, 1, 7, -857.0, 'middle'),
+        |  (22, 2, 3, -857.0, 'outer'),
+        |  (23, 0, 6, -942.7, 'middle'),
+        |  (23, 1, 6, -942.7, 'middle'),
+        |  (23, 2, 3, -942.7, 'outer'),
+        |  (24, 0, 7, -1028.4, 'middle'),
+        |  (24, 1, 3, -1028.4, 'outer'),
+        |  (25, 0, 3, -1114.1, 'outer')) t(row_idx, sm_seq, n_mod, y_row, ring)""".stripMargin,
+    "ring_split" ->
+      """SELECT ring, n_sm::BIGINT AS n_sm, n_modules::BIGINT AS n_modules FROM (VALUES
+        |  ('inner', 20, 130), ('middle', 32, 204), ('outer', 26, 113)) t(ring, n_sm, n_modules)""".stripMargin,
+    "minsplit_studies" ->
+      """SELECT study, leads::BIGINT AS leads, channels::BIGINT AS channels,
+        |  n_fbk::BIGINT AS n_fbk, n_hpk::BIGINT AS n_hpk FROM (VALUES
+        |  ('realistic_5fC_minsplit2', 304, 226, 334, 113),
+        |  ('realistic_10fC_minsplit3', 326, 248, 130, 317),
+        |  ('realistic_10fC_minsplit1', 221, 143, 130, 317)) t(study, leads, channels, n_fbk, n_hpk)""".stripMargin,
+    "greedy_groups" ->
+      """SELECT vendor, grp::BIGINT AS grp, n_mods::BIGINT AS n_mods,
+        |  group_current::DOUBLE AS group_current FROM (VALUES
+        |  ('hpk', 0, 12, 18.636836),
+        |  ('hpk', 1, 12, 18.659974),
+        |  ('hpk', 2, 12, 18.67682),
+        |  ('hpk', 3, 12, 18.692924),
+        |  ('hpk', 4, 12, 18.71139),
+        |  ('hpk', 5, 12, 18.727599),
+        |  ('hpk', 6, 12, 18.740624),
+        |  ('hpk', 7, 12, 18.769268),
+        |  ('hpk', 8, 12, 18.786027),
+        |  ('hpk', 9, 12, 18.814342),
+        |  ('hpk', 10, 12, 18.838136),
+        |  ('hpk', 11, 12, 18.859022),
+        |  ('hpk', 12, 12, 18.87961),
+        |  ('hpk', 13, 12, 18.91511),
+        |  ('hpk', 14, 12, 18.950091),
+        |  ('hpk', 15, 12, 18.989994),
+        |  ('hpk', 16, 12, 19.019259),
+        |  ('hpk', 17, 12, 19.056368),
+        |  ('hpk', 18, 12, 19.094266),
+        |  ('hpk', 19, 12, 19.15681),
+        |  ('hpk', 20, 12, 19.20404),
+        |  ('hpk', 21, 12, 19.26412),
+        |  ('hpk', 22, 12, 19.3103),
+        |  ('hpk', 23, 12, 19.383094),
+        |  ('hpk', 24, 12, 19.464216),
+        |  ('hpk', 25, 12, 19.555619),
+        |  ('hpk', 26, 12, 19.631438),
+        |  ('hpk', 27, 12, 19.718725),
+        |  ('hpk', 28, 12, 19.859563),
+        |  ('hpk', 29, 7, 11.646982),
+        |  ('hpk', 30, 11, 18.392618),
+        |  ('hpk', 31, 8, 13.426387),
+        |  ('hpk', 32, 4, 6.759426),
+        |  ('hpk', 33, 6, 10.165368),
+        |  ('hpk', 34, 5, 8.520277),
+        |  ('fbk', 0, 11, 18.876288),
+        |  ('fbk', 1, 11, 19.045319),
+        |  ('fbk', 2, 9, 15.763177),
+        |  ('fbk', 3, 5, 8.867742),
+        |  ('fbk', 4, 8, 14.326463),
+        |  ('fbk', 5, 5, 9.060574),
+        |  ('fbk', 6, 2, 3.649322),
+        |  ('fbk', 7, 2, 3.666471),
+        |  ('fbk', 8, 1, 1.869841),
+        |  ('fbk', 9, 2, 3.740765),
+        |  ('fbk', 10, 1, 1.88889),
+        |  ('fbk', 11, 1, 1.88889)) t(vendor, grp, n_mods, group_current)""".stripMargin,
     "acc_stats" ->
       """SELECT 1.359462::DOUBLE AS mean_nhits, 0.72338::DOUBLE AS frac_ge1,
         |  0.606608::DOUBLE AS frac_ge2, 1000000::BIGINT AS n_events""".stripMargin,

@@ -1,7 +1,10 @@
 package graft.ops
 
+import graft.domain.EtlConfig
 import graft.physics.Physics
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -91,4 +94,42 @@ object GreedyGrouping {
       }
       .toDF()
   }
+
+  /** End-to-end wiring from the reconstructed module table (SURVEY F5 +
+    * O1 + O4; reference dee_geometry.py:479-538, bias_voltage.py:431-493):
+    * vendor split at r_min < 520 mm (FBK inside, HPK outside), modules
+    * ranked by descending module-center radius per vendor, then the
+    * greedy walk with the reference's per-vendor curve and cap
+    * semantics (hpk adds-then-checks, fbk checks-then-adds).
+    *
+    * Input: `moduleStats` rows (sm_id, mod_i, r_min, r_max, r_mod,
+    * current, …). Output: one row per module with its vendor, walk
+    * rank and group index. */
+  def fromModuleStats(spark: SparkSession, moduleStats: DataFrame): DataFrame = {
+    val vendorized = moduleStats
+      .withColumn("vendor", when(col("r_min") < EtlConfig.vendorSplitR, "fbk").otherwise("hpk"))
+      .withColumn(
+        "ord",
+        row_number().over(
+          Window.partitionBy("vendor").orderBy(desc("r_mod"), col("sm_id"), col("mod_i"))
+        ).cast("long") - 1
+      )
+    val grouped = run(
+      spark,
+      vendorized,
+      curves = Map("hpk" -> "hpk_split4_10fc", "fbk" -> "fbk_w13_10fc"),
+      checkBeforeAdd = Map("hpk" -> false, "fbk" -> true)
+    )
+    vendorized.join(grouped, Seq("vendor", "ord"))
+  }
+
+  /** Per-group rollup with the 20 mA cap report (F7). */
+  def groupSummary(grouped: DataFrame, cap: Double = EtlConfig.currentCap): DataFrame =
+    grouped
+      .groupBy("vendor", "group")
+      .agg(
+        count(lit(1)).as("n_mods"),
+        sum("current").as("group_current")
+      )
+      .withColumn("over_cap", col("group_current") > cap)
 }
