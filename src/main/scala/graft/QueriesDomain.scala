@@ -138,7 +138,23 @@ object QueriesDomain {
     rows.toDF("study", "leads", "channels", "n_fbk", "n_hpk")
   }
 
+  /** X3 dee tiling of the 'updated' layout: per-face entity counts. */
+  private def tilingCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.DeeTiling.tileUpdatedLayout(spark)
+      .filter(col("kind") === "sm")
+      .groupBy("face")
+      .agg(count(lit(1)).as("n_sm"), sum("n_mod").cast("long").as("n_modules"))
+
+  /** X3 tiling flavor counts per face (A7 over the tiled layout). */
+  private def tilingFlavors(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.DeeTiling.tileUpdatedLayout(spark)
+      .filter(col("kind") === "sm")
+      .groupBy(col("face"), col("n_mod").cast("long").as("n_mod"))
+      .agg(count(lit(1)).as("n_sm"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tiling_counts" -> (tilingCounts _),
+    "tiling_flavors" -> (tilingFlavors _),
     "ring_split" -> (ringSplit _),
     "ring_members" -> (ringMembers _),
     "minsplit_studies" -> (minsplitStudies _),
@@ -154,6 +170,26 @@ object QueriesDomain {
   )
 
   val oracles: Map[String, String] = Map(
+    "tiling_counts" ->
+      """SELECT face, n_sm::BIGINT AS n_sm, n_modules::BIGINT AS n_modules FROM (VALUES
+        |  ('face1', 76, 456),
+        |  ('face2', 79, 461),
+        |  ('face3', 76, 460),
+        |  ('face4', 79, 461)) t(face, n_sm, n_modules)""".stripMargin,
+    "tiling_flavors" ->
+      """SELECT face, n_mod::BIGINT AS n_mod, n_sm::BIGINT AS n_sm FROM (VALUES
+        |  ('face1', 3, 12),
+        |  ('face1', 6, 28),
+        |  ('face1', 7, 36),
+        |  ('face2', 3, 13),
+        |  ('face2', 6, 40),
+        |  ('face2', 7, 26),
+        |  ('face3', 3, 11),
+        |  ('face3', 6, 28),
+        |  ('face3', 7, 37),
+        |  ('face4', 3, 13),
+        |  ('face4', 6, 40),
+        |  ('face4', 7, 26)) t(face, n_mod, n_sm)""".stripMargin,
     "ring_members" ->
       """SELECT row_idx::BIGINT AS row_idx, sm_seq::BIGINT AS sm_seq, n_mod::BIGINT AS n_mod,
         |  y_row::DOUBLE AS y_row, ring FROM (VALUES

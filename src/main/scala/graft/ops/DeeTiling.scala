@@ -1,0 +1,228 @@
+package graft.ops
+
+import graft.geom.Exclusion
+import graft.geom.Exclusion.{Rect, Zone}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dee tiling (SURVEY §2.8 X3 — the reference's biggest operator,
+  * `Dee.populate`, ETL.py:555-715; with S4 slot grid, F2 annulus
+  * containment, F3 polygon exclusion, O6 run segmentation, X1
+  * partition, X6 module matrix).
+  *
+  * Spark shape: the slot lattice is a crossJoin of two ranges with the
+  * availability predicates as plain columns (annulus checks codegen;
+  * the exclusion test is one scalar UDF over a broadcast zone list).
+  * The per-row 'maybe' state machine + run segmentation + partition
+  * placement are row-sequential by construction (ETL.py:599-629), so
+  * they run inside one `flatMapGroups` per row — rows are independent
+  * and parallelize across the cluster; a row is ≤ ~30 slots.
+  *
+  * Float discipline: slot coordinates replicate the reference's
+  * move_by accumulation order, so every strict annulus comparison is
+  * bit-identical.
+  *
+  * Known deviation (documented, SURVEY §4): the reference does not
+  * reset its `start` index between runs of a split row
+  * (ETL.py:~688 `start = length`), which mis-centers supermodules in
+  * rows broken into 2+ runs by exclusion geometry. We reset per run —
+  * entity counts are unaffected; positions in multi-run rows are the
+  * correct run-local means.
+  */
+object DeeTiling {
+
+  /** One face's tiling configuration (dee_geometry.py:346-381). */
+  final case class Config(
+      orientation: String, // "above" | "below"
+      centerRB: Boolean,
+      centerPB: Boolean,
+      rInner: Double,
+      rOuter: Double = 1185.0,
+      edgeX: Double = 8.0,
+      moduleHeight: Double = 43.10,
+      moduleWidth: Double = 56.50,
+      pbWidth: Double = 29.5,
+      rbWidth: Double = 56.5,
+      moduleGap: Double = 0.5,
+      flavors: Seq[Int] = Seq(3, 6, 7)
+  ) {
+    val smWidth: Double = moduleWidth + pbWidth // single-module SM footprint width
+    val pitch: Double = moduleHeight + moduleGap
+
+    /** Single-module SM center after centering + edge shift
+      * (SuperModule init + centerModule/centerPB + move_by(edge_x,0)). */
+    def baseX: Double = moduleHeight / 2.0 + edgeX
+    def baseY: Double = {
+      val w2 = smWidth / 2.0
+      (orientation, centerRB, centerPB) match {
+        case ("above", true, _) => w2 - rbWidth / 2.0
+        case ("above", _, true) => -w2 + pbWidth / 2.0
+        case ("below", true, _) => w2 - pbWidth - rbWidth / 2.0
+        case ("below", _, true) => w2 - pbWidth / 2.0
+        case _                  => 0.0
+      }
+    }
+
+    /** Module-rect center offset from SM center (ETL.py:343). */
+    def moduleDy: Double = if (orientation == "above") -pbWidth / 2.0 else pbWidth / 2.0
+
+    def nRows: Int = (2 * rOuter / smWidth).toInt + 2
+    def nCols: Int = (rOuter / pitch).toInt + 2
+  }
+
+  final case class SlotIn(row: Int, col: Int, x: Double, y: Double, fitsSm: Boolean, fitsMod: Boolean)
+  final case class TileOut(
+      kind: String, // "slot" | "sm"
+      row: Int,
+      col: Int,     // slot col; for SMs: sequence within the row
+      n_mod: Int,   // SMs only
+      x: Double,
+      y: Double,
+      available: String,
+      covered: Boolean
+  )
+
+  /** Build the slot lattice with fit flags (S4 + F2 + F3). */
+  def slotGrid(spark: SparkSession, cfg: Config, zones: Seq[Zone]): DataFrame = {
+    import spark.implicits._
+    val bZones = spark.sparkContext.broadcast(zones)
+    val halfH = cfg.moduleHeight / 2.0
+    val smW2 = cfg.smWidth / 2.0
+    val modW2 = cfg.moduleWidth / 2.0
+    val (rI2, rO2) = (cfg.rInner * cfg.rInner, cfg.rOuter * cfg.rOuter)
+    val (baseX, baseY, pitch, smW, modDy) = (cfg.baseX, cfg.baseY, cfg.pitch, cfg.smWidth, cfg.moduleDy)
+    val halfRows = cfg.nRows / 2
+
+    spark.range(cfg.nRows).toDF("row").selectExpr("cast(row as int) row")
+      .crossJoin(spark.range(cfg.nCols).toDF("col").selectExpr("cast(col as int) col"))
+      .as[(Int, Int)]
+      .map { case (row, col) =>
+        // replicate move_by order: base + col*pitch / base + (halfRows-row)*width
+        val x = baseX + col * pitch
+        val y = baseY + (halfRows - row) * smW
+        def annulus(x1: Double, x2: Double, y1: Double, y2: Double): Boolean =
+          x1 * x1 + y1 * y1 > rI2 && x2 * x2 + y2 * y2 > rI2 &&
+            x1 * x1 + y2 * y2 > rI2 && x2 * x2 + y1 * y1 > rI2 &&
+            x1 * x1 + y1 * y1 < rO2 && x2 * x2 + y2 * y2 < rO2 &&
+            x1 * x1 + y2 * y2 < rO2 && x2 * x2 + y1 * y1 < rO2
+        val smRect = Rect(x - halfH, x + halfH, y - smW2, y + smW2)
+        val my = y + modDy
+        val modRect = Rect(x - halfH, x + halfH, my - modW2, my + modW2)
+        val fitsSm = annulus(smRect.x1, smRect.x2, smRect.y1, smRect.y2) &&
+          !Exclusion.excluded(smRect, bZones.value)
+        val fitsMod = annulus(modRect.x1, modRect.x2, modRect.y1, modRect.y2) &&
+          !Exclusion.excluded(modRect, bZones.value)
+        SlotIn(row, col, x, y, fitsSm, fitsMod)
+      }
+      .toDF()
+  }
+
+  /** Availability state machine + segmentation + partition + placement
+    * (ETL.py:582-700), per row. */
+  def tile(spark: SparkSession, cfg: Config, zones: Seq[Zone]): DataFrame = {
+    import spark.implicits._
+    val flavors = cfg.flavors
+    slotGrid(spark, cfg, zones)
+      .as[SlotIn]
+      .groupByKey(_.row)
+      .flatMapGroups { (row, it) =>
+        val slots = it.toArray.sortBy(_.col)
+        val n = slots.length
+        val avail = Array.fill(n)("no")
+        // --- 'maybe' state machine (ETL.py:582-629) ---
+        var maybeInRow = 0
+        for (c <- 0 until n) {
+          val s = slots(c)
+          if (s.fitsSm) avail(c) = "yes"
+          else if (s.fitsMod) {
+            if (maybeInRow < 1) {
+              if (c > 0 && avail(c - 1) == "yes") avail(c) = "no"
+              else { avail(c) = "maybe"; maybeInRow += 1 }
+            } else if (avail(c - 1) == "maybe") {
+              avail(c) = "maybe"; avail(c - 1) = "no"
+            }
+          }
+        }
+        // --- run segmentation (ETL.py:631-644), with maybe-retry (646-668) ---
+        def segment(keep: Set[String]): Seq[Seq[Int]] = {
+          val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
+          var first = true
+          for (c <- 0 until n) {
+            if (keep(avail(c))) {
+              if (first) { runs += Vector(c); first = false }
+              else runs(runs.length - 1) = runs.last :+ c
+            } else if (avail(c) == "no") first = true
+          }
+          runs.toSeq
+        }
+        var runs = segment(Set("yes", "maybe"))
+        val passed = runs.forall { r =>
+          val part = PartitionSolver.getPartition(r.length, flavors)
+          !(part.nonEmpty && avail(r.head) == "maybe" && part.head != 7)
+        }
+        if (!passed) runs = segment(Set("yes"))
+        // --- partition + placement (ETL.py:670-700; start reset per run) ---
+        val out = scala.collection.mutable.ArrayBuffer.empty[TileOut]
+        val covered = Array.fill(n)(false)
+        var seq = 0
+        for (r <- runs) {
+          val part = PartitionSolver.getPartition(r.length, flavors)
+          var start = 0
+          for (nMod <- part) {
+            val xs = r.slice(start, start + nMod).map(i => slots(i).x)
+            val xSm = xs.sum / nMod
+            val ySm = slots(r.head).y
+            out += TileOut("sm", row, seq, nMod, xSm, ySm, "", covered = true)
+            seq += 1
+            start += nMod
+          }
+          for (k <- 0 until part.sum) covered(r(k)) = true
+        }
+        for (c <- 0 until n)
+          out += TileOut("slot", row, c, 0, slots(c).x, slots(c).y, avail(c), covered(c))
+        out.toSeq
+      }
+      .toDF()
+  }
+
+  /** Supermodule table of a tiled face. */
+  def supermodules(tiled: DataFrame): DataFrame =
+    tiled.filter(col("kind") === "sm")
+      .select(col("row"), col("col").as("seq"), col("n_mod"), col("x").as("x_sm"), col("y").as("y_sm"))
+
+  /** X6 module-matrix bitmap: groupBy(row).pivot(col) over covered. */
+  def moduleMatrix(tiled: DataFrame): DataFrame =
+    tiled.filter(col("kind") === "slot")
+      .groupBy("row")
+      .pivot("col")
+      .agg(first(col("covered").cast("int")))
+
+  /** The four reference face configs (dee_geometry.py:346-381):
+    * face1 above+RB (first-layer geometry), face2 above+PB,
+    * face3 below+RB, face4 below+PB. */
+  def referenceFaces(firstLayerRInner: Double = 322.0, rInner: Double = 302.0): Seq[(String, Config, Boolean)] =
+    Seq(
+      ("face1", Config("above", centerRB = true, centerPB = false, rInner = firstLayerRInner), true),
+      ("face2", Config("above", centerRB = false, centerPB = true, rInner = rInner), false),
+      ("face3", Config("below", centerRB = true, centerPB = false, rInner = rInner), false),
+      ("face4", Config("below", centerRB = false, centerPB = true, rInner = rInner), false)
+    )
+
+  /** Tile all four faces of the 'updated' layout; returns the combined
+    * output with a `face` column. */
+  def tileUpdatedLayout(spark: SparkSession): DataFrame =
+    referenceFaces()
+      .map { case (face, cfg, first) =>
+        tile(spark, cfg, Exclusion.updatedLayout(first)).withColumn("face", lit(face))
+      }
+      .reduce(_ unionByName _)
+
+  /** Pure-annulus tiling (no exclusion zones) — the reference's
+    * geometry-free path, used for the exact golden. */
+  def tileAnnulus(spark: SparkSession): DataFrame =
+    referenceFaces()
+      .map { case (face, cfg, _) =>
+        tile(spark, cfg, Nil).withColumn("face", lit(face))
+      }
+      .reduce(_ unionByName _)
+}
