@@ -152,7 +152,67 @@ object QueriesDomain {
       .groupBy(col("face"), col("n_mod").cast("long").as("n_mod"))
       .agg(count(lit(1)).as("n_sm"))
 
+  /** P17/P18: service-board + VTRX placement over the tiled faces
+    * (per-face aggregates vs the reference shim run's boards). */
+  private def serviceBoards(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.DeeTiling.referenceFaces()
+      .map { case (face, cfg, first) =>
+        val tiled = graft.ops.DeeTiling.tile(spark, cfg, graft.geom.Exclusion.updatedLayout(first))
+        val sms = graft.ops.Services.withServiceBoards(graft.ops.DeeTiling.supermodules(tiled), cfg)
+        val smAgg = sms.agg(
+          count(lit(1)).as("n_sm"),
+          round(sum("rb_y"), 3).as("sum_rb_y"),
+          round(sum("pb_y"), 3).as("sum_pb_y"),
+          round(sum("vtrx_x"), 3).as("sum_vtrx_x"),
+          round(sum("vtrx_y"), 3).as("sum_vtrx_y")
+        )
+        val pbAgg = graft.ops.Services.splitPB(sms, cfg)
+          .agg(count(lit(1)).as("n_pb_rows"), round(sum("pb_split_x"), 3).as("sum_pb_split_x"))
+        smAgg.crossJoin(pbAgg).withColumn("face", lit(face))
+      }
+      .reduce(_ unionByName _)
+
+  /** A4: supermodule occupancy over the reconstructed D2 half. */
+  private def a4SmOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val mods = SmReconstruct.moduleStats(d2Sensors(spark))
+    val occ = graft.ops.Services.smOccupancy(mods).select("sm_id", "sm_occupancy")
+    occ.join(d2Sms(spark), Seq("sm_id"))
+      .select(
+        round(col("y_row") + EtlConfig.pbWidth / 2.0, 6).as("y_sm"),
+        round(col("x_sm"), 6).as("x_sm"),
+        col("n_mod").cast("long").as("n_mod"),
+        round(col("sm_occupancy"), 6).as("occ")
+      )
+  }
+
+  /** O7: BV-ladder ring iteration (fbk_w19_5fc). */
+  private def o7LadderRings(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Services.ladderRings(spark, "fbk_w19_5fc")
+      .select(col("ring").cast("long").as("ring"),
+        round(col("r_outer"), 6).as("r_outer"), round(col("r_inner"), 6).as("r_inner"))
+
+  /** S1+S5 pipeline: Face TSV modules → sensor centers; sums must match
+    * the independently-shipped YAML database exactly. */
+  private def exportCenters(spark: SparkSession, dir: String): DataFrame = {
+    val fixDir = new java.io.File(Layouts.resolveFixture("Face 1.txt")).getParent
+    val faceMap = Seq((1, "disk1", "front"), (2, "disk1", "back"), (3, "disk2", "front"), (4, "disk2", "back"))
+    import spark.implicits._
+    val fm = faceMap.toDF("face", "disk", "face_name")
+    val centers = graft.ops.Services.sensorCentersFromModules(graft.io.FaceTsv.readAll(spark, fixDir))
+    centers.join(broadcast(fm), Seq("face"))
+      .groupBy("disk", "face_name")
+      .agg(
+        count(lit(1)).as("n_centers"),
+        round(sum("center_x"), 3).as("sum_x"),
+        round(sum("center_y"), 3).as("sum_y")
+      )
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "service_boards" -> (serviceBoards _),
+    "a4_sm_occupancy" -> (a4SmOccupancy _),
+    "o7_ladder_rings" -> (o7LadderRings _),
+    "export_centers" -> (exportCenters _),
     "tiling_counts" -> (tilingCounts _),
     "tiling_flavors" -> (tilingFlavors _),
     "ring_split" -> (ringSplit _),
@@ -170,6 +230,112 @@ object QueriesDomain {
   )
 
   val oracles: Map[String, String] = Map(
+    "service_boards" ->
+      """SELECT face, n_sm::BIGINT AS n_sm, sum_rb_y::DOUBLE AS sum_rb_y, sum_pb_y::DOUBLE AS sum_pb_y,
+        |  sum_vtrx_x::DOUBLE AS sum_vtrx_x, sum_vtrx_y::DOUBLE AS sum_vtrx_y,
+        |  n_pb_rows::BIGINT AS n_pb_rows, sum_pb_split_x::DOUBLE AS sum_pb_split_x FROM (VALUES
+        |  ('face1', 76, -3096.0, 172.0, 48937.6, -2640.0, 140, 75223.0),
+        |  ('face2', 79, -645.0, 2752.0, 51173.4, -171.0, 145, 78025.35),
+        |  ('face3', 76, 3096.0, -172.0, 48676.0, 3552.0, 141, 75601.85),
+        |  ('face4', 79, 645.0, -2752.0, 51173.4, 1119.0, 145, 78025.35)) t(face, n_sm, sum_rb_y, sum_pb_y, sum_vtrx_x, sum_vtrx_y, n_pb_rows, sum_pb_split_x)""".stripMargin,
+    "a4_sm_occupancy" ->
+      """SELECT y_sm::DOUBLE AS y_sm, x_sm::DOUBLE AS x_sm, n_mod::BIGINT AS n_mod, occ::DOUBLE AS occ FROM (VALUES
+        |  (1043.15, 245.55, 7, 0.191261),
+        |  (957.45, 158.35, 7, 0.209221),
+        |  (957.45, 441.75, 6, 0.194135),
+        |  (871.75, 158.35, 7, 0.229228),
+        |  (871.75, 441.75, 6, 0.208142),
+        |  (871.75, 637.95, 3, 0.190037),
+        |  (786.05, 136.55, 6, 0.25772),
+        |  (786.05, 398.15, 6, 0.23107),
+        |  (786.05, 659.75, 6, 0.198962),
+        |  (700.35, 158.35, 7, 0.292296),
+        |  (700.35, 463.55, 7, 0.243684),
+        |  (700.35, 746.95, 6, 0.199379),
+        |  (614.65, 158.35, 7, 0.343954),
+        |  (614.65, 441.75, 6, 0.275189),
+        |  (614.65, 703.35, 6, 0.217752),
+        |  (614.65, 899.55, 3, 0.188246),
+        |  (528.95, 158.35, 7, 0.420369),
+        |  (528.95, 463.55, 7, 0.302858),
+        |  (528.95, 746.95, 6, 0.222312),
+        |  (528.95, 943.15, 3, 0.189299),
+        |  (443.25, 158.35, 7, 0.539709),
+        |  (443.25, 441.75, 6, 0.354794),
+        |  (443.25, 703.35, 6, 0.246719),
+        |  (443.25, 899.55, 3, 0.202222),
+        |  (357.55, 419.95, 7, 0.431869),
+        |  (357.55, 703.35, 6, 0.262172),
+        |  (357.55, 899.55, 3, 0.208848),
+        |  (271.85, 419.95, 7, 0.509605),
+        |  (271.85, 703.35, 6, 0.276928),
+        |  (271.85, 964.95, 6, 0.202953),
+        |  (186.15, 441.75, 6, 0.542572),
+        |  (186.15, 703.35, 6, 0.289421),
+        |  (186.15, 964.95, 6, 0.206643),
+        |  (100.45, 507.15, 7, 0.485975),
+        |  (100.45, 812.35, 7, 0.251559),
+        |  (100.45, 1030.35, 3, 0.195699),
+        |  (14.75, 572.55, 6, 0.40323),
+        |  (14.75, 834.15, 6, 0.244395),
+        |  (14.75, 1030.35, 3, 0.196296),
+        |  (-70.95, 572.55, 6, 0.396031),
+        |  (-70.95, 834.15, 6, 0.242913),
+        |  (-70.95, 1030.35, 3, 0.195699),
+        |  (-156.65, 441.75, 6, 0.542572),
+        |  (-156.65, 703.35, 6, 0.289421),
+        |  (-156.65, 964.95, 6, 0.206643),
+        |  (-242.35, 419.95, 7, 0.509605),
+        |  (-242.35, 703.35, 6, 0.276928),
+        |  (-242.35, 964.95, 6, 0.202953),
+        |  (-328.05, 419.95, 7, 0.431869),
+        |  (-328.05, 703.35, 6, 0.262172),
+        |  (-328.05, 964.95, 6, 0.198244),
+        |  (-413.75, 71.15, 3, 0.591931),
+        |  (-413.75, 376.35, 7, 0.395413),
+        |  (-413.75, 681.55, 7, 0.253976),
+        |  (-413.75, 899.55, 3, 0.202222),
+        |  (-499.45, 158.35, 7, 0.420369),
+        |  (-499.45, 463.55, 7, 0.302858),
+        |  (-499.45, 746.95, 6, 0.222312),
+        |  (-499.45, 943.15, 3, 0.189299),
+        |  (-585.15, 158.35, 7, 0.343954),
+        |  (-585.15, 441.75, 6, 0.275189),
+        |  (-585.15, 703.35, 6, 0.217752),
+        |  (-585.15, 899.55, 3, 0.188246),
+        |  (-670.85, 158.35, 7, 0.292296),
+        |  (-670.85, 463.55, 7, 0.243684),
+        |  (-670.85, 768.75, 7, 0.196807),
+        |  (-756.55, 158.35, 7, 0.255848),
+        |  (-756.55, 441.75, 6, 0.225578),
+        |  (-756.55, 703.35, 6, 0.194145),
+        |  (-842.25, 158.35, 7, 0.229228),
+        |  (-842.25, 463.55, 7, 0.206115),
+        |  (-842.25, 681.55, 3, 0.186203),
+        |  (-927.95, 136.55, 6, 0.210103),
+        |  (-927.95, 398.15, 6, 0.197023),
+        |  (-927.95, 594.35, 3, 0.183536),
+        |  (-1013.65, 245.55, 7, 0.191261),
+        |  (-1013.65, 463.55, 3, 0.18174),
+        |  (-1099.35, 201.95, 3, 0.181173)) t(y_sm, x_sm, n_mod, occ)""".stripMargin,
+    "o7_ladder_rings" ->
+      """SELECT ring::BIGINT AS ring, r_outer::DOUBLE AS r_outer, r_inner::DOUBLE AS r_inner FROM (VALUES
+        |  (0, 1185.0, 704.741202),
+        |  (1, 704.741202, 545.140948),
+        |  (2, 545.140948, 466.27675),
+        |  (3, 466.27675, 418.284632),
+        |  (4, 418.284632, 384.926116),
+        |  (5, 384.926116, 359.401149),
+        |  (6, 359.401149, 338.328958),
+        |  (7, 338.328958, 319.772614),
+        |  (8, 319.772614, 315.0)) t(ring, r_outer, r_inner)""".stripMargin,
+    "export_centers" ->
+      """SELECT disk, face_name, n_centers::BIGINT AS n_centers, sum_x::DOUBLE AS sum_x, sum_y::DOUBLE AS sum_y FROM (VALUES
+        |  ('disk1', 'front', 1804, 0.0, 15053.4),
+        |  ('disk1', 'back', 1786, 752.7, 2056.8),
+        |  ('disk2', 'front', 1804, 0.0, 15053.4),
+        |  ('disk2', 'back', 1786, 752.7, 2056.8)
+        |) t(disk, face_name, n_centers, sum_x, sum_y)""".stripMargin,
     "tiling_counts" ->
       """SELECT face, n_sm::BIGINT AS n_sm, n_modules::BIGINT AS n_modules FROM (VALUES
         |  ('face1', 76, 456),
