@@ -43,9 +43,13 @@ object Bench {
       "acc_stats",
       "hist1d_price",
       "join_orders_customer",
+      "j1_spatial_grid",
+      "o6_runs",
+      "sessionize",
       "dedup_exact",
       "dedup_minhash_lsh",
       "ann_topk_bf",
-      "text_stats"
+      "text_stats",
+      "tiling_counts"
     ).filter(SparkEntry.queries.contains)
 }

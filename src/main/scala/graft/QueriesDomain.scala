@@ -28,10 +28,12 @@ object QueriesDomain {
     SmReconstruct.reconstruct(spark, centers)
   }
 
-  /** Acceptance stats over the exact seed-42 reference particle sample. */
+  /** Acceptance stats over the exact seed-42 reference particle sample
+    * (sparse path: the particle table is scanned, never exchanged). */
   private def accStats(spark: SparkSession, dir: String): DataFrame = {
-    val nh = Acceptance.run(spark, particles(spark))
-    Acceptance.stats(nh).select(
+    val p = particles(spark)
+    val sparse = Acceptance.runSparse(spark, p)
+    Acceptance.statsSparse(spark, sparse, p.count()).select(
       round(col("mean_nhits"), 6).as("mean_nhits"),
       round(col("frac_ge1"), 6).as("frac_ge1"),
       round(col("frac_ge2"), 6).as("frac_ge2"),
@@ -39,11 +41,11 @@ object QueriesDomain {
     )
   }
 
-  /** Full n_hits histogram for the same sample. */
-  private def accHist(spark: SparkSession, dir: String): DataFrame =
-    Acceptance.run(spark, particles(spark))
-      .groupBy(col("n_hits"))
-      .agg(count(lit(1)).as("n"))
+  /** Full n_hits histogram for the same sample (sparse + derived bin 0). */
+  private def accHist(spark: SparkSession, dir: String): DataFrame = {
+    val p = particles(spark)
+    Acceptance.histSparse(spark, Acceptance.runSparse(spark, p), p.count())
+  }
 
   /** Supermodule reconstruction entity counts (X8). */
   private def smCounts(spark: SparkSession, dir: String): DataFrame = {

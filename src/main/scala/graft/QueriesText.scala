@@ -42,8 +42,8 @@ object QueriesText {
     * subset — oracle-checks the Jaccard machinery itself. */
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).filter(col("doc_id") < 150)
-    val sets = d.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
-    val inv = d.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("shingle"))
+    val sets = MinHashLsh.shingleSets(d, "doc_id", "text")
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val inter = inv.select(col("doc_id").as("a"), col("shingle"))
       .join(inv.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
       .filter(col("a") < col("b"))

@@ -15,7 +15,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val particles = Acceptance.generateParticles(spark, 50000)
     val sensors = Layouts.faceSensors(spark)
-    Acceptance.etaProfile(Acceptance.nHits(spark, particles, sensors))
+    Acceptance.etaProfileSparse(particles, Acceptance.hitCounts(spark, particles, sensors))
   }
 
   /** One entry per implemented operator from SURVEY.md §2.

@@ -37,9 +37,14 @@ object Acceptance {
       .withColumnRenamed("id", "event_id")
   }
 
-  /** n_hits per particle (J1/J2). `particles`: (event_id, eta, phi);
-    * `faceSensors`: (face, ax1, ax2, ay1, ay2). */
-  def nHits(spark: SparkSession, particles: DataFrame, faceSensors: DataFrame, cell: Double = 50.0): DataFrame = {
+  /** SPARSE hit counts (the 100-TB-shaped core): one row per event
+    * WITH hits — (event_id, eta, n_hits≥1). The particle side streams
+    * through the broadcast grid join exactly once and never shuffles;
+    * the only exchange carries hit rows (≈1.4 per event here). Events
+    * with zero hits are absent — derive dense outputs with the binned
+    * denominators below instead of re-joining the raw particle table
+    * (which would exchange the full table on event_id). */
+  def hitCounts(spark: SparkSession, particles: DataFrame, faceSensors: DataFrame, cell: Double = 50.0): DataFrame = {
     import spark.implicits._
     val kin = Transforms.withCartesian(particles, zMm = zGenMm)
     val layers = zLayersM.zipWithIndex
@@ -49,20 +54,39 @@ object Acceptance {
       .crossJoin(broadcast(layers))
       .withColumn("px", Transforms.propagateX($"x", $"theta", $"phi", $"dz"))
       .withColumn("py", Transforms.propagateY($"y", $"theta", $"phi", $"dz"))
-    // active areas within a face are disjoint, but keep the reference's
-    // existence semantics explicit: distinct (event, face) then count.
-    val hits = SpatialJoin
+    // existence semantics per face (the reference's `.any()`): distinct
+    // faces hit per event, carried with η for downstream binning.
+    SpatialJoin
       .hitJoin(probes, faceSensors.select("face", "ax1", "ax2", "ay1", "ay2"), Seq("face"), cell)
-      .select("event_id", "face")
-      .distinct()
+      .select("event_id", "eta", "face")
       .groupBy("event_id")
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(countDistinct("face").as("n_hits"), first("eta").as("eta"))
+  }
+
+  /** Dense n_hits per particle (test/analysis convenience — rejoins the
+    * particle table to resurrect zero-hit rows; fine at fixture scale,
+    * use the sparse path + binned denominators for large inputs). */
+  def nHits(spark: SparkSession, particles: DataFrame, faceSensors: DataFrame, cell: Double = 50.0): DataFrame = {
+    import spark.implicits._
     particles
-      .join(hits, Seq("event_id"), "left")
+      .join(hitCounts(spark, particles, faceSensors, cell).select("event_id", "n_hits"), Seq("event_id"), "left")
       .withColumn("n_hits", coalesce($"n_hits", lit(0L)))
   }
 
-  /** Acceptance statistics row (BASELINE.md goldens): mean n, frac≥1, frac≥2. */
+  /** Acceptance statistics row (BASELINE.md goldens): mean n, frac≥1,
+    * frac≥2 — computed from the SPARSE hit counts plus the total event
+    * count (no dense table materialized). */
+  def statsSparse(spark: SparkSession, sparse: DataFrame, nTotal: Long): DataFrame = {
+    import spark.implicits._
+    sparse.agg(
+      (coalesce(sum("n_hits"), lit(0L)).cast("double") / nTotal).as("mean_nhits"),
+      (count(lit(1)).cast("double") / nTotal).as("frac_ge1"),
+      (coalesce(sum(when($"n_hits" >= 2, 1L).otherwise(0L)), lit(0L)).cast("double") / nTotal).as("frac_ge2"),
+      lit(nTotal).as("n_events")
+    )
+  }
+
+  /** Dense-input stats (kept for tests over nHits output). */
   def stats(nhits: DataFrame): DataFrame =
     nhits.agg(
       avg("n_hits").as("mean_nhits"),
@@ -71,15 +95,49 @@ object Acceptance {
       count(lit(1)).as("n_events")
     )
 
-  /** Per-η profile of n_hits and σ_t = 45/√n for n>0 (A11/P15,
-    * dee_geometry.py:608-698). */
+  /** n_hits histogram from the sparse counts: bin 0 = total − hit events. */
+  def histSparse(spark: SparkSession, sparse: DataFrame, nTotal: Long): DataFrame = {
+    import spark.implicits._
+    val nonzero = sparse.groupBy("n_hits").agg(count(lit(1)).as("n"))
+    val hitEvents = sparse.count()
+    nonzero.unionByName(
+      Seq((0L, nTotal - hitEvents)).toDF("n_hits", "n")
+    )
+  }
+
+  /** Per-η profile of n_hits including zero-hit events, via binned
+    * denominators: Σ n_hits per bin from the sparse side ÷ particle
+    * count per bin (a 30-row map-side-combined aggregate — the raw
+    * particle table is scanned once and never exchanged row-wise). */
   def etaProfile(nhits: DataFrame, bins: Int = 30): DataFrame = {
     val spec = HistogramOps.BinSpec(bins, etaMin, etaMax)
     HistogramOps.profile1d(nhits, col("eta"), spec, col("n_hits").cast("double"))
   }
 
-  /** Full pipeline from the seed-42 fixture (exact goldens) or generated
-    * particles. */
+  def etaProfileSparse(particles: DataFrame, sparse: DataFrame, bins: Int = 30): DataFrame = {
+    val spec = HistogramOps.BinSpec(bins, etaMin, etaMax)
+    val denom = particles
+      .select(HistogramOps.binCol(col("eta"), spec).as("bin"))
+      .where(col("bin").isNotNull)
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val numer = sparse
+      .select(HistogramOps.binCol(col("eta"), spec).as("bin"), col("n_hits"))
+      .where(col("bin").isNotNull)
+      .groupBy("bin").agg(sum("n_hits").as("sum_hits"))
+    denom.join(numer, Seq("bin"), "left")
+      .withColumn("sum_hits", coalesce(col("sum_hits"), lit(0L)))
+      .withColumn("mean", col("sum_hits").cast("double") / col("n"))
+      .withColumn("center", spec.center(col("bin")))
+      .select("bin", "mean", "n", "center")
+  }
+
+  /** Sparse hit counts for the default layout. */
+  def runSparse(spark: SparkSession, particles: DataFrame): DataFrame = {
+    val sensors = Layouts.faceSensors(spark)
+    hitCounts(spark, particles, sensors)
+  }
+
+  /** Dense full pipeline (fixture-scale convenience). */
   def run(spark: SparkSession, particles: DataFrame): DataFrame = {
     val sensors = Layouts.faceSensors(spark)
     nHits(spark, particles, sensors)

@@ -33,6 +33,28 @@ class AcceptanceSpec extends SparkSpec {
     assert(math.abs(s.getDouble(0) - 1.3595) < 0.012)
   }
 
+  test("sparse path reproduces dense results with no particle-side shuffle") {
+    val particles = Acceptance.generateParticles(spark, 50000)
+    val sensors = Layouts.faceSensors(spark)
+    val sparse = Acceptance.hitCounts(spark, particles, sensors)
+    // plan: exactly one hash-partition exchange (the per-event hit agg);
+    // the particle table itself is never exchanged (broadcast join only)
+    val plan = sparse.queryExecution.executedPlan.toString()
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"expected at most 1 shuffle in the sparse plan, got $shuffles:\n$plan")
+    // values: sparse stats == dense stats
+    val n = particles.count()
+    val s1 = Acceptance.statsSparse(spark, sparse, n).head()
+    val s2 = Acceptance.stats(Acceptance.nHits(spark, particles, sensors)).head()
+    assert(s1.getDouble(0) == s2.getDouble(0) && s1.getDouble(1) == s2.getDouble(1) && s1.getDouble(2) == s2.getDouble(2))
+    // profile: binned-denominator formulation == dense profile
+    val p1 = Acceptance.etaProfileSparse(particles, sparse).orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val p2 = Acceptance.etaProfile(Acceptance.nHits(spark, particles, sensors)).orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(p1.toSeq == p2.toSeq)
+  }
+
   test("eta profile covers the generation range") {
     val particles = Acceptance.generateParticles(spark, 20000)
     val sensors = Layouts.faceSensors(spark)
