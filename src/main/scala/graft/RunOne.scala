@@ -15,6 +15,7 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
     df.show(20, truncate = false)
     println(s"rows=${df.count()}")
     spark.stop()

@@ -29,33 +29,38 @@ object HistogramOps {
     when(v >= s.lo && v < s.hi, b)
   }
 
+  /** Raw-range predicate for `v` ∈ [lo, hi) — applied on the source
+    * column (not the derived bin) so it reaches the parquet scan as a
+    * pushed filter. */
+  def inRange(v: Column, s: BinSpec): Column = v >= s.lo && v < s.hi
+
   /** 1D histogram: (bin, center, count). */
   def hist1d(df: DataFrame, value: Column, s: BinSpec): DataFrame =
-    df.select(binCol(value, s).as("bin"))
-      .where(col("bin").isNotNull)
+    df.where(inRange(value, s))
+      .select(binCol(value, s).as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"))
       .withColumn("center", s.center(col("bin")))
 
   /** 2D histogram: (binx, biny, count). */
   def hist2d(df: DataFrame, vx: Column, sx: BinSpec, vy: Column, sy: BinSpec): DataFrame =
-    df.select(binCol(vx, sx).as("binx"), binCol(vy, sy).as("biny"))
-      .where(col("binx").isNotNull && col("biny").isNotNull)
+    df.where(inRange(vx, sx) && inRange(vy, sy))
+      .select(binCol(vx, sx).as("binx"), binCol(vy, sy).as("biny"))
       .groupBy("binx", "biny")
       .agg(count(lit(1)).as("n"))
 
   /** Profile: per-bin mean of `value` (A11, dee_geometry.py:623). */
   def profile1d(df: DataFrame, axis: Column, s: BinSpec, value: Column): DataFrame =
-    df.select(binCol(axis, s).as("bin"), value.as("v"))
-      .where(col("bin").isNotNull)
+    df.where(inRange(axis, s))
+      .select(binCol(axis, s).as("bin"), value.as("v"))
       .groupBy("bin")
       .agg(avg("v").as("mean"), count(lit(1)).as("n"))
       .withColumn("center", s.center(col("bin")))
 
   /** 2D profile: per-(binx,biny) mean (dee_geometry.py:616-623). */
   def profile2d(df: DataFrame, vx: Column, sx: BinSpec, vy: Column, sy: BinSpec, value: Column): DataFrame =
-    df.select(binCol(vx, sx).as("binx"), binCol(vy, sy).as("biny"), value.as("v"))
-      .where(col("binx").isNotNull && col("biny").isNotNull)
+    df.where(inRange(vx, sx) && inRange(vy, sy))
+      .select(binCol(vx, sx).as("binx"), binCol(vy, sy).as("biny"), value.as("v"))
       .groupBy("binx", "biny")
       .agg(avg("v").as("mean"), count(lit(1)).as("n"))
 
@@ -63,8 +68,8 @@ object HistogramOps {
     * num.divide(den, binomial=True)): num ⋈ den on bin →
     * p = k/n, err = sqrt(p(1−p)/n). */
   def efficiency(df: DataFrame, axis: Column, s: BinSpec, selected: Column): DataFrame =
-    df.select(binCol(axis, s).as("bin"), selected.cast("int").as("sel"))
-      .where(col("bin").isNotNull)
+    df.where(inRange(axis, s))
+      .select(binCol(axis, s).as("bin"), selected.cast("int").as("sel"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("sel").as("k"))
       .withColumn("p", col("k") / col("n"))

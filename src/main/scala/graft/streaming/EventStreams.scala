@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` schema (engine
+  * extension — SURVEY §2.10 notes the reference is batch-only; the
+  * TESTDATA `events` table motivates the streaming analog of the same
+  * aggregations).
+  *
+  * Shapes provided:
+  *  - windowed per-type counts with a watermark (the streaming A9),
+  *  - sessionization via `flatMapGroupsWithState` (the streaming
+  *    equivalent of the batch gaps-and-islands `sessionize` query),
+  * both over any streaming DataFrame with (ts: timestamp, user_id,
+  * event_type, value) — file, rate, or MemoryStream sources.
+  *
+  * Scale notes: the windowed count is a standard partial-aggregated
+  * stateful op keyed by (window, event_type); sessionization keys state
+  * by user_id — state size is bounded by the watermark/timeout, so a
+  * 1000-executor cluster shards state linearly with users.
+  */
+object EventStreams {
+
+  /** 5-minute tumbling-window counts per event type, 10-minute
+    * watermark; late rows beyond the watermark are dropped. */
+  def windowedCounts(events: DataFrame, window_ : String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("value_sum"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n"),
+        col("value_sum")
+      )
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, valueSum: Double)
+  final case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Int, value_sum: Double)
+
+  /** Streaming sessionization: sessions close after `gapSec` of
+    * event-time inactivity. The event-time timeout (watermark-driven)
+    * closes the final open session of an idle user; batches trigger
+    * only on data, never continuously. Emits one row per closed
+    * session. */
+  def sessionize(spark: SparkSession, events: DataFrame, gapSec: Long = 1800,
+                 watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts", "event_type", "cast(value as double) value")
+      .withWatermark("ts", watermark)
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.last, s.n, s.valueSum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.last <= gapSec =>
+                  cur = Some(SessionState(s.start, sec, s.n + 1, s.valueSum + e.value))
+                case Some(s) =>
+                  closed = SessionOut(userId, s.start, s.last, s.n, s.valueSum) :: closed
+                  cur = Some(SessionState(sec, sec, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapSec) * 1000)
+            }
+            closed.reverseIterator
+          }
+        }
+      )
+  }
+}

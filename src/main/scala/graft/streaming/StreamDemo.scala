@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end streaming demo over the events table: replays the static
+  * parquet as a file-source stream (one batch), runs the watermarked
+  * windowed counts, and prints the top windows. Usage:
+  * `runMain graft.streaming.StreamDemo [sfDir]`. */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the file source streams a DIRECTORY: stage the events file alone
+    val stageDir = java.nio.file.Files.createTempDirectory("stream-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet")
+    )
+    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+      // ts arrives as long nanos (nanosAsLong) → timestamp seconds
+      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+
+    val counts = EventStreams.windowedCounts(stream, window_ = "1 hour", watermark = "2 hours")
+    val q = counts.writeStream.format("memory").queryName("demo").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("demo").orderBy(desc("n")).limit(10)
+    out.show(10, truncate = false)
+    println(s"windows=${spark.table("demo").count()}")
+    spark.stop()
+  }
+}

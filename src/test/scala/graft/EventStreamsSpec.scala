@@ -1,0 +1,53 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming specs driven through MemoryStream micro-batches. */
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(min: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("windowed counts aggregate per 5-minute window and drop late rows past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.windowedCounts(df)
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      mem.addData((ts(0), 1L, "click", 1.0), (ts(1), 2L, "click", 2.0), (ts(2), 1L, "view", 3.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the first window
+      mem.addData((ts(60), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").select("event_type", "n", "value_sum")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("click", 2L, 3.0)))
+      assert(rows.contains(("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions on gap and emits rollups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.sessionize(spark, df, gapSec = 600)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 7: two events 2 min apart, then a 40-min gap, then one more
+      mem.addData((7L, ts(0), "a", 1.0), (7L, ts(2), "b", 2.0))
+      q.processAllAvailable()
+      mem.addData((7L, ts(42), "c", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess")
+        .select("user_id", "n_events", "value_sum")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      // the first session (2 events, Σ=3.0) must have closed when the gap arrived
+      assert(closed.contains((7L, 2, 3.0)), s"got $closed")
+    } finally q.stop()
+  }
+}
