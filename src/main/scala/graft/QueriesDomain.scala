@@ -210,7 +210,28 @@ object QueriesDomain {
       )
   }
 
+  /** Tiled-layout sensor table (X3 → X5 chain): per-face aggregates. */
+  private def tilingSensors(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.DeeTiling.referenceFaces()
+      .map { case (face, cfg, first) =>
+        val tiled = graft.ops.DeeTiling.tile(spark, cfg, graft.geom.Exclusion.updatedLayout(first))
+        graft.ops.DeeTiling.sensors(graft.ops.DeeTiling.supermodules(tiled), cfg)
+          .withColumn("face", lit(face))
+      }
+      .reduce(_ unionByName _)
+      .groupBy("face")
+      .agg(
+        count(lit(1)).as("n_sensors"),
+        round(sum("x"), 3).as("sum_x"),
+        round(sum("y"), 3).as("sum_y"),
+        round(sum("ax1"), 3).as("sum_ax1"),
+        round(sum("ay1"), 3).as("sum_ay1"),
+        round(sum("ax2"), 3).as("sum_ax2"),
+        round(sum("ay2"), 3).as("sum_ay2")
+      )
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tiling_sensors" -> (tilingSensors _),
     "service_boards" -> (serviceBoards _),
     "a4_sm_occupancy" -> (a4SmOccupancy _),
     "o7_ladder_rings" -> (o7LadderRings _),
@@ -232,6 +253,14 @@ object QueriesDomain {
   )
 
   val oracles: Map[String, String] = Map(
+    "tiling_sensors" ->
+      """SELECT face, n_sensors::BIGINT AS n_sensors, sum_x::DOUBLE AS sum_x, sum_y::DOUBLE AS sum_y,
+        |  sum_ax1::DOUBLE AS sum_ax1, sum_ay1::DOUBLE AS sum_ay1,
+        |  sum_ax2::DOUBLE AS sum_ax2, sum_ay2::DOUBLE AS sum_ay2 FROM (VALUES
+        |  ('face1', 1824, 939676.8, -26488.0, 921619.2, -44545.6, 957734.4, -8430.4),
+        |  ('face2', 1844, 955266.2, -35260.0, 937010.6, -53515.6, 973521.8, -17004.4),
+        |  ('face3', 1840, 943812.0, 27520.0, 925596.0, 9304.0, 962028.0, 45736.0),
+        |  ('face4', 1844, 955266.2, 35260.0, 937010.6, 17004.4, 973521.8, 53515.6)) t(face, n_sensors, sum_x, sum_y, sum_ax1, sum_ay1, sum_ax2, sum_ay2)""".stripMargin,
     "service_boards" ->
       """SELECT face, n_sm::BIGINT AS n_sm, sum_rb_y::DOUBLE AS sum_rb_y, sum_pb_y::DOUBLE AS sum_pb_y,
         |  sum_vtrx_x::DOUBLE AS sum_vtrx_x, sum_vtrx_y::DOUBLE AS sum_vtrx_y,

@@ -167,7 +167,31 @@ object QueriesText {
       )
   }
 
+  /** Pipeline composition: corpus filter — keep docs predicted 'en'
+    * with quality above threshold and ≥ 30 tokens. */
+  private def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextOps.withQuality(d, col("text"))
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .filter(col("lang_pred") === "en" && col("quality") > 0.5 && col("n_tokens") >= 30)
+      .select(col("doc_id"))
+  }
+
+  /** Pipeline composition: per-source corpus report (doc counts, token
+    * totals, mean quality) — the training-data curation rollup. */
+  private def corpusReport(spark: SparkSession, dir: String): DataFrame =
+    TextOps.withQuality(docs(spark, dir), col("text"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        round(avg("quality"), 6).as("mean_quality"),
+        round(avg(col("n_tokens").cast("double")), 4).as("mean_tokens")
+      )
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_filter" -> (corpusFilter _),
+    "corpus_report" -> (corpusReport _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -192,7 +216,44 @@ object QueriesText {
       |  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
       |        FROM documents))""".stripMargin
 
+  private val qualityCte =
+    """WITH t AS (
+      |  SELECT doc_id, source, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source, text, len(w) AS n_tokens,
+      |    length(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::DOUBLE / length(norm) AS punct_ratio,
+      |    len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE / len(w) AS stop_ratio,
+      |    list_distinct(w) AS dw
+      |  FROM t),
+      |q AS (
+      |  SELECT doc_id, source, text, n_tokens, dw,
+      |    round(0.5 * least(stop_ratio * 3, 1.0) + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+      |          + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) AS quality
+      |  FROM s)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "corpus_filter" ->
+      (qualityCte +
+        """
+          |SELECT doc_id FROM q
+          |WHERE quality > 0.5 AND n_tokens >= 30
+          |  AND NOT regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+          |  AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) > 0
+          |  AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) >=
+          |      greatest(
+          |        len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])),
+          |        len(list_intersect(dw, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])),
+          |        len(list_intersect(dw, ['le','la','les','et','est','pas','pour','dans','un','une'])),
+          |        len(list_intersect(dw, ['el','la','los','y','es','no','por','para','un','una'])))""".stripMargin),
+    "corpus_report" ->
+      (qualityCte +
+        """
+          |SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+          |  round(avg(quality), 6) AS mean_quality,
+          |  round(avg(n_tokens::DOUBLE), 4) AS mean_tokens
+          |FROM q GROUP BY source""".stripMargin),
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents)

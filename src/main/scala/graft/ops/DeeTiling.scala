@@ -44,7 +44,12 @@ object DeeTiling {
       pbWidth: Double = 29.5,
       rbWidth: Double = 56.5,
       moduleGap: Double = 0.5,
-      flavors: Seq[Int] = Seq(3, 6, 7)
+      flavors: Seq[Int] = Seq(3, 6, 7),
+      // 2×2 sensor grid of the 'S' module (dee_geometry.py:323-327, 307)
+      sensorSize: Double = 20.8,
+      sensorDeadspace: Double = 0.5,
+      sensorDistX: Double = 22.6,
+      sensorDistY: Double = 22.4
   ) {
     val smWidth: Double = moduleWidth + pbWidth // single-module SM footprint width
     val pitch: Double = moduleHeight + moduleGap
@@ -189,6 +194,24 @@ object DeeTiling {
   def supermodules(tiled: DataFrame): DataFrame =
     tiled.filter(col("kind") === "sm")
       .select(col("row"), col("col").as("seq"), col("n_mod"), col("x").as("x_sm"), col("y").as("y_sm"))
+
+  /** Expand a tiled face's supermodules → modules → 2×2 sensors with
+    * active-area corners (Module.populate, ETL.py:264-269 +
+    * SuperModule module placement, ETL.py:341-343). Output feeds the
+    * acceptance spatial join directly. */
+  def sensors(sms: DataFrame, cfg: Config): DataFrame = {
+    val pitch = cfg.pitch
+    val mods = sms
+      .withColumn("mod_i", explode(sequence(lit(0), col("n_mod") - 1)))
+      .withColumn("x_mod", col("x_sm") + ((lit(0) - (col("n_mod") - 1)) / 2.0 + col("mod_i")) * pitch)
+      .withColumn("y_mod", col("y_sm") + cfg.moduleDy)
+    val sens = mods
+      .withColumn("ix", explode(array(lit(0), lit(1))))
+      .withColumn("iy", explode(array(lit(0), lit(1))))
+      .withColumn("x", (col("ix") * 2 - 1) * (cfg.sensorDistX / 2.0) + col("x_mod"))
+      .withColumn("y", (col("iy") * 2 - 1) * (cfg.sensorDistY / 2.0) + col("y_mod"))
+    SensorTable.withCorners(sens, cfg.sensorSize, cfg.sensorSize, cfg.sensorDeadspace)
+  }
 
   /** X6 module-matrix bitmap: groupBy(row).pivot(col) over covered. */
   def moduleMatrix(tiled: DataFrame): DataFrame =
