@@ -230,7 +230,26 @@ object QueriesDomain {
         round(sum("ay2"), 3).as("sum_ay2")
       )
 
+  /** Full §3.1 pipeline: MC acceptance over the TILED 'updated' layout
+    * — tiling → sensors → spatial join — vs an n_hits histogram from a
+    * fresh seeded reference run over its own tiled dees
+    * (fixtures/tiled_acceptance_seed42.parquet). */
+  private def tiledAccHist(spark: SparkSession, dir: String): DataFrame = {
+    val sensors = graft.ops.DeeTiling.referenceFaces().zipWithIndex
+      .map { case ((face, cfg, first), idx) =>
+        val tiled = graft.ops.DeeTiling.tile(spark, cfg, graft.geom.Exclusion.updatedLayout(first))
+        graft.ops.DeeTiling.sensors(graft.ops.DeeTiling.supermodules(tiled), cfg)
+          .select(lit(idx).as("face"), col("ax1"), col("ax2"), col("ay1"), col("ay2"))
+      }
+      .reduce(_ unionByName _)
+    val p = spark.read.parquet(Layouts.resolveFixture("tiled_acceptance_seed42.parquet"))
+      .select("event_id", "x", "y", "theta", "phi", "eta")
+    val sparse = Acceptance.hitCountsKin(spark, p, sensors)
+    Acceptance.histSparse(spark, sparse, p.count())
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tiled_acc_hist" -> (tiledAccHist _),
     "tiling_sensors" -> (tilingSensors _),
     "service_boards" -> (serviceBoards _),
     "a4_sm_occupancy" -> (a4SmOccupancy _),
@@ -253,6 +272,9 @@ object QueriesDomain {
   )
 
   val oracles: Map[String, String] = Map(
+    "tiled_acc_hist" ->
+      """SELECT n_hits::BIGINT AS n_hits, n::BIGINT AS n FROM (VALUES
+        |  (0, 204120), (1, 236990), (2, 553319), (3, 5571)) t(n_hits, n)""".stripMargin,
     "tiling_sensors" ->
       """SELECT face, n_sensors::BIGINT AS n_sensors, sum_x::DOUBLE AS sum_x, sum_y::DOUBLE AS sum_y,
         |  sum_ax1::DOUBLE AS sum_ax1, sum_ay1::DOUBLE AS sum_ay1,

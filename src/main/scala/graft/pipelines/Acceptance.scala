@@ -44,9 +44,14 @@ object Acceptance {
     * with zero hits are absent — derive dense outputs with the binned
     * denominators below instead of re-joining the raw particle table
     * (which would exchange the full table on event_id). */
-  def hitCounts(spark: SparkSession, particles: DataFrame, faceSensors: DataFrame, cell: Double = 50.0): DataFrame = {
+  def hitCounts(spark: SparkSession, particles: DataFrame, faceSensors: DataFrame, cell: Double = 50.0): DataFrame =
+    hitCountsKin(spark, Transforms.withCartesian(particles, zMm = zGenMm), faceSensors, cell)
+
+  /** Same, from pre-computed kinematics (event_id, x, y, theta, phi,
+    * eta) — used when the particle sample carries exact reference
+    * coordinates (bit-parity goldens). */
+  def hitCountsKin(spark: SparkSession, kin: DataFrame, faceSensors: DataFrame, cell: Double = 50.0): DataFrame = {
     import spark.implicits._
-    val kin = Transforms.withCartesian(particles, zMm = zGenMm)
     val layers = zLayersM.zipWithIndex
       .map { case (z, i) => (i, 1000.0 * (z - zRefM)) }
       .toDF("face", "dz")
