@@ -248,7 +248,16 @@ object QueriesDomain {
     Acceptance.histSparse(spark, sparse, p.count())
   }
 
+  /** X6 module matrix: per-row covered-slot counts over the tiled
+    * 'updated' layout (rows keyed by their y coordinate). */
+  private def tilingMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.DeeTiling.tileUpdatedLayout(spark)
+      .filter(col("kind") === "slot" && col("covered"))
+      .groupBy(col("face"), round(col("y"), 3).as("y_row"))
+      .agg(count(lit(1)).as("covered"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tiling_matrix" -> (tilingMatrix _),
     "tiled_acc_hist" -> (tiledAccHist _),
     "tiling_sensors" -> (tilingSensors _),
     "service_boards" -> (serviceBoards _),
@@ -272,6 +281,112 @@ object QueriesDomain {
   )
 
   val oracles: Map[String, String] = Map(
+    "tiling_matrix" ->
+      """SELECT face, y_row::DOUBLE AS y_row, covered::BIGINT AS covered FROM (VALUES
+        |  ('face1', -1103.25, 3),
+        |  ('face1', -1017.25, 9),
+        |  ('face1', -931.25, 15),
+        |  ('face1', -845.25, 17),
+        |  ('face1', -759.25, 19),
+        |  ('face1', -673.25, 21),
+        |  ('face1', -587.25, 22),
+        |  ('face1', -501.25, 23),
+        |  ('face1', -415.25, 20),
+        |  ('face1', -329.25, 19),
+        |  ('face1', -243.25, 20),
+        |  ('face1', -157.25, 18),
+        |  ('face1', -71.25, 17),
+        |  ('face1', 14.75, 16),
+        |  ('face1', 100.75, 17),
+        |  ('face1', 186.75, 18),
+        |  ('face1', 272.75, 20),
+        |  ('face1', 358.75, 19),
+        |  ('face1', 444.75, 21),
+        |  ('face1', 530.75, 23),
+        |  ('face1', 616.75, 22),
+        |  ('face1', 702.75, 20),
+        |  ('face1', 788.75, 19),
+        |  ('face1', 874.75, 17),
+        |  ('face1', 960.75, 14),
+        |  ('face1', 1046.75, 7),
+        |  ('face2', -1060.25, 7),
+        |  ('face2', -974.25, 13),
+        |  ('face2', -888.25, 16),
+        |  ('face2', -802.25, 18),
+        |  ('face2', -716.25, 20),
+        |  ('face2', -630.25, 22),
+        |  ('face2', -544.25, 23),
+        |  ('face2', -458.25, 22),
+        |  ('face2', -372.25, 19),
+        |  ('face2', -286.25, 22),
+        |  ('face2', -200.25, 19),
+        |  ('face2', -114.25, 18),
+        |  ('face2', -28.25, 16),
+        |  ('face2', 57.75, 16),
+        |  ('face2', 143.75, 18),
+        |  ('face2', 229.75, 19),
+        |  ('face2', 315.75, 22),
+        |  ('face2', 401.75, 19),
+        |  ('face2', 487.75, 22),
+        |  ('face2', 573.75, 23),
+        |  ('face2', 659.75, 21),
+        |  ('face2', 745.75, 20),
+        |  ('face2', 831.75, 18),
+        |  ('face2', 917.75, 15),
+        |  ('face2', 1003.75, 10),
+        |  ('face2', 1089.75, 3),
+        |  ('face3', -1046.75, 7),
+        |  ('face3', -960.75, 14),
+        |  ('face3', -874.75, 17),
+        |  ('face3', -788.75, 19),
+        |  ('face3', -702.75, 20),
+        |  ('face3', -616.75, 22),
+        |  ('face3', -530.75, 23),
+        |  ('face3', -444.75, 21),
+        |  ('face3', -358.75, 19),
+        |  ('face3', -272.75, 20),
+        |  ('face3', -186.75, 19),
+        |  ('face3', -100.75, 18),
+        |  ('face3', -14.75, 16),
+        |  ('face3', 71.25, 17),
+        |  ('face3', 157.25, 19),
+        |  ('face3', 243.25, 20),
+        |  ('face3', 329.25, 20),
+        |  ('face3', 415.25, 20),
+        |  ('face3', 501.25, 23),
+        |  ('face3', 587.25, 22),
+        |  ('face3', 673.25, 21),
+        |  ('face3', 759.25, 19),
+        |  ('face3', 845.25, 17),
+        |  ('face3', 931.25, 15),
+        |  ('face3', 1017.25, 9),
+        |  ('face3', 1103.25, 3),
+        |  ('face4', -1089.75, 3),
+        |  ('face4', -1003.75, 10),
+        |  ('face4', -917.75, 15),
+        |  ('face4', -831.75, 18),
+        |  ('face4', -745.75, 20),
+        |  ('face4', -659.75, 21),
+        |  ('face4', -573.75, 23),
+        |  ('face4', -487.75, 22),
+        |  ('face4', -401.75, 19),
+        |  ('face4', -315.75, 22),
+        |  ('face4', -229.75, 19),
+        |  ('face4', -143.75, 18),
+        |  ('face4', -57.75, 16),
+        |  ('face4', 28.25, 16),
+        |  ('face4', 114.25, 18),
+        |  ('face4', 200.25, 19),
+        |  ('face4', 286.25, 22),
+        |  ('face4', 372.25, 19),
+        |  ('face4', 458.25, 22),
+        |  ('face4', 544.25, 23),
+        |  ('face4', 630.25, 22),
+        |  ('face4', 716.25, 20),
+        |  ('face4', 802.25, 18),
+        |  ('face4', 888.25, 16),
+        |  ('face4', 974.25, 13),
+        |  ('face4', 1060.25, 7)) t(face, y_row, covered)""".stripMargin,
     "tiled_acc_hist" ->
       """SELECT n_hits::BIGINT AS n_hits, n::BIGINT AS n FROM (VALUES
         |  (0, 204120), (1, 236990), (2, 553319), (3, 5571)) t(n_hits, n)""".stripMargin,
