@@ -189,7 +189,18 @@ object QueriesText {
         round(avg(col("n_tokens").cast("double")), 4).as("mean_tokens")
       )
 
+  /** Transitive duplicate clusters: connected components over verified
+    * near-dup pairs; one row per cluster (kept id = min, size). */
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLsh.verifiedPairs(docs(spark, dir), "doc_id", "text", tau = 0.8)
+    MinHashLsh.components(pairs)
+      .groupBy("component")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("cluster_size"))
+      .select("keep_id", "cluster_size")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "corpus_filter" -> (corpusFilter _),
     "corpus_report" -> (corpusReport _),
     "dedup_exact" -> (dedupExact _),
@@ -234,6 +245,24 @@ object QueriesText {
       |  FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" ->
+      (shingleCte +
+        """,
+          |vp AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+          |e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+          |cl AS (
+          |  WITH RECURSIVE closure(src, dst) AS (
+          |    SELECT a AS src, b AS dst FROM e
+          |    UNION
+          |    SELECT closure.src, e.b AS dst FROM closure JOIN e ON e.a = closure.dst
+          |      WHERE e.b <> closure.src
+          |  ) SELECT * FROM closure)
+          |SELECT comp AS keep_id, count(*) AS cluster_size FROM (
+          |  SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src)
+          |GROUP BY comp""".stripMargin),
     "corpus_filter" ->
       (qualityCte +
         """

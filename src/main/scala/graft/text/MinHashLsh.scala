@@ -132,9 +132,57 @@ object MinHashLsh {
 
   /** Dedup decision: drop the larger doc id of each verified pair
     * (connected-component-free approximation: keep ids that are never a
-    * pair's `b`). Returns the surviving doc ids. */
+    * pair's `b`). Returns the surviving doc ids. For transitive
+    * duplicate CLUSTERS use [[components]] and keep min per component. */
   def dedupKeepIds(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
     val drop = verifiedPairs(docs, idCol, textCol, tau).select(col("b").as(idCol)).distinct()
     docs.select(col(idCol)).join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Connected components over the duplicate-pair graph via min-label
+    * propagation: each node's label converges to the smallest id in its
+    * component. Duplicate clusters have tiny diameters, so a handful of
+    * iterations suffice; each iteration is one hash join + aggregate
+    * (at petabyte scale swap in alternating star contraction — the
+    * interface stays (id, component)). Returns (id, component). */
+  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("nbr_comp")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("nbr_comp").as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .withColumn("next", least(col("component"), coalesce(col("nbr_min"), col("component"))))
+        .cache()
+      changed = updated.filter(col("next") =!= col("component")).count()
+      val old = labels
+      labels = updated.select(col("id"), col("next").as("component")).cache()
+      labels.count()
+      old.unpersist()
+      updated.unpersist()
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster-aware dedup: keep the smallest doc id of every duplicate
+    * component (plus all unpaired docs). */
+  def dedupKeepIdsTransitive(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
+    val pairs = verifiedPairs(docs, idCol, textCol, tau)
+    val comp = components(pairs)
+    val keepInClusters = comp.groupBy("component").agg(min("id").as(idCol)).select(idCol)
+    val clustered = comp.select(col("id").as(idCol))
+    val unpaired = docs.select(col(idCol)).join(clustered, Seq(idCol), "left_anti")
+    unpaired.unionByName(keepInClusters)
   }
 }

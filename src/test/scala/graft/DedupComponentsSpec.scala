@@ -1,0 +1,33 @@
+package graft
+
+import graft.text.MinHashLsh
+import org.apache.spark.sql.functions._
+
+/** Connected-components dedup over transitive duplicate chains. */
+class DedupComponentsSpec extends SparkSpec {
+
+  test("min-label propagation resolves chains and keeps one doc per cluster") {
+    import spark.implicits._
+    // chain 1-2-3, pair 7-9, isolated pair-less docs absent from pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val comp = MinHashLsh.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("transitive dedup keeps exactly one of three chained near-identical docs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    def edit(at: Int, to: String) = (1 to 60).map(i => if (i == at) to else s"w$i").mkString(" ")
+    // 10≈11 (edit at 5), 11≈12 (edit at 5 AND 55) — 10 vs 12 differ in 2 words
+    val docs = Seq(
+      (10L, base),
+      (11L, edit(5, "X")),
+      (12L, edit(5, "X") .replace("w55", "Y")),
+      (30L, (1 to 60).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val keep = MinHashLsh.dedupKeepIdsTransitive(docs, "doc_id", "text", tau = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(keep == Set(10L, 30L))
+  }
+}
