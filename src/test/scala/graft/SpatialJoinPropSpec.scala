@@ -30,6 +30,10 @@ class SpatialJoinPropSpec extends SparkSpec {
         if x1 < x && x < x2 && y1 < y && y < y2
       } yield (pi, ri)).toSet
       assert(got == want, s"trial $trial cell $cell: grid join diverged from brute force")
+      // existence semantics (the reference's `.any()`)
+      val semi = SpatialJoin.semiJoin(pdf, rdf, Seq("pt_id"), Seq.empty, cell)
+        .collect().map(_.getInt(0)).toSet
+      assert(semi == want.map(_._1), s"trial $trial cell $cell: semi join diverged")
     }
   }
 }
