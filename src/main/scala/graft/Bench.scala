@@ -56,6 +56,7 @@ object Bench {
       "dedup_minhash_lsh",
       "ann_topk_bf",
       "text_stats",
-      "tiling_counts"
+      "tiling_counts",
+      "tiled_acc_hist"
     ).filter(SparkEntry.queries.contains)
 }

@@ -242,10 +242,13 @@ object QueriesDomain {
           .select(lit(idx).as("face"), col("ax1"), col("ax2"), col("ay1"), col("ay2"))
       }
       .reduce(_ unionByName _)
+    // cache: the fixture feeds both the count and the join scan
     val p = spark.read.parquet(Layouts.resolveFixture("tiled_acceptance_seed42.parquet"))
       .select("event_id", "x", "y", "theta", "phi", "eta")
+      .cache()
     val sparse = Acceptance.hitCountsKin(spark, p, sensors)
-    Acceptance.histSparse(spark, sparse, p.count())
+    val out = Acceptance.histSparse(spark, sparse, p.count())
+    out
   }
 
   /** X6 module matrix: per-row covered-slot counts over the tiled
@@ -256,7 +259,19 @@ object QueriesDomain {
       .groupBy(col("face"), round(col("y"), 3).as("y_row"))
       .agg(count(lit(1)).as("covered"))
 
+  /** S2 on the second layout database: TDR YAML parse cross-check. */
+  private def tdrLayout(spark: SparkSession, dir: String): DataFrame =
+    graft.io.LayoutYaml.read(spark, Layouts.resolveFixture("database_TDR.yaml"))
+      .filter(col("layout") === "TDR")
+      .groupBy("disk", "face")
+      .agg(
+        count(lit(1)).as("n_centers"),
+        round(sum(abs(col("x"))), 3).as("sum_abs_x"),
+        round(sum(abs(col("y"))), 3).as("sum_abs_y")
+      )
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tdr_layout" -> (tdrLayout _),
     "tiling_matrix" -> (tilingMatrix _),
     "tiled_acc_hist" -> (tiledAccHist _),
     "tiling_sensors" -> (tilingSensors _),
@@ -281,6 +296,14 @@ object QueriesDomain {
   )
 
   val oracles: Map[String, String] = Map(
+    "tdr_layout" ->
+      """SELECT disk, face, n_centers::BIGINT AS n_centers,
+        |  sum_abs_x::DOUBLE AS sum_abs_x, sum_abs_y::DOUBLE AS sum_abs_y FROM (VALUES
+        |  ('disk1', 'back', 2024, 1066409.2, 1053692.82),
+        |  ('disk1', 'front', 2020, 1061764.6, 1050864.0),
+        |  ('disk2', 'back', 2024, 1066409.2, 1053692.82),
+        |  ('disk2', 'front', 2020, 1061764.6, 1050864.0)
+        |) t(disk, face, n_centers, sum_abs_x, sum_abs_y)""".stripMargin,
     "tiling_matrix" ->
       """SELECT face, y_row::DOUBLE AS y_row, covered::BIGINT AS covered FROM (VALUES
         |  ('face1', -1103.25, 3),

@@ -100,14 +100,17 @@ object Acceptance {
       count(lit(1)).as("n_events")
     )
 
-  /** n_hits histogram from the sparse counts: bin 0 = total − hit events. */
+  /** n_hits histogram from the sparse counts: bin 0 = total − hit
+    * events. One aggregation pass — bin 0 derives from the nonzero-bin
+    * sums rather than a second scan of the sparse pipeline. */
   def histSparse(spark: SparkSession, sparse: DataFrame, nTotal: Long): DataFrame = {
     import spark.implicits._
-    val nonzero = sparse.groupBy("n_hits").agg(count(lit(1)).as("n"))
-    val hitEvents = sparse.count()
-    nonzero.unionByName(
+    val nonzero = sparse.groupBy("n_hits").agg(count(lit(1)).as("n")).cache()
+    val hitEvents = nonzero.agg(sum("n")).head().getLong(0)
+    val out = nonzero.unionByName(
       Seq((0L, nTotal - hitEvents)).toDF("n_hits", "n")
     )
+    out
   }
 
   /** Per-η profile of n_hits including zero-hit events, via binned
