@@ -205,12 +205,16 @@ object QueriesCore {
   private def a15Distinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "part").select("p_brand", "p_type").distinct()
 
-  /** O2: deterministic top-k by sort. */
+  /** O2: deterministic top-k. Sort+limit first (Spark's
+    * TakeOrderedAndProject — per-partition top-k, no global sort), then
+    * rank the k survivors; a global row_number window would serialize
+    * the whole table through one partition. */
   private def o2TopK(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
-      .withColumn("rk", row_number().over(Window.orderBy(desc("o_totalprice"), col("o_orderkey"))))
-      .filter(col("rk") <= 15)
-      .select(col("rk").cast("long").as("rk"), col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(15)
+      .withColumn("rk", row_number().over(Window.orderBy(desc("o_totalprice"), col("o_orderkey"))).cast("long"))
+      .select(col("rk"), col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
 
   /** O3: argmax selection per group (min_by/max_by shape). */
   private def o3Argmax(spark: SparkSession, dir: String): DataFrame =
