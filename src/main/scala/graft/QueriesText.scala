@@ -31,8 +31,9 @@ object QueriesText {
     MinHashLsh.verifiedPairs(docs(spark, dir), "doc_id", "text", tau = 0.8)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
 
-  /** SimHash near-dup pairs (Hamming ≤ 3). Signature depends on
-    * xxhash64 → rows-only check; golden-tested in sbt. */
+  /** SimHash near-dup pairs (Hamming ≤ 3, 60-bit md5-based signature —
+    * fully oracle-checkable; the pigeonhole blocking is exact, so the
+    * all-pairs oracle matches by construction). */
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = SimHash.signatures(docs(spark, dir), "doc_id", "text")
     SimHash.nearPairs(sigs, "doc_id", maxDist = 3)
@@ -245,6 +246,22 @@ object QueriesText {
       |  FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j) g
+        |  GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "dedup_clusters" ->
       (shingleCte +
         """,

@@ -3,29 +3,38 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** SimHash near-duplicate detection (64-bit).
+/** SimHash near-duplicate detection (60-bit).
   *
-  * Per document: hash every token (with multiplicity) with xxhash64; the
-  * simhash's bit j is the sign of Σ_tokens (±1 from the token hash's bit
-  * j). Near-duplicates are pairs within Hamming distance `maxDist`.
+  * Per document: hash every token (with multiplicity) to 60 bits (the
+  * first 15 hex digits of its md5 — portable across engines, so the
+  * whole operator is DuckDB-oracle-checkable); the simhash's bit j is
+  * the sign of Σ_tokens (±1 from the token hash's bit j).
+  * Near-duplicates are pairs within Hamming distance `maxDist`.
   *
-  * Scale design: signature = one hash-aggregate over exploded tokens (64
-  * conditional sums, map-side partial agg). Pair generation uses the
-  * pigeonhole block trick — split 64 bits into `maxDist+1` blocks; any
-  * pair within distance `maxDist` shares at least one exact block — so
-  * candidates come from equi-joins on (block idx, block value), never an
-  * all-pairs scan, and are then filtered by exact Hamming distance
+  * Scale design: signature = one hash-aggregate over exploded tokens
+  * (60 conditional sums, map-side partial agg). Pair generation uses
+  * the pigeonhole block trick — split 60 bits into `maxDist+1` blocks;
+  * any pair within distance `maxDist` shares at least one exact block
+  * (this is EXACT, not probabilistic) — so candidates come from
+  * equi-joins on (block idx, block value), never an all-pairs scan,
+  * and are then filtered by exact Hamming distance
   * (`bit_count(a XOR b)`).
   */
 object SimHash {
 
+  val Bits = 60
+
+  /** 60-bit portable token hash: first 15 hex digits of md5. */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
   /** (doc_id, simhash) signature table. */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = xxhash64(col("tok"))
-    val bitSums = (0 until 64).map { j =>
+    val h = tokenHash(col("tok"))
+    val bitSums = (0 until Bits).map { j =>
       sum(shiftright(h, j).bitwiseAND(1) * 2 - 1).as(s"s_$j")
     }
-    val sig = (0 until 64)
+    val sig = (0 until Bits)
       .map(j => when(col(s"s_$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
     docs
@@ -36,13 +45,13 @@ object SimHash {
   }
 
   /** Pairs (a < b) with Hamming distance ≤ maxDist, via pigeonhole
-    * blocks (maxDist+1 blocks over 64 bits). */
+    * blocks (maxDist+1 blocks over 60 bits). */
   def nearPairs(sigs: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
     val nBlocks = maxDist + 1
-    val width = 64 / nBlocks
+    val width = Bits / nBlocks
     val blockCols: Seq[Column] = (0 until nBlocks).map { bi =>
       // block bi covers bits [bi*width, ...); the last block takes the remainder
-      val w = if (bi == nBlocks - 1) 64 - width * (nBlocks - 1) else width
+      val w = if (bi == nBlocks - 1) Bits - width * (nBlocks - 1) else width
       val mask = if (w >= 64) -1L else (1L << w) - 1
       shiftrightunsigned(col("simhash"), bi * width).bitwiseAND(lit(mask))
     }
@@ -55,7 +64,7 @@ object SimHash {
     val b = blocks.select(col(idCol).as("b"), col("simhash").as("shb"), col("blk"), col("blkval"))
     a.join(b, Seq("blk", "blkval"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .select(col("a"), col("b"), bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -42,19 +42,24 @@ class TextMlSpec extends SparkSpec {
     assert(exact._3 == 1.0)
   }
 
-  test("simhash: identical docs at distance 0, one-word edit within 3, unrelated not paired") {
+  test("simhash: identical at distance 0, one-word edit close and found by blocking, unrelated far") {
     val base = (1 to 80).map(i => s"w$i").mkString(" ")
     val oneEdit = (1 to 80).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
     val unrelated = (1 to 80).map(i => s"q$i").mkString(" ")
     val docs = docsDf(Seq((0L, base), (1L, oneEdit), (2L, unrelated), (3L, base)))
-    val sigs = SimHash.signatures(docs, "doc_id", "text")
-    val pairs = SimHash.nearPairs(sigs, "doc_id", maxDist = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
-    val keys = pairs.map(p => (p._1, p._2)).toSet
-    assert(keys.contains((0L, 3L)))
-    assert(pairs.find(p => (p._1, p._2) == ((0L, 3L))).get._3 == 0)
-    assert(keys.contains((0L, 1L)) || keys.contains((1L, 3L))) // one-word edit stays close
+    val sigs = SimHash.signatures(docs, "doc_id", "text").cache()
+    val sigMap = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def d(a: Long, b: Long): Int = java.lang.Long.bitCount(sigMap(a) ^ sigMap(b))
+    assert(d(0L, 3L) == 0)                 // identical texts
+    assert(d(0L, 1L) < 20, s"one-edit distance ${d(0L, 1L)}")  // near-dup stays close
+    assert(d(0L, 2L) > 20, s"unrelated distance ${d(0L, 2L)}") // ~30 expected for 60 bits
+    // pigeonhole blocking must be COMPLETE at the observed distance
+    val maxDist = math.max(d(0L, 1L), 1)
+    val keys = SimHash.nearPairs(sigs, "doc_id", maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((0L, 3L)) && keys.contains((0L, 1L)) && keys.contains((1L, 3L)))
     assert(!keys.exists(p => p._1 == 2L || p._2 == 2L))
+    sigs.unpersist()
   }
 
   test("ANN brute-force top-k ranks by cosine with deterministic ties") {
