@@ -497,7 +497,7 @@ object QueriesCore {
         |  SELECT least(floor((l_discount - 0.0) / ((0.11 - 0.0) / 11)), 10)::BIGINT AS bin,
         |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS sel
         |  FROM lineitem WHERE l_discount >= 0.0 AND l_discount < 0.11)
-        |SELECT bin, count(*) AS n, sum(sel) AS k,
+        |SELECT bin, count(*) AS n, sum(sel)::BIGINT AS k,
         |  round(sum(sel)::DOUBLE / count(*), 6) AS p,
         |  round(sqrt((sum(sel)::DOUBLE / count(*)) * (1 - sum(sel)::DOUBLE / count(*)) / count(*)), 6) AS err
         |FROM b GROUP BY bin""".stripMargin,

@@ -164,7 +164,7 @@ object QueriesText {
         col("id"),
         col("frame_idx").cast("long").as("frame_idx"),
         col("frame_bytes").cast("long").as("frame_bytes"),
-        col("frame_md5")
+        col("frame_hex")
       )
   }
 
@@ -408,14 +408,14 @@ object QueriesText {
     "mm_frames" ->
       """WITH f AS (
         |  SELECT doc_id AS id, g.frame_idx,
-        |    substr(text, frame_idx * 64 + 1, 64) AS frame
+        |    substr(hex(encode(text)), frame_idx * 128 + 1, 128) AS frame_hex
         |  FROM documents
         |  CROSS JOIN (SELECT unnest(range(0, 1000)) AS frame_idx) g
         |  WHERE doc_id < 20
         |    AND frame_idx <= (octet_length(encode(text)) + 63) // 64 - 1
         |    AND frame_idx % 2 = 0)
         |SELECT id, frame_idx::BIGINT AS frame_idx,
-        |  octet_length(encode(frame))::BIGINT AS frame_bytes, md5(frame) AS frame_md5
+        |  (length(frame_hex) // 2)::BIGINT AS frame_bytes, frame_hex
         |FROM f""".stripMargin
   )
 }

@@ -68,22 +68,22 @@ object Multimodal {
 
   /** Frame sampling for "video" payloads: fixed-size byte windows as
     * frames, every `stride`-th frame kept. Pure column arithmetic
-    * (`substring` on binary), so it codegens. */
+    * (`substring` on binary), so it codegens. Empty payloads yield
+    * zero frames. The fingerprint is the hex of the raw byte slice
+    * (portable across engines, unlike md5-of-BLOB). */
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 2): DataFrame = {
     val nFrames = floor((length(col("content")) + frameBytes - 1) / frameBytes).cast("int")
+    val idxs = when(nFrames > 0, sequence(lit(0), nFrames - 1)).otherwise(array())
     media
       .select(
         col("id"),
         posexplode(
-          transform(
-            sequence(lit(0), greatest(nFrames - 1, lit(0))),
-            i => col("content").substr(i * frameBytes + 1, lit(frameBytes))
-          )
+          transform(idxs, i => col("content").substr(i * frameBytes + 1, lit(frameBytes)))
         ).as(Seq("frame_idx", "frame"))
       )
       .filter(pmod(col("frame_idx"), lit(stride)) === 0)
       .withColumn("frame_bytes", length(col("frame")))
-      .withColumn("frame_md5", md5(col("frame")))
+      .withColumn("frame_hex", hex(col("frame")))
       .drop("frame")
   }
 }

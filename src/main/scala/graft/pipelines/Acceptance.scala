@@ -106,11 +106,12 @@ object Acceptance {
   def histSparse(spark: SparkSession, sparse: DataFrame, nTotal: Long): DataFrame = {
     import spark.implicits._
     val nonzero = sparse.groupBy("n_hits").agg(count(lit(1)).as("n")).cache()
-    val hitEvents = nonzero.agg(sum("n")).head().getLong(0)
-    val out = nonzero.unionByName(
-      Seq((0L, nTotal - hitEvents)).toDF("n_hits", "n")
-    )
-    out
+    try {
+      val hitEvents = nonzero.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      nonzero
+        .unionByName(Seq((0L, nTotal - hitEvents)).toDF("n_hits", "n"))
+        .localCheckpoint(eager = true)
+    } finally nonzero.unpersist()
   }
 
   /** Per-η profile of n_hits including zero-hit events, via binned

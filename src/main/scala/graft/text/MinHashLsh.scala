@@ -159,11 +159,24 @@ object MinHashLsh {
         .join(labels.select(col("id").as("dst"), col("component").as("nbr_comp")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("nbr_comp").as("nbr_min"))
-      val updated = labels
+      val stepped = labels
         .join(nbrMin, Seq("id"), "left")
-        .withColumn("next", least(col("component"), coalesce(col("nbr_min"), col("component"))))
+        .select(
+          col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component")
+        )
+      // Pointer doubling: jump each label to its label's label, so
+      // convergence needs O(log diameter) rounds instead of O(diameter).
+      // Labels are always node ids, so the self-join on component=id hits.
+      val updated = stepped
+        .join(
+          stepped.select(col("id").as("component"), col("component").as("pc")),
+          Seq("component"), "left")
+        .select(col("id"), coalesce(col("pc"), col("component")).as("next"))
         .cache()
-      changed = updated.filter(col("next") =!= col("component")).count()
+      changed = updated
+        .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("next") =!= col("prev")).count()
       val old = labels
       labels = updated.select(col("id"), col("next").as("component")).cache()
       labels.count()
@@ -172,6 +185,10 @@ object MinHashLsh {
       i += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"components() did not converge in $maxIter pointer-doubling rounds " +
+          "(graph diameter > 2^maxIter); raise maxIter")
     labels
   }
 
