@@ -185,6 +185,28 @@ object QueriesCore {
       col("l_discount"), HistogramOps.BinSpec(11, 0.0, 0.11)
     )
 
+  /** A10 (full shape): 3D histogram — two regular axes + an INTEGER
+    * axis (l_linenumber ∈ 1..7), the (η,φ,n) fill shape of
+    * dee_geometry.py:616-621. */
+  private def hist3dQtyDiscLine(spark: SparkSession, dir: String): DataFrame =
+    HistogramOps.hist3dInt(
+      t(spark, dir, "lineitem"),
+      col("l_quantity"), HistogramOps.BinSpec(10, 0.0, 50.0),
+      col("l_discount"), HistogramOps.BinSpec(11, 0.0, 0.11),
+      col("l_linenumber"), HistogramOps.IntSpec(1, 7)
+    )
+
+  /** A10/A11: axis-sum projection + integer-axis profile over the 3D
+    * histogram table (the reference's `h[{'phi': sum}].profile('n')`
+    * at dee_geometry.py:690-698): per-quantity-bin mean line number. */
+  private def hist3dProjProfile(spark: SparkSession, dir: String): DataFrame = {
+    val h3 = hist3dQtyDiscLine(spark, dir)
+    HistogramOps.profileHist(
+      HistogramOps.projectHist(h3, "biny"),
+      "binz", col("binz").cast("double")
+    ).select(col("binx"), round(col("mean"), 6).as("mean"), col("n"))
+  }
+
   /** A11: profile — per-quantity-bin mean price. */
   private def profilePrice(spark: SparkSession, dir: String): DataFrame =
     HistogramOps.profile1d(
@@ -294,6 +316,8 @@ object QueriesCore {
     "a1_minmax" -> (a1MinMax _),
     "hist1d_price" -> (hist1dPrice _),
     "hist2d_qty_disc" -> (hist2dQtyDisc _),
+    "hist3d_qty_disc_line" -> (hist3dQtyDiscLine _),
+    "hist3d_proj_profile" -> (hist3dProjProfile _),
     "profile_price" -> (profilePrice _),
     "a13_efficiency" -> (a13Efficiency _),
     "a15_distinct" -> (a15Distinct _),
@@ -484,6 +508,28 @@ object QueriesCore {
         |  WHERE l_quantity >= 0.0 AND l_quantity < 50.0
         |    AND l_discount >= 0.0 AND l_discount < 0.11)
         |SELECT binx, biny, count(*) AS n FROM b GROUP BY binx, biny""".stripMargin,
+    "hist3d_qty_disc_line" ->
+      """WITH b AS (
+        |  SELECT least(floor((l_quantity - 0.0) / ((50.0 - 0.0) / 10)), 9)::BIGINT AS binx,
+        |         least(floor((l_discount - 0.0) / ((0.11 - 0.0) / 11)), 10)::BIGINT AS biny,
+        |         l_linenumber::BIGINT AS binz
+        |  FROM lineitem
+        |  WHERE l_quantity >= 0.0 AND l_quantity < 50.0
+        |    AND l_discount >= 0.0 AND l_discount < 0.11
+        |    AND l_linenumber BETWEEN 1 AND 7)
+        |SELECT binx, biny, binz, count(*) AS n FROM b GROUP BY binx, biny, binz""".stripMargin,
+    "hist3d_proj_profile" ->
+      """WITH b AS (
+        |  SELECT least(floor((l_quantity - 0.0) / ((50.0 - 0.0) / 10)), 9)::BIGINT AS binx,
+        |         l_linenumber::BIGINT AS binz
+        |  FROM lineitem
+        |  WHERE l_quantity >= 0.0 AND l_quantity < 50.0
+        |    AND l_discount >= 0.0 AND l_discount < 0.11
+        |    AND l_linenumber BETWEEN 1 AND 7)
+        |SELECT binx, round(sum(binz * cnt)::DOUBLE / sum(cnt), 6) AS mean,
+        |  sum(cnt)::BIGINT AS n
+        |FROM (SELECT binx, binz, count(*) AS cnt FROM b GROUP BY binx, binz)
+        |GROUP BY binx""".stripMargin,
     "profile_price" ->
       """WITH b AS (
         |  SELECT least(floor((l_quantity - 0.0) / ((50.0 - 0.0) / 10)), 9)::BIGINT AS bin,

@@ -47,6 +47,81 @@ object QueriesDomain {
     Acceptance.histSparse(spark, Acceptance.runSparse(spark, p), p.count())
   }
 
+  // ---- A10 full shape + σ_t (dee_geometry.py:608-698) over the tiled
+  // reference run: per-event (eta, phi, n_hits) with n from the
+  // REFERENCE's own tiled-dee intersect (bit-parity fixture). Axes
+  // follow the reference: Regular(40, η_min, η_max) × Regular(40,
+  // −π/2, π/2) × Integer n (sized 0..4 to cover the n=4 tail the
+  // reference's Integer(0,4) overflows) / Regular(40, 0, 100) for t.
+  import graft.ops.HistogramOps
+  import graft.ops.HistogramOps.{BinSpec, IntSpec}
+
+  private val etaSpec = BinSpec(40, EtlConfig.etaMin, EtlConfig.etaMax)
+  private val phiSpec = BinSpec(40, -math.Pi / 2, math.Pi / 2)
+  private val tSpec = BinSpec(40, 0.0, 100.0)
+
+  private def tiledEvents(spark: SparkSession): DataFrame =
+    spark.read.parquet(Layouts.resolveFixture("tiled_acceptance_seed42.parquet"))
+      .select("eta", "phi", "n_hits")
+
+  /** (η,φ,n) 3D fill (dee_geometry.py:616-621). */
+  private def accHist3d(spark: SparkSession): DataFrame =
+    HistogramOps.hist3dInt(
+      tiledEvents(spark),
+      col("eta"), etaSpec, col("phi"), phiSpec,
+      col("n_hits"), IntSpec(0, 4))
+
+  /** `h_eta_phi_n[{'phi': sum}].profile('n')` (dee_geometry.py:697). */
+  private def accNhitsProfileEta(spark: SparkSession, dir: String): DataFrame =
+    HistogramOps.profileHist(
+      HistogramOps.projectHist(accHist3d(spark), "biny"),
+      "binz", col("binz").cast("double"))
+      .select(
+        col("binx").as("bin"),
+        round(etaSpec.center(col("binx")), 6).as("center"),
+        round(col("mean"), 6).as("mean_n"),
+        col("n").as("n_events"))
+
+  /** `h_eta_phi_n[{'eta': sum}].profile('n')` (dee_geometry.py:692). */
+  private def accNhitsProfilePhi(spark: SparkSession, dir: String): DataFrame =
+    HistogramOps.profileHist(
+      HistogramOps.projectHist(accHist3d(spark), "binx"),
+      "binz", col("binz").cast("double"))
+      .select(
+        col("biny").as("bin"),
+        round(phiSpec.center(col("biny")), 6).as("center"),
+        round(col("mean"), 6).as("mean_n"),
+        col("n").as("n_events"))
+
+  /** σ_t = 45/√n (P15, dee_geometry.py:608) filled into the (η,φ,t)
+    * hist (:637-643) and profiled along t after the φ axis-sum
+    * (:703-706). Zero-hit events give t = +∞ → dropped by the t-axis
+    * range, exactly the reference's overflow behavior. The profile is
+    * the count-weighted mean of t-bin CENTERS (hist.Hist semantics),
+    * not of raw t. */
+  private def accTimeProfileEta(spark: SparkSession, dir: String): DataFrame = {
+    val withT = tiledEvents(spark)
+      .withColumn("t", graft.physics.Physics.timeResCol(col("n_hits")))
+    HistogramOps.profileHist(
+      HistogramOps.projectHist(
+        HistogramOps.hist3d(withT, col("eta"), etaSpec, col("phi"), phiSpec, col("t"), tSpec),
+        "biny"),
+      "binz", tSpec.center(col("binz")))
+      .select(
+        col("binx").as("bin"),
+        round(etaSpec.center(col("binx")), 6).as("center"),
+        round(col("mean"), 6).as("mean_t"),
+        col("n").as("n_events"))
+  }
+
+  /** 2D (η,φ) n profile (dee_geometry.py:623 `h_eta_phi_n.profile("n")`)
+    * compacted for the oracle: per η row, the number of populated φ
+    * cells and the sum of the per-cell means. */
+  private def accProfile2dRowsum(spark: SparkSession, dir: String): DataFrame =
+    HistogramOps.profileHist(accHist3d(spark), "binz", col("binz").cast("double"))
+      .groupBy(col("binx").as("bin"))
+      .agg(count(lit(1)).as("n_cells"), round(sum("mean"), 6).as("sum_mean"))
+
   /** Supermodule reconstruction entity counts (X8). */
   private def smCounts(spark: SparkSession, dir: String): DataFrame = {
     val s = d2Sensors(spark)
@@ -287,6 +362,10 @@ object QueriesDomain {
     "greedy_groups" -> (greedyGroups _),
     "acc_stats" -> (accStats _),
     "acc_hist" -> (accHist _),
+    "acc_nhits_profile_eta" -> (accNhitsProfileEta _),
+    "acc_nhits_profile_phi" -> (accNhitsProfilePhi _),
+    "acc_time_profile_eta" -> (accTimeProfileEta _),
+    "acc_profile2d_rowsum" -> (accProfile2dRowsum _),
     "sm_counts" -> (smCounts _),
     "sm_flavors" -> (smFlavors _),
     "total_current" -> (totalCurrent _),
@@ -693,6 +772,174 @@ object QueriesDomain {
     "acc_hist" ->
       """SELECT n_hits::BIGINT AS n_hits, n::BIGINT AS n FROM (VALUES
         |  (0, 276620), (1, 116772), (2, 577514), (3, 28714), (4, 380)) t(n_hits, n)""".stripMargin,
+    "acc_nhits_profile_eta" ->
+      """SELECT bin::BIGINT AS bin, center::DOUBLE AS center, mean_n::DOUBLE AS mean_n, n_events::BIGINT AS n_events FROM (VALUES
+        |  (0, 1.675763, 0.052905, 24875),
+        |  (1, 1.709288, 0.725011, 24641),
+        |  (2, 1.742813, 1.325564, 25184),
+        |  (3, 1.776338, 1.429146, 25129),
+        |  (4, 1.809863, 1.512258, 24636),
+        |  (5, 1.843388, 1.652488, 24897),
+        |  (6, 1.876913, 1.655074, 25101),
+        |  (7, 1.910438, 1.661743, 24913),
+        |  (8, 1.943963, 1.6841, 25144),
+        |  (9, 1.977488, 1.650211, 25138),
+        |  (10, 2.011013, 1.670773, 25004),
+        |  (11, 2.044538, 1.680505, 24858),
+        |  (12, 2.078063, 1.648565, 25154),
+        |  (13, 2.111588, 1.649884, 25046),
+        |  (14, 2.145113, 1.682593, 24990),
+        |  (15, 2.178638, 1.634882, 24907),
+        |  (16, 2.212163, 1.66672, 24847),
+        |  (17, 2.245688, 1.656516, 24761),
+        |  (18, 2.279213, 1.67568, 25333),
+        |  (19, 2.312738, 1.642608, 24925),
+        |  (20, 2.346263, 1.665894, 25007),
+        |  (21, 2.379788, 1.655564, 24948),
+        |  (22, 2.413313, 1.684911, 25031),
+        |  (23, 2.446838, 1.646751, 25005),
+        |  (24, 2.480363, 1.652691, 25162),
+        |  (25, 2.513888, 1.660873, 25141),
+        |  (26, 2.547413, 1.638992, 25005),
+        |  (27, 2.580938, 1.681982, 25008),
+        |  (28, 2.614463, 1.600907, 24919),
+        |  (29, 2.647988, 1.57928, 25183),
+        |  (30, 2.681513, 1.536213, 24839),
+        |  (31, 2.715038, 1.32326, 25017),
+        |  (32, 2.748563, 1.213115, 25254),
+        |  (33, 2.782088, 1.18411, 24871),
+        |  (34, 2.815613, 1.04571, 24940),
+        |  (35, 2.849138, 0.837193, 25220),
+        |  (36, 2.882663, 0.529261, 24657),
+        |  (37, 2.916188, 0.234159, 25030),
+        |  (38, 2.949713, 0.075601, 25185),
+        |  (39, 2.983238, 0.001674, 25095)) t(bin, center, mean_n, n_events)""".stripMargin,
+    "acc_nhits_profile_phi" ->
+      """SELECT bin::BIGINT AS bin, center::DOUBLE AS center, mean_n::DOUBLE AS mean_n, n_events::BIGINT AS n_events FROM (VALUES
+        |  (0, -1.531526, 0.851308, 25119),
+        |  (1, -1.452987, 1.174388, 25168),
+        |  (2, -1.374447, 1.197644, 25207),
+        |  (3, -1.295907, 1.338495, 24541),
+        |  (4, -1.217367, 1.379378, 24867),
+        |  (5, -1.138827, 1.482596, 24965),
+        |  (6, -1.060288, 1.528476, 24951),
+        |  (7, -0.981748, 1.48805, 25020),
+        |  (8, -0.903208, 1.42306, 25065),
+        |  (9, -0.824668, 1.488366, 25098),
+        |  (10, -0.746128, 1.449603, 25051),
+        |  (11, -0.667588, 1.452445, 25234),
+        |  (12, -0.589049, 1.491245, 25071),
+        |  (13, -0.510509, 1.488061, 25212),
+        |  (14, -0.431969, 1.353749, 25128),
+        |  (15, -0.353429, 1.338418, 25303),
+        |  (16, -0.274889, 1.438713, 24891),
+        |  (17, -0.19635, 1.385672, 24972),
+        |  (18, -0.11781, 1.219085, 25150),
+        |  (19, -0.03927, 1.242622, 25006),
+        |  (20, 0.03927, 1.228344, 25212),
+        |  (21, 0.11781, 1.222227, 24943),
+        |  (22, 0.19635, 1.335081, 25179),
+        |  (23, 0.274889, 1.365771, 24704),
+        |  (24, 0.353429, 1.338403, 24787),
+        |  (25, 0.431969, 1.359549, 24934),
+        |  (26, 0.510509, 1.486538, 25182),
+        |  (27, 0.589049, 1.491338, 25168),
+        |  (28, 0.667588, 1.459394, 24861),
+        |  (29, 0.746128, 1.43645, 24768),
+        |  (30, 0.824668, 1.489932, 24781),
+        |  (31, 0.903208, 1.418044, 25105),
+        |  (32, 0.981748, 1.475477, 25160),
+        |  (33, 1.060288, 1.525678, 24905),
+        |  (34, 1.138827, 1.477843, 24891),
+        |  (35, 1.217367, 1.450002, 24631),
+        |  (36, 1.295907, 1.391817, 25004),
+        |  (37, 1.374447, 1.209045, 24655),
+        |  (38, 1.452987, 1.180548, 25118),
+        |  (39, 1.531526, 0.865842, 24993)) t(bin, center, mean_n, n_events)""".stripMargin,
+    "acc_time_profile_eta" ->
+      """SELECT bin::BIGINT AS bin, center::DOUBLE AS center, mean_t::DOUBLE AS mean_t, n_events::BIGINT AS n_events FROM (VALUES
+        |  (0, 1.675763, 45.731132, 1272),
+        |  (1, 1.709288, 41.322647, 13421),
+        |  (2, 1.742813, 36.621817, 20225),
+        |  (3, 1.776338, 35.651082, 20896),
+        |  (4, 1.809863, 36.129483, 22113),
+        |  (5, 1.843388, 35.677133, 23941),
+        |  (6, 1.876913, 35.686843, 24265),
+        |  (7, 1.910438, 35.556185, 24041),
+        |  (8, 1.943963, 35.20309, 24238),
+        |  (9, 1.977488, 35.607093, 24187),
+        |  (10, 2.011013, 35.408728, 24142),
+        |  (11, 2.044538, 35.169756, 23902),
+        |  (12, 2.078063, 35.550688, 24138),
+        |  (13, 2.111588, 35.607958, 24095),
+        |  (14, 2.145113, 35.098014, 23989),
+        |  (15, 2.178638, 35.651478, 23817),
+        |  (16, 2.212163, 35.231404, 23822),
+        |  (17, 2.245688, 35.361998, 23688),
+        |  (18, 2.279213, 35.018398, 24188),
+        |  (19, 2.312738, 35.482966, 23806),
+        |  (20, 2.346263, 35.138726, 23896),
+        |  (21, 2.379788, 35.221919, 23753),
+        |  (22, 2.413313, 34.816098, 23851),
+        |  (23, 2.446838, 35.262418, 23755),
+        |  (24, 2.480363, 35.146939, 23879),
+        |  (25, 2.513888, 34.991502, 23830),
+        |  (26, 2.547413, 35.275752, 23649),
+        |  (27, 2.580938, 34.651664, 23684),
+        |  (28, 2.614463, 35.710452, 23427),
+        |  (29, 2.647988, 35.761987, 23401),
+        |  (30, 2.681513, 35.460835, 22188),
+        |  (31, 2.715038, 35.231865, 19079),
+        |  (32, 2.748563, 35.300726, 17703),
+        |  (33, 2.782088, 35.407257, 17093),
+        |  (34, 2.815613, 36.448123, 15773),
+        |  (35, 2.849138, 38.265023, 13779),
+        |  (36, 2.882663, 39.317227, 8925),
+        |  (37, 2.916188, 41.542535, 4461),
+        |  (38, 2.949713, 42.534404, 1526),
+        |  (39, 2.983238, 46.25, 42)) t(bin, center, mean_t, n_events)""".stripMargin,
+    "acc_profile2d_rowsum" ->
+      """SELECT bin::BIGINT AS bin, n_cells::BIGINT AS n_cells, sum_mean::DOUBLE AS sum_mean FROM (VALUES
+        |  (0, 40, 2.095864),
+        |  (1, 40, 28.887627),
+        |  (2, 40, 53.141168),
+        |  (3, 40, 57.236963),
+        |  (4, 40, 60.486568),
+        |  (5, 40, 66.094949),
+        |  (6, 40, 66.200244),
+        |  (7, 40, 66.474047),
+        |  (8, 40, 67.35338),
+        |  (9, 40, 66.047146),
+        |  (10, 40, 66.841027),
+        |  (11, 40, 67.222469),
+        |  (12, 40, 65.950302),
+        |  (13, 40, 65.975104),
+        |  (14, 40, 67.318426),
+        |  (15, 40, 65.362703),
+        |  (16, 40, 66.675353),
+        |  (17, 40, 66.272491),
+        |  (18, 40, 67.076447),
+        |  (19, 40, 65.662635),
+        |  (20, 40, 66.64156),
+        |  (21, 40, 66.221426),
+        |  (22, 40, 67.419248),
+        |  (23, 40, 65.845688),
+        |  (24, 40, 66.078869),
+        |  (25, 40, 66.374181),
+        |  (26, 40, 65.566388),
+        |  (27, 40, 67.276845),
+        |  (28, 40, 64.071919),
+        |  (29, 40, 63.224737),
+        |  (30, 40, 61.543483),
+        |  (31, 40, 52.837571),
+        |  (32, 40, 48.706428),
+        |  (33, 40, 47.331311),
+        |  (34, 40, 41.819835),
+        |  (35, 40, 33.58892),
+        |  (36, 40, 21.150839),
+        |  (37, 40, 9.381259),
+        |  (38, 40, 3.058053),
+        |  (39, 40, 0.063826)) t(bin, n_cells, sum_mean)""".stripMargin,
     "sm_counts" ->
       "SELECT 78::BIGINT AS n_sm, 447::BIGINT AS n_modules, 894::BIGINT AS n_sensors",
     "sm_flavors" ->

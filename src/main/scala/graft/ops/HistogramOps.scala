@@ -57,12 +57,56 @@ object HistogramOps {
       .agg(avg("v").as("mean"), count(lit(1)).as("n"))
       .withColumn("center", s.center(col("bin")))
 
-  /** 2D profile: per-(binx,biny) mean (dee_geometry.py:616-623). */
-  def profile2d(df: DataFrame, vx: Column, sx: BinSpec, vy: Column, sy: BinSpec, value: Column): DataFrame =
-    df.where(inRange(vx, sx) && inRange(vy, sy))
-      .select(binCol(vx, sx).as("binx"), binCol(vy, sy).as("biny"), value.as("v"))
-      .groupBy("binx", "biny")
-      .agg(avg("v").as("mean"), count(lit(1)).as("n"))
+  /** Integer axis (hist.axis.Integer at dee_geometry.py:620,673): one
+    * bin per integer value, ends INCLUSIVE. The reference's
+    * Integer(0,4) overflows n=4 events; we size the axis to cover the
+    * full n range instead (documented deviation — dropping the n=4
+    * tail would silently bias the profile). */
+  final case class IntSpec(lo: Long, hi: Long)
+
+  /** Integer-axis bin column: the value itself, null outside [lo,hi]. */
+  def intBinCol(v: Column, s: IntSpec): Column =
+    when(v >= s.lo && v <= s.hi, v.cast("long"))
+
+  /** 3D histogram with two regular axes and a regular z axis
+    * (dee_geometry.py:638-643, the (η,φ,t) fill): (binx,biny,binz,n). */
+  def hist3d(df: DataFrame, vx: Column, sx: BinSpec, vy: Column, sy: BinSpec,
+             vz: Column, sz: BinSpec): DataFrame =
+    df.where(inRange(vx, sx) && inRange(vy, sy) && inRange(vz, sz))
+      .select(binCol(vx, sx).as("binx"), binCol(vy, sy).as("biny"), binCol(vz, sz).as("binz"))
+      .groupBy("binx", "biny", "binz")
+      .agg(count(lit(1)).as("n"))
+
+  /** 3D histogram with an INTEGER z axis (dee_geometry.py:616-621, the
+    * (η,φ,n) fill): binz is the integer value itself. */
+  def hist3dInt(df: DataFrame, vx: Column, sx: BinSpec, vy: Column, sy: BinSpec,
+                vz: Column, sz: IntSpec): DataFrame =
+    df.where(inRange(vx, sx) && inRange(vy, sy) && vz >= sz.lo && vz <= sz.hi)
+      .select(binCol(vx, sx).as("binx"), binCol(vy, sy).as("biny"), intBinCol(vz, sz).as("binz"))
+      .groupBy("binx", "biny", "binz")
+      .agg(count(lit(1)).as("n"))
+
+  /** Axis-sum projection over a histogram TABLE (the reference's
+    * `h[{'eta': sum}]` at dee_geometry.py:690-698): drop `axis`, sum
+    * counts over the remaining bins. Histogram tables are tiny
+    * aggregates, so these reductions are driver-cheap at any input
+    * scale — the expensive fill already happened map-side. */
+  def projectHist(h: DataFrame, axis: String): DataFrame = {
+    val rest = h.columns.filter(c => c != axis && c != "n").map(col(_))
+    h.groupBy(rest: _*).agg(sum("n").as("n"))
+  }
+
+  /** Profile reduction over a histogram table (hist.Hist.profile at
+    * dee_geometry.py:623,646): collapse `axis` to the count-weighted
+    * mean of its bin CENTERS (not raw values — matching hist, which
+    * profiles the discretized axis). Pass `center` = s.center(col(axis))
+    * for a regular axis, or col(axis).cast("double") for an integer
+    * axis (where centers are the integers, so the profile is exact). */
+  def profileHist(h: DataFrame, axis: String, center: Column): DataFrame = {
+    val rest = h.columns.filter(c => c != axis && c != "n").map(col(_))
+    h.groupBy(rest: _*)
+      .agg((sum(center * col("n")) / sum("n")).as("mean"), sum("n").as("n"))
+  }
 
   /** Binned efficiency with binomial errors (A13/J6, example.ipynb
     * num.divide(den, binomial=True)): num ⋈ den on bin →

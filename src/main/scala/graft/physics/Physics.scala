@@ -45,8 +45,12 @@ object Physics {
 
   def sensorOccupancyCol(r: Column): Column = lit(0.11) + lit(91297.0) / (r * r)
 
-  /** σ_t = coef/√n (reference dee_geometry.py:54-55, 608; P15). */
-  def timeResCol(n: Column, coef: Double = 45): Column = lit(coef) / sqrt(n)
+  /** σ_t = coef/√n (reference dee_geometry.py:54-55, 608; P15). Null
+    * for n ≤ 0 — the reference gets +∞ there, which its t-axis drops
+    * into overflow; null drops out of our binned fills the same way
+    * (and avoids the ANSI divide-by-zero error). */
+  def timeResCol(n: Column, coef: Double = 45): Column =
+    when(n > 0, lit(coef) / sqrt(n))
 
   /** Bias-voltage ladder curves: r_min = a·ln(r_max) − b per vendor/charge
     * (sensors.py:4-36, P14). Keyed by the reference's function names. */
