@@ -222,6 +222,37 @@ object QueriesDomain {
       .groupBy("face")
       .agg(count(lit(1)).as("n_sm"), sum("n_mod").cast("long").as("n_modules"))
 
+  /** X3 across dee-layout VARIANTS (dee_geometry.py:225-297): tile
+    * baseline / plain / updated+seal / updated+no_feedthrough and roll
+    * up per-face SM counts, module counts, and SM-center coordinate
+    * sums — all vs shim-run reference goldens. The baseline golden was
+    * captured with the reference's `start = length` run carry-over
+    * corrected to `start = 0` (the mis-centering bug this engine fixes,
+    * see DeeTiling scaladoc); baseline is the only variant with rows
+    * split into 2+ runs, so the others are identical either way. */
+  private def tilingVariants(spark: SparkSession, dir: String): DataFrame = {
+    val variants = Seq(
+      ("baseline", "baseline", false, false),
+      ("plain", "plain", false, false),
+      ("updated_seal", "updated", true, false),
+      ("updated_noft", "updated", false, true)
+    )
+    variants
+      .map { case (name, layout, seal, noft) =>
+        graft.ops.DeeTiling.tileLayout(spark, layout, seal, noft)
+          .filter(col("kind") === "sm")
+          .groupBy("face")
+          .agg(
+            count(lit(1)).as("n_sm"),
+            sum("n_mod").cast("long").as("n_modules"),
+            round(sum("x"), 3).as("sum_x"),
+            round(sum("y"), 3).as("sum_y"))
+          .withColumn("variant", lit(name))
+      }
+      .reduce(_ unionByName _)
+      .select("variant", "face", "n_sm", "n_modules", "sum_x", "sum_y")
+  }
+
   /** X3 tiling flavor counts per face (A7 over the tiled layout). */
   private def tilingFlavors(spark: SparkSession, dir: String): DataFrame =
     graft.ops.DeeTiling.tileUpdatedLayout(spark)
@@ -355,6 +386,7 @@ object QueriesDomain {
     "o7_ladder_rings" -> (o7LadderRings _),
     "export_centers" -> (exportCenters _),
     "tiling_counts" -> (tilingCounts _),
+    "tiling_variants" -> (tilingVariants _),
     "tiling_flavors" -> (tilingFlavors _),
     "ring_split" -> (ringSplit _),
     "ring_members" -> (ringMembers _),
@@ -606,6 +638,25 @@ object QueriesDomain {
         |  ('disk2', 'front', 1804, 0.0, 15053.4),
         |  ('disk2', 'back', 1786, 752.7, 2056.8)
         |) t(disk, face_name, n_centers, sum_x, sum_y)""".stripMargin,
+    "tiling_variants" ->
+      """SELECT variant, face, n_sm::BIGINT AS n_sm, n_modules::BIGINT AS n_modules,
+        |  sum_x::DOUBLE AS sum_x, sum_y::DOUBLE AS sum_y FROM (VALUES
+        |  ('baseline', 'face1', 77, 444, 43019.55, -2390.25),
+        |  ('baseline', 'face2', 78, 445, 43746.7, 892.5),
+        |  ('baseline', 'face3', 77, 444, 43019.55, 2390.25),
+        |  ('baseline', 'face4', 78, 445, 43746.7, -892.5),
+        |  ('plain', 'face1', 82, 477, 46088.5, 263.5),
+        |  ('plain', 'face2', 80, 478, 44874.0, -540.0),
+        |  ('plain', 'face3', 82, 477, 46088.5, -263.5),
+        |  ('plain', 'face4', 80, 478, 44874.0, 540.0),
+        |  ('updated_seal', 'face1', 75, 454, 41750.25, -1043.75),
+        |  ('updated_seal', 'face2', 77, 460, 43151.35, 1608.75),
+        |  ('updated_seal', 'face3', 75, 458, 41488.65, 1043.75),
+        |  ('updated_seal', 'face4', 77, 460, 43151.35, -1608.75),
+        |  ('updated_noft', 'face1', 76, 462, 41834.6, -1975.0),
+        |  ('updated_noft', 'face2', 79, 467, 44190.45, 520.25),
+        |  ('updated_noft', 'face3', 76, 466, 41616.6, 1975.0),
+        |  ('updated_noft', 'face4', 79, 467, 44190.45, -520.25)) t(variant, face, n_sm, n_modules, sum_x, sum_y)""".stripMargin,
     "tiling_counts" ->
       """SELECT face, n_sm::BIGINT AS n_sm, n_modules::BIGINT AS n_modules FROM (VALUES
         |  ('face1', 76, 456),

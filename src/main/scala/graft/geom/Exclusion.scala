@@ -116,11 +116,16 @@ object Exclusion {
     UnionZone(Seq(quad, CircleZone(ccx + dx, ccy + dy, width / 2)))
   }
 
-  /** Outside-the-acceptance ring + feedthrough slabs (dee_geometry.py:104-131). */
+  /** Outside-the-acceptance ring + feedthrough slabs (dee_geometry.py:104-131).
+    * With feedthrough ≥ etlOuter (the --no_feedthrough path, which calls
+    * make_outer(etl_outer, etl_outer)) the slabs are zero-width — empty,
+    * not everything-excluding — so they are omitted. */
   def outerBoundary(etlOuter: Double = 1185, feedthrough: Double = 1120): Zone = {
+    val ring = RingZone(etlOuter, etlOuter + 100)
+    if (feedthrough >= etlOuter) return UnionZone(Seq(ring))
     val yF = math.sqrt(etlOuter * etlOuter - feedthrough * feedthrough)
     UnionZone(Seq(
-      RingZone(etlOuter, etlOuter + 100),
+      ring,
       RectZone(Rect(feedthrough, etlOuter, -yF, yF)),
       RectZone(Rect(-etlOuter, -feedthrough, -yF, yF))
     ))
@@ -130,14 +135,41 @@ object Exclusion {
     * (dee_geometry.py:240-276). `firstLayer` uses the 322 mm inner
     * restriction. The `make_inner` ring in the reference is degenerate
     * (exterior 300 < hole radius) — an empty zone, omitted here. */
-  def updatedLayout(firstLayer: Boolean): Seq[Zone] = {
-    val rInner = 302.0
-    val rEff = if (firstLayer) 322.0 else 302.0
+  def updatedLayout(firstLayer: Boolean): Seq[Zone] =
+    layoutZones("updated", firstLayer)
+
+  private val outerAttachmentAngles = Seq(2.5, 68.0, 112.0, 177.5, -2.5, -68.0, -112.0, -177.5)
+
+  /** Exclusion geometry per dee-layout variant
+    * (dee_geometry.py:208-297). 'plain' is annulus-only; 'baseline'
+    * adds the default tapered inner attachments at ±30/90/150° plus
+    * the 8 outer attachments; 'updated' replaces the inner attachments
+    * with the rectangular 0/90/180/270° supports and narrows the inner
+    * radius. ('updatedV2' is accepted by the reference's CLI but has
+    * no geometry branch — it crashes there on an undefined `inner` —
+    * so it is deliberately not modeled.) `noFeedthrough` rebuilds the
+    * outer boundary without the feedthrough slabs (make_outer called
+    * with feedthrough = etl_outer). The degenerate make_inner ring
+    * (exterior 300 < hole) is empty in every variant — omitted. */
+  def layoutZones(layout: String, firstLayer: Boolean, noFeedthrough: Boolean = false): Seq[Zone] = {
     val nose = CircleZone(0, 0, 302)
-    val outerAtt = Seq(2.5, 68.0, 112.0, 177.5, -2.5, -68.0, -112.0, -177.5).map(a => outerAttachment(a))
-    val innerAtt =
-      Seq(0.0, 180.0).map(a => innerAttachment(a, width = 170, height = 796.0 / 2 - rEff, taper = 0, inner = rInner)) ++
-        Seq(90.0, 270.0).map(a => innerAttachment(a, width = 110, height = 395 - rEff, taper = 0, inner = rInner))
-    outerAtt ++ innerAtt ++ Seq(nose, outerBoundary())
+    val boundary = outerBoundary(feedthrough = if (noFeedthrough) 1185.0 else 1120.0)
+    val outerAtt = outerAttachmentAngles.map(a => outerAttachment(a))
+    layout match {
+      case "plain" =>
+        Seq(nose, boundary)
+      case "baseline" =>
+        val innerAtt = Seq(30.0, 90.0, 150.0, -30.0, -90.0, -150.0).map(a => innerAttachment(a))
+        outerAtt ++ innerAtt ++ Seq(nose, boundary)
+      case "updated" =>
+        val rInner = 302.0
+        val rEff = if (firstLayer) 322.0 else 302.0
+        val innerAtt =
+          Seq(0.0, 180.0).map(a => innerAttachment(a, width = 170, height = 796.0 / 2 - rEff, taper = 0, inner = rInner)) ++
+            Seq(90.0, 270.0).map(a => innerAttachment(a, width = 110, height = 395 - rEff, taper = 0, inner = rInner))
+        outerAtt ++ innerAtt ++ Seq(nose, boundary)
+      case other =>
+        throw new IllegalArgumentException(s"unknown dee layout '$other' (expected plain|baseline|updated)")
+    }
   }
 }

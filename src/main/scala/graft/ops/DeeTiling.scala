@@ -240,6 +240,36 @@ object DeeTiling {
       }
       .reduce(_ unionByName _)
 
+  /** Face configs + exclusion zones for a named layout variant
+    * (dee_geometry.py:225-297, 370-380). Inner-annulus radii:
+    * 'updated' → 322 mm first layer / 302 mm others; 'baseline' and
+    * 'plain' → 336 mm everywhere. `seal` widens edge_x 8 → 25 mm
+    * (dee_geometry.py:379); `noFeedthrough` drops the feedthrough
+    * slabs from the outer boundary. */
+  def layoutFaces(layout: String, seal: Boolean = false,
+                  noFeedthrough: Boolean = false): Seq[(String, Config, Seq[Zone])] = {
+    val (rFirst, rRest) = layout match {
+      case "updated"            => (322.0, 302.0)
+      case "baseline" | "plain" => (336.0, 336.0)
+      case other =>
+        throw new IllegalArgumentException(s"unknown dee layout '$other'")
+    }
+    val edgeX = if (seal) 25.0 else 8.0
+    referenceFaces(rFirst, rRest).map { case (face, cfg, first) =>
+      (face, cfg.copy(edgeX = edgeX),
+        Exclusion.layoutZones(layout, firstLayer = first, noFeedthrough = noFeedthrough))
+    }
+  }
+
+  /** Tile all four faces of a named layout variant. */
+  def tileLayout(spark: SparkSession, layout: String, seal: Boolean = false,
+                 noFeedthrough: Boolean = false): DataFrame =
+    layoutFaces(layout, seal, noFeedthrough)
+      .map { case (face, cfg, zones) =>
+        tile(spark, cfg, zones).withColumn("face", lit(face))
+      }
+      .reduce(_ unionByName _)
+
   /** Pure-annulus tiling (no exclusion zones) — the reference's
     * geometry-free path, used for the exact golden. */
   def tileAnnulus(spark: SparkSession): DataFrame =

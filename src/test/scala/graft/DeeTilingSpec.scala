@@ -62,4 +62,38 @@ class DeeTilingSpec extends SparkSpec {
     // everything else must agree to 1e-6
     assert(badCount < total / 5, s"$badCount of $total SM positions differ — more than multi-run rows explain")
   }
+
+  test("layout variants tile to the reference shim-run counts") {
+    // goldens from the patched shim run (start-reset applied; see
+    // tiling_variants oracle): (variant, face1..4 n_sm, total modules)
+    val expect = Map(
+      ("baseline", "face1") -> 77L, ("baseline", "face2") -> 78L,
+      ("plain", "face1") -> 82L, ("plain", "face2") -> 80L,
+      ("updated_seal", "face1") -> 75L, ("updated_seal", "face2") -> 77L,
+      ("updated_noft", "face1") -> 76L, ("updated_noft", "face2") -> 79L
+    )
+    val variants = Seq(
+      ("baseline", "baseline", false, false),
+      ("plain", "plain", false, false),
+      ("updated_seal", "updated", true, false),
+      ("updated_noft", "updated", false, true))
+    for ((name, layout, seal, noft) <- variants) {
+      val counts = DeeTiling.tileLayout(spark, layout, seal, noft)
+        .filter(col("kind") === "sm")
+        .groupBy("face").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for (face <- Seq("face1", "face2"))
+        assert(counts(face) == expect((name, face)), s"$name/$face: ${counts(face)}")
+    }
+  }
+
+  test("no-feedthrough boundary drops the slabs without excluding everything") {
+    import graft.geom.Exclusion
+    val z = Exclusion.outerBoundary(feedthrough = 1185.0)
+    // a rect straddling x=1185's line but inside the ring? No — a rect
+    // well inside the acceptance must NOT intersect the boundary
+    assert(!z.intersects(Exclusion.Rect(1100, 1150, -20, 20)))
+    // and the outer ring still excludes
+    assert(z.intersects(Exclusion.Rect(1180, 1200, -20, 20)))
+  }
 }
