@@ -122,6 +122,46 @@ object QueriesDomain {
       .groupBy(col("binx").as("bin"))
       .agg(count(lit(1)).as("n_cells"), round(sum("mean"), 6).as("sum_mean"))
 
+  /** Cross-run comparison (dee_geometry.py:813-867, the --comparison
+    * overlay; S7 consumer): cache two acceptance runs' 40-bin η
+    * profiles via the parquet run-cache upsert, read them back
+    * partition-pruned, and join into the overlay table. Run 'updated'
+    * is the reference's own tiled run (fixture n); run 'plain' is the
+    * ENGINE's full pipeline — plain-layout tiling → sensors → spatial
+    * join → sparse profile — so the golden also pins per-event parity
+    * of the plain tiling chain. */
+  private def runCompare(spark: SparkSession, dir: String): DataFrame = {
+    val cache = java.nio.file.Files.createTempDirectory("graft_run_cache").toString
+    val kin = spark.read.parquet(Layouts.resolveFixture("tiled_acceptance_seed42.parquet")).cache()
+    try {
+      val profUpdated = HistogramOps.profile1d(
+        kin, col("eta"), etaSpec, col("n_hits").cast("double"))
+      val plainSensors = graft.ops.DeeTiling.layoutFaces("plain").zipWithIndex
+        .map { case ((_, cfg, zones), idx) =>
+          val tiled = graft.ops.DeeTiling.tile(spark, cfg, zones)
+          graft.ops.DeeTiling.sensors(graft.ops.DeeTiling.supermodules(tiled), cfg)
+            .select(lit(idx).as("face"), col("ax1"), col("ax2"), col("ay1"), col("ay2"))
+        }
+        .reduce(_ unionByName _)
+      val sparse = Acceptance.hitCountsKin(spark, kin.select("event_id", "x", "y", "theta", "phi", "eta"), plainSensors)
+      val profPlain = Acceptance.etaProfileSparse(kin, sparse, bins = 40)
+      graft.io.Sinks.upsertRun(spark, profUpdated, cache, "updated")
+      graft.io.Sinks.upsertRun(spark, profPlain, cache, "plain")
+      val a = graft.io.Sinks.readRun(spark, cache, Some("updated"))
+        .select(col("bin"), col("center"), col("mean").as("mean_updated"))
+      val b = graft.io.Sinks.readRun(spark, cache, Some("plain"))
+        .select(col("bin"), col("mean").as("mean_plain"))
+      a.join(b, Seq("bin"))
+        .select(
+          col("bin"),
+          round(col("center"), 6).as("center"),
+          round(col("mean_updated"), 6).as("mean_updated"),
+          round(col("mean_plain"), 6).as("mean_plain"),
+          round(col("mean_updated") - col("mean_plain"), 6).as("delta"))
+        .localCheckpoint(eager = true)
+    } finally kin.unpersist()
+  }
+
   /** Supermodule reconstruction entity counts (X8). */
   private def smCounts(spark: SparkSession, dir: String): DataFrame = {
     val s = d2Sensors(spark)
@@ -394,6 +434,7 @@ object QueriesDomain {
     "greedy_groups" -> (greedyGroups _),
     "acc_stats" -> (accStats _),
     "acc_hist" -> (accHist _),
+    "run_compare" -> (runCompare _),
     "acc_nhits_profile_eta" -> (accNhitsProfileEta _),
     "acc_nhits_profile_phi" -> (accNhitsProfilePhi _),
     "acc_time_profile_eta" -> (accTimeProfileEta _),
@@ -823,6 +864,49 @@ object QueriesDomain {
     "acc_hist" ->
       """SELECT n_hits::BIGINT AS n_hits, n::BIGINT AS n FROM (VALUES
         |  (0, 276620), (1, 116772), (2, 577514), (3, 28714), (4, 380)) t(n_hits, n)""".stripMargin,
+    "run_compare" ->
+      """SELECT bin::BIGINT AS bin, center::DOUBLE AS center, mean_updated::DOUBLE AS mean_updated,
+        |  mean_plain::DOUBLE AS mean_plain, delta::DOUBLE AS delta FROM (VALUES
+        |  (0, 1.675763, 0.052905, 0.082251, -0.029347),
+        |  (1, 1.709288, 0.725011, 1.012094, -0.287083),
+        |  (2, 1.742813, 1.325564, 1.623134, -0.29757),
+        |  (3, 1.776338, 1.429146, 1.669028, -0.239882),
+        |  (4, 1.809863, 1.512258, 1.65798, -0.145722),
+        |  (5, 1.843388, 1.652488, 1.680966, -0.028477),
+        |  (6, 1.876913, 1.655074, 1.655074, 0.0),
+        |  (7, 1.910438, 1.661743, 1.661743, 0.0),
+        |  (8, 1.943963, 1.6841, 1.6841, 0.0),
+        |  (9, 1.977488, 1.650211, 1.650211, 0.0),
+        |  (10, 2.011013, 1.670773, 1.670773, 0.0),
+        |  (11, 2.044538, 1.680505, 1.680505, 0.0),
+        |  (12, 2.078063, 1.648565, 1.648565, 0.0),
+        |  (13, 2.111588, 1.649884, 1.649884, 0.0),
+        |  (14, 2.145113, 1.682593, 1.682593, 0.0),
+        |  (15, 2.178638, 1.634882, 1.634882, 0.0),
+        |  (16, 2.212163, 1.66672, 1.66672, 0.0),
+        |  (17, 2.245688, 1.656516, 1.656516, 0.0),
+        |  (18, 2.279213, 1.67568, 1.67568, 0.0),
+        |  (19, 2.312738, 1.642608, 1.642608, 0.0),
+        |  (20, 2.346263, 1.665894, 1.665894, 0.0),
+        |  (21, 2.379788, 1.655564, 1.655564, 0.0),
+        |  (22, 2.413313, 1.684911, 1.684911, 0.0),
+        |  (23, 2.446838, 1.646751, 1.646751, 0.0),
+        |  (24, 2.480363, 1.652691, 1.652691, 0.0),
+        |  (25, 2.513888, 1.660873, 1.660873, 0.0),
+        |  (26, 2.547413, 1.638992, 1.638992, 0.0),
+        |  (27, 2.580938, 1.681982, 1.6883, -0.006318),
+        |  (28, 2.614463, 1.600907, 1.658132, -0.057225),
+        |  (29, 2.647988, 1.57928, 1.62836, -0.049081),
+        |  (30, 2.681513, 1.536213, 1.653046, -0.116832),
+        |  (31, 2.715038, 1.32326, 1.579686, -0.256426),
+        |  (32, 2.748563, 1.213115, 1.40061, -0.187495),
+        |  (33, 2.782088, 1.18411, 0.947449, 0.236661),
+        |  (34, 2.815613, 1.04571, 0.376744, 0.668966),
+        |  (35, 2.849138, 0.837193, 0.019191, 0.818002),
+        |  (36, 2.882663, 0.529261, 0.0, 0.529261),
+        |  (37, 2.916188, 0.234159, 0.0, 0.234159),
+        |  (38, 2.949713, 0.075601, 0.0, 0.075601),
+        |  (39, 2.983238, 0.001674, 0.0, 0.001674)) t(bin, center, mean_updated, mean_plain, delta)""".stripMargin,
     "acc_nhits_profile_eta" ->
       """SELECT bin::BIGINT AS bin, center::DOUBLE AS center, mean_n::DOUBLE AS mean_n, n_events::BIGINT AS n_events FROM (VALUES
         |  (0, 1.675763, 0.052905, 24875),
