@@ -172,6 +172,28 @@ object QueriesDomain {
     )
   }
 
+  /** A5/P7 active-area rollup (ETL.py:285-286 Module.getActiveArea,
+    * 405-409 SuperModule.getActiveArea, 810 covered_area): one
+    * `rollup(sm_id, mod_i, sensor_iy)` pass gives sensor → module →
+    * supermodule → dee totals; entity counts and area sums per level
+    * vs the reference occupancy-run golden. */
+  private def areaRollup(spark: SparkSession, dir: String): DataFrame = {
+    // SQL ROLLUP via a view: the reconstruction chain contains a
+    // self-join, and DetectAmbiguousSelfJoin rejects its attributes as
+    // Dataset-API rollup keys (false positive — the keys are unambiguous)
+    graft.ops.SensorTable.withActiveArea(d2Sensors(spark))
+      .select(col("sm_id"), col("mod_i"), col("sensor_iy"), col("active_area"))
+      .createOrReplaceTempView("area_sensors")
+    spark.sql(
+      """SELECT CASE gid WHEN 7 THEN 'dee' WHEN 3 THEN 'sm'
+        |  WHEN 1 THEN 'module' ELSE 'sensor' END AS level,
+        |  count(1) AS n_entities, round(sum(area), 6) AS total_area
+        |FROM (SELECT grouping_id(sm_id, mod_i, sensor_iy) AS gid,
+        |        sum(active_area) AS area
+        |      FROM area_sensors GROUP BY ROLLUP(sm_id, mod_i, sensor_iy))
+        |GROUP BY 1""".stripMargin)
+  }
+
   /** Supermodule flavor counts (A7). */
   private def smFlavors(spark: SparkSession, dir: String): DataFrame =
     d2Sensors(spark)
@@ -405,6 +427,20 @@ object QueriesDomain {
       .groupBy(col("face"), round(col("y"), 3).as("y_row"))
       .agg(count(lit(1)).as("covered"))
 
+  /** X6 module-matrix bitmap as a driver query: the groupBy-pivot
+    * helper's row × col 0/1 grid for the first-layer face, flattened
+    * to one bit-string per row (the reference's module_matrix print,
+    * ETL.py:702-708, 805-806). */
+  private def tilingBitmap(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cfg, first) = graft.ops.DeeTiling.referenceFaces().head
+    val tiled = graft.ops.DeeTiling.tile(spark, cfg, graft.geom.Exclusion.updatedLayout(first))
+    val m = graft.ops.DeeTiling.moduleMatrix(tiled)
+    val bitCols = m.columns.filter(_ != "row").sortBy(_.toInt)
+    m.select(
+      col("row").cast("long").as("row"),
+      concat(bitCols.map(c => col(s"`$c`").cast("string")): _*).as("bits"))
+  }
+
   /** S2 on the second layout database: TDR YAML parse cross-check. */
   private def tdrLayout(spark: SparkSession, dir: String): DataFrame =
     graft.io.LayoutYaml.read(spark, Layouts.resolveFixture("database_TDR.yaml"))
@@ -419,6 +455,7 @@ object QueriesDomain {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tdr_layout" -> (tdrLayout _),
     "tiling_matrix" -> (tilingMatrix _),
+    "tiling_bitmap" -> (tilingBitmap _),
     "tiled_acc_hist" -> (tiledAccHist _),
     "tiling_sensors" -> (tilingSensors _),
     "service_boards" -> (serviceBoards _),
@@ -435,6 +472,7 @@ object QueriesDomain {
     "acc_stats" -> (accStats _),
     "acc_hist" -> (accHist _),
     "run_compare" -> (runCompare _),
+    "area_rollup" -> (areaRollup _),
     "acc_nhits_profile_eta" -> (accNhitsProfileEta _),
     "acc_nhits_profile_phi" -> (accNhitsProfilePhi _),
     "acc_time_profile_eta" -> (accTimeProfileEta _),
@@ -679,6 +717,37 @@ object QueriesDomain {
         |  ('disk2', 'front', 1804, 0.0, 15053.4),
         |  ('disk2', 'back', 1786, 752.7, 2056.8)
         |) t(disk, face_name, n_centers, sum_x, sum_y)""".stripMargin,
+    "tiling_bitmap" ->
+      """SELECT row::BIGINT AS row, bits FROM (VALUES
+        |  (0, '00000000000000000000000000000'),
+        |  (1, '00000000000000000000000000000'),
+        |  (2, '00111111100000000000000000000'),
+        |  (3, '11111111111111000000000000000'),
+        |  (4, '11111111111111111000000000000'),
+        |  (5, '11111111111111111110000000000'),
+        |  (6, '11111111111111111111000000000'),
+        |  (7, '11111111111111111111110000000'),
+        |  (8, '11111111111111111111111000000'),
+        |  (9, '11111111111111111111100000000'),
+        |  (10, '00111111111111111111100000000'),
+        |  (11, '00000111111111111111111110000'),
+        |  (12, '00000001111111111111111110000'),
+        |  (13, '00000000111111111111111110000'),
+        |  (14, '00000000011111111111111110000'),
+        |  (15, '00000000111111111111111110000'),
+        |  (16, '00000001111111111111111110000'),
+        |  (17, '00000111111111111111111110000'),
+        |  (18, '00011111111111111111110000000'),
+        |  (19, '01111111111111111111100000000'),
+        |  (20, '11111111111111111111111000000'),
+        |  (21, '11111111111111111111110000000'),
+        |  (22, '11111111111111111111100000000'),
+        |  (23, '11111111111111111110000000000'),
+        |  (24, '11111111111111111000000000000'),
+        |  (25, '11111111111111100000000000000'),
+        |  (26, '00111111111000000000000000000'),
+        |  (27, '00111000000000000000000000000'),
+        |  (28, '00000000000000000000000000000')) t(row, bits)""".stripMargin,
     "tiling_variants" ->
       """SELECT variant, face, n_sm::BIGINT AS n_sm, n_modules::BIGINT AS n_modules,
         |  sum_x::DOUBLE AS sum_x, sum_y::DOUBLE AS sum_y FROM (VALUES
@@ -864,6 +933,12 @@ object QueriesDomain {
     "acc_hist" ->
       """SELECT n_hits::BIGINT AS n_hits, n::BIGINT AS n FROM (VALUES
         |  (0, 276620), (1, 116772), (2, 577514), (3, 28714), (4, 380)) t(n_hits, n)""".stripMargin,
+    "area_rollup" ->
+      """SELECT level, n_entities::BIGINT AS n_entities, total_area::DOUBLE AS total_area FROM (VALUES
+        |  ('sensor', 894, 779121.0),
+        |  ('module', 447, 779121.0),
+        |  ('sm', 78, 779121.0),
+        |  ('dee', 1, 779121.0)) t(level, n_entities, total_area)""".stripMargin,
     "run_compare" ->
       """SELECT bin::BIGINT AS bin, center::DOUBLE AS center, mean_updated::DOUBLE AS mean_updated,
         |  mean_plain::DOUBLE AS mean_plain, delta::DOUBLE AS delta FROM (VALUES
