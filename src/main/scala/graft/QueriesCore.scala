@@ -5,6 +5,7 @@ import graft.io.FaceTsv
 import graft.ops.{HistogramOps, PartitionSolver, SpatialJoin}
 import graft.physics.Physics
 import graft.pipelines.Layouts
+import graft.streaming.EventStreams
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -280,6 +281,50 @@ object QueriesCore {
       .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Streaming↔batch parity (SURVEY §2.10): run the Structured
+    * Streaming sessionizer over the events table fed as deterministic
+    * MemoryStream micro-batches, then check the per-user rollup against
+    * the batch gaps-and-islands oracle. Two time-ordered halves
+    * replicate incremental arrival; two far-future sentinel rows first
+    * push the watermark past every real session's timeout, then trigger
+    * the micro-batch in which those event-time timeouts fire, so every
+    * session closes. The driver-side collect is the MemoryStream feed
+    * (10k fixture rows), not a processing step. */
+  private def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = t(spark, dir, "events")
+      .withColumn("sec", expr("ts div 1000000000"))
+      .select(col("user_id"), col("sec"), col("event_type"), col("value").cast("double"))
+      .orderBy("sec", "user_id")
+      .as[(Long, Long, String, Double)]
+      .collect()
+    val maxSec = rows.iterator.map(_._2).max
+    val gapSec = 1800L
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val queryName = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.sessionize(spark, df, gapSec = gapSec)
+      .writeStream.format("memory").queryName(queryName).outputMode("append").start()
+    try {
+      val data = rows.map { case (u, sec, et, v) => (u, new java.sql.Timestamp(sec * 1000), et, v) }
+      val (h1, h2) = data.splitAt(data.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      val jump = gapSec + 601L // past gap + the 10-minute watermark lag
+      mem.addData(Seq((-1L, new java.sql.Timestamp((maxSec + jump) * 1000), "s", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((-1L, new java.sql.Timestamp((maxSec + 2 * jump) * 1000), "s", 0.0)))
+      q.processAllAvailable()
+      spark.table(queryName)
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").cast("long").as("n_events"))
+        .localCheckpoint(eager = true)
+    } finally q.stop()
+  }
+
   /** U1: union of tagged branches. */
   private def u1Union(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
@@ -326,6 +371,7 @@ object QueriesCore {
     "o6_runs" -> (o6Runs _),
     "o8_parity" -> (o8Parity _),
     "sessionize" -> (sessionize _),
+    "stream_sessionize" -> (streamSessionize _),
     "u1_union" -> (u1Union _),
     "u2_mirror" -> (u2Mirror _),
     "x1_partition" -> (x1Partition _)
@@ -578,6 +624,14 @@ object QueriesCore {
         |SELECT c_nationkey, (k % 2)::BIGINT AS parity, count(*) AS n,
         |  round(sum(c_acctbal), 2) AS bal_sum
         |FROM rk GROUP BY c_nationkey, k % 2""".stripMargin,
+    "stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
+        |           OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
     "sessionize" ->
       """WITH g AS (
         |  SELECT user_id,
