@@ -136,13 +136,7 @@ object QueriesDomain {
     try {
       val profUpdated = HistogramOps.profile1d(
         kin, col("eta"), etaSpec, col("n_hits").cast("double"))
-      val plainSensors = graft.ops.DeeTiling.layoutFaces("plain").zipWithIndex
-        .map { case ((_, cfg, zones), idx) =>
-          val tiled = graft.ops.DeeTiling.tile(spark, cfg, zones)
-          graft.ops.DeeTiling.sensors(graft.ops.DeeTiling.supermodules(tiled), cfg)
-            .select(lit(idx).as("face"), col("ax1"), col("ax2"), col("ay1"), col("ay2"))
-        }
-        .reduce(_ unionByName _)
+      val plainSensors = graft.ops.DeeTiling.layoutFaceSensors(spark, "plain")
       val sparse = Acceptance.hitCountsKin(spark, kin.select("event_id", "x", "y", "theta", "phi", "eta"), plainSensors)
       val profPlain = Acceptance.etaProfileSparse(kin, sparse, bins = 40)
       graft.io.Sinks.upsertRun(spark, profUpdated, cache, "updated")
@@ -403,20 +397,14 @@ object QueriesDomain {
     * fresh seeded reference run over its own tiled dees
     * (fixtures/tiled_acceptance_seed42.parquet). */
   private def tiledAccHist(spark: SparkSession, dir: String): DataFrame = {
-    val sensors = graft.ops.DeeTiling.referenceFaces().zipWithIndex
-      .map { case ((face, cfg, first), idx) =>
-        val tiled = graft.ops.DeeTiling.tile(spark, cfg, graft.geom.Exclusion.updatedLayout(first))
-        graft.ops.DeeTiling.sensors(graft.ops.DeeTiling.supermodules(tiled), cfg)
-          .select(lit(idx).as("face"), col("ax1"), col("ax2"), col("ay1"), col("ay2"))
-      }
-      .reduce(_ unionByName _)
-    // cache: the fixture feeds both the count and the join scan
+    val sensors = graft.ops.DeeTiling.layoutFaceSensors(spark, "updated")
+    // cache: the fixture feeds both the count and the join scan;
+    // histSparse materializes (localCheckpoint), so the unpersist is safe
     val p = spark.read.parquet(Layouts.resolveFixture("tiled_acceptance_seed42.parquet"))
       .select("event_id", "x", "y", "theta", "phi", "eta")
       .cache()
-    val sparse = Acceptance.hitCountsKin(spark, p, sensors)
-    val out = Acceptance.histSparse(spark, sparse, p.count())
-    out
+    try Acceptance.histSparse(spark, Acceptance.hitCountsKin(spark, p, sensors), p.count())
+    finally p.unpersist()
   }
 
   /** X6 module matrix: per-row covered-slot counts over the tiled

@@ -130,62 +130,97 @@ object DeeTiling {
     slotGrid(spark, cfg, zones)
       .as[SlotIn]
       .groupByKey(_.row)
-      .flatMapGroups { (row, it) =>
-        val slots = it.toArray.sortBy(_.col)
-        val n = slots.length
-        val avail = Array.fill(n)("no")
-        // --- 'maybe' state machine (ETL.py:582-629) ---
-        var maybeInRow = 0
-        for (c <- 0 until n) {
-          val s = slots(c)
-          if (s.fitsSm) avail(c) = "yes"
-          else if (s.fitsMod) {
-            if (maybeInRow < 1) {
-              if (c > 0 && avail(c - 1) == "yes") avail(c) = "no"
-              else { avail(c) = "maybe"; maybeInRow += 1 }
-            } else if (avail(c - 1) == "maybe") {
-              avail(c) = "maybe"; avail(c - 1) = "no"
-            }
-          }
+      .flatMapGroups((row, it) => processRow(row, it.toArray, flavors))
+      .toDF()
+  }
+
+  /** One row's availability state machine + run segmentation +
+    * partition + placement (ETL.py:582-700; start reset per run).
+    * Pure function — shared by the single-face and batched tilers. */
+  private def processRow(row: Int, unsorted: Array[SlotIn], flavors: Seq[Int]): Seq[TileOut] = {
+    val slots = unsorted.sortBy(_.col)
+    val n = slots.length
+    val avail = Array.fill(n)("no")
+    // --- 'maybe' state machine (ETL.py:582-629) ---
+    var maybeInRow = 0
+    for (c <- 0 until n) {
+      val s = slots(c)
+      if (s.fitsSm) avail(c) = "yes"
+      else if (s.fitsMod) {
+        if (maybeInRow < 1) {
+          if (c > 0 && avail(c - 1) == "yes") avail(c) = "no"
+          else { avail(c) = "maybe"; maybeInRow += 1 }
+        } else if (avail(c - 1) == "maybe") {
+          avail(c) = "maybe"; avail(c - 1) = "no"
         }
-        // --- run segmentation (ETL.py:631-644), with maybe-retry (646-668) ---
-        def segment(keep: Set[String]): Seq[Seq[Int]] = {
-          val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
-          var first = true
-          for (c <- 0 until n) {
-            if (keep(avail(c))) {
-              if (first) { runs += Vector(c); first = false }
-              else runs(runs.length - 1) = runs.last :+ c
-            } else if (avail(c) == "no") first = true
-          }
-          runs.toSeq
-        }
-        var runs = segment(Set("yes", "maybe"))
-        val passed = runs.forall { r =>
-          val part = PartitionSolver.getPartition(r.length, flavors)
-          !(part.nonEmpty && avail(r.head) == "maybe" && part.head != 7)
-        }
-        if (!passed) runs = segment(Set("yes"))
-        // --- partition + placement (ETL.py:670-700; start reset per run) ---
-        val out = scala.collection.mutable.ArrayBuffer.empty[TileOut]
-        val covered = Array.fill(n)(false)
-        var seq = 0
-        for (r <- runs) {
-          val part = PartitionSolver.getPartition(r.length, flavors)
-          var start = 0
-          for (nMod <- part) {
-            val xs = r.slice(start, start + nMod).map(i => slots(i).x)
-            val xSm = xs.sum / nMod
-            val ySm = slots(r.head).y
-            out += TileOut("sm", row, seq, nMod, xSm, ySm, "", covered = true)
-            seq += 1
-            start += nMod
-          }
-          for (k <- 0 until part.sum) covered(r(k)) = true
-        }
-        for (c <- 0 until n)
-          out += TileOut("slot", row, c, 0, slots(c).x, slots(c).y, avail(c), covered(c))
-        out.toSeq
+      }
+    }
+    // --- run segmentation (ETL.py:631-644), with maybe-retry (646-668) ---
+    def segment(keep: Set[String]): Seq[Seq[Int]] = {
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
+      var first = true
+      for (c <- 0 until n) {
+        if (keep(avail(c))) {
+          if (first) { runs += Vector(c); first = false }
+          else runs(runs.length - 1) = runs.last :+ c
+        } else if (avail(c) == "no") first = true
+      }
+      runs.toSeq
+    }
+    var runs = segment(Set("yes", "maybe"))
+    val passed = runs.forall { r =>
+      val part = PartitionSolver.getPartition(r.length, flavors)
+      !(part.nonEmpty && avail(r.head) == "maybe" && part.head != 7)
+    }
+    if (!passed) runs = segment(Set("yes"))
+    // --- partition + placement (ETL.py:670-700; start reset per run) ---
+    val out = scala.collection.mutable.ArrayBuffer.empty[TileOut]
+    val covered = Array.fill(n)(false)
+    var seq = 0
+    for (r <- runs) {
+      val part = PartitionSolver.getPartition(r.length, flavors)
+      var start = 0
+      for (nMod <- part) {
+        val xs = r.slice(start, start + nMod).map(i => slots(i).x)
+        val xSm = xs.sum / nMod
+        val ySm = slots(r.head).y
+        out += TileOut("sm", row, seq, nMod, xSm, ySm, "", covered = true)
+        seq += 1
+        start += nMod
+      }
+      for (k <- 0 until part.sum) covered(r(k)) = true
+    }
+    for (c <- 0 until n)
+      out += TileOut("slot", row, c, 0, slots(c).x, slots(c).y, avail(c), covered(c))
+    out.toSeq
+  }
+
+  final case class SlotInF(face: String, row: Int, col: Int, x: Double, y: Double,
+                           fitsSm: Boolean, fitsMod: Boolean)
+  final case class TileOutF(face: String, kind: String, row: Int, col: Int, n_mod: Int,
+                            x: Double, y: Double, available: String, covered: Boolean)
+
+  /** Batched tiler: all faces in ONE job — the per-face slot grids
+    * union into a single dataset and one `flatMapGroups` keyed by
+    * (face, row) runs every row of every face concurrently, instead of
+    * 4 sequential per-face stage chains (wall-time win; identical
+    * output modulo the extra `face` column). */
+  def tileFaces(spark: SparkSession, faces: Seq[(String, Config, Seq[Zone])]): DataFrame = {
+    import spark.implicits._
+    val grids = faces
+      .map { case (f, cfg, zones) => slotGrid(spark, cfg, zones).withColumn("face", lit(f)) }
+      .reduce(_ unionByName _)
+    val flavorsByFace = faces.map { case (f, cfg, _) => f -> cfg.flavors }.toMap
+    val bFlavors = spark.sparkContext.broadcast(flavorsByFace)
+    grids
+      .select($"face", $"row", $"col", $"x", $"y", $"fitsSm", $"fitsMod")
+      .as[SlotInF]
+      .groupByKey(s => (s.face, s.row))
+      .flatMapGroups { (key: (String, Int), it: Iterator[SlotInF]) =>
+        val (face, row) = key
+        val slots = it.map(s => SlotIn(s.row, s.col, s.x, s.y, s.fitsSm, s.fitsMod)).toArray
+        processRow(row, slots, bFlavors.value(face))
+          .map(t => TileOutF(face, t.kind, t.row, t.col, t.n_mod, t.x, t.y, t.available, t.covered))
       }
       .toDF()
   }
@@ -232,13 +267,13 @@ object DeeTiling {
     )
 
   /** Tile all four faces of the 'updated' layout; returns the combined
-    * output with a `face` column. */
+    * output with a `face` column (one batched job). */
   def tileUpdatedLayout(spark: SparkSession): DataFrame =
-    referenceFaces()
-      .map { case (face, cfg, first) =>
-        tile(spark, cfg, Exclusion.updatedLayout(first)).withColumn("face", lit(face))
-      }
-      .reduce(_ unionByName _)
+    tileFaces(
+      spark,
+      referenceFaces().map { case (face, cfg, first) =>
+        (face, cfg, Exclusion.updatedLayout(first))
+      })
 
   /** Face configs + exclusion zones for a named layout variant
     * (dee_geometry.py:225-297, 370-380). Inner-annulus radii:
@@ -261,21 +296,30 @@ object DeeTiling {
     }
   }
 
-  /** Tile all four faces of a named layout variant. */
+  /** Tile all four faces of a named layout variant (one batched job). */
   def tileLayout(spark: SparkSession, layout: String, seal: Boolean = false,
                  noFeedthrough: Boolean = false): DataFrame =
-    layoutFaces(layout, seal, noFeedthrough)
-      .map { case (face, cfg, zones) =>
-        tile(spark, cfg, zones).withColumn("face", lit(face))
-      }
-      .reduce(_ unionByName _)
+    tileFaces(spark, layoutFaces(layout, seal, noFeedthrough))
 
   /** Pure-annulus tiling (no exclusion zones) — the reference's
     * geometry-free path, used for the exact golden. */
   def tileAnnulus(spark: SparkSession): DataFrame =
-    referenceFaces()
-      .map { case (face, cfg, _) =>
-        tile(spark, cfg, Nil).withColumn("face", lit(face))
+    tileFaces(spark, referenceFaces().map { case (face, cfg, _) => (face, cfg, Nil) })
+
+  /** Acceptance-ready sensor table of a tiled layout: one batched
+    * tiling job (checkpointed — the tiny tiled table is computed once,
+    * not once per face filter), then the per-face module→sensor
+    * expansion with each face's own orientation config. Output:
+    * (face index, active-area corners), the spatial-join input. */
+  def layoutFaceSensors(spark: SparkSession, layout: String, seal: Boolean = false,
+                        noFeedthrough: Boolean = false): DataFrame = {
+    val faces = layoutFaces(layout, seal, noFeedthrough)
+    val tiled = tileFaces(spark, faces).localCheckpoint(eager = true)
+    faces.zipWithIndex
+      .map { case ((face, cfg, _), idx) =>
+        sensors(supermodules(tiled.filter(col("face") === face)), cfg)
+          .select(lit(idx).as("face"), col("ax1"), col("ax2"), col("ay1"), col("ay2"))
       }
       .reduce(_ unionByName _)
+  }
 }
