@@ -49,6 +49,30 @@ object AnnSearch {
       .select("q_id", "rank", "n_id", "sim")
   }
 
+  /** Deterministic Lloyd refinement of the stride seeds: `iters`
+    * rounds of assign (broadcast centroids, cosine argmax, ties →
+    * smaller c_id) + recompute (per-cell elementwise mean via
+    * posexplode/groupBy — partial-aggregated, no vector collect). On
+    * clustered corpora this concentrates cells so small `nprobe`
+    * probes recover the true neighbors; the IVF plumbing downstream is
+    * unchanged. Each iteration is one broadcast join + one (cell, dim)
+    * aggregate — at 100 TB the corpus streams once per iteration and
+    * only (nlist × dim) rows shuffle. */
+  def kmeansCentroids(corpus: DataFrame, stride: Int, iters: Int): DataFrame = {
+    var centroids = strideCentroids(corpus, stride)
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(corpus, centroids)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("n_vec")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("cell").as("c_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("c_id"), expr("transform(dm, x -> x.m)").as("c_vec"))
+    }
+    centroids
+  }
+
   /** Deterministic centroid table: every `stride`-th corpus vector. At
     * scale this is a k-means refinement target; the IVF plumbing is
     * identical either way. */

@@ -62,4 +62,36 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("ShuffledHashJoin")
     assert(equi, s"no equi-join in near-pairs plan:\n$plan")
   }
+
+  test("k-means-refined IVF keeps equi-join shape and matches BF top-k recall bound") {
+    val corpus = embsDf
+    val centroids = AnnSearch.kmeansCentroids(corpus, stride = 20, iters = 2)
+    val assigned = AnnSearch.ivfAssign(corpus, centroids)
+    val queries = corpus.filter(pmod(col("id"), lit(50)) === 0)
+    // the synthetic embeddings are near-isotropic (no cluster structure),
+    // so IVF pruning is at its worst case here: nprobe 16 of ~50 cells
+    // recovers most — not all — true neighbors. On clustered corpora the
+    // same pipeline reaches high recall at nprobe ≪ nlist.
+    val topk = AnnSearch.ivfTopK(queries, assigned, centroids, k = 5, nprobe = 16)
+    val plan = physicalPlan(topk)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in kmeans-IVF plan:\n$plan")
+    val bf = AnnSearch.bfTopK(queries, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val ivf = topk.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val hits = bf.count { case (key, nId) => ivf.get(key).contains(nId) }
+    val recall = hits.toDouble / bf.size
+    assert(recall >= 0.85, s"kmeans-IVF recall $recall below bound (nprobe=16/nlist~50)")
+  }
+
+  test("filter and projection push down to the parquet scan") {
+    val q = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter not pushed: $scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned: $scan")
+  }
 }
