@@ -55,10 +55,17 @@ object Acceptance {
     val layers = zLayersM.zipWithIndex
       .map { case (z, i) => (i, 1000.0 * (z - zRefM)) }
       .toDF("face", "dz")
+    // trig once per EVENT, not per probe row: tan/cos/sin land in the
+    // projection below the 4-face fan-out (4 trig calls/event instead of
+    // 16). px/py keep the reference's exact association ((dz·t)·c), so
+    // every strict comparison stays bit-identical to propagateX/Y.
     val probes = kin
+      .withColumn("tan_t", tan($"theta"))
+      .withColumn("cos_p", cos($"phi"))
+      .withColumn("sin_p", sin($"phi"))
       .crossJoin(broadcast(layers))
-      .withColumn("px", Transforms.propagateX($"x", $"theta", $"phi", $"dz"))
-      .withColumn("py", Transforms.propagateY($"y", $"theta", $"phi", $"dz"))
+      .withColumn("px", $"x" + $"dz" * $"tan_t" * $"cos_p")
+      .withColumn("py", $"y" + $"dz" * $"tan_t" * $"sin_p")
     // existence semantics per face (the reference's `.any()`): distinct
     // faces hit per event, carried with η for downstream binning.
     SpatialJoin
