@@ -168,20 +168,23 @@ object MinHashLsh {
       // Pointer doubling: jump each label to its label's label, so
       // convergence needs O(log diameter) rounds instead of O(diameter).
       // Labels are always node ids, so the self-join on component=id hits.
+      // localCheckpoint, not cache: the doubling self-join would
+      // otherwise double the LOGICAL plan every round — analysis time
+      // grows 2^i and the driver spins. Checkpointing cuts lineage so
+      // each round's plan is flat. (eager=true also materializes, so
+      // the subsequent actions reuse it.)
       val updated = stepped
         .join(
           stepped.select(col("id").as("component"), col("component").as("pc")),
           Seq("component"), "left")
         .select(col("id"), coalesce(col("pc"), col("component")).as("next"))
-        .cache()
+        .localCheckpoint(true)
       changed = updated
         .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
         .filter(col("next") =!= col("prev")).count()
       val old = labels
-      labels = updated.select(col("id"), col("next").as("component")).cache()
-      labels.count()
+      labels = updated.select(col("id"), col("next").as("component"))
       old.unpersist()
-      updated.unpersist()
       i += 1
     }
     edges.unpersist()

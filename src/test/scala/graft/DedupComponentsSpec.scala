@@ -30,4 +30,15 @@ class DedupComponentsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(keep == Set(10L, 30L))
   }
+
+  test("pointer doubling converges on a 64-node chain within the default round cap") {
+    import spark.implicits._
+    // a path graph of diameter 63 — one-hop propagation alone would need
+    // 63 rounds; pointer doubling needs O(log2 63) ~ 6 and must converge
+    // well inside maxIter = 10 (which would previously throw/split)
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = MinHashLsh.components(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 64 && comp.values.forall(_ == 0L))
+  }
 }
