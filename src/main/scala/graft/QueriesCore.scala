@@ -325,6 +325,49 @@ object QueriesCore {
     } finally q.stop()
   }
 
+  /** Streaming windowed counts parity: the watermarked 5-minute
+    * tumbling aggregation over the same MemoryStream feed, checked
+    * against the batch GROUP BY floor(epoch/300). Sentinel 1 pushes
+    * the watermark past every real window's end; sentinel 2 triggers
+    * the micro-batch that emits them (append-mode windows finalize one
+    * batch after the watermark passes). value sums round at 2 decimals
+    * safely because the inputs are 2-decimal values — the exact sum is
+    * itself a 2-decimal number, never at a rounding boundary. */
+  private def streamWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = t(spark, dir, "events")
+      .withColumn("sec", expr("ts div 1000000000"))
+      .select(col("user_id"), col("sec"), col("event_type"), col("value").cast("double"))
+      .orderBy("sec", "user_id")
+      .as[(Long, Long, String, Double)]
+      .collect()
+    val maxSec = rows.iterator.map(_._2).max
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val queryName = "stream_wc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.windowedCounts(df)
+      .writeStream.format("memory").queryName(queryName).outputMode("append").start()
+    try {
+      val data = rows.map { case (u, sec, et, v) => (new java.sql.Timestamp(sec * 1000), u, et, v) }
+      val (h1, h2) = data.splitAt(data.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp((maxSec + 1200) * 1000), -1L, "s", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp((maxSec + 3000) * 1000), -1L, "s", 0.0)))
+      q.processAllAvailable()
+      spark.table(queryName)
+        .withColumn("window_start", col("window_start").cast("long"))
+        .filter(col("window_start") <= maxSec)
+        .select(
+          col("window_start"), col("event_type"), col("n"),
+          round(col("value_sum"), 2).as("value_sum"))
+        .localCheckpoint(eager = true)
+    } finally q.stop()
+  }
+
   /** U1: union of tagged branches. */
   private def u1Union(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
@@ -372,6 +415,7 @@ object QueriesCore {
     "o8_parity" -> (o8Parity _),
     "sessionize" -> (sessionize _),
     "stream_sessionize" -> (streamSessionize _),
+    "stream_windowed_counts" -> (streamWindowedCounts _),
     "u1_union" -> (u1Union _),
     "u2_mirror" -> (u2Mirror _),
     "x1_partition" -> (x1Partition _)
@@ -624,6 +668,10 @@ object QueriesCore {
         |SELECT c_nationkey, (k % 2)::BIGINT AS parity, count(*) AS n,
         |  round(sum(c_acctbal), 2) AS bal_sum
         |FROM rk GROUP BY c_nationkey, k % 2""".stripMargin,
+    "stream_windowed_counts" ->
+      """SELECT (floor(floor(epoch(ts)) / 300) * 300)::BIGINT AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "stream_sessionize" ->
       """WITH g AS (
         |  SELECT user_id,
