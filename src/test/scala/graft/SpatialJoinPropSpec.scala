@@ -36,4 +36,25 @@ class SpatialJoinPropSpec extends SparkSpec {
       assert(semi == want.map(_._1), s"trial $trial cell $cell: semi join diverged")
     }
   }
+
+  test("shuffle-path (broadcastRects=false) equals the broadcast path and stays an equi-join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def c(): Double = rnd.nextDouble() * 1000 - 500
+    val rects = Seq.fill(40) {
+      val (x, y) = (c(), c())
+      (x, x + rnd.nextDouble() * 90 + 1, y, y + rnd.nextDouble() * 90 + 1)
+    }.zipWithIndex.map { case ((x1, x2, y1, y2), i) => (i, x1, x2, y1, y2) }
+      .toDF("rect_id", "ax1", "ax2", "ay1", "ay2")
+    val points = Seq.fill(300)((c(), c())).zipWithIndex.map { case ((x, y), i) => (i, x, y) }
+      .toDF("pt_id", "px", "py")
+    val bcast = SpatialJoin.hitJoin(points, rects, Seq.empty, cell = 60.0)
+      .select("pt_id", "rect_id").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val shuffled = SpatialJoin.hitJoin(points, rects, Seq.empty, cell = 60.0, broadcastRects = false)
+    val plan = shuffled.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"shuffle path degenerated:\n$plan")
+    val got = shuffled.select("pt_id", "rect_id").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == bcast, "shuffle path diverged from broadcast path")
+  }
 }
