@@ -93,6 +93,26 @@ object QueriesDomain {
         round(col("mean"), 6).as("mean_n"),
         col("n").as("n_events"))
 
+  /** The (r,φ,n) fill (dee_geometry.py:669-683, Regular(40, 300, 1185)
+    * r axis) profiled after the φ axis-sum. r = √(x²+y²) at the
+    * generation plane; ~0.1% of events fall below r=300 (η near 3.0)
+    * and drop into underflow exactly as in the reference. */
+  private def accNhitsProfileR(spark: SparkSession, dir: String): DataFrame = {
+    val rSpec = BinSpec(40, 300.0, 1185.0)
+    val withR = spark.read.parquet(Layouts.resolveFixture("tiled_acceptance_seed42.parquet"))
+      .select(sqrt(col("x") * col("x") + col("y") * col("y")).as("r"), col("phi"), col("n_hits"))
+    HistogramOps.profileHist(
+      HistogramOps.projectHist(
+        HistogramOps.hist3dInt(withR, col("r"), rSpec, col("phi"), phiSpec, col("n_hits"), IntSpec(0, 4)),
+        "biny"),
+      "binz", col("binz").cast("double"))
+      .select(
+        col("binx").as("bin"),
+        round(rSpec.center(col("binx")), 6).as("center"),
+        round(col("mean"), 6).as("mean_n"),
+        col("n").as("n_events"))
+  }
+
   /** σ_t = 45/√n (P15, dee_geometry.py:608) filled into the (η,φ,t)
     * hist (:637-643) and profiled along t after the φ axis-sum
     * (:703-706). Zero-hit events give t = +∞ → dropped by the t-axis
@@ -462,6 +482,7 @@ object QueriesDomain {
     "run_compare" -> (runCompare _),
     "area_rollup" -> (areaRollup _),
     "acc_nhits_profile_eta" -> (accNhitsProfileEta _),
+    "acc_nhits_profile_r" -> (accNhitsProfileR _),
     "acc_nhits_profile_phi" -> (accNhitsProfilePhi _),
     "acc_time_profile_eta" -> (accTimeProfileEta _),
     "acc_profile2d_rowsum" -> (accProfile2dRowsum _),
@@ -970,6 +991,48 @@ object QueriesDomain {
         |  (37, 2.916188, 0.234159, 0.0, 0.234159),
         |  (38, 2.949713, 0.075601, 0.0, 0.075601),
         |  (39, 2.983238, 0.001674, 0.0, 0.001674)) t(bin, center, mean_updated, mean_plain, delta)""".stripMargin,
+    "acc_nhits_profile_r" ->
+      """SELECT bin::BIGINT AS bin, center::DOUBLE AS center, mean_n::DOUBLE AS mean_n, n_events::BIGINT AS n_events FROM (VALUES
+        |  (0, 311.0625, 0.048895, 53032),
+        |  (1, 333.1875, 0.423029, 48921),
+        |  (2, 355.3125, 0.954067, 46307),
+        |  (3, 377.4375, 1.193744, 43382),
+        |  (4, 399.5625, 1.333699, 40971),
+        |  (5, 421.6875, 1.577145, 38862),
+        |  (6, 443.8125, 1.619745, 36657),
+        |  (7, 465.9375, 1.656563, 35168),
+        |  (8, 488.0625, 1.66291, 33454),
+        |  (9, 510.1875, 1.643065, 31947),
+        |  (10, 532.3125, 1.672057, 30484),
+        |  (11, 554.4375, 1.658259, 29218),
+        |  (12, 576.5625, 1.669965, 28294),
+        |  (13, 598.6875, 1.644727, 26892),
+        |  (14, 620.8125, 1.676738, 26378),
+        |  (15, 642.9375, 1.657022, 24850),
+        |  (16, 665.0625, 1.665711, 24069),
+        |  (17, 687.1875, 1.63526, 23318),
+        |  (18, 709.3125, 1.68114, 22593),
+        |  (19, 731.4375, 1.651102, 22015),
+        |  (20, 753.5625, 1.662266, 21286),
+        |  (21, 775.6875, 1.645379, 20560),
+        |  (22, 797.8125, 1.689553, 19997),
+        |  (23, 819.9375, 1.666031, 19403),
+        |  (24, 842.0625, 1.661825, 19002),
+        |  (25, 864.1875, 1.652413, 18381),
+        |  (26, 886.3125, 1.68756, 17789),
+        |  (27, 908.4375, 1.663495, 17444),
+        |  (28, 930.5625, 1.666236, 17015),
+        |  (29, 952.6875, 1.657288, 16527),
+        |  (30, 974.8125, 1.654042, 15921),
+        |  (31, 996.9375, 1.572502, 15710),
+        |  (32, 1019.0625, 1.455936, 15103),
+        |  (33, 1041.1875, 1.4167, 15078),
+        |  (34, 1063.3125, 1.437882, 14714),
+        |  (35, 1085.4375, 1.329329, 14317),
+        |  (36, 1107.5625, 1.027088, 13844),
+        |  (37, 1129.6875, 0.589258, 13461),
+        |  (38, 1151.8125, 0.129662, 13273),
+        |  (39, 1173.9375, 0.002459, 13012)) t(bin, center, mean_n, n_events)""".stripMargin,
     "acc_nhits_profile_eta" ->
       """SELECT bin::BIGINT AS bin, center::DOUBLE AS center, mean_n::DOUBLE AS mean_n, n_events::BIGINT AS n_events FROM (VALUES
         |  (0, 1.675763, 0.052905, 24875),
