@@ -449,6 +449,23 @@ object QueriesDomain {
       concat(bitCols.map(c => col(s"`$c`").cast("string")): _*).as("bits"))
   }
 
+  /** S5 round-trip as a driver query: export the 'new' database
+    * through the nested-YAML sink, re-parse it with the S2 source, and
+    * aggregate — the sums must equal the ones computed straight off
+    * the original file (and match the literal golden), proving the
+    * sink emits the exact database_new.yaml grammar. */
+  private def yamlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_yaml").resolve("export.yaml").toString
+    val centers = graft.io.LayoutYaml.read(spark, Layouts.resolveFixture("database_new.yaml"))
+    graft.io.Sinks.writeLayoutYaml(centers, out)
+    graft.io.LayoutYaml.read(spark, out)
+      .groupBy("layout", "disk", "face")
+      .agg(
+        count(lit(1)).as("n_centers"),
+        round(sum(abs(col("x"))), 3).as("sum_abs_x"),
+        round(sum(abs(col("y"))), 3).as("sum_abs_y"))
+  }
+
   /** S2 on the second layout database: TDR YAML parse cross-check. */
   private def tdrLayout(spark: SparkSession, dir: String): DataFrame =
     graft.io.LayoutYaml.read(spark, Layouts.resolveFixture("database_TDR.yaml"))
@@ -462,6 +479,7 @@ object QueriesDomain {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tdr_layout" -> (tdrLayout _),
+    "yaml_roundtrip" -> (yamlRoundtrip _),
     "tiling_matrix" -> (tilingMatrix _),
     "tiling_bitmap" -> (tilingBitmap _),
     "tiled_acc_hist" -> (tiledAccHist _),
@@ -726,6 +744,13 @@ object QueriesDomain {
         |  ('disk2', 'front', 1804, 0.0, 15053.4),
         |  ('disk2', 'back', 1786, 752.7, 2056.8)
         |) t(disk, face_name, n_centers, sum_x, sum_y)""".stripMargin,
+    "yaml_roundtrip" ->
+      """SELECT layout, disk, face, n_centers::BIGINT AS n_centers,
+        |  sum_abs_x::DOUBLE AS sum_abs_x, sum_abs_y::DOUBLE AS sum_abs_y FROM (VALUES
+        |  ('new', 'disk1', 'back', 1786, 939516.3, 922121.4),
+        |  ('new', 'disk1', 'front', 1804, 951348.2, 943415.4),
+        |  ('new', 'disk2', 'back', 1786, 939516.3, 922121.4),
+        |  ('new', 'disk2', 'front', 1804, 951348.2, 943415.4)) t(layout, disk, face, n_centers, sum_abs_x, sum_abs_y)""".stripMargin,
     "tiling_bitmap" ->
       """SELECT row::BIGINT AS row, bits FROM (VALUES
         |  (0, '00000000000000000000000000000'),
