@@ -466,6 +466,27 @@ object QueriesDomain {
         round(sum(abs(col("y"))), 3).as("sum_abs_y"))
   }
 
+  /** S6 round-trip as a driver query: export the half-dee centers
+    * through the mirrored-text sink, read the lines back, and
+    * aggregate — x sums to exactly 0 (every center paired with its −x
+    * mirror), the abs/y sums match the python-parsed database golden.
+    * Double→string→double round-trips exactly (shortest repr). */
+  private def mirrorRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_mirror").resolve("centers.txt").toString
+    val half = Layouts.faceCenters(spark, "disk1", "back").filter(col("x") > 0)
+    graft.io.Sinks.writeMirroredCenters(half, out)
+    spark.read.text(out)
+      .select(split(col("value"), ", ").as("p"))
+      .select(
+        element_at(col("p"), 1).cast("double").as("x"),
+        element_at(col("p"), 2).cast("double").as("y"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("x"), 6).as("sum_x"),
+        round(sum(abs(col("x"))), 3).as("sum_abs_x"),
+        round(sum("y"), 3).as("sum_y"))
+  }
+
   /** S2 on the second layout database: TDR YAML parse cross-check. */
   private def tdrLayout(spark: SparkSession, dir: String): DataFrame =
     graft.io.LayoutYaml.read(spark, Layouts.resolveFixture("database_TDR.yaml"))
@@ -480,6 +501,7 @@ object QueriesDomain {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tdr_layout" -> (tdrLayout _),
     "yaml_roundtrip" -> (yamlRoundtrip _),
+    "mirror_roundtrip" -> (mirrorRoundtrip _),
     "tiling_matrix" -> (tilingMatrix _),
     "tiling_bitmap" -> (tilingBitmap _),
     "tiled_acc_hist" -> (tiledAccHist _),
@@ -744,6 +766,9 @@ object QueriesDomain {
         |  ('disk2', 'front', 1804, 0.0, 15053.4),
         |  ('disk2', 'back', 1786, 752.7, 2056.8)
         |) t(disk, face_name, n_centers, sum_x, sum_y)""".stripMargin,
+    "mirror_roundtrip" ->
+      """SELECT 1788::BIGINT AS n_rows, 0.0::DOUBLE AS sum_x,
+        |  940269.0::DOUBLE AS sum_abs_x, -42507.2::DOUBLE AS sum_y""".stripMargin,
     "yaml_roundtrip" ->
       """SELECT layout, disk, face, n_centers::BIGINT AS n_centers,
         |  sum_abs_x::DOUBLE AS sum_abs_x, sum_abs_y::DOUBLE AS sum_abs_y FROM (VALUES
