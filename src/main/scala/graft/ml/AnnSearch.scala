@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object AnnSearch {
 
-  /** Σ a_i·b_i in double precision (left fold, deterministic order). */
+  /** Σ a_i·b_i in double precision (left-to-right, deterministic).
+    * A native codegen expression — see [[graft.functions.DotProduct]]
+    * for why this beats `aggregate(zip_with(...))` (HOFs run
+    * interpreted per element; this is a compiled primitive loop with
+    * bit-identical accumulation order). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

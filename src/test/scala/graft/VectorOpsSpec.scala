@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+/** The codegen dot product must match the higher-order-function fold
+  * bit-for-bit (same left-to-right accumulation), handle float input
+  * via cast, and propagate nulls. */
+class VectorOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  test("codegen dot == HOF fold bit-for-bit on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500)((
+      Array.fill(64)(rnd.nextDouble() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)
+    )).toDF("a", "b")
+    val diff = rows
+      .select((VectorOps.dot($"a", $"b") === hofDot($"a", $"b")).as("eq"))
+      .filter(!$"eq").count()
+    assert(diff == 0L)
+  }
+
+  test("float arrays cast up; nulls propagate") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(1.0f)))
+    ).toDF("a", "b")
+    val out = df.select(VectorOps.dot($"a", $"b").as("d")).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("dot stays inside whole-stage codegen") {
+    // a range source so the projection isn't folded into a LocalTableScan
+    val df = spark.range(100)
+      .select(array($"id".cast("double"), lit(2.0)).as("a"), array(lit(3.0), lit(4.0)).as("b"))
+    val q = df.select(VectorOps.dot($"a", $"b").as("d"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen span
+    assert(plan.contains("*(1) Project [graft_dot"), s"dot not in a codegen span:\n$plan")
+    assert(q.agg(sum("d")).head().getDouble(0) == (0 until 100).map(i => 3.0 * i + 8.0).sum)
+  }
+}
