@@ -42,11 +42,16 @@ object AnnSearch {
     * query side is broadcast. Ties break on corpus id (deterministic).
     * Self-matches (same id) are excluded. */
   def bfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("id").as("q_id"), col("vec").as("q_vec")))
+    // norms precomputed once per SIDE, not once per pair: the join
+    // evaluates a single dot per candidate instead of three. The final
+    // division keeps cosine's association (dot / (na·nb)), so sims are
+    // bit-identical to the naive form.
+    val q = broadcast(
+      queries.select(col("id").as("q_id"), col("vec").as("q_vec"), norm(col("vec")).as("q_norm")))
     val scored = corpus
-      .select(col("id").as("n_id"), col("vec").as("n_vec"))
+      .select(col("id").as("n_id"), col("vec").as("n_vec"), norm(col("vec")).as("n_norm"))
       .join(q, col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
     scored
       .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))))
       .filter(col("rank") <= k)
@@ -107,10 +112,12 @@ object AnnSearch {
       .withColumn("crank", row_number().over(Window.partitionBy("q_id").orderBy(desc("csim"), col("c_id"))))
       .filter(col("crank") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("c_id").as("cell"))
+    // per-side norms (see bfTopK): one dot per candidate in the scoring join
     probes
-      .join(assigned, Seq("cell"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .join(assigned.withColumn("n_norm", norm(col("n_vec"))), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
       .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "sim")
@@ -132,13 +139,21 @@ object AnnSearch {
       .select(col("n_id").as("p_id"), col("n_vec").as("p_vec"), col("c_id").as("cell"))
     // symmetric blocking: a pair qualifies when EITHER side's probe set
     // reaches the other's home cell — doubles coverage for free.
+    // Per-side norms: one dot per candidate pair; the (a,b,sim) distinct
+    // still dedups because dot and the norm product are commutative
+    // bit-exact, so both orientations of a pair produce the same sim.
     val joined = probes
-      .join(assigned.select(col("cell"), col("n_id").as("h_id"), col("n_vec").as("h_vec")), Seq("cell"))
+      .withColumn("p_norm", norm(col("p_vec")))
+      .join(
+        assigned.select(
+          col("cell"), col("n_id").as("h_id"), col("n_vec").as("h_vec"),
+          norm(col("n_vec")).as("h_norm")),
+        Seq("cell"))
       .filter(col("p_id") =!= col("h_id"))
       .select(
         least(col("p_id"), col("h_id")).as("a"),
         greatest(col("p_id"), col("h_id")).as("b"),
-        cosine(col("p_vec"), col("h_vec")).as("sim")
+        (dot(col("p_vec"), col("h_vec")) / (col("p_norm") * col("h_norm"))).as("sim")
       )
     joined.distinct().filter(col("sim") >= tau)
   }
