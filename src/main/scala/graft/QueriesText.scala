@@ -113,18 +113,18 @@ object QueriesText {
     val corpus = embs(spark, dir)
     val queries = corpus.filter(pmod(col("id"), lit(50)) === 0)
     val centroids = AnnSearch.strideCentroids(corpus, 25)
+    val cents = AnnSearch.collectCentroids(centroids)
     val assigned = AnnSearch.ivfAssign(corpus, centroids)
     val probes = queries
       .select(col("id").as("q_id"), col("vec").as("q_vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", AnnSearch.cosine(col("q_vec"), col("c_vec")))
       // nprobe 17/20: these synthetic embeddings are near-isotropic (no
       // cluster structure), so IVF pruning buys little here; on real
       // clustered corpora nprobe ≪ nlist. 17 is the measured minimum for
       // exact top-10 recall on this corpus (oracle = brute force).
-      .withColumn("crank", row_number().over(Window.partitionBy("q_id").orderBy(desc("csim"), col("c_id"))))
-      .filter(col("crank") <= 17)
-      .select(col("q_id"), col("q_vec"), col("c_id").as("cell"))
+      // Probe cells are picked map-side (same bit-exact ordering as the
+      // old crossJoin+window: cosine desc, c_id asc).
+      .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("q_vec"), cents, 17)))
+      .select(col("q_id"), col("q_vec"), col("cell"))
     probes
       .join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))

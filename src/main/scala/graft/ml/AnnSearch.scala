@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.functions.{CentroidSet, NearestCells}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,11 +16,11 @@ import org.apache.spark.sql.functions._
   *    sim) rows, O(|queries| · corpus) pre-top-k — use the IVF path
   *    when that product is too large.
   *  - `ivfTopK`: the scale path. A deterministic centroid table
-  *    partitions the corpus into `nlist` cells (one broadcast-join
-  *    assignment pass, materialize once, reuse per query batch);
-  *    queries probe only their `nprobe` nearest cells, so the per-query
-  *    candidate set shrinks by ~nlist/nprobe. Same exact scoring on the
-  *    survivors.
+  *    partitions the corpus into `nlist` cells (one MAP-SIDE
+  *    zero-shuffle assignment pass — see [[graft.functions.NearestCells]];
+  *    materialize once, reuse per query batch); queries probe only
+  *    their `nprobe` nearest cells, so the per-query candidate set
+  *    shrinks by ~nlist/nprobe. Same exact scoring on the survivors.
   *
   * All arithmetic is double-precision with left-to-right accumulation so
   * results are deterministic and oracle-reproducible.
@@ -58,15 +59,19 @@ object AnnSearch {
       .select("q_id", "rank", "n_id", "sim")
   }
 
-  /** Deterministic Lloyd refinement of the stride seeds: `iters`
-    * rounds of assign (broadcast centroids, cosine argmax, ties →
-    * smaller c_id) + recompute (per-cell elementwise mean via
-    * posexplode/groupBy — partial-aggregated, no vector collect). On
-    * clustered corpora this concentrates cells so small `nprobe`
-    * probes recover the true neighbors; the IVF plumbing downstream is
-    * unchanged. Each iteration is one broadcast join + one (cell, dim)
-    * aggregate — at 100 TB the corpus streams once per iteration and
-    * only (nlist × dim) rows shuffle. */
+  /** Lloyd refinement of the stride seeds: `iters` rounds of assign
+    * (map-side cosine argmax, ties → smaller c_id) + recompute
+    * (per-cell elementwise mean via posexplode/groupBy —
+    * partial-aggregated, no vector collect). Deterministic up to
+    * floating-point aggregation order: `avg()` is partially aggregated,
+    * so centroid coordinates can differ in the last ulps across
+    * partitionings, which in principle can flip a near-tied argmax
+    * downstream (the oracle-checked queries therefore use the exactly
+    * reproducible stride seeds, not this). On clustered corpora this
+    * concentrates cells so small `nprobe` probes recover the true
+    * neighbors; the IVF plumbing downstream is unchanged. Each
+    * iteration streams the corpus once and shuffles only the partial
+    * (cell, dim) sums — at 100 TB only (nlist × dim) rows move. */
   def kmeansCentroids(corpus: DataFrame, stride: Int, iters: Int): DataFrame = {
     var centroids = strideCentroids(corpus, stride)
     for (_ <- 0 until iters) {
@@ -90,28 +95,48 @@ object AnnSearch {
       .filter(pmod(col("id"), lit(stride)) === 0)
       .select(col("id").as("c_id"), col("vec").as("c_vec"))
 
+  /** Collect the (dim-table-sized) centroid table to the driver, sorted
+    * by id, norms precomputed with [[graft.functions.DotProduct]]'s
+    * accumulation order. This is the same data movement a broadcast
+    * does — done once, then embedded in map-side expressions. */
+  def collectCentroids(centroids: DataFrame): CentroidSet = {
+    val rows = centroids
+      .select(col("c_id").cast("long"), col("c_vec").cast("array<double>"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Double](1).toArray)
+    val norms = vecs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    CentroidSet(ids, vecs, norms)
+  }
+
   /** Assign each corpus vector to its nearest centroid (by cosine,
-    * ties → smaller centroid id). One broadcast join + one top-1 window;
-    * materialize the result and reuse it across query batches. */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus
-      .select(col("id").as("n_id"), col("vec").as("n_vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("n_vec"), col("c_vec")))
-      .withColumn("crank", row_number().over(Window.partitionBy("n_id").orderBy(desc("csim"), col("c_id"))))
-      .filter(col("crank") === 1)
-      .select(col("c_id").as("cell"), col("n_id"), col("n_vec"))
+    * ties → smaller centroid id) — entirely MAP-SIDE: the argmax runs
+    * as a codegen expression against the collected centroid array
+    * inside the scan projection, so the corpus streams once and
+    * NOTHING shuffles (the old crossJoin + top-1 window form shuffled
+    * nlist × corpus bytes). Materialize the result and reuse it across
+    * query batches. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    corpus.select(
+      NearestCells.topCells(col("vec"), cents, 1).getItem(0).as("cell"),
+      col("id").as("n_id"),
+      col("vec").as("n_vec"))
+  }
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, exact-score
     * the candidates in those cells. */
   def ivfTopK(queries: DataFrame, assigned: DataFrame, centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = collectCentroids(centroids)
     val probes = queries
       .select(col("id").as("q_id"), col("vec").as("q_vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("crank", row_number().over(Window.partitionBy("q_id").orderBy(desc("csim"), col("c_id"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("c_id").as("cell"))
+      .withColumn("cell", explode(NearestCells.topCells(col("q_vec"), cents, nprobe)))
+      .select(col("q_id"), col("q_vec"), col("cell"))
     // per-side norms (see bfTopK): one dot per candidate in the scoring join
     probes
       .withColumn("q_norm", norm(col("q_vec")))
@@ -128,15 +153,15 @@ object AnnSearch {
     * probe-adjacent cells — never all-pairs. For exactness at small τ
     * use more probes. */
   def cosineNearPairs(corpus: DataFrame, centroids: DataFrame, tau: Double, nprobe: Int = 4): DataFrame = {
+    val cents = collectCentroids(centroids)
     val assigned = ivfAssign(corpus, centroids)
-    // probe cells per vector: its nprobe nearest centroids
+    // probe cells per vector: its nprobe nearest centroids — map-side
+    // top-k against the collected centroid array (zero shuffle), same
+    // kernel as the assignment pass
     val probes = corpus
-      .select(col("id").as("n_id"), col("vec").as("n_vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("n_vec"), col("c_vec")))
-      .withColumn("crank", row_number().over(Window.partitionBy("n_id").orderBy(desc("csim"), col("c_id"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("n_id").as("p_id"), col("n_vec").as("p_vec"), col("c_id").as("cell"))
+      .select(col("id").as("p_id"), col("vec").as("p_vec"))
+      .withColumn("cell", explode(NearestCells.topCells(col("p_vec"), cents, nprobe)))
+      .select(col("p_id"), col("p_vec"), col("cell"))
     // symmetric blocking: a pair qualifies when EITHER side's probe set
     // reaches the other's home cell — doubles coverage for free.
     // Per-side norms: one dot per candidate pair; the (a,b,sim) distinct

@@ -35,6 +35,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 5, s"LSH plan grew to $shuffles hash exchanges:\n$plan")
   }
 
+  test("IVF centroid assignment is map-side: zero exchanges, zero joins") {
+    // VERDICT r3: the assignment pass touches every corpus row, so ANY
+    // exchange here is nlist-amplified shuffle volume at 100 TB. The
+    // map-side NearestCells form must produce a pure scan + project.
+    val corpus = embsDf
+    val centroids = AnnSearch.strideCentroids(corpus, 8)
+    val assigned = AnnSearch.ivfAssign(corpus, centroids)
+    val plan = physicalPlan(assigned)
+    assert(!plan.contains("Exchange"), s"exchange in assignment plan:\n$plan")
+    assert(!plan.contains("Join"), s"join in assignment plan:\n$plan")
+    assert(!plan.contains("Window"), s"window in assignment plan:\n$plan")
+    // and it stays inside whole-stage codegen (the `*(n)` prefix)
+    assert(plan.contains("*("), s"assignment fell out of codegen:\n$plan")
+  }
+
   test("IVF top-k probes cells via equi-join, never a corpus nested-loop") {
     val corpus = embsDf
     val centroids = AnnSearch.strideCentroids(corpus, 8)
