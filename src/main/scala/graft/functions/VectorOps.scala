@@ -14,13 +14,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * evaluation (lambda variables are exchanged via boxed slots and the
   * expression tree is walked per element — HOFs do not participate in
   * whole-stage codegen). This expression compiles to a tight primitive
-  * loop over the two `ArrayData`s instead. Accumulation is
-  * left-to-right, bit-identical to the fold it replaces, so every
-  * ANN oracle is unaffected.
+  * loop over the two `ArrayData`s instead. On equal-length null-free
+  * vectors the accumulation is left-to-right, bit-identical to the
+  * fold it replaces, so every ANN oracle is unaffected.
   *
-  * Kept deliberately minimal: two array<double> inputs (the Column
-  * wrapper casts float arrays up), null on either null input — the
-  * semantics the similarity operators need.
+  * CONTRACT — inputs must be equal-length, null-free vectors (which
+  * every embedding column here is). Outside that contract this
+  * expression deliberately diverges from the zip_with form: unequal
+  * lengths are truncated to the common prefix (zip_with pads with null
+  * and the fold returns null), and a null element is undefined (NPE on
+  * the interpreted generic-array path, 0.0 on the unsafe-array codegen
+  * path — zip_with would return null). Null INPUT arrays return null
+  * on both forms. Kept deliberately minimal: two array<double> inputs
+  * (the Column wrapper casts float arrays up) — the semantics the
+  * similarity operators need.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -61,7 +61,18 @@ object HistogramOps {
     * bin per integer value, ends INCLUSIVE. The reference's
     * Integer(0,4) overflows n=4 events; we size the axis to cover the
     * full n range instead (documented deviation — dropping the n=4
-    * tail would silently bias the profile). */
+    * tail would silently bias the profile).
+    *
+    * Golden provenance for the `acc_nhits_*` oracles that use this
+    * axis: the per-event (x, y, θ, φ, η, n_hits) fixture
+    * `tiled_acceptance_seed42.parquet` is the UNPATCHED reference's own
+    * event loop captured at seed 42 (dee_geometry.py run up through the
+    * nHits computation); the profile VALUES were then recomputed from
+    * that fixture in NumPy with this inclusive [0,4] axis (and
+    * Decimal-repr HALF_UP rounding to match Spark `round`). So the
+    * deviation from the reference lives ONLY in the axis convention
+    * applied on top of reference-produced events — no reference physics
+    * was patched to produce these goldens. */
   final case class IntSpec(lo: Long, hi: Long)
 
   /** Integer-axis bin column: the value itself, null outside [lo,hi]. */
