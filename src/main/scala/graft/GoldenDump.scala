@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run one SparkEntry query and print its rows, sorted, as
+  * SQL VALUES tuples with full round-trip precision (Double.toString) —
+  * the capture step for literal-VALUES oracles of deterministic
+  * queries. Not part of the driver contract. */
+object GoldenDump {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    val cols = df.columns
+    println(s"-- $name columns: ${cols.zip(df.schema.map(_.dataType.sql)).map { case (c, t) => s"$c:$t" }.mkString(", ")}")
+    val lines = df.collect().map { r =>
+      cols.indices.map { i =>
+        r.get(i) match {
+          case null      => "NULL"
+          case s: String => "'" + s.replace("'", "''") + "'"
+          case v         => v.toString
+        }
+      }.mkString("(", ", ", ")")
+    }.sorted
+    lines.foreach(l => println(s"  $l,"))
+    println(s"-- rows=${lines.length}")
+    spark.stop()
+  }
+}

@@ -47,6 +47,31 @@ object QueriesDomain {
     Acceptance.histSparse(spark, Acceptance.runSparse(spark, p), p.count())
   }
 
+  /** S3 oracle parity (dee_geometry.py:577-586): the deterministic
+    * particle generator itself, aggregated into exact integer 20-bin
+    * η/φ histogram counts plus per-bin min/max. The generator's
+    * xxhash64-derived uniforms are a pure per-row function of the id,
+    * so every cell is reproducible across runs AND partitionings — the
+    * aggregates here are partition-order independent (counts are exact
+    * integers; min/max are order-free), unlike a double sum/avg. The
+    * golden VALUES were captured from one run and pin the generator's
+    * exact output distribution: range coverage (v_min/v_max of the edge
+    * bins pin the [η_min,η_max]×[−π/2,π/2] support) and uniformity. */
+  private def s3Particles(spark: SparkSession, dir: String): DataFrame = {
+    import EtlConfig.{etaMax, etaMin}
+    val p = Acceptance.generateParticles(spark, 100000)
+    val etaB = least(floor((col("v") - lit(etaMin)) / lit(etaMax - etaMin) * 20), lit(19.0)).cast("long")
+    val phiB = least(floor((col("v") + lit(math.Pi / 2)) / lit(math.Pi) * 20), lit(19.0)).cast("long")
+    val e = p.select(lit("eta").as("axis"), col("eta").as("v")).withColumn("bin", etaB)
+    val f = p.select(lit("phi").as("axis"), col("phi").as("v")).withColumn("bin", phiB)
+    e.unionByName(f)
+      .groupBy("axis", "bin")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("v"), 9).as("v_min"),
+        round(max("v"), 9).as("v_max"))
+  }
+
   // ---- A10 full shape + σ_t (dee_geometry.py:608-698) over the tiled
   // reference run: per-event (eta, phi, n_hits) with n from the
   // REFERENCE's own tiled-dee intersect (bit-parity fixture). Axes
@@ -134,6 +159,50 @@ object QueriesDomain {
         col("n").as("n_events"))
   }
 
+  /** The n≥3 sanity investigation (dee_geometry.py:712-810): the
+    * reference's zoomed per-event scan of multi-hit events over the
+    * tiled dees — kinematics, per-face projected coordinates, and
+    * per-face intersect flags. Here: the first 20 n≥3 fixture events,
+    * per-face (px, py) with the reference's exact propagation
+    * association, and the HIT flag recomputed by the ENGINE's full
+    * tiled chain (updated-layout tiling → sensors → grid-bucketed
+    * point-in-rect join). The oracle flags come from the reference's
+    * own `dees[layer].intersect` run over the same events (shim run,
+    * n3_golden.json; the shim asserts the four flags re-sum to the
+    * fixture's n_hits for every event), so this pins per-face — not
+    * just per-count — parity of the tiled geometry. */
+  private def n3Sanity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sensors = graft.ops.DeeTiling.layoutFaceSensors(spark, "updated")
+    val ev = spark.read.parquet(Layouts.resolveFixture("tiled_acceptance_seed42.parquet"))
+      .filter(col("n_hits") >= 3)
+      .orderBy("event_id")
+      .limit(20)
+      .localCheckpoint(eager = true) // 20 rows; feeds two join branches
+    val layers = EtlConfig.zLayersM.zipWithIndex
+      .map { case (z, i) => (i, 1000.0 * (z - EtlConfig.zRefM)) }
+      .toDF("face", "dz")
+    val probes = ev
+      .withColumn("tan_t", tan($"theta"))
+      .withColumn("cos_p", cos($"phi"))
+      .withColumn("sin_p", sin($"phi"))
+      .crossJoin(broadcast(layers))
+      .withColumn("px", $"x" + $"dz" * $"tan_t" * $"cos_p")
+      .withColumn("py", $"y" + $"dz" * $"tan_t" * $"sin_p")
+    val hits = graft.ops.SpatialJoin
+      .hitJoin(probes, sensors.select("face", "ax1", "ax2", "ay1", "ay2"), Seq("face"), 50.0)
+      .select($"event_id", $"face").distinct()
+      .withColumn("hit", lit(1L))
+    probes
+      .join(hits, Seq("event_id", "face"), "left")
+      .select(
+        $"event_id",
+        concat(lit("face"), ($"face" + 1).cast("string")).as("face"),
+        round($"px", 6).as("px"),
+        round($"py", 6).as("py"),
+        coalesce($"hit", lit(0L)).as("hit"))
+  }
+
   /** 2D (η,φ) n profile (dee_geometry.py:623 `h_eta_phi_n.profile("n")`)
     * compacted for the oracle: per η row, the number of populated φ
     * cells and the sum of the per-cell means. */
@@ -184,6 +253,47 @@ object QueriesDomain {
       countDistinct("sm_id", "mod_i").as("n_modules"),
       count(lit(1)).as("n_sensors")
     )
+  }
+
+  /** X8 over the TDR center database (disk1/back, x>0 half) — proves
+    * the reconstruction chain isn't shape-fitted to `database_new`.
+    * The reference never hand-tunes a partition table for TDR, so the
+    * per-row flavors come from the generic partition solver (X1 —
+    * the reference's own `partition.getPartition`, the one ETL.py:648
+    * uses for tiling; engine solver pinned 1:1 against it for n=1..60
+    * by `x1_partition`). Golden: shim run of the same chain —
+    * occupancy.py:49-131's fromCenters + y-pairing + SuperModule
+    * placement with getPartition — over database_TDR.yaml
+    * (tdr_golden.py → 84 SMs / 506 modules / 1012 sensors). */
+  private def smCountsTdr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val half = Layouts
+      .faceCenters(spark, "disk1", "back", Layouts.resolveFixture("database_TDR.yaml"), "TDR")
+      .filter(col("x") > 0)
+    // per-module-row lengths: count of sensors on each pair's upper y,
+    // same rank pairing as SmReconstruct.supermodules; a ≤30-row dim
+    // collect that feeds the solver (like the reference's driver-side
+    // partition list)
+    val ys = half.select("y").distinct()
+      .withColumn("k", row_number().over(Window.orderBy(desc("y"))) - 1)
+    val lengths = half.join(ys.filter(($"k" % 2) === 0), "y")
+      .groupBy(($"k" / 2).cast("int").as("pair"))
+      .agg(count(lit(1)).as("len"))
+      .orderBy("pair")
+      .collect().map(_.getLong(1).toInt).toSeq
+    val flavorRows = lengths.map(l => graft.ops.PartitionSolver.getPartition(l))
+    val sens = SmReconstruct.sensors(SmReconstruct.modules(
+      SmReconstruct.supermodules(spark, half, flavorRows)))
+    sens.agg(
+      countDistinct("sm_id").as("n_sm"),
+      countDistinct("sm_id", "mod_i").as("n_modules"),
+      count(lit(1)).as("n_sensors"),
+      countDistinct(when($"n_mod" === 3, $"sm_id")).as("n_sm3"),
+      countDistinct(when($"n_mod" === 6, $"sm_id")).as("n_sm6"),
+      countDistinct(when($"n_mod" === 7, $"sm_id")).as("n_sm7"),
+      round(sum("x"), 3).as("sum_x"),
+      round(sum("y"), 3).as("sum_y"))
   }
 
   /** A5/P7 active-area rollup (ETL.py:285-286 Module.getActiveArea,
@@ -519,6 +629,8 @@ object QueriesDomain {
     "greedy_groups" -> (greedyGroups _),
     "acc_stats" -> (accStats _),
     "acc_hist" -> (accHist _),
+    "s3_particles" -> (s3Particles _),
+    "n3_sanity" -> (n3Sanity _),
     "run_compare" -> (runCompare _),
     "area_rollup" -> (areaRollup _),
     "acc_nhits_profile_eta" -> (accNhitsProfileEta _),
@@ -527,6 +639,7 @@ object QueriesDomain {
     "acc_time_profile_eta" -> (accTimeProfileEta _),
     "acc_profile2d_rowsum" -> (accProfile2dRowsum _),
     "sm_counts" -> (smCounts _),
+    "sm_counts_tdr" -> (smCountsTdr _),
     "sm_flavors" -> (smFlavors _),
     "total_current" -> (totalCurrent _),
     "etroc_hist" -> (etrocHist _),
@@ -535,6 +648,148 @@ object QueriesDomain {
   )
 
   val oracles: Map[String, String] = Map(
+    // captured via GoldenDump from one run; reproducible across runs
+    // and partitionings (pure per-row hash uniforms, order-free aggs)
+    "s3_particles" ->
+      """SELECT axis, bin::BIGINT AS bin, n::BIGINT AS n,
+        |  v_min::DOUBLE AS v_min, v_max::DOUBLE AS v_max FROM (VALUES
+        |  ('eta', 0, 4950, 1.659024044, 1.726044552),
+        |  ('eta', 1, 5006, 1.726062136, 1.793098615),
+        |  ('eta', 2, 4867, 1.793105328, 1.860148891),
+        |  ('eta', 3, 4967, 1.86016198, 1.927197387),
+        |  ('eta', 4, 5096, 1.92720586, 1.994241919),
+        |  ('eta', 5, 4968, 1.994281224, 2.061275173),
+        |  ('eta', 6, 4939, 2.061310934, 2.128340422),
+        |  ('eta', 7, 4994, 2.128367537, 2.195339244),
+        |  ('eta', 8, 5068, 2.195404727, 2.262449642),
+        |  ('eta', 9, 5099, 2.26245093, 2.329457704),
+        |  ('eta', 10, 4937, 2.329501481, 2.396538401),
+        |  ('eta', 11, 5116, 2.396553402, 2.463576173),
+        |  ('eta', 12, 4933, 2.463641383, 2.530649529),
+        |  ('eta', 13, 4955, 2.53065113, 2.597697675),
+        |  ('eta', 14, 5023, 2.597708977, 2.664749286),
+        |  ('eta', 15, 4997, 2.664774898, 2.731779043),
+        |  ('eta', 16, 5060, 2.731806802, 2.798842323),
+        |  ('eta', 17, 5037, 2.798853539, 2.865887339),
+        |  ('eta', 18, 4933, 2.865912337, 2.932946236),
+        |  ('eta', 19, 5055, 2.932959535, 2.999997645),
+        |  ('phi', 0, 5036, -1.570785853, -1.413730798),
+        |  ('phi', 1, 5140, -1.413655459, -1.256654528),
+        |  ('phi', 2, 5045, -1.256528396, -1.099599137),
+        |  ('phi', 3, 4945, -1.099522284, -0.942480625),
+        |  ('phi', 4, 4991, -0.942430592, -0.785447024),
+        |  ('phi', 5, 4953, -0.785352402, -0.628336356),
+        |  ('phi', 6, 5048, -0.6282321, -0.471271025),
+        |  ('phi', 7, 4977, -0.471235104, -0.314163371),
+        |  ('phi', 8, 4964, -0.314142897, -0.157110323),
+        |  ('phi', 9, 5078, -0.157075423, -1.4054E-5),
+        |  ('phi', 10, 4880, 7.164E-6, 0.15704452),
+        |  ('phi', 11, 5092, 0.157147441, 0.314137035),
+        |  ('phi', 12, 5004, 0.31417562, 0.471214203),
+        |  ('phi', 13, 4866, 0.471252971, 0.62828878),
+        |  ('phi', 14, 4918, 0.628323916, 0.785379794),
+        |  ('phi', 15, 4876, 0.785421725, 0.942430039),
+        |  ('phi', 16, 4994, 0.942481853, 1.099502567),
+        |  ('phi', 17, 5049, 1.099624976, 1.256620445),
+        |  ('phi', 18, 5049, 1.25665072, 1.413706193),
+        |  ('phi', 19, 5095, 1.413761356, 1.570778266)
+        |) t(axis, bin, n, v_min, v_max)""".stripMargin,
+    // shim-run reference golden (tdr_golden.py): occupancy.py's
+    // fromCenters + y-pairing + SuperModule placement over
+    // database_TDR.yaml disk1/back with partition.getPartition
+    "sm_counts_tdr" ->
+      """SELECT n_sm::BIGINT AS n_sm, n_modules::BIGINT AS n_modules,
+        |  n_sensors::BIGINT AS n_sensors, n_sm3::BIGINT AS n_sm3,
+        |  n_sm6::BIGINT AS n_sm6, n_sm7::BIGINT AS n_sm7,
+        |  sum_x::DOUBLE AS sum_x, sum_y::DOUBLE AS sum_y FROM (VALUES
+        |  (84, 506, 1012, 12, 34, 38, 533204.6, -28625.41)
+        |) t(n_sm, n_modules, n_sensors, n_sm3, n_sm6, n_sm7, sum_x, sum_y)""".stripMargin,
+    // shim-run reference golden (n3_golden.py): dees[layer].intersect
+    // over the first 20 n>=3 fixture events; flags re-sum to n_hits
+    "n3_sanity" ->
+      """SELECT event_id::BIGINT AS event_id, face, px::DOUBLE AS px,
+        |  py::DOUBLE AS py, hit::BIGINT AS hit FROM (VALUES
+        |  (221, 'face1', 66.968766, -532.989579, 1),
+        |  (221, 'face2', 67.130607, -534.277637, 0),
+        |  (221, 'face3', 67.471032, -536.987001, 1),
+        |  (221, 'face4', 67.644034, -538.36389, 1),
+        |  (379, 'face1', 57.51072, -794.003502, 1),
+        |  (379, 'face2', 57.649704, -795.922343, 1),
+        |  (379, 'face3', 57.94205, -799.958528, 0),
+        |  (379, 'face4', 58.09062, -802.009704, 1),
+        |  (397, 'face1', 185.015933, 622.971006, 1),
+        |  (397, 'face2', 185.463055, 624.476519, 1),
+        |  (397, 'face3', 186.403553, 627.643288, 0),
+        |  (397, 'face4', 186.881511, 629.25263, 1),
+        |  (620, 'face1', 238.730259, -879.976866, 1),
+        |  (620, 'face2', 239.30719, -882.103477, 1),
+        |  (620, 'face3', 240.520736, -886.576693, 0),
+        |  (620, 'face4', 241.137455, -888.849966, 1),
+        |  (625, 'face1', 56.43806, -703.560665, 1),
+        |  (625, 'face2', 56.574452, -705.260937, 0),
+        |  (625, 'face3', 56.861346, -708.83737, 1),
+        |  (625, 'face4', 57.007144, -710.654902, 1),
+        |  (696, 'face1', 345.903537, 708.730705, 1),
+        |  (696, 'face2', 346.73947, 710.443471, 1),
+        |  (696, 'face3', 348.497813, 714.046185, 0),
+        |  (696, 'face4', 349.391398, 715.877073, 1),
+        |  (776, 'face1', 320.634679, -794.235316, 1),
+        |  (776, 'face2', 321.409547, -796.154718, 1),
+        |  (776, 'face3', 323.03944, -800.192081, 0),
+        |  (776, 'face4', 323.867746, -802.243855, 1),
+        |  (1156, 'face1', 343.82734, 880.839595, 1),
+        |  (1156, 'face2', 344.658256, 882.96829, 1),
+        |  (1156, 'face3', 346.406045, 887.445892, 0),
+        |  (1156, 'face4', 347.294266, 889.721394, 1),
+        |  (1219, 'face1', 129.886474, -795.098393, 1),
+        |  (1219, 'face2', 130.200366, -797.019881, 1),
+        |  (1219, 'face3', 130.860622, -801.061631, 0),
+        |  (1219, 'face4', 131.196162, -803.115635, 1),
+        |  (1252, 'face1', 267.865498, 965.796148, 1),
+        |  (1252, 'face2', 268.51284, 968.130155, 1),
+        |  (1252, 'face3', 269.87449, 973.039619, 0),
+        |  (1252, 'face4', 270.566475, 975.534592, 1),
+        |  (1275, 'face1', 733.260567, -708.983407, 1),
+        |  (1275, 'face2', 735.032613, -710.696783, 1),
+        |  (1275, 'face3', 738.760021, -714.300782, 0),
+        |  (1275, 'face4', 740.654277, -716.132323, 1),
+        |  (1303, 'face1', 148.888908, 537.072849, 1),
+        |  (1303, 'face2', 149.248723, 538.370775, 1),
+        |  (1303, 'face3', 150.005575, 541.100896, 0),
+        |  (1303, 'face4', 150.390204, 542.488334, 1),
+        |  (1445, 'face1', 293.237199, 873.342787, 1),
+        |  (1445, 'face2', 293.945856, 875.453366, 0),
+        |  (1445, 'face3', 295.436478, 879.892858, 1),
+        |  (1445, 'face4', 296.194007, 882.148994, 1),
+        |  (1733, 'face1', 208.725826, -618.178277, 1),
+        |  (1733, 'face2', 209.230247, -619.672207, 0),
+        |  (1733, 'face3', 210.29127, -622.814614, 1),
+        |  (1733, 'face4', 210.830478, -624.411574, 1),
+        |  (2178, 'face1', 69.053806, -447.436572, 1),
+        |  (2178, 'face2', 69.220686, -448.517877, 0),
+        |  (2178, 'face3', 69.571709, -450.792346, 1),
+        |  (2178, 'face4', 69.750098, -451.948224, 1),
+        |  (2315, 'face1', 172.931282, 967.038587, 1),
+        |  (2315, 'face2', 173.349199, 969.375597, 1),
+        |  (2315, 'face3', 174.228266, 974.291377, 0),
+        |  (2315, 'face4', 174.675006, 976.78956, 1),
+        |  (3289, 'face1', 637.773662, 617.762157, 1),
+        |  (3289, 'face2', 639.314948, 619.255082, 0),
+        |  (3289, 'face3', 642.556964, 622.395373, 1),
+        |  (3289, 'face4', 644.204546, 623.991258, 1),
+        |  (3461, 'face1', 355.061032, 879.817675, 1),
+        |  (3461, 'face2', 355.919096, 881.943901, 1),
+        |  (3461, 'face3', 357.723989, 886.416308, 0),
+        |  (3461, 'face4', 358.64123, 888.68917, 1),
+        |  (3462, 'face1', 191.340461, 451.052638, 1),
+        |  (3462, 'face2', 191.802867, 452.142682, 1),
+        |  (3462, 'face3', 192.775514, 454.435533, 0),
+        |  (3462, 'face4', 193.269811, 455.600752, 1),
+        |  (3498, 'face1', 165.619263, 880.989708, 1),
+        |  (3498, 'face2', 166.019509, 883.118767, 1),
+        |  (3498, 'face3', 166.861407, 887.597131, 0),
+        |  (3498, 'face4', 167.289257, 889.873021, 1)
+        |) t(event_id, face, px, py, hit)""".stripMargin,
     "tdr_layout" ->
       """SELECT disk, face, n_centers::BIGINT AS n_centers,
         |  sum_abs_x::DOUBLE AS sum_abs_x, sum_abs_y::DOUBLE AS sum_abs_y FROM (VALUES
