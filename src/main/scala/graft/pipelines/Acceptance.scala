@@ -68,11 +68,18 @@ object Acceptance {
       .withColumn("py", $"y" + $"dz" * $"tan_t" * $"sin_p")
     // existence semantics per face (the reference's `.any()`): distinct
     // faces hit per event, carried with η for downstream binning.
+    // n_hits = popcount of the per-event face bitmask: bit_or partial-
+    // aggregates map-side, so ONE exchange carries one row per hit
+    // (event, face-set) — countDistinct would plan two exchanges
+    // (expand on (event_id, face), then regroup on event_id), doubling
+    // the shuffle of the one stage that touches every hit row.
     SpatialJoin
       .hitJoin(probes, faceSensors.select("face", "ax1", "ax2", "ay1", "ay2"), Seq("face"), cell)
       .select("event_id", "eta", "face")
       .groupBy("event_id")
-      .agg(countDistinct("face").as("n_hits"), first("eta").as("eta"))
+      .agg(
+        expr("CAST(bit_count(bit_or(shiftleft(1, face))) AS BIGINT)").as("n_hits"),
+        first("eta").as("eta"))
   }
 
   /** Dense n_hits per particle (test/analysis convenience — rejoins the

@@ -28,23 +28,30 @@ object Layouts {
     Seq("disk1" -> "front", "disk1" -> "back", "disk2" -> "front", "disk2" -> "back")
 
   /** All four faces as one sensor table with a `face` column and
-    * outline/active-area corners for the TAMALES sensor prototype. */
-  def faceSensors(spark: SparkSession, yamlPath: String = defaultYaml, layout: String = "new"): DataFrame = {
-    import spark.implicits._
-    val centers = LayoutYaml.read(spark, yamlPath).filter($"layout" === layout)
-    val faceIdx = faceOrder.zipWithIndex
-      .map { case ((d, f), i) => (d, f, i) }
-      .toDF("disk", "face_name", "face")
-    val withFace = centers
-      .withColumnRenamed("face", "face_name")
-      .join(broadcast(faceIdx), Seq("disk", "face_name"))
-    SensorTable.fromCenters(
-      withFace,
-      EtlConfig.sensorHeight,
-      EtlConfig.sensorWidth,
-      EtlConfig.sensorDeadspace
-    )
-  }
+    * outline/active-area corners for the TAMALES sensor prototype.
+    * Memoized per (session, yaml, layout) — a ~8k-row dimension table
+    * whose YAML parse is pure driver cost; built once per session like
+    * the reference's per-run dee construction. */
+  def faceSensors(spark: SparkSession, yamlPath: String = defaultYaml, layout: String = "new"): DataFrame =
+    faceSensorCache.getOrElseUpdate((spark, yamlPath, layout), {
+      import spark.implicits._
+      val centers = LayoutYaml.read(spark, yamlPath).filter($"layout" === layout)
+      val faceIdx = faceOrder.zipWithIndex
+        .map { case ((d, f), i) => (d, f, i) }
+        .toDF("disk", "face_name", "face")
+      val withFace = centers
+        .withColumnRenamed("face", "face_name")
+        .join(broadcast(faceIdx), Seq("disk", "face_name"))
+      SensorTable.fromCenters(
+        withFace,
+        EtlConfig.sensorHeight,
+        EtlConfig.sensorWidth,
+        EtlConfig.sensorDeadspace
+      ).localCheckpoint(eager = true)
+    })
+
+  private val faceSensorCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   /** One face's centers (for the reconstruction pipelines; D2 = disk1/back). */
   def faceCenters(spark: SparkSession, disk: String, face: String, yamlPath: String = defaultYaml, layout: String = "new"): DataFrame = {
