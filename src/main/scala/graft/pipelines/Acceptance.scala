@@ -52,9 +52,13 @@ object Acceptance {
     * coordinates (bit-parity goldens). */
   def hitCountsKin(spark: SparkSession, kin: DataFrame, faceSensors: DataFrame, cell: Double = 50.0): DataFrame = {
     import spark.implicits._
-    val layers = zLayersM.zipWithIndex
-      .map { case (z, i) => (i, 1000.0 * (z - zRefM)) }
-      .toDF("face", "dz")
+    // the 4-layer fan-out is an inline Generate over a literal
+    // (face, dz) array — not a broadcast join: it stays inside the
+    // scan's whole-stage codegen span with zero row materialization
+    // (a BroadcastNestedLoopJoin would copy every probe row).
+    val layerStructs = zLayersM.zipWithIndex.map { case (z, i) =>
+      struct(lit(i).as("face"), lit(1000.0 * (z - zRefM)).as("dz"))
+    }
     // trig once per EVENT, not per probe row: tan/cos/sin land in the
     // projection below the 4-face fan-out (4 trig calls/event instead of
     // 16). px/py keep the reference's exact association ((dz·t)·c), so
@@ -63,7 +67,7 @@ object Acceptance {
       .withColumn("tan_t", tan($"theta"))
       .withColumn("cos_p", cos($"phi"))
       .withColumn("sin_p", sin($"phi"))
-      .crossJoin(broadcast(layers))
+      .select(col("*"), inline(array(layerStructs: _*)))
       .withColumn("px", $"x" + $"dz" * $"tan_t" * $"cos_p")
       .withColumn("py", $"y" + $"dz" * $"tan_t" * $"sin_p")
     // existence semantics per face (the reference's `.any()`): distinct
