@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.NearestCells
+import graft.ml.AnnSearch
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The map-side NearestCells argmax must reproduce the windowed
+  * crossJoin form it replaced bit-for-bit: same cosine formula and
+  * accumulation order, ties to the smaller centroid id, top-k in
+  * (cosine desc, id asc) order. */
+class NearestCellsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def randomCorpus(n: Int, dim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextDouble() * 2 - 1))).toDF("id", "vec")
+  }
+
+  /** The pre-round-4 formulation: crossJoin + cosine + rank window. */
+  private def windowedAssign(corpus: org.apache.spark.sql.DataFrame,
+                             centroids: org.apache.spark.sql.DataFrame, k: Int) =
+    corpus
+      .select(col("id").as("n_id"), col("vec").as("n_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", AnnSearch.cosine(col("n_vec"), col("c_vec")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("n_id").orderBy(desc("csim"), col("c_id"))))
+      .filter(col("crank") <= k)
+      .select(col("n_id"), col("crank"), col("c_id"))
+
+  test("map-side assignment == windowed crossJoin assignment, k=1 and k=4") {
+    val corpus = randomCorpus(300, 16, seed = 11)
+    val centroids = AnnSearch.strideCentroids(corpus, 20)
+    val cents = AnnSearch.collectCentroids(centroids)
+    for (k <- Seq(1, 4)) {
+      val mapSide = corpus
+        .select(col("id").as("n_id"),
+          posexplode(NearestCells.topCells(col("vec"), cents, k)).as(Seq("pos", "c_id")))
+        .select(col("n_id"), (col("pos") + 1).as("crank"), col("c_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val windowed = windowedAssign(corpus, centroids, k)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(mapSide == windowed, s"assignment mismatch at k=$k")
+    }
+  }
+
+  test("exact ties resolve to the smaller centroid id") {
+    // two identical centroids → identical cosine; rank 1 must be id 1
+    val corpus = Seq((10L, Array(1.0, 2.0, 3.0))).toDF("id", "vec")
+    val centroids = Seq(
+      (5L, Array(2.0, 4.0, 6.0)),  // same direction as centroid 1
+      (1L, Array(1.0, 2.0, 3.0))
+    ).toDF("c_id", "c_vec")
+    val cents = AnnSearch.collectCentroids(centroids)
+    val cells = corpus.select(NearestCells.topCells(col("vec"), cents, 2).as("cells"))
+      .collect()(0).getSeq[Long](0)
+    assert(cells == Seq(1L, 5L))
+  }
+
+  test("k > nlist returns all cells; ivfAssign output matches windowed cells") {
+    val corpus = randomCorpus(100, 8, seed = 23)
+    val centroids = AnnSearch.strideCentroids(corpus, 30)
+    val cents = AnnSearch.collectCentroids(centroids)
+    val all = corpus.select(size(NearestCells.topCells(col("vec"), cents, 99)).as("n"))
+      .agg(min("n"), max("n")).collect()(0)
+    assert(all.getInt(0) == cents.ids.length && all.getInt(1) == cents.ids.length)
+    val assigned = AnnSearch.ivfAssign(corpus, centroids)
+      .select("n_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val windowed = windowedAssign(corpus, centroids, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(assigned == windowed)
+  }
+}
