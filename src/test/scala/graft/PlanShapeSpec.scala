@@ -98,6 +98,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(recall >= 0.85, s"kmeans-IVF recall $recall below bound (nprobe=16/nlist~50)")
   }
 
+  test("acceptance sparse pipeline shuffles ONLY the per-event aggregate") {
+    // the 100-TB contract of the flagship path: the particle table
+    // streams through trig + inline 4-face fan-out + broadcast grid
+    // join map-side; the single exchange carries one partial-aggregated
+    // row per hit event. Rect side must broadcast, never sort-merge.
+    import spark.implicits._
+    val particles = spark.read.parquet("/root/repo/fixtures/particles_seed42.parquet")
+    val rects = Seq(
+      (0, 10.0, 60.0, 10.0, 40.0),
+      (1, -60.0, -10.0, 10.0, 40.0)
+    ).toDF("face", "ax1", "ax2", "ay1", "ay2")
+    val sparse = graft.pipelines.Acceptance.hitCounts(spark, particles, rects)
+    val plan = physicalPlan(sparse)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"acceptance plan has $shuffles exchanges, want 1:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"rect side not broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"layer fan-out degenerated to BNLJ (should be inline Generate):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast grid join:\n$plan")
+  }
+
   test("filter and projection push down to the parquet scan") {
     val q = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .filter(col("l_quantity") > 30.0)
