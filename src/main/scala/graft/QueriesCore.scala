@@ -383,6 +383,20 @@ object QueriesCore {
       .agg(count(lit(1)).as("n"), round(sum("x"), 6).as("x_sum"), round(sum(abs(col("x"))), 2).as("abs_sum"))
   }
 
+  /** P4: deg → rad (ETL.py:40-41) over the angles the reference
+    * actually rotates by — the inner/outer attachment and service
+    * angles of dee_geometry.py — plus the axes. Closes the one
+    * "trivial, untested" row of the §2 table with a direct oracle
+    * (golden VALUES captured from one run; radians() is a pure
+    * per-row function, so the output is partition-independent). */
+  private def p4DegRad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(-177.5, -150.0, -112.0, -90.0, -68.0, -30.0, -2.5,
+        0.0, 2.5, 30.0, 45.0, 68.0, 90.0, 112.0, 150.0, 177.5, 180.0, 270.0, 359.9)
+      .toDF("deg")
+      .select(col("deg"), round(Transforms.degToRad(col("deg")), 9).as("rad"))
+  }
+
   /** X1: integer partition solver, n = 1..60 (golden VALUES oracle). */
   private def x1Partition(spark: SparkSession, dir: String): DataFrame = {
     val pf = udf((n: Int) => PartitionSolver.getPartition(n).mkString(","))
@@ -394,6 +408,7 @@ object QueriesCore {
     "s1_face_tsv" -> (s1FaceTsv _),
     "p1_transform_fwd" -> (p1Fwd _),
     "p2_transform_inv" -> (p2Inv _),
+    "p4_degrad" -> (p4DegRad _),
     "p9_physics" -> (p9Physics _),
     "p14_bv_curves" -> (p14BvCurves _),
     "f9_multihit" -> (f9Multihit _),
@@ -511,6 +526,28 @@ object QueriesCore {
         |  round(-ln(tan(atan2(sqrt(x*x + y*y), z) / 2)), 6) AS eta,
         |  round(atan2(y, x), 6) AS phi
         |FROM src""".stripMargin,
+    "p4_degrad" ->
+      """SELECT deg::DOUBLE AS deg, rad::DOUBLE AS rad FROM (VALUES
+        |  (-177.5, -3.097959422),
+        |  (-150.0, -2.617993878),
+        |  (-112.0, -1.954768762),
+        |  (-90.0, -1.570796327),
+        |  (-68.0, -1.186823891),
+        |  (-30.0, -0.523598776),
+        |  (-2.5, -0.043633231),
+        |  (0.0, 0.0),
+        |  (2.5, 0.043633231),
+        |  (30.0, 0.523598776),
+        |  (45.0, 0.785398163),
+        |  (68.0, 1.186823891),
+        |  (90.0, 1.570796327),
+        |  (112.0, 1.954768762),
+        |  (150.0, 2.617993878),
+        |  (177.5, 3.097959422),
+        |  (180.0, 3.141592654),
+        |  (270.0, 4.71238898),
+        |  (359.9, 6.281439978)
+        |) t(deg, rad)""".stripMargin,
     "p2_transform_inv" ->
       """WITH src AS (
         |  SELECT o_orderkey,
