@@ -59,13 +59,20 @@ object MinHashLsh {
     * hash functions are xxhash64 salted by the function index (no
     * arithmetic family → no overflow under ANSI mode, and each salt
     * yields an independent permutation-approximation). */
-  def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 32, n: Int = 3): DataFrame = {
+  def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 32, n: Int = 3): DataFrame =
+    signaturesFromSets(shingleSets(docs, idCol, textCol, n), idCol, k)
+
+  /** Signature table from a precomputed (id, sh) shingle-set table —
+    * lets one shingling pass feed both the signature aggregate and the
+    * exact-Jaccard verification joins. */
+  def signaturesFromSets(sets: DataFrame, idCol: String, k: Int = 32): DataFrame = {
     // hash the shingle STRING once, then derive the k family members by
     // hashing the resulting 8-byte long — ~k× less hashing work per row
     val mins = (0 until k).map { i =>
       min(xxhash64(lit(i), col("h"))).as(s"mh_$i")
     }
-    shingleRows(docs, idCol, textCol, n)
+    sets
+      .select(col(idCol), explode(col("sh")).as("shingle"))
       .withColumn("h", xxhash64(col("shingle")))
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
@@ -115,9 +122,16 @@ object MinHashLsh {
       bands: Int = 8,
       n: Int = 3
   ): DataFrame = {
-    val sigs = signatures(docs, idCol, textCol, k, n)
+    // one shingling pass feeds all three consumers (signature aggregate
+    // + both sides of the verification join). localCheckpoint
+    // materializes the shingle table to block storage (memory, spilling
+    // to disk) — the normalize/tokenize map is the pipeline's dominant
+    // per-row cost, so at any scale one pass + storage beats three
+    // passes; the table is O(corpus tokens), the same order as the
+    // input it derives from.
+    val sets = shingleSets(docs, idCol, textCol, n).localCheckpoint(eager = false)
+    val sigs = signaturesFromSets(sets, idCol, k)
     val cand = candidatePairs(sigs, idCol, bands)
-    val sets = shingleSets(docs, idCol, textCol, n)
     cand
       .join(sets.select(col(idCol).as("a"), col("sh").as("sha")), Seq("a"))
       .join(sets.select(col(idCol).as("b"), col("sh").as("shb")), Seq("b"))
