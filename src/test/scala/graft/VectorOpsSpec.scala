@@ -35,6 +35,14 @@ class VectorOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("graft_dot is callable from SQL via GraftExtensions") {
+    graft.functions.GraftExtensions.register(spark)
+    Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+      .createOrReplaceTempView("ge_vecs")
+    val r = spark.sql("SELECT graft_dot(a, b) AS d FROM ge_vecs").collect()
+    assert(r(0).getDouble(0) == 32.0)
+  }
+
   test("dot stays inside whole-stage codegen") {
     // a range source so the projection isn't folded into a LocalTableScan
     val df = spark.range(100)
