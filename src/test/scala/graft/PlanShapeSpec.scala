@@ -58,11 +58,10 @@ class PlanShapeSpec extends SparkSpec {
     val topk = AnnSearch.ivfTopK(queries, assigned, centroids, k = 5, nprobe = 3)
     val plan = physicalPlan(topk)
     assert(!plan.contains("CartesianProduct"), s"cartesian in IVF plan:\n$plan")
-    // centroid fan-outs are tiny broadcast nested-loops BY DESIGN (two:
-    // assignment + probe); the corpus-side candidate join must stay an
-    // equi-join on `cell`
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
-    assert(bnlj <= 2, s"IVF corpus join degenerated to nested-loop:\n$plan")
+    // round 4: assignment AND probe selection are map-side NearestCells
+    // expressions — no nested-loop join of any kind remains
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF plan regressed to a nested-loop join:\n$plan")
     assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
       plan.contains("ShuffledHashJoin"), s"no equi-join on cell in IVF plan:\n$plan")
   }
@@ -73,6 +72,8 @@ class PlanShapeSpec extends SparkSpec {
     val pairs = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = 4)
     val plan = physicalPlan(pairs)
     assert(!plan.contains("CartesianProduct"), s"cartesian in near-pairs plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"near-pairs probe selection regressed to a nested-loop join:\n$plan")
     val equi = plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
       plan.contains("ShuffledHashJoin")
     assert(equi, s"no equi-join in near-pairs plan:\n$plan")
