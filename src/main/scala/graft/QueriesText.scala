@@ -142,6 +142,32 @@ object QueriesText {
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Streaming exact-dedup parity: the first-seen-wins stateful dedup
+    * over a deterministic MemoryStream feed (docs in doc_id order, two
+    * micro-batches), checked against the batch `min(doc_id) GROUP BY
+    * normalized-text` oracle. No watermark/sentinels needed —
+    * first-seen emits in the arrival micro-batch. */
+  private def streamDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = docs(spark, dir)
+      .select(col("doc_id").cast("long"), xxhash64(TextOps.normText(col("text"))).as("h"))
+      .orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    val mem = MemoryStream[(Long, Long)]
+    val df = mem.toDF().toDF("doc_id", "h")
+    val queryName = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventStreams.dedupFirstSeen(spark, df)
+      .writeStream.format("memory").queryName(queryName).outputMode("append").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      spark.table(queryName).select(col("doc_id")).localCheckpoint(eager = true)
+    } finally q.stop()
+  }
+
   /** Multimodal: batched stub-decode features over binary payloads. */
   private def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.fromText(docs(spark, dir), "doc_id", "text", "image")
@@ -205,6 +231,7 @@ object QueriesText {
     "corpus_filter" -> (corpusFilter _),
     "corpus_report" -> (corpusReport _),
     "dedup_exact" -> (dedupExact _),
+    "stream_dedup_exact" -> (streamDedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
@@ -302,6 +329,10 @@ object QueriesText {
           |FROM q GROUP BY source""".stripMargin),
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents)
+        |GROUP BY t""".stripMargin,
+    "stream_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id
         |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents)
         |GROUP BY t""".stripMargin,
     "dedup_minhash_lsh" ->

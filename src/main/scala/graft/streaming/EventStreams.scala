@@ -37,6 +37,37 @@ object EventStreams {
         col("value_sum")
       )
 
+  final case class DocIn(doc_id: Long, h: Long)
+  final case class KeepOut(doc_id: Long, h: Long)
+
+  /** Streaming exact dedup, first-seen-wins: one output row per
+    * distinct normalized-content hash, emitted when the hash first
+    * appears; every later duplicate is dropped. Within a micro-batch
+    * the smallest doc_id wins (deterministic), so a feed ordered by
+    * doc_id reproduces the batch `min(doc_id) GROUP BY content`
+    * exactly. State is one boolean per distinct content hash, sharded
+    * by the hash key — at pipeline scale use the RocksDB state store;
+    * content-hash state is the canonical streaming-dedup trade and can
+    * be TTL'd with an event-time timeout where re-crawl windows allow.
+    * Content is keyed by `xxhash64(normText(text))` — the engine's
+    * standard exact-dedup key ([[graft.text.TextOps]]). */
+  def dedupFirstSeen(spark: SparkSession, docs: DataFrame): Dataset[KeepOut] = {
+    import spark.implicits._
+    docs
+      .selectExpr("cast(doc_id as long) doc_id", "cast(h as long) h")
+      .as[DocIn]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (h: Long, rows: Iterator[DocIn], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(KeepOut(rows.minBy(_.doc_id).doc_id, h))
+          }
+        }
+      )
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, valueSum: Double)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Int, value_sum: Double)
