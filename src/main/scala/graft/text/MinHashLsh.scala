@@ -80,17 +80,18 @@ object MinHashLsh {
   }
 
   /** Explode signatures into (doc_id, band, bucket) rows: `bands` bands
-    * of `k/bands` rows each; bucket = hash of the band's slice. */
+    * of `k/bands` rows each; bucket = hash of the band's slice —
+    * computed by the codegen [[graft.functions.BandHashes]] primitive
+    * (the interpreted HOF + per-band string-join formulation it
+    * replaces is semantically identical: equal slices ⇒ equal buckets
+    * under either hash, and spurious collisions are removed by exact
+    * verification). */
   def bandBuckets(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
     sigs
       .select(
         col(idCol),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(b, concat_ws(",", slice(col("sig"), b * (size(col("sig")) / bands) + 1, size(col("sig")) / bands)))
-          )
-        ).as(Seq("band", "bucket"))
+        posexplode(graft.functions.BandHashes.bandHashes(col("sig"), bands))
+          .as(Seq("band", "bucket"))
       )
   }
 
