@@ -13,8 +13,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - windowed per-type counts with a watermark (the streaming A9),
   *  - sessionization via `flatMapGroupsWithState` (the streaming
   *    equivalent of the batch gaps-and-islands `sessionize` query),
-  * both over any streaming DataFrame with (ts: timestamp, user_id,
-  * event_type, value) — file, rate, or MemoryStream sources.
+  *  - first-seen-wins exact dedup keyed by content hash (the streaming
+  *    analog of the batch `dedup_exact`),
+  * over any streaming DataFrame with the matching columns — file,
+  * rate, or MemoryStream sources.
   *
   * Scale notes: the windowed count is a standard partial-aggregated
   * stateful op keyed by (window, event_type); sessionization keys state
