@@ -23,10 +23,16 @@ object QueriesDomain {
     SmReconstruct.supermodules(spark, half, EtlConfig.modPartitions.map(_._3))
   }
 
-  private def d2Sensors(spark: SparkSession): DataFrame = {
-    val centers = Layouts.faceCenters(spark, "disk1", "back")
-    SmReconstruct.reconstruct(spark, centers)
-  }
+  /** Memoized per session: the D2 reconstruction chain (windows over a
+    * ≤2k-row dim table) feeds six conformance queries — build once. */
+  private def d2Sensors(spark: SparkSession): DataFrame =
+    d2Cache.getOrElseUpdate(spark, {
+      val centers = Layouts.faceCenters(spark, "disk1", "back")
+      SmReconstruct.reconstruct(spark, centers).localCheckpoint(eager = true)
+    })
+
+  private val d2Cache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
 
   /** Acceptance stats over the exact seed-42 reference particle sample
     * (sparse path: the particle table is scanned, never exchanged). */

@@ -69,9 +69,17 @@ object LayoutYaml {
     out.result()
   }
 
-  /** Parse and lift to a DataFrame `(layout, disk, face, x, y)`. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    parse(path).toDF()
-  }
+  /** Parse and lift to a DataFrame `(layout, disk, face, x, y)`.
+    * Memoized per (session, path): the parse is pure driver-side work
+    * over a static ≤25k-line dimension file that a dozen conformance
+    * queries read — one parse per session, like the reference's one
+    * `load()` per run. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    cache.getOrElseUpdate((spark, path), {
+      import spark.implicits._
+      parse(path).toDF().localCheckpoint(eager = true)
+    })
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 }
