@@ -168,6 +168,23 @@ object QueriesText {
     } finally q.stop()
   }
 
+  /** Symmetric int8 quantization over the embedding corpus
+    * ([[graft.functions.Int8Quantize]]): per vector, the quantization
+    * scale (as exact ppm integer — floor(s·1e6 + 0.5), avoiding
+    * round()'s cross-engine .5 ambiguity) plus integer checksums of
+    * the quantized values. Every output column is integer-exact, so
+    * the DuckDB oracle replicates the arithmetic bit-for-bit. */
+  private def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val q = embs(spark, dir)
+      .select(col("id").as("vec_id"), graft.functions.Int8Quantize.quantize(col("vec")).as("qz"))
+    q.select(
+      col("vec_id"),
+      floor(col("qz.scale") * 1e6 + 0.5).cast("long").as("scale_ppm"),
+      expr("CAST(aggregate(qz.q, 0L, (acc, x) -> acc + x) AS BIGINT)").as("q_sum"),
+      expr("CAST(aggregate(qz.q, 0L, (acc, x) -> acc + abs(x)) AS BIGINT)").as("q_l1"),
+      size(col("qz.q")).cast("long").as("n_dims"))
+  }
+
   /** Multimodal: batched stub-decode features over binary payloads. */
   private def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.fromText(docs(spark, dir), "doc_id", "text", "image")
@@ -242,6 +259,7 @@ object QueriesText {
     "ann_topk_bf" -> (annTopKBf _),
     "ann_topk_ivf" -> (annTopKIvf _),
     "emb_near_pairs" -> (embNearPairs _),
+    "emb_quantize" -> (embQuantize _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _)
   )
@@ -429,6 +447,15 @@ object QueriesText {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v) /
         |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4""".stripMargin,
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS sc FROM e),
+        |q AS (SELECT vec_id, sc, list_transform(v, x -> floor(x / sc + 0.5)) AS qs FROM s)
+        |SELECT vec_id, floor(sc * 1e6 + 0.5)::BIGINT AS scale_ppm,
+        |  list_sum(qs)::BIGINT AS q_sum,
+        |  list_sum(list_transform(qs, x -> abs(x)))::BIGINT AS q_l1,
+        |  len(qs)::BIGINT AS n_dims
+        |FROM q""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS n_bytes,
         |  (16 + octet_length(encode(text)) % 64)::BIGINT AS width,

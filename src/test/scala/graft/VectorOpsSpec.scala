@@ -35,6 +35,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("int8 quantize: dequantization error bounded by scale/2; zero vector safe") {
+    import graft.functions.Int8Quantize
+    val rnd = new scala.util.Random(19)
+    val rows = (Seq.fill(200)(Array.fill(32)(rnd.nextDouble() * 4 - 2)) :+ Array.fill(32)(0.0))
+      .map(Tuple1(_)).toDF("v")
+    val checked = rows
+      .select($"v", Int8Quantize.quantize($"v").as("qz"))
+      .select(
+        $"qz.scale".as("s"),
+        zip_with(Int8Quantize.dequantize($"qz.q", $"qz.scale"), $"v",
+          (d, o) => abs(d - o)).as("errs"))
+      .select($"s", array_max($"errs").as("max_err"))
+      .collect()
+    checked.foreach { r =>
+      val (s, maxErr) = (r.getDouble(0), r.getDouble(1))
+      assert(maxErr <= s / 2 + 1e-12, s"err $maxErr exceeds half-scale $s")
+    }
+    assert(checked.last.getDouble(0) == 0.0 && checked.last.getDouble(1) == 0.0)
+  }
+
   test("graft_dot is callable from SQL via GraftExtensions") {
     graft.functions.GraftExtensions.register(spark)
     Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
