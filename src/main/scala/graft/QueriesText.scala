@@ -168,6 +168,21 @@ object QueriesText {
     } finally q.stop()
   }
 
+  /** Brute-force top-10 over the INT8-QUANTIZED corpus — the memory-
+    * compressed retrieval path. Cosine is scale-free (the symmetric
+    * scales cancel), so scoring is pure small-integer arithmetic:
+    * exact in both engines, making even this approximate-by-design
+    * operator hash-checkable. Recall vs the float path is what the
+    * quantization trades; the plan is identical to `ann_topk_bf`
+    * (broadcast queries, corpus streams once, codegen dot). */
+  private def annTopKQ8(spark: SparkSession, dir: String): DataFrame = {
+    val q8 = embs(spark, dir)
+      .select(col("id"), graft.functions.Int8Quantize.quantize(col("vec")).getField("q")
+        .cast("array<double>").as("vec"))
+    val queries = q8.filter(pmod(col("id"), lit(50)) === 0)
+    bfTopKRounded(queries, q8, 10)
+  }
+
   /** Symmetric int8 quantization over the embedding corpus
     * ([[graft.functions.Int8Quantize]]): per vector, the quantization
     * scale (as exact ppm integer — floor(s·1e6 + 0.5), avoiding
@@ -260,6 +275,7 @@ object QueriesText {
     "ann_topk_ivf" -> (annTopKIvf _),
     "emb_near_pairs" -> (embNearPairs _),
     "emb_quantize" -> (embQuantize _),
+    "ann_topk_q8" -> (annTopKQ8 _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _)
   )
@@ -447,6 +463,20 @@ object QueriesText {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v) /
         |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4""".stripMargin,
+    "ann_topk_q8" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS sc FROM e),
+        |qz AS (SELECT vec_id, list_transform(v, x -> floor(x / sc + 0.5)) AS qv FROM s),
+        |q AS (SELECT * FROM qz WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    round(list_inner_product(q.qv, e.qv) /
+        |      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(e.qv, e.qv))), 6) AS sim
+        |  FROM q JOIN qz e ON e.vec_id <> q.vec_id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS sc FROM e),
