@@ -226,6 +226,16 @@ object QueriesText {
       )
   }
 
+  /** Round-trip through the REAL BMP codec: documents → genuine 24-bit
+    * BMP files (padded row stride and all) → byte-level header parse +
+    * pixel-row walk. The oracle recomputes the deterministic dims and
+    * the pixel byte-sum from the source text WITHOUT parsing, so a
+    * stride/offset/endianness bug on either side mismatches. */
+  private def mmDecodeBmp(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.encodeBmpFromText(docs(spark, dir), "doc_id", "text")
+    Multimodal.decodeBmp(spark, media)
+  }
+
   /** Pipeline composition: corpus filter — keep docs predicted 'en'
     * with quality above threshold and ≥ 30 tokens. */
   private def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
@@ -258,8 +268,20 @@ object QueriesText {
       .select("keep_id", "cluster_size")
   }
 
+  /** Same cluster rollup through the alternating star-contraction
+    * components (the PB-scale path) — must agree exactly with
+    * `dedup_clusters`, and shares its recursive-CTE oracle. */
+  private def dedupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = MinHashLsh.verifiedPairs(docs(spark, dir), "doc_id", "text", tau = 0.8)
+    MinHashLsh.componentsStar(pairs)
+      .groupBy("component")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("cluster_size"))
+      .select("keep_id", "cluster_size")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_star" -> (dedupClustersStar _),
     "corpus_filter" -> (corpusFilter _),
     "corpus_report" -> (corpusReport _),
     "dedup_exact" -> (dedupExact _),
@@ -277,7 +299,8 @@ object QueriesText {
     "emb_quantize" -> (embQuantize _),
     "ann_topk_q8" -> (annTopKQ8 _),
     "mm_features" -> (mmFeatures _),
-    "mm_frames" -> (mmFrames _)
+    "mm_frames" -> (mmFrames _),
+    "mm_decode_bmp" -> (mmDecodeBmp _)
   )
 
   private val shingleCte =
@@ -324,6 +347,24 @@ object QueriesText {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "dedup_clusters" ->
+      (shingleCte +
+        """,
+          |vp AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+          |e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+          |cl AS (
+          |  WITH RECURSIVE closure(src, dst) AS (
+          |    SELECT a AS src, b AS dst FROM e
+          |    UNION
+          |    SELECT closure.src, e.b AS dst FROM closure JOIN e ON e.a = closure.dst
+          |      WHERE e.b <> closure.src
+          |  ) SELECT * FROM closure)
+          |SELECT comp AS keep_id, count(*) AS cluster_size FROM (
+          |  SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src)
+          |GROUP BY comp""".stripMargin),
+    "dedup_clusters_star" ->
       (shingleCte +
         """,
           |vp AS (
@@ -504,6 +545,23 @@ object QueriesText {
         |    AND frame_idx % 2 = 0)
         |SELECT id, frame_idx::BIGINT AS frame_idx,
         |  (length(frame_hex) // 2)::BIGINT AS frame_bytes, frame_hex
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    "mm_decode_bmp" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+        |  FROM documents),
+        |d AS (
+        |  SELECT id, n, hx, 8 + n % 9 AS w,
+        |    greatest(1, (n + 3 * (8 + n % 9) - 1) // (3 * (8 + n % 9))) AS h
+        |  FROM t),
+        |s AS (
+        |  SELECT id, w, h, ((3 * w + 3) // 4) * 4 AS stride,
+        |    coalesce(list_sum(list_transform(range(1, n + 1),
+        |      i -> ('0x' || substr(hx, (i - 1) * 2 + 1, 2))::BIGINT)), 0) AS psum
+        |  FROM d)
+        |SELECT id, (54 + stride * h)::BIGINT AS n_bytes, w::BIGINT AS width,
+        |  h::BIGINT AS height, 3::BIGINT AS channels,
+        |  (3 * w * h)::BIGINT AS pixel_bytes, psum::BIGINT AS pixel_sum
+        |FROM s""".stripMargin
   )
 }

@@ -157,9 +157,10 @@ object MinHashLsh {
   /** Connected components over the duplicate-pair graph via min-label
     * propagation: each node's label converges to the smallest id in its
     * component. Duplicate clusters have tiny diameters, so a handful of
-    * iterations suffice; each iteration is one hash join + aggregate
-    * (at petabyte scale swap in alternating star contraction — the
-    * interface stays (id, component)). Returns (id, component). */
+    * iterations suffice; each iteration is one hash join + aggregate.
+    * At petabyte scale, [[componentsStar]] is the drop-in swap — same
+    * (id, component) interface, edge-set (not label-table) iteration.
+    * Returns (id, component). */
   def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
@@ -207,6 +208,87 @@ object MinHashLsh {
       throw new IllegalStateException(
         s"components() did not converge in $maxIter pointer-doubling rounds " +
           "(graph diameter > 2^maxIter); raise maxIter")
+    labels
+  }
+
+  /** Connected components via ALTERNATING STAR CONTRACTION (the
+    * large-star / small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the PB-scale
+    * alternative to [[components]], behind the same (id, component)
+    * interface.
+    *
+    * Why it scales where label propagation strains: the state is the
+    * EDGE LIST itself (monotonically contracting toward one star per
+    * component), not a separate label table joined against a static
+    * edge set every round. Each round is two self-contained
+    * group-by-node aggregates over the current edges; edge count never
+    * grows above the input, shrinks geometrically on high-diameter
+    * graphs, and converges in O(log²) rounds without ever materializing
+    * per-node neighbor lists on the driver.
+    *
+    *  - large-star(u): every neighbor v > u re-points to
+    *    m = min(N(u) ∪ {u}) — emits (v, m).
+    *  - small-star(u), on edges oriented large→small so N(u) < u:
+    *    u and all its neighbors re-point to m = min(N(u)) — emits
+    *    (u, m) and (v, m) for the other small neighbors.
+    *
+    * Both phases preserve connectivity and never raise a node's
+    * reachable minimum; on convergence the edge set IS the component
+    * map (u → component-min). `localCheckpoint` per round cuts lineage
+    * (same driver-side 2^i analysis-cost trap as pointer doubling —
+    * see [[components]]). Returns (id, component) with one row per
+    * node of the input pair graph, including star centers mapping to
+    * themselves. */
+  def componentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val nodes = pairs.select(col("a").as("id"))
+      .unionByName(pairs.select(col("b").as("id"))).distinct().cache()
+    // canonical orientation: u > v (self-pairs dropped)
+    var edges = pairs
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the UNDIRECTED neighborhood: node n, neighbor w
+      val nbrs = edges.select(col("u").as("n"), col("v").as("w"))
+        .unionByName(edges.select(col("v").as("n"), col("u").as("w")))
+      val withMin = nbrs
+        .withColumn("m", min(least(col("w"), col("n"))).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("n")))
+      val large = withMin
+        .filter(col("w") > col("n"))
+        .select(col("w").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star on the large→small orientation: all neighbors < u
+      val smallNbrs = large.select(col("u").as("n"), col("v").as("w"))
+      val sMin = smallNbrs
+        .withColumn("m", min(col("w")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("n")))
+      val small = sMin.select(col("n").as("u"), col("m").as("v"))
+        .unionByName(
+          sMin.filter(col("w") =!= col("m")).select(col("w").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // converged when the round was a no-op on the edge set
+      val grew = small.join(edges, Seq("u", "v"), "left_anti").count()
+      val shrank = edges.join(small, Seq("u", "v"), "left_anti").count()
+      converged = grew == 0 && shrank == 0
+      edges = small
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"componentsStar() did not converge in $maxIter large/small-star rounds")
+    // the converged edge set is a union of stars: u → component minimum;
+    // centers (and any isolated canonical nodes) map to themselves
+    val labels = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
+    nodes.unpersist()
     labels
   }
 

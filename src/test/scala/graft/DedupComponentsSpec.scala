@@ -31,6 +31,37 @@ class DedupComponentsSpec extends SparkSpec {
     assert(keep == Set(10L, 30L))
   }
 
+  test("star contraction matches min-label propagation on chains, stars, and a random graph") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val graphs = Seq(
+      // chain 1-2-3 plus a detached pair
+      Seq((1L, 2L), (2L, 3L), (7L, 9L)),
+      // a long path — the high-diameter shape star contraction exists for
+      (0L until 40L).map(i => (i, i + 1)),
+      // star already centered at its min, reversed orientation
+      Seq((5L, 50L), (5L, 51L), (5L, 52L)),
+      // random 80-node, 60-edge graph (many components, dup edges, both orders)
+      Seq.fill(60)((rng.nextInt(80).toLong, rng.nextInt(80).toLong)).filter(p => p._1 != p._2)
+    )
+    graphs.foreach { g =>
+      val pairs = g.toDF("a", "b")
+      val expect = MinHashLsh.components(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = MinHashLsh.componentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"star contraction diverged on graph $g")
+    }
+  }
+
+  test("star contraction converges on a 64-node chain within the round cap") {
+    import spark.implicits._
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = MinHashLsh.componentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 64 && comp.values.forall(_ == 0L))
+  }
+
   test("pointer doubling converges on a 64-node chain within the default round cap") {
     import spark.implicits._
     // a path graph of diameter 63 — one-hop propagation alone would need

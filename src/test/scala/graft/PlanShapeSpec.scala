@@ -120,6 +120,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast grid join:\n$plan")
   }
 
+  test("sessionize and o6_runs shuffle exactly once, keyed by user_id") {
+    // VERDICT r3 item 7: both queries window over partitionBy(user_id) —
+    // a high-cardinality key, so ONE exchange is the contract. The
+    // downstream groupBy keys extend user_id, so hashpartitioning(user_id)
+    // already satisfies their distribution; a refactor that globalizes
+    // the window (empty partitionBy → SinglePartition) or re-keys the
+    // aggregate would change this count and must fail here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      for (q <- Seq("sessionize", "o6_runs")) {
+        val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        val plan = physicalPlan(df)
+        val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(shuffles == 1, s"$q plan has $shuffles hash exchanges, want 1:\n$plan")
+        assert(!plan.contains("Exchange SinglePartition"),
+          s"$q window degenerated to a global single-partition sort:\n$plan")
+      }
+    } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+  }
+
   test("filter and projection push down to the parquet scan") {
     val q = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .filter(col("l_quantity") > 30.0)

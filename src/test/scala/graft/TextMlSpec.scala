@@ -108,6 +108,28 @@ class TextMlSpec extends SparkSpec {
     assert(feats(1).getString(1) == "4f09daa9d95bcb166a302407a0e0babe")
   }
 
+  test("BMP codec round-trip: real header parse recovers dims and pixel sum; corrupt magic raises") {
+    import spark.implicits._
+    // n=200 → w = 8 + 200%9 = 10, h = ceil(200/30) = 7, stride = 32
+    // n=5   → w = 13, h = 1, stride = ((39+3)/4)*4 = 40
+    val docs = docsDf(Seq((0L, "x" * 200), (1L, "abcde")))
+    val media = Multimodal.encodeBmpFromText(docs, "doc_id", "text")
+    val dec = Multimodal.decodeBmp(spark, media).orderBy("id")
+      .select("id", "n_bytes", "width", "height", "channels", "pixel_bytes", "pixel_sum")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(dec(0) == ((0L, 54L + 32 * 7, 10L, 7L, 3L, 210L, 200L * 'x'.toLong)))
+    assert(dec(1) == ((1L, 54L + 40, 13L, 1L, 3L, 39L, "abcde".map(_.toLong).sum)))
+    // encoded payloads are genuine BMPs: magic + little-endian width field
+    val raw = media.orderBy("id").select("content").as[Array[Byte]].head()
+    assert(raw(0) == 'B'.toByte && raw(1) == 'M'.toByte && (raw(18) & 0xff) == 10)
+    // flip the magic → the decoder must fail loudly, not emit fallback rows
+    val bad = media.select(col("id"), col("modality"),
+      concat(lit(Array[Byte]('X', 'X')), expr("substring(content, 3)")).as("content"))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeBmp(spark, bad).collect()
+    }
+  }
+
   test("dedup keep-ids drops only the larger id of verified pairs") {
     val base = (1 to 50).map(i => s"w$i").mkString(" ")
     val docs = docsDf(Seq((10L, base), (20L, base), (30L, "totally different text " * 10)))
