@@ -226,6 +226,31 @@ object QueriesText {
       )
   }
 
+  /** Stratified deterministic corpus sampling: even-numbered sources
+    * keep 400‰, odd 150‰, selected by a salted md5 hash bucket — the
+    * reproducible-across-engines/runs/partitionings sampler a training
+    * corpus needs (rand()-based sampling can't be oracle-checked and
+    * drifts when data is re-partitioned). */
+  private def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val rate = when(pmod(srcNum, lit(2)) === 0, lit(400)).otherwise(lit(150))
+    docs(spark, dir)
+      .filter(TextOps.hashSample(col("doc_id"), rate, "graft-sample-v1"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** Sliding-window token chunking (size 30, overlap 10) — the
+    * training-data preparation step that turns documents into
+    * fixed-budget training windows. Chunk content is checked by md5 of
+    * the joined tokens, so a window/stride/tail bug mismatches. */
+  private def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunk(docs(spark, dir), "doc_id", "text", size = 30, overlap = 10)
+
+  /** Per-document top-5 distinctive terms by integer-exact tf/df ppm
+    * score. */
+  private def distinctiveTerms(spark: SparkSession, dir: String): DataFrame =
+    TextOps.distinctiveTerms(docs(spark, dir), "doc_id", "text", k = 5)
+
   /** Round-trip through the REAL BMP codec: documents → genuine 24-bit
     * BMP files (padded row stride and all) → byte-level header parse +
     * pixel-row walk. The oracle recomputes the deterministic dims and
@@ -300,7 +325,10 @@ object QueriesText {
     "ann_topk_q8" -> (annTopKQ8 _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
-    "mm_decode_bmp" -> (mmDecodeBmp _)
+    "mm_decode_bmp" -> (mmDecodeBmp _),
+    "sample_stratified" -> (sampleStratified _),
+    "chunk_docs" -> (chunkDocs _),
+    "distinctive_terms" -> (distinctiveTerms _)
   )
 
   private val shingleCte =
@@ -562,6 +590,35 @@ object QueriesText {
         |SELECT id, (54 + stride * h)::BIGINT AS n_bytes, w::BIGINT AS width,
         |  h::BIGINT AS height, 3::BIGINT AS channels,
         |  (3 * w * h)::BIGINT AS pixel_bytes, psum::BIGINT AS pixel_sum
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'graft-sample-v1'), 1, 15))::BIGINT % 1000
+        |      < CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 400 ELSE 150 END""".stripMargin,
+    "chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_idx, w[i*20 + 1 : least(i*20 + 30, len(w))] AS sl
+        |  FROM t, unnest(range(0, (len(w) + 19) // 20)) u(i)
+        |  WHERE i*20 < len(w) AND (i = 0 OR (i-1)*20 + 30 < len(w)))
+        |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, len(sl)::BIGINT AS n_tokens,
+        |  md5(array_to_string(sl, ' ')) AS chunk_hash
+        |FROM c""".stripMargin,
+    "distinctive_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    floor(tf.tf * 1000000.0 / dfreq.df + 0.5)::BIGINT AS score_ppm
+        |  FROM tf JOIN dfreq USING (term))
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS BIGINT) AS rank,
+        |  term, tf::BIGINT AS tf, df::BIGINT AS df, score_ppm
+        |FROM s QUALIFY rank <= 5""".stripMargin
   )
 }

@@ -110,4 +110,82 @@ object TextOps {
     md5(concat(substring(norm, 1, 100), lit("|"), length(norm).cast("string"), lit("|"),
       substring(reverse(norm), 1, 50)))
   }
+
+  /** Deterministic per-mille hash bucket in [0, 1000) for sampling:
+    * the top 60 bits of md5(id ‖ salt) mod 1000. Unlike `rand()`-based
+    * sampling this is reproducible across runs, engines, partitionings,
+    * AND re-ingestions of the same ids — the property a training-corpus
+    * sample must have so downstream dedup/eval splits stay stable.
+    * Map-side arithmetic; the sample filter fuses with the scan. */
+  def hashBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long") % 1000
+
+  /** Keep rows whose [[hashBucket]] falls below `permille`. */
+  def hashSample(id: Column, permille: Column, salt: String): Column =
+    hashBucket(id, salt) < permille
+
+  /** Sliding-window token chunks for training-data preparation: windows
+    * of `size` tokens advancing by `stride` (= size − overlap), the last
+    * window shortened to the document tail; a window starts only if the
+    * previous one did not already reach the end, so every token lands in
+    * ≥1 chunk and no fully-redundant tail chunk is emitted. Emits
+    * (id, chunk_idx, n_tokens, chunk_hash) — the hash is md5 of the
+    * space-joined chunk, so an oracle can recompute it from the text.
+    * Runs as a typed map (one tokenization per document — the Catalyst
+    * lambda form would re-tokenize per chunk via CollapseProject
+    * re-inlining, see [[shinglesFromTokens]]); per-row work only, no
+    * shuffle. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int = 60, overlap: Int = 15): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap >= 0, got $size/$overlap")
+    val stride = size - overlap
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val stripped = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        val norm = stripped.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+        val toks = norm.split(" ", -1)
+        val n = toks.length
+        Iterator.from(0)
+          .takeWhile(i => i * stride < n && (i == 0 || (i - 1) * stride + size < n))
+          .map { i =>
+            val slice = toks.slice(i * stride, math.min(i * stride + size, n))
+            val joined = slice.mkString(" ")
+            val hash = java.security.MessageDigest.getInstance("MD5")
+              .digest(joined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            (id, i.toLong, slice.length.toLong, hash)
+          }
+      }
+      .toDF(idCol, "chunk_idx", "n_tokens", "chunk_hash")
+  }
+
+  /** Per-document distinctive terms: score = tf / df (term frequency in
+    * the doc over the number of docs containing the term) — monotone in
+    * tf-idf but log-free. Scored in integer PARTS-PER-MILLION via
+    * `floor(tf·1e6/df + 0.5)` (bit-deterministic in both engines,
+    * unlike `round`/`ln` — see Int8Quantize for the same trick), so
+    * ranking and values are exactly oracle-reproducible. Top `k` per
+    * doc by (score desc, term asc). Plan shape: token explode →
+    * (doc, term) hash aggregate → term-keyed df join → per-doc top-k
+    * window — every exchange keyed by doc or term, both
+    * high-cardinality; no stage is quadratic in the corpus. */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(desc("score_ppm"), col("term"))
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score_ppm", floor(col("tf") * 1000000.0 / col("df") + 0.5).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), col("score_ppm"))
+  }
 }

@@ -130,6 +130,42 @@ class TextMlSpec extends SparkSpec {
     }
   }
 
+  test("hash sampling is deterministic and stratified; chunking covers every token once per window") {
+    import spark.implicits._
+    // cross-engine pin: DuckDB computes bucket 210 for id=1 with this salt
+    val bucket = spark.range(1, 2)
+      .select(TextOps.hashBucket(col("id"), "graft-sample-v1").as("b"))
+      .as[Long].head()
+    assert(bucket == 210L)
+    // 100-token doc, size 30 / overlap 10 → starts at 0,20,40,60,80; the
+    // would-be 6th window is suppressed because window 5 reached the end
+    val toks = (1 to 100).map(i => s"t$i").mkString(" ")
+    val chunks = TextOps.chunk(Seq((7L, toks)).toDF("doc_id", "text"), "doc_id", "text",
+        size = 30, overlap = 10)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_tokens").as[(Long, Long)].collect().toSeq
+    assert(chunks == Seq((0L, 30L), (1L, 30L), (2L, 30L), (3L, 30L), (4L, 20L)))
+    // short doc → exactly one chunk with all tokens
+    val one = TextOps.chunk(Seq((8L, "a b c")).toDF("doc_id", "text"), "doc_id", "text",
+        size = 30, overlap = 10)
+      .select("chunk_idx", "n_tokens").as[(Long, Long)].collect().toSeq
+    assert(one == Seq((0L, 3L)))
+  }
+
+  test("distinctive terms rank doc-specific words above corpus-wide ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha shared"),
+      (2L, "beta shared"),
+      (3L, "gamma shared")
+    ).toDF("doc_id", "text")
+    val top = TextOps.distinctiveTerms(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .select("term", "tf", "df", "score_ppm").as[(String, Long, Long, Long)].collect().toSeq
+    // alpha: tf=2 df=1 → 2e6 ppm; shared: tf=1 df=3 → 333333 ppm
+    assert(top == Seq(("alpha", 2L, 1L, 2000000L), ("shared", 1L, 3L, 333333L)))
+  }
+
   test("dedup keep-ids drops only the larger id of verified pairs") {
     val base = (1 to 50).map(i => s"w$i").mkString(" ")
     val docs = docsDf(Seq((10L, base), (20L, base), (30L, "totally different text " * 10)))
