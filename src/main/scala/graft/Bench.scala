@@ -39,7 +39,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // extended family: the dedup/ANN/streaming shuffle paths measured at
+    // the driver's sf AND one scale factor down, so the skew caps and the
+    // map-side assignment plan are MEASURED across a 10× data step, not
+    // just plan-asserted. Reported as a separate key — the headline
+    // total stays comparable round-over-round.
+    val extDirs = Seq(sfDir, "/root/testdata/sf0.01").distinct
+      .filter(d => Files.exists(Paths.get(d)))
+    val ext = extDirs.map { dir =>
+      val cells = Bench.extendedFamily.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      val label = Paths.get(dir).getFileName.toString
+      "\"" + label + "\":" + cells.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"extended":$ext,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get("bench_out.json"), json) catch { case _: Throwable => () }
     spark.stop()
     // last raw stdout line, after Spark's shutdown logging
@@ -64,5 +82,19 @@ object Bench {
       "text_stats",
       "tiling_counts",
       "tiled_acc_hist"
+    ).filter(SparkEntry.queries.contains)
+
+  /** Extended dedup/ANN/streaming family measured at two scale factors
+    * (see the `extended` key): the queries whose scale behavior rests on
+    * skew caps, cell blocking, and the map-side centroid assignment. */
+  def extendedFamily: Seq[String] =
+    Seq(
+      "dedup_clusters_star",
+      "dedup_simhash",
+      "ann_topk_ivf",
+      "emb_near_pairs",
+      "emb_quantize",
+      "ann_topk_q8",
+      "stream_dedup_exact"
     ).filter(SparkEntry.queries.contains)
 }
