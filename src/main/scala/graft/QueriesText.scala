@@ -261,6 +261,15 @@ object QueriesText {
     Multimodal.decodeBmp(spark, media)
   }
 
+  /** Round-trip through the REAL WAV codec: documents → genuine
+    * RIFF/WAVE PCM files → chunk walk + sample decode. The oracle
+    * recomputes rate/channels/frame-count/sample-sum from the source
+    * bytes, so a chunk-offset/endianness/sign bug mismatches. */
+  private def mmDecodeWav(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.encodeWavFromText(docs(spark, dir), "doc_id", "text")
+    Multimodal.decodeWav(spark, media)
+  }
+
   /** Pipeline composition: corpus filter — keep docs predicted 'en'
     * with quality above threshold and ≥ 30 tokens. */
   private def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
@@ -326,6 +335,7 @@ object QueriesText {
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_decode_bmp" -> (mmDecodeBmp _),
+    "mm_decode_wav" -> (mmDecodeWav _),
     "sample_stratified" -> (sampleStratified _),
     "chunk_docs" -> (chunkDocs _),
     "distinctive_terms" -> (distinctiveTerms _)
@@ -590,6 +600,19 @@ object QueriesText {
         |SELECT id, (54 + stride * h)::BIGINT AS n_bytes, w::BIGINT AS width,
         |  h::BIGINT AS height, 3::BIGINT AS channels,
         |  (3 * w * h)::BIGINT AS pixel_bytes, psum::BIGINT AS pixel_sum
+        |FROM s""".stripMargin,
+    "mm_decode_wav" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+        |  FROM documents),
+        |s AS (
+        |  SELECT id, n, 1 + n % 2 AS ch, 8000 + 100 * (n % 17) AS sr,
+        |    coalesce(list_sum(list_transform(range(1, n + 1),
+        |      i -> (('0x' || substr(hx, (i - 1) * 2 + 1, 2))::BIGINT - 128) * 256)), 0) AS bsum
+        |  FROM t)
+        |SELECT id, (44 + n * ch * 2)::BIGINT AS n_bytes, sr::BIGINT AS sample_rate,
+        |  ch::BIGINT AS channels, 16::BIGINT AS bits, n::BIGINT AS n_frames,
+        |  (ch * bsum)::BIGINT AS sample_sum
         |FROM s""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, source FROM documents

@@ -167,6 +167,108 @@ object Multimodal {
       .toDF()
   }
 
+  /** Decoded audio facts read out of the byte stream itself. */
+  final case class AudioDecode(
+      id: Long,
+      n_bytes: Long,
+      sample_rate: Long,
+      channels: Long,
+      bits: Long,
+      n_frames: Long,
+      sample_sum: Long
+  )
+
+  /** Encode (id, text) rows as REAL RIFF/WAVE files: "RIFF" header,
+    * 16-byte PCM "fmt " chunk, "data" chunk. Each payload byte becomes
+    * one audio frame whose 16-bit little-endian sample value is
+    * (byte − 128)·256, duplicated across channels; channel count
+    * (1 + n % 2) and sample rate (8000 + 100·(n % 17)) are
+    * deterministic in the byte length so an oracle can recompute them
+    * without parsing. */
+  def encodeWavFromText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = payload.length
+        val channels = 1 + n % 2
+        val sampleRate = 8000 + 100 * (n % 17)
+        val bits = 16
+        val blockAlign = channels * bits / 8
+        val dataSize = n * blockAlign
+        val fileSize = 44 + dataSize
+        val buf = java.nio.ByteBuffer.allocate(fileSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes).putInt(fileSize - 8).put("WAVE".getBytes)
+        buf.put("fmt ".getBytes).putInt(16)
+        buf.putShort(1)                       // PCM
+        buf.putShort(channels.toShort)
+        buf.putInt(sampleRate)
+        buf.putInt(sampleRate * blockAlign)   // byte rate
+        buf.putShort(blockAlign.toShort)
+        buf.putShort(bits.toShort)
+        buf.put("data".getBytes).putInt(dataSize)
+        var i = 0
+        while (i < n) {
+          val sample = (((payload(i) & 0xff) - 128) * 256).toShort
+          var c = 0
+          while (c < channels) { buf.putShort(sample); c += 1 }
+          i += 1
+        }
+        MediaRow(id, "audio/wav", buf.array())
+      }
+      .toDF("id", "modality", "content")
+  }
+
+  /** REAL WAV decode: validates the RIFF/WAVE magics, then performs the
+    * genuine chunk walk — (id, size) pairs with RIFF's odd-size pad
+    * byte — picking the "fmt " chunk (PCM format, channel count, sample
+    * rate, bit depth) and the "data" chunk (frame count from
+    * size / block-align; signed sum of every 16-bit little-endian
+    * sample as a decode checksum). Malformed payloads raise. */
+  def decodeWav(spark: SparkSession, media: DataFrame, batchSize: Int = 256): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("id"), col("modality"), col("content"))
+      .as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+        val b = m.content
+        require(b.length >= 12 && new String(b, 0, 4) == "RIFF" && new String(b, 8, 4) == "WAVE",
+          s"not a WAV payload (id=${m.id})")
+        var off = 12
+        var channels = -1; var sampleRate = -1L; var bits = -1; var blockAlign = -1
+        var nFrames = -1L; var sum = 0L
+        while (off + 8 <= b.length) {
+          val ckId = new String(b, off, 4)
+          val ckSize = leU32(b, off + 4).toInt
+          require(off + 8 + ckSize <= b.length, s"truncated chunk $ckId (id=${m.id})")
+          ckId match {
+            case "fmt " =>
+              require(leU16(b, off + 8) == 1, s"not PCM (id=${m.id})")
+              channels = leU16(b, off + 10)
+              sampleRate = leU32(b, off + 12)
+              blockAlign = leU16(b, off + 20)
+              bits = leU16(b, off + 22)
+            case "data" =>
+              require(blockAlign > 0, s"data chunk before fmt (id=${m.id})")
+              nFrames = ckSize.toLong / blockAlign
+              var p = off + 8
+              while (p + 1 < off + 8 + ckSize) {
+                sum += (((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)).toShort.toLong
+                p += 2
+              }
+            case _ => () // skip unknown chunks — the real RIFF contract
+          }
+          off += 8 + ckSize + (ckSize & 1) // odd chunk sizes carry a pad byte
+        }
+        require(channels > 0 && nFrames >= 0, s"missing fmt/data chunk (id=${m.id})")
+        AudioDecode(m.id, b.length.toLong, sampleRate, channels.toLong, bits.toLong,
+          nFrames, sum)
+      }))
+      .toDF()
+  }
+
   /** Batched per-partition feature extraction (batch size mirrors the
     * Arrow batch shape a Pandas-UDF pipeline would use). */
   def extractFeatures(spark: SparkSession, media: DataFrame, batchSize: Int = 256): DataFrame = {

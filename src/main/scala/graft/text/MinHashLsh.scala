@@ -273,10 +273,13 @@ object MinHashLsh {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      // converged when the round was a no-op on the edge set
-      val grew = small.join(edges, Seq("u", "v"), "left_anti").count()
-      val shrank = edges.join(small, Seq("u", "v"), "left_anti").count()
-      converged = grew == 0 && shrank == 0
+      // converged when the round was a no-op on the edge set — ONE job:
+      // count the symmetric difference via a full outer join on (u, v)
+      val diff = edges.withColumn("l", lit(1))
+        .join(small.withColumn("r", lit(1)), Seq("u", "v"), "full_outer")
+        .filter(col("l").isNull || col("r").isNull)
+        .count()
+      converged = diff == 0
       edges = small
       i += 1
     }

@@ -130,6 +130,30 @@ class TextMlSpec extends SparkSpec {
     }
   }
 
+  test("WAV codec round-trip: chunk walk recovers format and signed sample sum") {
+    import spark.implicits._
+    // "abcde": n=5 → channels = 1 + 5%2 = 2, rate = 8000 + 100·(5%17) = 8500,
+    // frames = 5, sum = 2 · Σ(b−128)·256 over bytes 97..101
+    val docs = docsDf(Seq((3L, "abcde")))
+    val media = Multimodal.encodeWavFromText(docs, "doc_id", "text")
+    val dec = Multimodal.decodeWav(spark, media)
+      .select("id", "n_bytes", "sample_rate", "channels", "bits", "n_frames", "sample_sum")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val expectSum = 2L * "abcde".map(c => (c.toInt - 128) * 256L).sum
+    assert(dec == ((3L, 44L + 5 * 4, 8500L, 2L, 16L, 5L, expectSum)))
+    // the decoder's chunk walk must skip unknown chunks: splice a junk
+    // chunk between fmt and data and expect identical output
+    val spliced = media.as[Multimodal.MediaRow].map { m =>
+      val b = m.content
+      val junk = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ Array[Byte](9, 9, 9, 9)
+      m.copy(content = b.slice(0, 36) ++ junk ++ b.slice(36, b.length))
+    }.toDF("id", "modality", "content")
+    val dec2 = Multimodal.decodeWav(spark, spliced)
+      .select("sample_rate", "channels", "n_frames", "sample_sum")
+      .as[(Long, Long, Long, Long)].head()
+    assert(dec2 == ((8500L, 2L, 5L, expectSum)))
+  }
+
   test("hash sampling is deterministic and stratified; chunking covers every token once per window") {
     import spark.implicits._
     // cross-engine pin: DuckDB computes bucket 210 for id=1 with this salt
