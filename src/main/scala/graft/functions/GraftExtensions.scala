@@ -22,7 +22,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.dotProduct)
+    GraftExtensions.all.foreach(ext.injectFunction)
   }
 }
 
@@ -43,11 +43,54 @@ object GraftExtensions {
     }
   )
 
+  /** graft_band_hashes(sig, bands): LSH band-bucket hashes of a
+    * minhash signature. `bands` must be a constant — it fixes the
+    * output arity at plan time, the same contract the Column API has. */
+  val bandHashes: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_band_hashes"),
+    new ExpressionInfo(
+      classOf[BandHashes].getName,
+      null,
+      "graft_band_hashes",
+      "graft_band_hashes(sig, bands) - codegen LSH band-bucket hashes: splits an " +
+        "array<long> minhash signature into `bands` equal slices (bands must be a " +
+        "constant dividing the signature length) and mixes each slice to one long bucket.",
+      ""),
+    { args =>
+      require(args.length == 2, s"graft_band_hashes takes 2 arguments, got ${args.length}")
+      require(args(1).foldable, "graft_band_hashes: `bands` must be a constant")
+      BandHashes(args(0), args(1).eval().asInstanceOf[Number].intValue())
+    }
+  )
+
+  /** graft_int8_quantize(vec): symmetric int8 quantization of an
+    * array<double> vector into (scale, q) — see [[Int8Quantize]]. */
+  val int8Quantize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_int8_quantize"),
+    new ExpressionInfo(
+      classOf[Int8Quantize].getName,
+      null,
+      "graft_int8_quantize",
+      "graft_int8_quantize(v) - codegen symmetric int8 quantization of an array<double> " +
+        "vector: returns struct(scale double, q array<tinyint>) with " +
+        "q_i = floor(v_i/scale + 0.5), scale = max(|v|)/127.",
+      ""),
+    { args =>
+      require(args.length == 1, s"graft_int8_quantize takes 1 argument, got ${args.length}")
+      Int8Quantize(args(0))
+    }
+  )
+
+  /** Everything the extension injects. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(dotProduct, bandHashes, int8Quantize)
+
   /** Register directly on an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry =
       spark.sessionState.functionRegistry
-    val (id, info, builder) = dotProduct
-    registry.registerFunction(id, info, builder)
+    all.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -63,6 +63,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(r(0).getDouble(0) == 32.0)
   }
 
+  test("graft_band_hashes and graft_int8_quantize are callable from SQL") {
+    graft.functions.GraftExtensions.register(spark)
+    // band hashes: SQL form must equal the Column-API form exactly
+    val sigs = Seq((1L, Array(11L, 22L, 33L, 44L))).toDF("id", "sig")
+    sigs.createOrReplaceTempView("ge_sigs")
+    val sqlBuckets = spark.sql("SELECT graft_band_hashes(sig, 2) AS bh FROM ge_sigs")
+      .head().getSeq[Long](0)
+    val apiBuckets = sigs.select(graft.functions.BandHashes.bandHashes($"sig", 2).as("bh"))
+      .head().getSeq[Long](0)
+    assert(sqlBuckets == apiBuckets && sqlBuckets.length == 2)
+    // non-constant bands must be rejected at plan time
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_band_hashes(sig, id) FROM ge_sigs").collect()
+    }
+    assert(err.getMessage.contains("constant"))
+    // int8 quantize: struct(scale, q) with the floor(x+0.5) contract
+    val q = spark.sql(
+      "SELECT graft_int8_quantize(array(0.0D, 63.5D, 127.0D, -127.0D)) AS qz")
+      .select($"qz.scale", $"qz.q").head()
+    assert(q.getDouble(0) == 1.0)
+    assert(q.getSeq[Byte](1) == Seq[Byte](0, 64, 127, -127))
+  }
+
   test("dot stays inside whole-stage codegen") {
     // a range source so the projection isn't folded into a LocalTableScan
     val df = spark.range(100)
