@@ -368,6 +368,21 @@ object QueriesCore {
     } finally q.stop()
   }
 
+  /** Skew-safe aggregation over a LOW-cardinality key: per-event-type
+    * count + exact integer cents sum through [[graft.ops.SaltedAgg]]'s
+    * two-phase salted plan (wide exchange on (type, salt), tiny final
+    * combine on type). The value sum is per-row floored cents, so the
+    * merge is integer-exact and oracle-reproducible regardless of
+    * aggregation order. */
+  private def saltedTypeStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SaltedAgg.countSum(
+      t(spark, dir, "events"),
+      key = col("event_type"),
+      valueCol = floor(col("value") * 100 + 0.5).cast("long"),
+      saltCol = col("user_id"),
+      salts = 16
+    ).select(col("k").as("event_type"), col("n"), col("value_sum"))
+
   /** U1: union of tagged branches. */
   private def u1Union(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
@@ -428,6 +443,7 @@ object QueriesCore {
     "o3_argmax" -> (o3Argmax _),
     "o6_runs" -> (o6Runs _),
     "o8_parity" -> (o8Parity _),
+    "salted_type_stats" -> (saltedTypeStats _),
     "sessionize" -> (sessionize _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
@@ -437,6 +453,10 @@ object QueriesCore {
   )
 
   val oracles: Map[String, String] = Map(
+    "salted_type_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(floor(value * 100 + 0.5)::BIGINT) AS value_sum
+        |FROM events GROUP BY event_type""".stripMargin,
     "x1_partition" ->
       """SELECT n::BIGINT AS n, flavors FROM (VALUES
         |  (1, ''),

@@ -140,6 +140,25 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
   }
 
+  test("salted aggregation: two exchanges, exact equality with the plain groupBy") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val salted = graft.ops.SaltedAgg.countSum(
+        events, col("event_type"), cents, col("user_id"), salts = 16)
+      // plan: wide exchange on (k, salt), tiny combine on k — exactly 2
+      val plan = physicalPlan(salted)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles == 2, s"salted agg has $shuffles exchanges, want 2:\n$plan")
+      val got = salted.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val plain = events.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents).as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == plain, "salted aggregate diverged from plain groupBy")
+    } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+  }
+
   test("filter and projection push down to the parquet scan") {
     val q = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .filter(col("l_quantity") > 30.0)
