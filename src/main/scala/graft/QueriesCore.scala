@@ -383,6 +383,27 @@ object QueriesCore {
       salts = 16
     ).select(col("k").as("event_type"), col("n"), col("value_sum"))
 
+  /** AS-OF join over the event stream: each click annotated with the
+    * user's most recent prior (inclusive) purchase — DuckDB checks it
+    * with its native ASOF LEFT JOIN, Spark runs
+    * [[graft.ops.AsOfJoin.lastPrior]]'s single-exchange union-carry
+    * plan. Purchases are deduped to max event_id per (user, second) on
+    * both sides so the match is deterministic. */
+  private def asofPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("sec", expr("ts div 1000000000"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "sec")
+      .agg(max("event_id").as("event_id"))
+    graft.ops.AsOfJoin.lastPrior(clicks, purchases, "user_id", "sec", "event_id")
+      .select(
+        col("id").as("event_id"), col("k").as("user_id"), col("t").as("sec"),
+        col("asof_id").as("last_purchase_id"),
+        (col("t") - col("asof_ts")).as("gap_sec"))
+  }
+
   /** U1: union of tagged branches. */
   private def u1Union(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
@@ -443,6 +464,7 @@ object QueriesCore {
     "o3_argmax" -> (o3Argmax _),
     "o6_runs" -> (o6Runs _),
     "o8_parity" -> (o8Parity _),
+    "asof_purchase" -> (asofPurchase _),
     "salted_type_stats" -> (saltedTypeStats _),
     "sessionize" -> (sessionize _),
     "stream_sessionize" -> (streamSessionize _),
@@ -453,6 +475,15 @@ object QueriesCore {
   )
 
   val oracles: Map[String, String] = Map(
+    "asof_purchase" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec, event_type FROM events),
+        |l AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'click'),
+        |r AS (SELECT user_id, sec, max(event_id) AS r_id FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.sec, r.r_id AS last_purchase_id,
+        |  (l.sec - r.sec)::BIGINT AS gap_sec
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.sec <= l.sec""".stripMargin,
     "salted_type_stats" ->
       """SELECT event_type, count(*) AS n,
         |  sum(floor(value * 100 + 0.5)::BIGINT) AS value_sum
