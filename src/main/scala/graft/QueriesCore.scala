@@ -383,6 +383,30 @@ object QueriesCore {
       salts = 16
     ).select(col("k").as("event_type"), col("n"), col("value_sum"))
 
+  /** Exact discrete percentiles (p50/p90/p99 of extended price per
+    * return flag) by explicit rank arithmetic — the SAME index formula
+    * on both engines (rank = floor(p·(n−1)) + 1 over the ascending
+    * sort), so no interpolation-definition drift between Spark
+    * `percentile` and DuckDB `quantile_*` can bite. Exact percentiles
+    * inherently sort each group (one exchange + sort here); at 100 TB
+    * the approximate `percentile_approx` sketch is the scale path, but
+    * its t-digest output is implementation-defined and not
+    * oracle-exact, so the conformance query pins the exact form. */
+  private def percentilesPrice(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val ranked = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+    def at(p: Double) = floor(lit(p) * (col("n") - 1)).cast("long") + 1
+    ranked
+      .groupBy("l_returnflag")
+      .agg(
+        max(when(col("rn") === at(0.5), col("l_extendedprice"))).as("p50"),
+        max(when(col("rn") === at(0.9), col("l_extendedprice"))).as("p90"),
+        max(when(col("rn") === at(0.99), col("l_extendedprice"))).as("p99"))
+  }
+
   /** AS-OF join over the event stream: each click annotated with the
     * user's most recent prior (inclusive) purchase — DuckDB checks it
     * with its native ASOF LEFT JOIN, Spark runs
@@ -465,6 +489,7 @@ object QueriesCore {
     "o6_runs" -> (o6Runs _),
     "o8_parity" -> (o8Parity _),
     "asof_purchase" -> (asofPurchase _),
+    "percentiles_price" -> (percentilesPrice _),
     "salted_type_stats" -> (saltedTypeStats _),
     "sessionize" -> (sessionize _),
     "stream_sessionize" -> (streamSessionize _),
@@ -484,6 +509,17 @@ object QueriesCore {
         |SELECT l.event_id, l.user_id, l.sec, r.r_id AS last_purchase_id,
         |  (l.sec - r.sec)::BIGINT AS gap_sec
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.sec <= l.sec""".stripMargin,
+    "percentiles_price" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = floor(0.5 * (n - 1))::BIGINT + 1 THEN l_extendedprice END) AS p50,
+        |  max(CASE WHEN rn = floor(0.9 * (n - 1))::BIGINT + 1 THEN l_extendedprice END) AS p90,
+        |  max(CASE WHEN rn = floor(0.99 * (n - 1))::BIGINT + 1 THEN l_extendedprice END) AS p99
+        |FROM s GROUP BY l_returnflag""".stripMargin,
     "salted_type_stats" ->
       """SELECT event_type, count(*) AS n,
         |  sum(floor(value * 100 + 0.5)::BIGINT) AS value_sum
