@@ -383,6 +383,24 @@ object QueriesCore {
       salts = 16
     ).select(col("k").as("event_type"), col("n"), col("value_sum"))
 
+  /** Range join over the event stream: every (click, purchase) pair of
+    * the same user within ±300 s, through
+    * [[graft.ops.IntervalJoin.pointInInterval]]'s bucket-replicated
+    * equi-join (bucket = 600 s ≈ interval width → ≤2 replicas per
+    * interval). The oracle is the plain inequality join. */
+  private def intervalClickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").withColumn("sec", expr("ts div 1000000000"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec").as("t"), col("event_id").as("id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), (col("sec") - 300).as("lo"), (col("sec") + 300).as("hi"),
+        col("event_id").as("id"))
+    graft.ops.IntervalJoin.pointInInterval(clicks, purchases, "user_id", bucket = 600L)
+      .select(
+        col("p_id").as("click_id"), col("i_id").as("purchase_id"),
+        col("k").as("user_id"), (col("t") - col("lo") - 300).as("dt_sec"))
+  }
+
   /** Exact discrete percentiles (p50/p90/p99 of extended price per
     * return flag) by explicit rank arithmetic — the SAME index formula
     * on both engines (rank = floor(p·(n−1)) + 1 over the ascending
@@ -489,6 +507,7 @@ object QueriesCore {
     "o6_runs" -> (o6Runs _),
     "o8_parity" -> (o8Parity _),
     "asof_purchase" -> (asofPurchase _),
+    "interval_click_purchase" -> (intervalClickPurchase _),
     "percentiles_price" -> (percentilesPrice _),
     "salted_type_stats" -> (saltedTypeStats _),
     "sessionize" -> (sessionize _),
@@ -509,6 +528,15 @@ object QueriesCore {
         |SELECT l.event_id, l.user_id, l.sec, r.r_id AS last_purchase_id,
         |  (l.sec - r.sec)::BIGINT AS gap_sec
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.sec <= l.sec""".stripMargin,
+    "interval_click_purchase" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec, event_type FROM events)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  (c.sec - p.sec)::BIGINT AS dt_sec
+        |FROM e c JOIN e p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.sec BETWEEN p.sec - 300 AND p.sec + 300""".stripMargin,
     "percentiles_price" ->
       """WITH s AS (
         |  SELECT l_returnflag, l_extendedprice,
