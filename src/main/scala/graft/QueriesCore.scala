@@ -368,6 +368,43 @@ object QueriesCore {
     } finally q.stop()
   }
 
+  /** Streaming exact COUNT(DISTINCT) parity: per-(5-minute window,
+    * type) distinct users through the stateful set operator (built-in
+    * streaming aggregates refuse distinct), fed and closed out exactly
+    * like the other streaming parity queries, vs the batch
+    * count(DISTINCT) oracle. */
+  private def streamDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = t(spark, dir, "events")
+      .withColumn("sec", expr("ts div 1000000000"))
+      .select(col("user_id"), col("sec"), col("event_type"))
+      .orderBy("sec", "user_id")
+      .as[(Long, Long, String)]
+      .collect()
+    val maxSec = rows.iterator.map(_._2).max
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type")
+    val queryName = "stream_du_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.distinctUsers(spark, df)
+      .writeStream.format("memory").queryName(queryName).outputMode("append").start()
+    try {
+      val data = rows.map { case (u, sec, et) => (new java.sql.Timestamp(sec * 1000), u, et) }
+      val (h1, h2) = data.splitAt(data.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp((maxSec + 1200) * 1000), -1L, "s")))
+      q.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp((maxSec + 3000) * 1000), -1L, "s")))
+      q.processAllAvailable()
+      spark.table(queryName)
+        .filter(col("window_start") <= maxSec)
+        .select("window_start", "event_type", "n_users")
+        .localCheckpoint(eager = true)
+    } finally q.stop()
+  }
+
   /** Skew-safe aggregation over a LOW-cardinality key: per-event-type
     * count + exact integer cents sum through [[graft.ops.SaltedAgg]]'s
     * two-phase salted plan (wide exchange on (type, salt), tiny final
@@ -513,6 +550,7 @@ object QueriesCore {
     "sessionize" -> (sessionize _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
+    "stream_distinct_users" -> (streamDistinctUsers _),
     "u1_union" -> (u1Union _),
     "u2_mirror" -> (u2Mirror _),
     "x1_partition" -> (x1Partition _)
@@ -537,6 +575,10 @@ object QueriesCore {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND c.sec BETWEEN p.sec - 300 AND p.sec + 300""".stripMargin,
+    "stream_distinct_users" ->
+      """SELECT (floor(epoch(ts))::BIGINT // 300) * 300 AS window_start, event_type,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "percentiles_price" ->
       """WITH s AS (
         |  SELECT l_returnflag, l_extendedprice,

@@ -15,6 +15,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    equivalent of the batch gaps-and-islands `sessionize` query),
   *  - first-seen-wins exact dedup keyed by content hash (the streaming
   *    analog of the batch `dedup_exact`),
+  *  - exact windowed COUNT(DISTINCT) via stateful sets (built-in
+  *    streaming aggregates refuse distinct),
   * over any streaming DataFrame with the matching columns — file,
   * rate, or MemoryStream sources.
   *
@@ -65,6 +67,49 @@ object EventStreams {
           else {
             state.update(true)
             Iterator.single(KeepOut(rows.minBy(_.doc_id).doc_id, h))
+          }
+        }
+      )
+  }
+
+  final case class WinEv(ts: java.sql.Timestamp, event_type: String, user_id: Long)
+  final case class DistinctOut(window_start: Long, event_type: String, n_users: Long)
+
+  /** EXACT distinct users per (tumbling window, event type) — the
+    * streaming COUNT(DISTINCT) Spark's built-in streaming aggregates
+    * refuse (distinct aggregation is unsupported on streams). State is
+    * the per-(window, type) user-id set, held until the watermark
+    * passes the window end (event-time timeout), then emitted once as
+    * a final count — so results are append-mode final, not retracting
+    * partials. State shards by (window, type) key; at very high
+    * per-window cardinality the same hook takes a sketch (HLL) instead
+    * of the exact set — the exact form is the conformance pin. */
+  def distinctUsers(spark: SparkSession, events: DataFrame, windowSec: Long = 300,
+                    watermark: String = "10 minutes"): Dataset[DistinctOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      // the watermarked ts column must flow INTO the stateful operator
+      // (a derived column loses the watermark metadata and the
+      // event-time-timeout checker rejects the plan)
+      .selectExpr("ts", "event_type", "cast(user_id as long) user_id")
+      .as[WinEv]
+      .groupByKey(e => (e.ts.getTime / 1000 / windowSec * windowSec, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (key: (Long, String), rows: Iterator[WinEv], state: GroupState[Seq[Long]]) => {
+          if (state.hasTimedOut) {
+            val users = state.get
+            state.remove()
+            Iterator.single(DistinctOut(key._1, key._2, users.distinct.length.toLong))
+          } else {
+            val merged = (state.getOption.getOrElse(Seq.empty) ++ rows.map(_.user_id))
+              .distinct
+            state.update(merged)
+            // fire once the watermark passes the window end; a timeout
+            // in the past is illegal, so clamp just above the watermark
+            val endMs = (key._1 + windowSec) * 1000
+            state.setTimeoutTimestamp(math.max(endMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
           }
         }
       )
