@@ -498,6 +498,17 @@ object QueriesCore {
       .agg(count(lit(1)).as("n"), round(sum("x"), 6).as("x_sum"), round(sum(abs(col("x"))), 2).as("abs_sum"))
   }
 
+  /** CUBE rollup over orders: counts and integer-cents totals for every
+    * (status, priority) combination plus both one-dimensional margins
+    * and the grand total — the grouping-sets surface (ROLLUP is covered
+    * by `area_rollup`). Cents are floored per row so every margin is
+    * integer-exact across engines. */
+  private def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+
   /** P4: deg → rad (ETL.py:40-41) over the angles the reference
     * actually rotates by — the inner/outer attachment and service
     * angles of dee_geometry.py — plus the axes. Closes the one
@@ -544,6 +555,7 @@ object QueriesCore {
     "o6_runs" -> (o6Runs _),
     "o8_parity" -> (o8Parity _),
     "asof_purchase" -> (asofPurchase _),
+    "cube_orders" -> (cubeOrders _),
     "interval_click_purchase" -> (intervalClickPurchase _),
     "percentiles_price" -> (percentilesPrice _),
     "salted_type_stats" -> (saltedTypeStats _),
@@ -566,6 +578,10 @@ object QueriesCore {
         |SELECT l.event_id, l.user_id, l.sec, r.r_id AS last_purchase_id,
         |  (l.sec - r.sec)::BIGINT AS gap_sec
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.sec <= l.sec""".stripMargin,
+    "cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS cents_sum
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "interval_click_purchase" ->
       """WITH e AS (
         |  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec, event_type FROM events)

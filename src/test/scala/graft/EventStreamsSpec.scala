@@ -30,6 +30,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming distinct users: per-window sets dedup across micro-batches, emit on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.distinctUsers(spark, df)
+      .writeStream.format("memory").queryName("du").outputMode("append").start()
+    try {
+      // same user twice in one batch + again in a second batch, same
+      // 5-minute window → must count once; a second user counts too
+      mem.addData((ts(0), 1L, "click"), (ts(1), 1L, "click"), (ts(2), 2L, "click"))
+      q.processAllAvailable()
+      mem.addData((ts(3), 1L, "click"), (ts(4), 3L, "view"))
+      q.processAllAvailable()
+      // push the watermark (10 min) past the window ends, then trigger
+      mem.addData((ts(60), 9L, "s")); q.processAllAvailable()
+      mem.addData((ts(120), 9L, "s")); q.processAllAvailable()
+      val rows = spark.table("du").select("event_type", "n_users")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows.contains(("click", 2L)), s"got $rows")
+      assert(rows.contains(("view", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and emits rollups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
