@@ -270,6 +270,20 @@ object QueriesText {
     Multimodal.decodeWav(spark, media)
   }
 
+  /** Decode → nearest-neighbor resize to 8×8 → re-encode → decode
+    * round trip through the real BMP codec; the oracle recomputes the
+    * sampled-pixel byte sum by index arithmetic straight off the
+    * source text, so a sampling/offset/stride bug on any of the three
+    * codec passes mismatches. */
+  private def mmResizeBmp(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.encodeBmpFromText(docs(spark, dir), "doc_id", "text")
+    Multimodal.decodeBmp(spark, Multimodal.resizeBmp(spark, media, outW = 8, outH = 8))
+  }
+
+  /** True Rabin–Karp rolling-hash fingerprint over normalized bytes. */
+  private def fingerprintRolling(spark: SparkSession, dir: String): DataFrame =
+    TextOps.rollingHash(docs(spark, dir), "doc_id", "text")
+
   /** Pipeline composition: corpus filter — keep docs predicted 'en'
     * with quality above threshold and ≥ 30 tokens. */
   private def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
@@ -336,6 +350,8 @@ object QueriesText {
     "mm_frames" -> (mmFrames _),
     "mm_decode_bmp" -> (mmDecodeBmp _),
     "mm_decode_wav" -> (mmDecodeWav _),
+    "mm_resize_bmp" -> (mmResizeBmp _),
+    "fingerprint_rolling" -> (fingerprintRolling _),
     "sample_stratified" -> (sampleStratified _),
     "chunk_docs" -> (chunkDocs _),
     "distinctive_terms" -> (distinctiveTerms _)
@@ -601,6 +617,36 @@ object QueriesText {
         |  h::BIGINT AS height, 3::BIGINT AS channels,
         |  (3 * w * h)::BIGINT AS pixel_bytes, psum::BIGINT AS pixel_sum
         |FROM s""".stripMargin,
+    "mm_resize_bmp" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+        |  FROM documents),
+        |d AS (
+        |  SELECT id, n, hx, 8 + n % 9 AS w,
+        |    greatest(1, (n + 3 * (8 + n % 9) - 1) // (3 * (8 + n % 9))) AS h
+        |  FROM t),
+        |s AS (
+        |  SELECT id, list_sum(flatten(list_transform(range(0, 8), r ->
+        |    list_transform(range(0, 8), c ->
+        |      list_sum(list_transform(range(0, 3), ch ->
+        |        CASE WHEN ((r * h) // 8) * 3 * w + ((c * w) // 8) * 3 + ch < n
+        |             THEN ('0x' || substr(hx,
+        |               (((r * h) // 8) * 3 * w + ((c * w) // 8) * 3 + ch) * 2 + 1, 2))::BIGINT
+        |             ELSE 0 END)))))) AS psum
+        |  FROM d)
+        |SELECT id, 246::BIGINT AS n_bytes, 8::BIGINT AS width, 8::BIGINT AS height,
+        |  3::BIGINT AS channels, 192::BIGINT AS pixel_bytes, psum::BIGINT AS pixel_sum
+        |FROM s""".stripMargin,
+    "fingerprint_rolling" ->
+      """WITH t AS (
+        |  SELECT doc_id, hex(encode(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS hx
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, list_transform(range(1, length(hx) // 2 + 1),
+        |    i -> ('0x' || substr(hx, (i - 1) * 2 + 1, 2))::BIGINT) AS bs
+        |  FROM t)
+        |SELECT doc_id, coalesce(list_reduce(bs, (a, b) -> (a * 31 + b) % 1000000007), 0)::BIGINT AS rh
+        |FROM b""".stripMargin,
     "mm_decode_wav" ->
       """WITH t AS (
         |  SELECT doc_id AS id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx

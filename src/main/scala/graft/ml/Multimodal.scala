@@ -167,6 +167,68 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL nearest-neighbor resize: decode the BMP (header parse +
+    * de-padded pixel extraction), sample source pixels at
+    * src = floor(dst · srcDim / dstDim) per axis, and RE-ENCODE the
+    * result as a genuine BMP with its own stride padding — the
+    * decode→transform→encode round trip an image pipeline performs,
+    * running batched per partition like the other codec hooks. */
+  def resizeBmp(spark: SparkSession, media: DataFrame, outW: Int, outH: Int,
+                batchSize: Int = 256): DataFrame = {
+    import spark.implicits._
+    require(outW > 0 && outH > 0, s"bad output dims $outW x $outH")
+    media
+      .select(col("id"), col("modality"), col("content"))
+      .as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+        val b = m.content
+        require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
+          s"not a BMP payload (id=${m.id})")
+        val pixelOff = leU32(b, 10).toInt
+        val width = leU32(b, 18).toInt
+        val height = leU32(b, 22).toInt
+        val channels = leU16(b, 28) / 8
+        val rowBytes = width * channels
+        val stride = ((rowBytes + 3) / 4) * 4
+        // de-padded source pixel array, file row order
+        val pix = new Array[Byte](rowBytes * height)
+        var r = 0
+        while (r < height) {
+          System.arraycopy(b, pixelOff + r * stride, pix, r * rowBytes, rowBytes)
+          r += 1
+        }
+        val outRowBytes = outW * channels
+        val outStride = ((outRowBytes + 3) / 4) * 4
+        val outSize = 54 + outStride * outH
+        val buf = java.nio.ByteBuffer.allocate(outSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put('B'.toByte).put('M'.toByte)
+        buf.putInt(outSize).putShort(0).putShort(0).putInt(54)
+        buf.putInt(40).putInt(outW).putInt(outH)
+        buf.putShort(1).putShort((channels * 8).toShort)
+        buf.putInt(0).putInt(outStride * outH)
+        buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+        var or = 0
+        while (or < outH) {
+          val srcR = or * height / outH
+          var oc = 0
+          while (oc < outW) {
+            val srcC = oc * width / outW
+            var ch = 0
+            while (ch < channels) {
+              buf.put(pix(srcR * rowBytes + srcC * channels + ch))
+              ch += 1
+            }
+            oc += 1
+          }
+          var p = outRowBytes
+          while (p < outStride) { buf.put(0.toByte); p += 1 }
+          or += 1
+        }
+        MediaRow(m.id, m.modality, buf.array())
+      }))
+      .toDF("id", "modality", "content")
+  }
+
   /** Decoded audio facts read out of the byte stream itself. */
   final case class AudioDecode(
       id: Long,

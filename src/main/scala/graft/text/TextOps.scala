@@ -111,6 +111,37 @@ object TextOps {
       substring(reverse(norm), 1, 50)))
   }
 
+  /** TRUE polynomial rolling hash (Rabin–Karp) over the normalized
+    * text's UTF-8 bytes: h = fold(h·31 + byte) mod 1e9+7, seeded with
+    * the first byte — the incremental-update fingerprint family a
+    * dedup pipeline slides over windows (vs [[fingerprint]]'s
+    * structural md5). Runs as a typed map (one byte pass per row, all
+    * Long arithmetic, overflow-free under ANSI: h < 1e9+7 so
+    * h·31 + 255 < 2^35). Empty text hashes to 0. The oracle replicates
+    * the identical fold with DuckDB `list_reduce`. */
+  def rollingHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val M = 1000000007L
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val stripped = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+        val norm = stripped.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+        val bytes = norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var h = 0L
+        var started = false
+        var i = 0
+        while (i < bytes.length) {
+          val v = bytes(i) & 0xffL
+          h = if (!started) { started = true; v % M } else (h * 31 + v) % M
+          i += 1
+        }
+        (id, h)
+      }
+      .toDF(idCol, "rh")
+  }
+
   /** Deterministic per-mille hash bucket in [0, 1000) for sampling:
     * the top 60 bits of md5(id ‖ salt) mod 1000. Unlike `rand()`-based
     * sampling this is reproducible across runs, engines, partitionings,

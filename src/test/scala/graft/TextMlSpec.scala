@@ -130,6 +130,20 @@ class TextMlSpec extends SparkSpec {
     }
   }
 
+  test("BMP resize: nearest-neighbor sampling with re-encoded stride, hand-checked") {
+    import spark.implicits._
+    // n=5 ("abcde") → source w=13, h=1; resize to 2x2: every out row samples
+    // src row 0; out cols 0,1 sample src cols floor(0*13/2)=0 and floor(1*13/2)=6.
+    // src pixel 0 bytes = payload[0..2] = 'a','b','c'; src pixel 6 bytes =
+    // payload[18..20] = 0,0,0 (zero pad past n=5).
+    val media = Multimodal.encodeBmpFromText(docsDf(Seq((5L, "abcde"))), "doc_id", "text")
+    val out = Multimodal.decodeBmp(spark, Multimodal.resizeBmp(spark, media, 2, 2))
+      .select("width", "height", "pixel_bytes", "pixel_sum")
+      .as[(Long, Long, Long, Long)].head()
+    val expectSum = 2L * ("abc".map(_.toLong).sum + 0L)
+    assert(out == ((2L, 2L, 12L, expectSum)))
+  }
+
   test("WAV codec round-trip: chunk walk recovers format and signed sample sum") {
     import spark.implicits._
     // "abcde": n=5 → channels = 1 + 5%2 = 2, rate = 8000 + 100·(5%17) = 8500,
