@@ -327,9 +327,30 @@ object QueriesText {
       .select("keep_id", "cluster_size")
   }
 
+  /** Quality-aware transitive dedup: per duplicate cluster keep the
+    * HIGHEST-quality doc (tie → smallest id) — the curation policy real
+    * pipelines want (min-id keep is an arbitrary survivor). Composes
+    * components × the quality model; emits one row per cluster. */
+  private def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = MinHashLsh.verifiedPairs(d, "doc_id", "text", tau = 0.8)
+    val comp = MinHashLsh.components(pairs)
+    val quality = TextOps.withQuality(d, col("text")).select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(desc("quality"), col("id"))
+    comp.join(quality, comp("id") === quality("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("component")))
+      .filter(col("rk") === 1)
+      .select(col("id").as("keep_id"), col("cluster_size"),
+        round(col("quality"), 6).as("best_quality"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "corpus_filter" -> (corpusFilter _),
     "corpus_report" -> (corpusReport _),
     "dedup_exact" -> (dedupExact _),
@@ -436,6 +457,44 @@ object QueriesText {
           |SELECT comp AS keep_id, count(*) AS cluster_size FROM (
           |  SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src)
           |GROUP BY comp""".stripMargin),
+    "dedup_keep_best" ->
+      (shingleCte +
+        """,
+          |vp AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+          |e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+          |cl AS (
+          |  WITH RECURSIVE closure(src, dst) AS (
+          |    SELECT a AS src, b AS dst FROM e
+          |    UNION
+          |    SELECT closure.src, e.b AS dst FROM closure JOIN e ON e.a = closure.dst
+          |      WHERE e.b <> closure.src
+          |  ) SELECT * FROM closure),
+          |labels AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src),
+          |qt AS (
+          |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+          |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+          |  FROM documents),
+          |qs AS (
+          |  SELECT doc_id, len(w) AS n_tokens,
+          |    length(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::DOUBLE / length(norm) AS punct_ratio,
+          |    len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE / len(w) AS stop_ratio
+          |  FROM qt),
+          |qq AS (
+          |  SELECT doc_id,
+          |    round(0.5 * least(stop_ratio * 3, 1.0) + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+          |          + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) AS quality
+          |  FROM qs),
+          |ranked AS (
+          |  SELECT labels.id, labels.comp, qq.quality,
+          |    row_number() OVER (PARTITION BY comp ORDER BY qq.quality DESC, labels.id) AS rk,
+          |    count(*) OVER (PARTITION BY comp) AS cluster_size
+          |  FROM labels JOIN qq ON qq.doc_id = labels.id)
+          |SELECT id AS keep_id, cluster_size::BIGINT AS cluster_size,
+          |  round(quality, 6) AS best_quality
+          |FROM ranked WHERE rk = 1""".stripMargin),
     "corpus_filter" ->
       (qualityCte +
         """
