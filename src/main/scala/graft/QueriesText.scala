@@ -327,6 +327,43 @@ object QueriesText {
       .select("keep_id", "cluster_size")
   }
 
+  /** CAPSTONE pipeline composition — the full curation chain a
+    * training corpus runs, as ONE query: quality/language filter →
+    * exact dedup (min id per normalized text) → transitive near-dedup
+    * (LSH components, min id per cluster) → sliding-window chunking →
+    * per-source shard stats (docs kept, chunks, chunk tokens). The
+    * oracle recomputes every stage, deriving the chunk counts in
+    * closed form (i_max = (n−11)/20 for n>30; tokens = n + 10·i_max),
+    * so the windowing code is cross-checked against arithmetic. */
+  private def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val q = TextOps.withQuality(d, col("text"))
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .filter(col("lang_pred") === "en" && col("quality") > 0.5 && col("n_tokens") >= 30)
+      .select("doc_id", "source", "text")
+    val exactKept = q
+      .groupBy(TextOps.normText(col("text")).as("t"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val kept1 = q.join(exactKept, Seq("doc_id"))
+    val pairs = MinHashLsh.verifiedPairs(kept1, "doc_id", "text", tau = 0.8)
+    val comp = MinHashLsh.components(pairs)
+    val drop = comp
+      .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
+      .filter(col("id") =!= col("keep"))
+      .select(col("id").as("doc_id"))
+    val kept = kept1.join(drop, Seq("doc_id"), "left_anti")
+    val chunkStats = TextOps.chunk(kept, "doc_id", "text", size = 30, overlap = 10)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("chunk_tokens"))
+    kept.select("doc_id", "source")
+      .join(chunkStats, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chunks").as("n_chunks"),
+        sum("chunk_tokens").as("chunk_tokens"))
+  }
+
   /** Quality-aware transitive dedup: per duplicate cluster keep the
     * HIGHEST-quality doc (tie → smallest id) — the curation policy real
     * pipelines want (min-id keep is an arbitrary survivor). Composes
@@ -351,6 +388,7 @@ object QueriesText {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),
     "dedup_keep_best" -> (dedupKeepBest _),
+    "corpus_pipeline" -> (corpusPipeline _),
     "corpus_filter" -> (corpusFilter _),
     "corpus_report" -> (corpusReport _),
     "dedup_exact" -> (dedupExact _),
@@ -457,6 +495,62 @@ object QueriesText {
           |SELECT comp AS keep_id, count(*) AS cluster_size FROM (
           |  SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src)
           |GROUP BY comp""".stripMargin),
+    "corpus_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, text, norm, w, len(w) AS n_tokens,
+        |    length(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::DOUBLE / length(norm) AS punct_ratio,
+        |    len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE / len(w) AS stop_ratio,
+        |    list_distinct(w) AS dw
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, source, norm, w, n_tokens
+        |  FROM s
+        |  WHERE round(0.5 * least(stop_ratio * 3, 1.0) + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+        |          + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) > 0.5
+        |    AND n_tokens >= 30
+        |    AND NOT regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) > 0
+        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) >=
+        |        greatest(
+        |          len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])),
+        |          len(list_intersect(dw, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])),
+        |          len(list_intersect(dw, ['le','la','les','et','est','pas','pour','dans','un','une'])),
+        |          len(list_intersect(dw, ['el','la','los','y','es','no','por','para','un','una'])))),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY norm),
+        |k1 AS (SELECT f.* FROM f JOIN ex USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |      ELSE [] END AS sgl
+        |  FROM k1),
+        |vp AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sgl, b.sgl))::DOUBLE / len(list_distinct(list_concat(a.sgl, b.sgl))) >= 0.8),
+        |e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+        |cl AS (
+        |  WITH RECURSIVE closure(src, dst) AS (
+        |    SELECT a AS src, b AS dst FROM e
+        |    UNION
+        |    SELECT closure.src, e.b AS dst FROM closure JOIN e ON e.a = closure.dst
+        |      WHERE e.b <> closure.src
+        |  ) SELECT * FROM closure),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src),
+        |k AS (
+        |  SELECT * FROM k1
+        |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)),
+        |c AS (
+        |  SELECT source, n_tokens AS n,
+        |    CASE WHEN n_tokens > 30 THEN (n_tokens - 11) // 20 ELSE 0 END AS imax
+        |  FROM k)
+        |SELECT source, count(*) AS n_docs, sum(imax + 1)::BIGINT AS n_chunks,
+        |  sum(n + 10 * imax)::BIGINT AS chunk_tokens
+        |FROM c GROUP BY source""".stripMargin,
     "dedup_keep_best" ->
       (shingleCte +
         """,
