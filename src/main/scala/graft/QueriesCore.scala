@@ -580,7 +580,7 @@ object QueriesCore {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.sec <= l.sec""".stripMargin,
     "cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS cents_sum
+        |  sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents_sum
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "interval_click_purchase" ->
       """WITH e AS (
@@ -608,7 +608,7 @@ object QueriesCore {
         |FROM s GROUP BY l_returnflag""".stripMargin,
     "salted_type_stats" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(floor(value * 100 + 0.5)::BIGINT) AS value_sum
+        |  sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS value_sum
         |FROM events GROUP BY event_type""".stripMargin,
     "x1_partition" ->
       """SELECT n::BIGINT AS n, flavors FROM (VALUES

@@ -26,13 +26,13 @@ object QueriesDomain {
   /** Memoized per session: the D2 reconstruction chain (windows over a
     * ≤2k-row dim table) feeds six conformance queries — build once. */
   private def d2Sensors(spark: SparkSession): DataFrame =
-    d2Cache.getOrElseUpdate(spark, {
+    d2Cache.getOrElseUpdate(spark, ()) {
       val centers = Layouts.faceCenters(spark, "disk1", "back")
       SmReconstruct.reconstruct(spark, centers).localCheckpoint(eager = true)
-    })
+    }
 
   private val d2Cache =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
+    new graft.util.SessionCache[Unit, DataFrame]
 
   /** Acceptance stats over the exact seed-42 reference particle sample
     * (sparse path: the particle table is scanned, never exchanged). */

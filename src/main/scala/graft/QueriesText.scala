@@ -714,7 +714,8 @@ object QueriesText {
     "ann_topk_q8" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS sc FROM e),
-        |qz AS (SELECT vec_id, list_transform(v, x -> floor(x / sc + 0.5)) AS qv FROM s),
+        |qz AS (SELECT vec_id, list_transform(v,
+        |    x -> CASE WHEN sc = 0 THEN 0 ELSE floor(x / sc + 0.5) END) AS qv FROM s),
         |q AS (SELECT * FROM qz WHERE vec_id % 50 = 0),
         |scored AS (
         |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
@@ -728,7 +729,8 @@ object QueriesText {
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS sc FROM e),
-        |q AS (SELECT vec_id, sc, list_transform(v, x -> floor(x / sc + 0.5)) AS qs FROM s)
+        |q AS (SELECT vec_id, sc, list_transform(v,
+        |    x -> CASE WHEN sc = 0 THEN 0 ELSE floor(x / sc + 0.5) END) AS qs FROM s)
         |SELECT vec_id, floor(sc * 1e6 + 0.5)::BIGINT AS scale_ppm,
         |  list_sum(qs)::BIGINT AS q_sum,
         |  list_sum(list_transform(qs, x -> abs(x)))::BIGINT AS q_l1,

@@ -25,6 +25,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `verifiedPairs` output (oracle-checked), only the constant factor.
   */
 case class BandHashes(child: Expression, bands: Int) extends UnaryExpression {
+  require(bands > 0, s"graft_band_hashes: bands must be positive, got $bands")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_band_hashes"
@@ -32,6 +33,10 @@ case class BandHashes(child: Expression, bands: Int) extends UnaryExpression {
   /** xxhash64 finalization-style mixing; plain compiled loops. */
   def compute(sig: ArrayData): ArrayData = {
     val n = sig.numElements()
+    if (n % bands != 0)
+      throw new IllegalArgumentException(
+        s"graft_band_hashes: bands ($bands) must divide the signature length ($n); " +
+          "a non-divisor would silently drop trailing signature elements")
     val rows = n / bands
     val out = new Array[Long](bands)
     var b = 0

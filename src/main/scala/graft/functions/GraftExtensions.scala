@@ -59,7 +59,9 @@ object GraftExtensions {
     { args =>
       require(args.length == 2, s"graft_band_hashes takes 2 arguments, got ${args.length}")
       require(args(1).foldable, "graft_band_hashes: `bands` must be a constant")
-      BandHashes(args(0), args(1).eval().asInstanceOf[Number].intValue())
+      val bands = args(1).eval().asInstanceOf[Number].intValue()
+      require(bands > 0, s"graft_band_hashes: bands must be positive, got $bands")
+      BandHashes(args(0), bands)
     }
   )
 

@@ -75,11 +75,10 @@ object LayoutYaml {
     * queries read — one parse per session, like the reference's one
     * `load()` per run. */
   def read(spark: SparkSession, path: String): DataFrame =
-    cache.getOrElseUpdate((spark, path), {
+    cache.getOrElseUpdate(spark, path) {
       import spark.implicits._
       parse(path).toDF().localCheckpoint(eager = true)
-    })
+    }
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val cache = new graft.util.SessionCache[String, DataFrame]
 }

@@ -301,13 +301,13 @@ object DeeTiling {
     * Memoized per (session, variant) like [[tileUpdatedLayout]]. */
   def tileLayout(spark: SparkSession, layout: String, seal: Boolean = false,
                  noFeedthrough: Boolean = false): DataFrame =
-    tileCache.getOrElseUpdate((spark, s"$layout-$seal-$noFeedthrough"), {
+    tileCache.getOrElseUpdate(spark, s"$layout-$seal-$noFeedthrough") {
       tileFaces(spark, layoutFaces(layout, seal, noFeedthrough))
         .localCheckpoint(eager = true)
-    })
+    }
 
   private val tileCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.util.SessionCache[String, DataFrame]
 
   /** Pure-annulus tiling (no exclusion zones) — the reference's
     * geometry-free path, used for the exact golden. */
@@ -327,7 +327,7 @@ object DeeTiling {
     * session-scoped (localCheckpoint blocks die with the session). */
   def layoutFaceSensors(spark: SparkSession, layout: String, seal: Boolean = false,
                         noFeedthrough: Boolean = false): DataFrame =
-    sensorCache.getOrElseUpdate((spark, layout, seal, noFeedthrough), {
+    sensorCache.getOrElseUpdate(spark, (layout, seal, noFeedthrough)) {
       val faces = layoutFaces(layout, seal, noFeedthrough)
       val tiled = tileLayout(spark, layout, seal, noFeedthrough)
       faces.zipWithIndex
@@ -337,8 +337,8 @@ object DeeTiling {
         }
         .reduce(_ unionByName _)
         .localCheckpoint(eager = true)
-    })
+    }
 
   private val sensorCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Boolean, Boolean), DataFrame]
+    new graft.util.SessionCache[(String, Boolean, Boolean), DataFrame]
 }

@@ -33,7 +33,7 @@ object Layouts {
     * whose YAML parse is pure driver cost; built once per session like
     * the reference's per-run dee construction. */
   def faceSensors(spark: SparkSession, yamlPath: String = defaultYaml, layout: String = "new"): DataFrame =
-    faceSensorCache.getOrElseUpdate((spark, yamlPath, layout), {
+    faceSensorCache.getOrElseUpdate(spark, (yamlPath, layout)) {
       import spark.implicits._
       val centers = LayoutYaml.read(spark, yamlPath).filter($"layout" === layout)
       val faceIdx = faceOrder.zipWithIndex
@@ -48,10 +48,10 @@ object Layouts {
         EtlConfig.sensorWidth,
         EtlConfig.sensorDeadspace
       ).localCheckpoint(eager = true)
-    })
+    }
 
   private val faceSensorCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    new graft.util.SessionCache[(String, String), DataFrame]
 
   /** One face's centers (for the reconstruction pipelines; D2 = disk1/back). */
   def faceCenters(spark: SparkSession, disk: String, face: String, yamlPath: String = defaultYaml, layout: String = "new"): DataFrame = {

@@ -96,14 +96,15 @@ object EventStreams {
       .as[WinEv]
       .groupByKey(e => (e.ts.getTime / 1000 / windowSec * windowSec, e.event_type))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        (key: (Long, String), rows: Iterator[WinEv], state: GroupState[Seq[Long]]) => {
+        (key: (Long, String), rows: Iterator[WinEv], state: GroupState[Set[Long]]) => {
           if (state.hasTimedOut) {
             val users = state.get
             state.remove()
-            Iterator.single(DistinctOut(key._1, key._2, users.distinct.length.toLong))
+            Iterator.single(DistinctOut(key._1, key._2, users.size.toLong))
           } else {
-            val merged = (state.getOption.getOrElse(Seq.empty) ++ rows.map(_.user_id))
-              .distinct
+            // Set state: per-batch work is O(|batch|) hash inserts, not a
+            // full re-dedup of the accumulated seq on every micro-batch
+            val merged = state.getOption.getOrElse(Set.empty[Long]) ++ rows.map(_.user_id)
             state.update(merged)
             // fire once the watermark passes the window end; a timeout
             // in the past is illegal, so clamp just above the watermark

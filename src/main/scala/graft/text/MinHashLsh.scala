@@ -239,6 +239,19 @@ object MinHashLsh {
     * see [[components]]). Returns (id, component) with one row per
     * node of the input pair graph, including star centers mapping to
     * themselves. */
+  /** Order-independent set checksum of a distinct (u, v) edge table:
+    * (count, xor) of the per-edge xxhash64 — one aggregate, no shuffle
+    * beyond the final combine, overflow-free under ANSI mode. Equal
+    * sets always checksum equal, so a mismatch proves change; a
+    * (~2^-64) spurious match only triggers the caller's exact diff. */
+  private def checksum(edges: DataFrame): (Long, Long) = {
+    val r = edges
+      .select(xxhash64(col("u"), col("v")).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   def componentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val nodes = pairs.select(col("a").as("id"))
       .unionByName(pairs.select(col("b").as("id"))).distinct().cache()
@@ -250,6 +263,7 @@ object MinHashLsh {
       .localCheckpoint(true)
     var converged = false
     var i = 0
+    var sumOld = checksum(edges)
     while (!converged && i < maxIter) {
       // large-star over the UNDIRECTED neighborhood: node n, neighbor w
       val nbrs = edges.select(col("u").as("n"), col("v").as("w"))
@@ -273,13 +287,21 @@ object MinHashLsh {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      // converged when the round was a no-op on the edge set — ONE job:
-      // count the symmetric difference via a full outer join on (u, v)
-      val diff = edges.withColumn("l", lit(1))
-        .join(small.withColumn("r", lit(1)), Seq("u", "v"), "full_outer")
-        .filter(col("l").isNull || col("r").isNull)
-        .count()
-      converged = diff == 0
+      // converged when the round was a no-op on the edge set. Detected
+      // with a SET CHECKSUM over the freshly checkpointed edges — one
+      // cheap scan-and-aggregate (no join, no shuffle of the edge set).
+      // The first checksum match is then CONFIRMED EXACTLY with the
+      // full outer diff — paid once at the fixpoint, not every round —
+      // so convergence remains exact, not probabilistic.
+      val sumNew = checksum(small)
+      if (sumNew == sumOld) {
+        val diff = edges.withColumn("l", lit(1))
+          .join(small.withColumn("r", lit(1)), Seq("u", "v"), "full_outer")
+          .filter(col("l").isNull || col("r").isNull)
+          .count()
+        converged = diff == 0
+      }
+      sumOld = sumNew
       edges = small
       i += 1
     }
