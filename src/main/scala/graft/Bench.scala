@@ -69,6 +69,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"first_pass_total":${f"$firstTotal%.3f"},"first_pass":$first,"extended":$ext,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get("bench_out.json"), json) catch { case _: Throwable => () }
+    // All results are computed and mirrored at this point. Teardown of a
+    // session that ran streaming queries can race a late task-end
+    // accumulator update (already-stopped query → unregistered
+    // accumulator → a harmless DAGScheduler ERROR stack in the tail), so
+    // silence logging for the stop itself — nothing after this line can
+    // affect results.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     // last raw stdout line, after Spark's shutdown logging
     System.out.println(json)

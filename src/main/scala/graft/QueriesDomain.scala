@@ -407,6 +407,33 @@ object QueriesDomain {
     rows.toDF("study", "leads", "channels", "n_fbk", "n_hpk")
   }
 
+  /** A9 over the min_split studies: the per-BV-channel current
+    * histogram the reference draws after each study block
+    * (bias_voltage.py:273/341/410, `Hist1D(currents, bins=...)`).
+    * The reference's literal bins string is "10,0,1" — every channel
+    * current is ≥ 1 mA, so its plotted histogram is EMPTY (all three
+    * studies overflow entirely; shim-verified: 226/248/143 values, all
+    * ≥ 1.0). Pinning zero rows proves nothing, so this query bins the
+    * same values over [0, 25) mA — 10 bins wide enough to expose the
+    * distribution — against counts recomputed by the shim run with
+    * numpy on the reference's own `currents` lists. */
+  private def minsplitHist(spark: SparkSession, dir: String): DataFrame = {
+    val ringed = graft.ops.RingSplit.classify(d2Sms(spark))
+    val mods = SmReconstruct.moduleStats(d2Sensors(spark)).cache()
+    val spec = graft.ops.HistogramOps.BinSpec(10, 0.0, 25.0)
+    val out = graft.ops.RingSplit.studyDefs
+      .map { case (label, assign, ms) =>
+        val segs = graft.ops.RingSplit.minSplitSegments(spark, mods, ringed, assign, ms)
+        graft.ops.HistogramOps.hist1d(segs, col("current"), spec)
+          .withColumn("study", lit(label))
+      }
+      .reduce(_ unionByName _)
+      .select(col("study"), col("bin"), round(col("center"), 3).as("center"), col("n"))
+      .localCheckpoint(eager = true)
+    mods.unpersist()
+    out
+  }
+
   /** X3 dee tiling of the 'updated' layout: per-face entity counts. */
   private def tilingCounts(spark: SparkSession, dir: String): DataFrame =
     graft.ops.DeeTiling.tileUpdatedLayout(spark)
@@ -444,6 +471,33 @@ object QueriesDomain {
       .reduce(_ unionByName _)
       .select("variant", "face", "n_sm", "n_modules", "sum_x", "sum_y")
   }
+
+  /** X3 across module SIZES (dee_geometry.py:316-341): tile the
+    * 'updated' layout with the M (44.10×57.50, gap 0.5, RB 57.5 /
+    * PB 28.5) and L (same dims, gap 0.6) modules and roll up per-face
+    * SM counts, module counts, flavor counts, and SM-center coordinate
+    * sums — vs shim-run reference goldens (`--modules M` / `--modules
+    * L`, start-reset fix applied as for `tiling_variants`). Covers the
+    * reference's module-size study path that the S-pinned conformance
+    * queries left unchecked. */
+  private def tilingSizes(spark: SparkSession, dir: String): DataFrame =
+    Seq("M", "L")
+      .map { size =>
+        graft.ops.DeeTiling.tileLayout(spark, "updated", size = size)
+          .filter(col("kind") === "sm")
+          .groupBy("face")
+          .agg(
+            count(lit(1)).as("n_sm"),
+            sum("n_mod").cast("long").as("n_modules"),
+            sum(when(col("n_mod") === 3, 1L).otherwise(0L)).as("n3"),
+            sum(when(col("n_mod") === 6, 1L).otherwise(0L)).as("n6"),
+            sum(when(col("n_mod") === 7, 1L).otherwise(0L)).as("n7"),
+            round(sum("x"), 3).as("sum_x"),
+            round(sum("y"), 3).as("sum_y"))
+          .withColumn("size", lit(size))
+      }
+      .reduce(_ unionByName _)
+      .select("size", "face", "n_sm", "n_modules", "n3", "n6", "n7", "sum_x", "sum_y")
 
   /** X3 tiling flavor counts per face (A7 over the tiled layout). */
   private def tilingFlavors(spark: SparkSession, dir: String): DataFrame =
@@ -628,10 +682,12 @@ object QueriesDomain {
     "export_centers" -> (exportCenters _),
     "tiling_counts" -> (tilingCounts _),
     "tiling_variants" -> (tilingVariants _),
+    "tiling_sizes" -> (tilingSizes _),
     "tiling_flavors" -> (tilingFlavors _),
     "ring_split" -> (ringSplit _),
     "ring_members" -> (ringMembers _),
     "minsplit_studies" -> (minsplitStudies _),
+    "minsplit_hist" -> (minsplitHist _),
     "greedy_groups" -> (greedyGroups _),
     "acc_stats" -> (accStats _),
     "acc_hist" -> (accHist _),
@@ -1087,6 +1143,19 @@ object QueriesDomain {
         |  ('updated_noft', 'face2', 79, 467, 44190.45, 520.25),
         |  ('updated_noft', 'face3', 76, 466, 41616.6, 1975.0),
         |  ('updated_noft', 'face4', 79, 467, 44190.45, -520.25)) t(variant, face, n_sm, n_modules, sum_x, sum_y)""".stripMargin,
+    "tiling_sizes" ->
+      """SELECT size, face, n_sm::BIGINT AS n_sm, n_modules::BIGINT AS n_modules,
+        |  n3::BIGINT AS n3, n6::BIGINT AS n6, n7::BIGINT AS n7,
+        |  sum_x::DOUBLE AS sum_x, sum_y::DOUBLE AS sum_y FROM (VALUES
+        |  ('M', 'face1', 74, 442, 13, 24, 37, 40758.1, -1697.5),
+        |  ('M', 'face2', 75, 447, 12, 30, 33, 40698.95, 1541.75),
+        |  ('M', 'face3', 74, 445, 11, 29, 34, 40245.2, 1697.5),
+        |  ('M', 'face4', 75, 447, 12, 30, 33, 40698.95, -1541.75),
+        |  ('L', 'face1', 74, 442, 13, 24, 37, 40844.5, -1697.5),
+        |  ('L', 'face2', 75, 447, 12, 30, 33, 40785.15, 1541.75),
+        |  ('L', 'face3', 74, 445, 11, 29, 34, 40330.45, 1697.5),
+        |  ('L', 'face4', 75, 447, 12, 30, 33, 40785.15, -1541.75)
+        |) t(size, face, n_sm, n_modules, n3, n6, n7, sum_x, sum_y)""".stripMargin,
     "tiling_counts" ->
       """SELECT face, n_sm::BIGINT AS n_sm, n_modules::BIGINT AS n_modules FROM (VALUES
         |  ('face1', 76, 456),
@@ -1197,6 +1266,20 @@ object QueriesDomain {
         |  ('realistic_5fC_minsplit2', 304, 226, 334, 113),
         |  ('realistic_10fC_minsplit3', 326, 248, 130, 317),
         |  ('realistic_10fC_minsplit1', 221, 143, 130, 317)) t(study, leads, channels, n_fbk, n_hpk)""".stripMargin,
+    "minsplit_hist" ->
+      """SELECT study, bin::BIGINT AS bin, center::DOUBLE AS center, n::BIGINT AS n FROM (VALUES
+        |  ('realistic_5fC_minsplit2', 0, 1.25, 107),
+        |  ('realistic_5fC_minsplit2', 1, 3.75, 101),
+        |  ('realistic_5fC_minsplit2', 2, 6.25, 18),
+        |  ('realistic_10fC_minsplit3', 0, 1.25, 79),
+        |  ('realistic_10fC_minsplit3', 1, 3.75, 164),
+        |  ('realistic_10fC_minsplit3', 2, 6.25, 5),
+        |  ('realistic_10fC_minsplit1', 0, 1.25, 31),
+        |  ('realistic_10fC_minsplit1', 1, 3.75, 69),
+        |  ('realistic_10fC_minsplit1', 2, 6.25, 13),
+        |  ('realistic_10fC_minsplit1', 3, 8.75, 18),
+        |  ('realistic_10fC_minsplit1', 4, 11.25, 12)
+        |) t(study, bin, center, n)""".stripMargin,
     "greedy_groups" ->
       """SELECT vendor, grp::BIGINT AS grp, n_mods::BIGINT AS n_mods,
         |  group_current::DOUBLE AS group_current FROM (VALUES

@@ -276,14 +276,32 @@ object DeeTiling {
     // default edgeX=8 and Exclusion.updatedLayout == layoutZones("updated")
     tileLayout(spark, "updated")
 
+  /** Re-dimension a face config for a named module size
+    * (dee_geometry.py:316-341): 'S' is the TDR-like 43.10 × 56.50
+    * module (gap 0.5, RB 56.5 / PB 29.5 boards); 'M' is the
+    * tamale-optimized 44.10 × 57.50 (gap 0.5, RB 57.5 / PB 28.5);
+    * 'L' is the M geometry with a 0.6 module gap. The 2×2 sensor grid
+    * (20.8 mm sensors at 22.6/22.4 pitch) is size-independent. */
+  def sized(cfg: Config, size: String): Config = size match {
+    case "S" => cfg
+    case "M" => cfg.copy(moduleHeight = 44.10, moduleWidth = 57.50,
+                         pbWidth = 28.5, rbWidth = 57.5, moduleGap = 0.5)
+    case "L" => cfg.copy(moduleHeight = 44.10, moduleWidth = 57.50,
+                         pbWidth = 28.5, rbWidth = 57.5, moduleGap = 0.6)
+    case other =>
+      throw new IllegalArgumentException(s"unknown module size '$other' (S | M | L)")
+  }
+
   /** Face configs + exclusion zones for a named layout variant
     * (dee_geometry.py:225-297, 370-380). Inner-annulus radii:
     * 'updated' → 322 mm first layer / 302 mm others; 'baseline' and
     * 'plain' → 336 mm everywhere. `seal` widens edge_x 8 → 25 mm
     * (dee_geometry.py:379); `noFeedthrough` drops the feedthrough
-    * slabs from the outer boundary. */
+    * slabs from the outer boundary; `size` swaps the module/board
+    * dimensions (see [[sized]]). */
   def layoutFaces(layout: String, seal: Boolean = false,
-                  noFeedthrough: Boolean = false): Seq[(String, Config, Seq[Zone])] = {
+                  noFeedthrough: Boolean = false,
+                  size: String = "S"): Seq[(String, Config, Seq[Zone])] = {
     val (rFirst, rRest) = layout match {
       case "updated"            => (322.0, 302.0)
       case "baseline" | "plain" => (336.0, 336.0)
@@ -292,17 +310,17 @@ object DeeTiling {
     }
     val edgeX = if (seal) 25.0 else 8.0
     referenceFaces(rFirst, rRest).map { case (face, cfg, first) =>
-      (face, cfg.copy(edgeX = edgeX),
+      (face, sized(cfg.copy(edgeX = edgeX), size),
         Exclusion.layoutZones(layout, firstLayer = first, noFeedthrough = noFeedthrough))
     }
   }
 
   /** Tile all four faces of a named layout variant (one batched job).
-    * Memoized per (session, variant) like [[tileUpdatedLayout]]. */
+    * Memoized per (session, variant, size) like [[tileUpdatedLayout]]. */
   def tileLayout(spark: SparkSession, layout: String, seal: Boolean = false,
-                 noFeedthrough: Boolean = false): DataFrame =
-    tileCache.getOrElseUpdate(spark, s"$layout-$seal-$noFeedthrough") {
-      tileFaces(spark, layoutFaces(layout, seal, noFeedthrough))
+                 noFeedthrough: Boolean = false, size: String = "S"): DataFrame =
+    tileCache.getOrElseUpdate(spark, s"$layout-$seal-$noFeedthrough-$size") {
+      tileFaces(spark, layoutFaces(layout, seal, noFeedthrough, size))
         .localCheckpoint(eager = true)
     }
 

@@ -84,16 +84,39 @@ object RingSplit {
     (leads, channels, nFbk, nHpk)
   }
 
+  /** The three reference study configurations: (label, curve per ring,
+    * min_split) — bias_voltage.py:203-227 (5fC, min_split 2),
+    * :300-317 (10fC, min_split 3), :369-386 (10fC, min_split 1). */
+  val studyDefs: Seq[(String, Map[String, String], Int)] = Seq(
+    ("realistic_5fC_minsplit2",
+      Map("inner" -> "fbk_w13_5fc", "middle" -> "fbk_w13_5fc", "outer" -> "hpk_split4_5fc"), 2),
+    ("realistic_10fC_minsplit3",
+      Map("inner" -> "fbk_w13_10fc", "middle" -> "hpk_split4_10fc", "outer" -> "hpk_split4_10fc"), 3),
+    ("realistic_10fC_minsplit1",
+      Map("inner" -> "fbk_w13_10fc", "middle" -> "hpk_split4_10fc", "outer" -> "hpk_split4_10fc"), 1)
+  )
+
+  /** Per-BV-channel segment table of one study — the `currents` list
+    * the reference histograms after each study block
+    * (bias_voltage.py:273/341/410). One BvSearch pass per distinct
+    * curve, unioned. */
+  def minSplitSegments(
+      spark: SparkSession,
+      moduleStats: DataFrame,
+      ringed: DataFrame,
+      curveByRing: Map[String, String],
+      minSplit: Int
+  ): DataFrame = {
+    val withRing = moduleStats.join(ringed.select("sm_id", "ring"), Seq("sm_id"))
+    curveByRing.groupBy(_._2).map { case (curve, entries) =>
+      val rings = entries.keys.toSeq
+      BvSearch.run(spark, withRing.filter(col("ring").isin(rings: _*)), curve, minSplit)
+    }.reduce(_ unionByName _)
+  }
+
   /** The three reference study configurations, labeled. */
   def referenceStudies(spark: SparkSession, moduleStats: DataFrame, ringed: DataFrame): Seq[(String, Long, Long, Long, Long)] =
-    Seq(
-      ("realistic_5fC_minsplit2",
-        Map("inner" -> "fbk_w13_5fc", "middle" -> "fbk_w13_5fc", "outer" -> "hpk_split4_5fc"), 2),
-      ("realistic_10fC_minsplit3",
-        Map("inner" -> "fbk_w13_10fc", "middle" -> "hpk_split4_10fc", "outer" -> "hpk_split4_10fc"), 3),
-      ("realistic_10fC_minsplit1",
-        Map("inner" -> "fbk_w13_10fc", "middle" -> "hpk_split4_10fc", "outer" -> "hpk_split4_10fc"), 1)
-    ).map { case (label, assign, ms) =>
+    studyDefs.map { case (label, assign, ms) =>
       val (l, c, f, h) = minSplitStudy(spark, moduleStats, ringed, assign, ms)
       (label, l, c, f, h)
     }
