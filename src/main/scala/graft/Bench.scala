@@ -54,8 +54,16 @@ object Bench {
     // map-side assignment plan are MEASURED across a 10× data step, not
     // just plan-asserted. Reported as a separate key — the headline
     // total stays comparable round-over-round.
-    val extDirs = Seq(sfDir, "/root/testdata/sf0.01").distinct
-      .filter(d => Files.exists(Paths.get(d)))
+    // A third, 10×-UP step: no sf1 testdata exists, so the bench
+    // synthesizes one deterministically from sf0.1 (documents 5k→50k,
+    // embeddings 2k→20k — see synthScaleStep) and labels it sf1_synth.
+    // Only the trend within the synthetic chain is comparable; its
+    // absolute cells are not driver-testdata numbers.
+    val synthDir =
+      try Some(synthScaleStep(spark, "/root/testdata/sf0.1", "/tmp/graft_sf1_synth", copies = 10))
+      catch { case _: Throwable => None }
+    val extDirs = (Seq(sfDir, "/root/testdata/sf0.01").distinct
+      .filter(d => Files.exists(Paths.get(d))) ++ synthDir)
     val ext = extDirs.map { dir =>
       val cells = Bench.extendedFamily.map { name =>
         val fn = SparkEntry.queries(name)
@@ -64,6 +72,7 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
       val label = Paths.get(dir).getFileName.toString
+        .replace("graft_sf1_synth", "sf1_synth")
       "\"" + label + "\":" + cells.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
@@ -80,6 +89,66 @@ object Bench {
     // last raw stdout line, after Spark's shutdown logging
     System.out.println(json)
     System.out.flush()
+  }
+
+  /** Deterministic 10×-UP scale step for the extended family (no sf1
+    * testdata exists in this environment): `copies` stacked copies of
+    * the sf0.1 documents/embeddings tables, mutated so the step
+    * stresses the same paths the real data does rather than degenerate
+    * ones —
+    *  - each copy's text is word-shuffled by a (copy, doc)-salted hash
+    *    order, so copies are NOT near-duplicates of each other and —
+    *    because the order is salted PER DOC, not globally — unrelated
+    *    docs from the tiny shared vocabulary do not collapse toward one
+    *    canonical word order and become spuriously similar (a
+    *    copy-only salt measured 8× slower components from exactly that
+    *    explosion),
+    *  - except doc_id % 500 == 0 rows, kept with only a per-copy
+    *    suffix token: a small population of 10-member cross-copy
+    *    NEAR-duplicate clusters so LSH verification and the component
+    *    paths still find genuine work,
+    *  - embeddings get a ±2.5% per-component hash perturbation
+    *    (cluster structure preserved for IVF, vectors distinct).
+    * Everything derives from xxhash64 — rerunning regenerates
+    * bit-identical tables (idempotent: skipped when the output dir
+    * already holds both tables). */
+  def synthScaleStep(spark: SparkSession, baseDir: String, outDir: String, copies: Int): String = {
+    import org.apache.spark.sql.functions._
+    val docsOut = Paths.get(s"$outDir/documents.parquet")
+    val embOut = Paths.get(s"$outDir/embeddings.parquet")
+    if (!(Files.exists(docsOut) && Files.exists(embOut))) {
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      val shuffled = expr(
+        """array_join(transform(array_sort(transform(split(text, ' '),
+          |  w -> struct(xxhash64(w, c, doc_id) AS h, w AS w))), s -> s.w), ' ')""".stripMargin)
+      (0 until copies)
+        .map { c =>
+          docs
+            .withColumn("c", lit(c))
+            .select(
+              (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+              when(col("doc_id") % 500 === 0, concat(col("text"), lit(" copytoken"), col("c")))
+                .otherwise(shuffled).as("text"),
+              col("lang"), col("source"), col("n_chars"))
+        }
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(docsOut.toString)
+      val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      (0 until copies)
+        .map { c =>
+          emb
+            .withColumn("c", lit(c))
+            .select(
+              (col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
+              expr("""transform(embedding, (x, i) ->
+                     |  cast(x + x * (cast(pmod(xxhash64(vec_id, c, i), 2001) - 1000 AS double) / 40000.0) AS float))"""
+                .stripMargin).as("embedding"),
+              col("label"))
+        }
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(embOut.toString)
+    }
+    outDir
   }
 
   /** Headline bench set: the flagship acceptance scan + representative
