@@ -597,6 +597,44 @@ object QueriesDomain {
     Acceptance.histSparse(spark, Acceptance.hitCountsKin(spark, p, sensors), p.count())
   }
 
+  /** X3 over the example.ipynb detector (notebook cells 2+6): per-face
+    * SM/module counts of the small-sensor baseline tiling — 44.2 × 56.5
+    * modules, both disks at r_inner = 315, edge_x = 6, no exclusions —
+    * vs a fresh shim run of the notebook's exact construction. */
+  private def nbTiling(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.DeeTiling.tileNotebook(spark)
+      .filter(col("kind") === "sm")
+      .groupBy("face")
+      .agg(count(lit(1)).as("n_sm"), sum("n_mod").cast("long").as("n_modules"))
+
+  /** The notebook's acceptance scan (example.ipynb cells 13-16) at its
+    * EXACT parameters: 1e5 events, η ∈ [1.659, 2.950), φ ∈ [−π/2, π/2),
+    * propagated to the four notebook faces (non-square 21.75 × 22
+    * sensors) — the numerator η histogram (`Hist1D([v.eta for v in
+    * hits], bins="40,1.659,2.950")`) vs the seeded shim run's counts.
+    * The fixture (fixtures/nb_acceptance_seed42.parquet) is the
+    * reference's own event sample and per-event hit counts captured
+    * under np.random.seed(42); the engine recomputes hits from its own
+    * tiling through the grid spatial join, so equal bin counts pin the
+    * whole chain (tile → sensors → propagate → intersect → bin). */
+  private def nbAccHist(spark: SparkSession, dir: String): DataFrame = {
+    val faces = graft.ops.DeeTiling.notebookFaces()
+    val tiled = graft.ops.DeeTiling.tileNotebook(spark)
+    val sensors = faces.zipWithIndex
+      .map { case ((face, cfg, _), idx) =>
+        graft.ops.DeeTiling.sensors(
+            graft.ops.DeeTiling.supermodules(tiled.filter(col("face") === face)), cfg)
+          .select(lit(idx).as("face"), col("ax1"), col("ax2"), col("ay1"), col("ay2"))
+      }
+      .reduce(_ unionByName _)
+    val p = spark.read.parquet(Layouts.resolveFixture("nb_acceptance_seed42.parquet"))
+      .select("event_id", "x", "y", "theta", "phi", "eta")
+    val sparse = Acceptance.hitCountsKin(spark, p, sensors)
+    val spec = graft.ops.HistogramOps.BinSpec(40, 1.659, 2.950)
+    graft.ops.HistogramOps.hist1d(sparse, col("eta"), spec)
+      .select(col("bin"), round(col("center"), 6).as("center"), col("n"))
+  }
+
   /** X6 module matrix: per-row covered-slot counts over the tiled
     * 'updated' layout (rows keyed by their y coordinate). */
   private def tilingMatrix(spark: SparkSession, dir: String): DataFrame =
@@ -675,6 +713,8 @@ object QueriesDomain {
     "tiling_matrix" -> (tilingMatrix _),
     "tiling_bitmap" -> (tilingBitmap _),
     "tiled_acc_hist" -> (tiledAccHist _),
+    "nb_tiling" -> (nbTiling _),
+    "nb_acc_hist" -> (nbAccHist _),
     "tiling_sensors" -> (tilingSensors _),
     "service_boards" -> (serviceBoards _),
     "a4_sm_occupancy" -> (a4SmOccupancy _),
@@ -1143,6 +1183,55 @@ object QueriesDomain {
         |  ('updated_noft', 'face2', 79, 467, 44190.45, 520.25),
         |  ('updated_noft', 'face3', 76, 466, 41616.6, 1975.0),
         |  ('updated_noft', 'face4', 79, 467, 44190.45, -520.25)) t(variant, face, n_sm, n_modules, sum_x, sum_y)""".stripMargin,
+    "nb_tiling" ->
+      """SELECT face, n_sm::BIGINT AS n_sm, n_modules::BIGINT AS n_modules FROM (VALUES
+        |  ('disk1_front', 80, 484),
+        |  ('disk1_back', 79, 482),
+        |  ('disk2_front', 80, 484),
+        |  ('disk2_back', 79, 482)) t(face, n_sm, n_modules)""".stripMargin,
+    "nb_acc_hist" ->
+      """SELECT bin::BIGINT AS bin, center::DOUBLE AS center, n::BIGINT AS n FROM (VALUES
+        |  (0, 1.675138, 434),
+        |  (1, 1.707413, 2105),
+        |  (2, 1.739688, 2544),
+        |  (3, 1.771963, 2438),
+        |  (4, 1.804238, 2460),
+        |  (5, 1.836513, 2442),
+        |  (6, 1.868788, 2501),
+        |  (7, 1.901063, 2407),
+        |  (8, 1.933338, 2490),
+        |  (9, 1.965613, 2450),
+        |  (10, 1.997888, 2445),
+        |  (11, 2.030163, 2492),
+        |  (12, 2.062438, 2460),
+        |  (13, 2.094713, 2541),
+        |  (14, 2.126988, 2388),
+        |  (15, 2.159263, 2333),
+        |  (16, 2.191538, 2473),
+        |  (17, 2.223813, 2433),
+        |  (18, 2.256088, 2435),
+        |  (19, 2.288363, 2403),
+        |  (20, 2.320638, 2494),
+        |  (21, 2.352913, 2477),
+        |  (22, 2.385188, 2441),
+        |  (23, 2.417463, 2398),
+        |  (24, 2.449738, 2472),
+        |  (25, 2.482013, 2433),
+        |  (26, 2.514288, 2479),
+        |  (27, 2.546563, 2454),
+        |  (28, 2.578838, 2423),
+        |  (29, 2.611113, 2385),
+        |  (30, 2.643388, 2452),
+        |  (31, 2.675663, 2445),
+        |  (32, 2.707938, 2445),
+        |  (33, 2.740213, 2406),
+        |  (34, 2.772488, 2482),
+        |  (35, 2.804763, 2266),
+        |  (36, 2.837038, 1884),
+        |  (37, 2.869313, 1390),
+        |  (38, 2.901588, 791),
+        |  (39, 2.933863, 227)
+        |) t(bin, center, n)""".stripMargin,
     "tiling_sizes" ->
       """SELECT size, face, n_sm::BIGINT AS n_sm, n_modules::BIGINT AS n_modules,
         |  n3::BIGINT AS n3, n6::BIGINT AS n6, n7::BIGINT AS n7,

@@ -49,8 +49,14 @@ object DeeTiling {
       sensorSize: Double = 20.8,
       sensorDeadspace: Double = 0.5,
       sensorDistX: Double = 22.6,
-      sensorDistY: Double = 22.4
+      sensorDistY: Double = 22.4,
+      // non-square sensors (example.ipynb's 21.75 × 22 small-sensor
+      // baseline); NaN = fall back to the square sensorSize
+      sensorSizeX: Double = Double.NaN,
+      sensorSizeY: Double = Double.NaN
   ) {
+    def sensorW: Double = if (sensorSizeX.isNaN) sensorSize else sensorSizeX
+    def sensorH: Double = if (sensorSizeY.isNaN) sensorSize else sensorSizeY
     val smWidth: Double = moduleWidth + pbWidth // single-module SM footprint width
     val pitch: Double = moduleHeight + moduleGap
 
@@ -245,7 +251,10 @@ object DeeTiling {
       .withColumn("iy", explode(array(lit(0), lit(1))))
       .withColumn("x", (col("ix") * 2 - 1) * (cfg.sensorDistX / 2.0) + col("x_mod"))
       .withColumn("y", (col("iy") * 2 - 1) * (cfg.sensorDistY / 2.0) + col("y_mod"))
-    SensorTable.withCorners(sens, cfg.sensorSize, cfg.sensorSize, cfg.sensorDeadspace)
+    // withCorners' `height` is the x-extent and `width` the y-extent
+    // (Sensor(x, y) in the reference); square for the production
+    // modules, 21.75 × 22 for the notebook small-sensor baseline
+    SensorTable.withCorners(sens, cfg.sensorW, cfg.sensorH, cfg.sensorDeadspace)
   }
 
   /** X6 module-matrix bitmap: groupBy(row).pivot(col) over covered. */
@@ -275,6 +284,25 @@ object DeeTiling {
     // identical config to tileLayout("updated"): referenceFaces() with
     // default edgeX=8 and Exclusion.updatedLayout == layoutZones("updated")
     tileLayout(spark, "updated")
+
+  /** The example.ipynb small-sensor baseline detector (cells 2 + 6):
+    * 44.2 × 56.5 modules of 2×2 non-square 21.75 × 22 sensors at
+    * 21.85/22.5 pitch, RB 56.5 / PB 29.5 boards, both disks at
+    * r_inner = 315 mm, edge_x = 6 mm, NO exclusion zones. Face order
+    * matches the notebook's layer list (disk1_front/back,
+    * disk2_front/back — above-RB, above-PB, below-RB, below-PB). */
+  def notebookFaces(): Seq[(String, Config, Seq[Zone])] = {
+    val base = Config("above", centerRB = true, centerPB = false, rInner = 315.0,
+      edgeX = 6.0, moduleHeight = 44.2, moduleWidth = 56.5,
+      pbWidth = 29.5, rbWidth = 56.5,
+      sensorDistX = 21.85, sensorDistY = 22.5,
+      sensorSizeX = 21.75, sensorSizeY = 22.0)
+    Seq(
+      ("disk1_front", base, Nil),
+      ("disk1_back", base.copy(centerRB = false, centerPB = true), Nil),
+      ("disk2_front", base.copy(orientation = "below"), Nil),
+      ("disk2_back", base.copy(orientation = "below", centerRB = false, centerPB = true), Nil))
+  }
 
   /** Re-dimension a face config for a named module size
     * (dee_geometry.py:316-341): 'S' is the TDR-like 43.10 × 56.50
@@ -314,6 +342,12 @@ object DeeTiling {
         Exclusion.layoutZones(layout, firstLayer = first, noFeedthrough = noFeedthrough))
     }
   }
+
+  /** Tile the example.ipynb detector (memoized per session). */
+  def tileNotebook(spark: SparkSession): DataFrame =
+    tileCache.getOrElseUpdate(spark, "notebook") {
+      tileFaces(spark, notebookFaces()).localCheckpoint(eager = true)
+    }
 
   /** Tile all four faces of a named layout variant (one batched job).
     * Memoized per (session, variant, size) like [[tileUpdatedLayout]]. */
