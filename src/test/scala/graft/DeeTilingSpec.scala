@@ -87,6 +87,51 @@ class DeeTilingSpec extends SparkSpec {
     }
   }
 
+  test("M and L module sizes tile to the reference shim-run counts") {
+    // goldens from the --modules M / --modules L shim runs (see the
+    // tiling_sizes oracle): per-face (n_sm, n_modules)
+    val expect = Map(
+      ("M", "face1") -> (74L, 442L), ("M", "face2") -> (75L, 447L),
+      ("L", "face1") -> (74L, 442L), ("L", "face3") -> (74L, 445L))
+    for (size <- Seq("M", "L")) {
+      val counts = DeeTiling.tileLayout(spark, "updated", size = size)
+        .filter(col("kind") === "sm")
+        .groupBy("face")
+        .agg(count(lit(1)), sum("n_mod"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      for (face <- Seq("face1", "face2", "face3"); exp <- expect.get((size, face)))
+        assert(counts(face) == exp, s"$size/$face: ${counts(face)} != $exp")
+    }
+    // M and L share dimensions; the larger L gap must not grow any face
+    val mTot = DeeTiling.tileLayout(spark, "updated", size = "M")
+      .filter(col("kind") === "sm").count()
+    val lTot = DeeTiling.tileLayout(spark, "updated", size = "L")
+      .filter(col("kind") === "sm").count()
+    assert(lTot <= mTot, s"L ($lTot) tiled more SMs than M ($mTot) despite the wider gap")
+    intercept[IllegalArgumentException] { DeeTiling.sized(DeeTiling.referenceFaces().head._2, "XL") }
+  }
+
+  test("notebook detector tiles to the shim-run counts incl. non-square sensors") {
+    val counts = DeeTiling.tileNotebook(spark)
+      .filter(col("kind") === "sm")
+      .groupBy("face")
+      .agg(count(lit(1)), sum("n_mod"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(counts("disk1_front") == ((80L, 484L)), s"got ${counts("disk1_front")}")
+    assert(counts("disk1_back") == ((79L, 482L)), s"got ${counts("disk1_back")}")
+    // sensor active areas must reflect the 21.75 × 22 (−2×0.5 deadspace)
+    // non-square geometry: x-extent 20.75, y-extent 21
+    val (face, cfg, _) = DeeTiling.notebookFaces().head
+    val sens = DeeTiling.sensors(
+      DeeTiling.supermodules(DeeTiling.tileNotebook(spark).filter(col("face") === face)), cfg)
+    val r = sens
+      .select(
+        round(max(col("ax2") - col("ax1")), 9).as("dx"),
+        round(max(col("ay2") - col("ay1")), 9).as("dy"))
+      .head()
+    assert(r.getDouble(0) == 20.75 && r.getDouble(1) == 21.0, s"active extents $r")
+  }
+
   test("no-feedthrough boundary drops the slabs without excluding everything") {
     import graft.geom.Exclusion
     val z = Exclusion.outerBoundary(feedthrough = 1185.0)

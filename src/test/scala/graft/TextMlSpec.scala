@@ -30,6 +30,26 @@ class TextMlSpec extends SparkSpec {
     assert(df(2) == ((2L, "a b c", 3, 1)))
   }
 
+  test("band hashes reject non-positive bands and non-divisor band counts loudly") {
+    import graft.functions.BandHashes
+    intercept[IllegalArgumentException] {
+      BandHashes.bandHashes(array(lit(1L), lit(2L)), 0)
+    }
+    // 3 bands over a 4-long signature would silently drop the tail —
+    // must throw at eval instead
+    val err = intercept[Exception] {
+      spark.range(1)
+        .select(BandHashes.bandHashes(array(lit(1L), lit(2L), lit(3L), lit(4L)), 3).as("b"))
+        .collect()
+    }
+    assert(err.getMessage != null || err.getCause != null)
+    // SQL builder enforces positivity too
+    graft.functions.GraftExtensions.register(spark)
+    intercept[Exception] {
+      spark.sql("SELECT graft_band_hashes(array(1L, 2L), 0)").collect()
+    }
+  }
+
   test("minhash LSH finds planted near-dup and identical pair, not unrelated docs") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
