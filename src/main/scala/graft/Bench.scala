@@ -181,6 +181,8 @@ object Bench {
       "emb_near_pairs",
       "emb_quantize",
       "ann_topk_q8",
+      "ann_topk_ivf_q8",
+      "decontaminate",
       "stream_dedup_exact"
     ).filter(SparkEntry.queries.contains)
 }

@@ -183,6 +183,64 @@ object QueriesText {
     bfTopKRounded(queries, q8, 10)
   }
 
+  /** IVF + int8 — the production retrieval shape at 100 TB: cells are
+    * built and probed on the FLOAT corpus (map-side codegen assignment,
+    * zero shuffle), scoring runs on the 4×-compressed quantized
+    * vectors, so the big scored table is int8 and the float corpus is
+    * touched only by the streaming assignment pass. Probes are sized
+    * for exact quantized top-10 recall on the oracle corpus (the
+    * oracle is the quantized brute force, same as `ann_topk_q8`) —
+    * on real clustered corpora nprobe ≪ nlist. */
+  private def annTopKIvfQ8(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = embs(spark, dir)
+    val centroids = AnnSearch.strideCentroids(corpus, 25)
+    val cents = AnnSearch.collectCentroids(centroids)
+    val q8 = corpus.select(col("id"), col("vec"),
+      graft.functions.Int8Quantize.quantize(col("vec")).getField("q")
+        .cast("array<double>").as("qvec"))
+    val assigned = q8.select(
+      graft.functions.NearestCells.topCells(col("vec"), cents, 1).getItem(0).as("cell"),
+      col("id").as("n_id"), col("qvec").as("n_vec"))
+    val probes = q8
+      .filter(pmod(col("id"), lit(50)) === 0)
+      .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("vec"), cents, 18)))
+      .select(col("id").as("q_id"), col("qvec").as("q_vec"), col("cell"))
+    probes
+      .join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(AnnSearch.cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** Benchmark DECONTAMINATION — the standard curation step that drops
+    * training documents overlapping an evaluation set (n-gram
+    * containment, as in the GPT-3/Pile dedup appendices). The probe
+    * set (every 7th doc, standing in for a benchmark) contributes its
+    * distinct normalized 4-grams; a corpus doc is contaminated when it
+    * contains ANY probe gram. Scale shape: the benchmark gram set is
+    * small by construction at any corpus size, so it BROADCASTS and
+    * the corpus-side gram stream joins map-side — the only exchange is
+    * the final per-doc count aggregate. Output: one row per
+    * contaminated doc (probe docs excluded) with its distinct matched
+    * gram count. */
+  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = graft.text.MinHashLsh.shingleRows(docs(spark, dir), "doc_id", "text", n = 4)
+    val probeGrams = grams
+      .filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select("shingle").distinct()
+    grams
+      .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .join(broadcast(probeGrams), Seq("shingle"))
+      // shingleRows emits DISTINCT grams per doc, so a plain count is
+      // the distinct-overlap count (countDistinct would plan a second
+      // exchange)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Symmetric int8 quantization over the embedding corpus
     * ([[graft.functions.Int8Quantize]]): per vector, the quantization
     * scale (as exact ppm integer — floor(s·1e6 + 0.5), avoiding
@@ -405,6 +463,8 @@ object QueriesText {
     "emb_near_pairs" -> (embNearPairs _),
     "emb_quantize" -> (embQuantize _),
     "ann_topk_q8" -> (annTopKQ8 _),
+    "ann_topk_ivf_q8" -> (annTopKIvfQ8 _),
+    "decontaminate" -> (decontaminate _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_decode_bmp" -> (mmDecodeBmp _),
@@ -726,6 +786,36 @@ object QueriesText {
         |  n_id, sim
         |FROM scored
         |QUALIFY rank <= 10""".stripMargin,
+    "ann_topk_ivf_q8" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS sc FROM e),
+        |qz AS (SELECT vec_id, list_transform(v,
+        |    x -> CASE WHEN sc = 0 THEN 0 ELSE floor(x / sc + 0.5) END) AS qv FROM s),
+        |q AS (SELECT * FROM qz WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    round(list_inner_product(q.qv, e.qv) /
+        |      (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(e.qv, e.qv))), 6) AS sim
+        |  FROM q JOIN qz e ON e.vec_id <> q.vec_id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
+    "decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 4
+        |    THEN list_distinct(list_transform(range(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+        |    ELSE [] END) AS s
+        |  FROM w),
+        |p AS (SELECT DISTINCT s FROM g WHERE doc_id % 7 = 0)
+        |SELECT g.doc_id, count(*) AS n_hits
+        |FROM g JOIN p USING (s)
+        |WHERE g.doc_id % 7 <> 0
+        |GROUP BY 1""".stripMargin,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS sc FROM e),
