@@ -159,6 +159,28 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
   }
 
+  test("decontamination broadcasts the probe grams; no sort-merge of the corpus stream") {
+    // the benchmark gram set is small at any corpus scale — the corpus
+    // gram stream must join it map-side. A SortMergeJoin here would
+    // shuffle every corpus gram at 100 TB.
+    val df = SparkEntry.queries("decontaminate")(spark, "/root/testdata/sf0.001")
+    val plan = physicalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), s"probe grams not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus gram stream shuffled for the join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in decontamination plan:\n$plan")
+  }
+
+  test("quantized IVF keeps the map-side assignment and equi-join probe shape") {
+    val df = SparkEntry.queries("ann_topk_ivf_q8")(spark, "/root/testdata/sf0.001")
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q8-IVF plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q8-IVF probe selection regressed to a nested-loop join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), s"no equi-join on cell in q8-IVF plan:\n$plan")
+  }
+
   test("filter and projection push down to the parquet scan") {
     val q = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .filter(col("l_quantity") > 30.0)
