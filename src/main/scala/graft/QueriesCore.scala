@@ -438,6 +438,45 @@ object QueriesCore {
         col("k").as("user_id"), (col("t") - col("lo") - 300).as("dt_sec"))
   }
 
+  /** STREAM-STREAM interval join parity: the clicks and purchases of
+    * the event stream arrive as two separate watermarked streams and
+    * join with event-time bounds (±300 s, same user) — the streaming
+    * form of `interval_click_purchase`, against the same plain
+    * inequality-join oracle. Both sides are fed as deterministic
+    * MemoryStream halves; inner-join matches emit as soon as both
+    * sides are buffered, so no watermark-closure sentinels are needed
+    * (the watermark only bounds join state). */
+  private def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = t(spark, dir, "events")
+      .withColumn("sec", expr("ts div 1000000000"))
+      .select(col("event_id"), col("user_id"), col("sec"), col("event_type"))
+      .orderBy("sec", "event_id")
+      .as[(Long, Long, Long, String)]
+      .collect()
+    def feedRows(kind: String) = rows.collect {
+      case (id, u, sec, et) if et == kind => (new java.sql.Timestamp(sec * 1000), u, id)
+    }
+    val memC = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val memP = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val cdf = memC.toDF().toDF("ts", "user_id", "event_id")
+    val pdf = memP.toDF().toDF("ts", "user_id", "event_id")
+    val queryName = "stream_ij_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.intervalJoin(cdf, pdf)
+      .writeStream.format("memory").queryName(queryName).outputMode("append").start()
+    try {
+      val (c1, c2) = feedRows("click").splitAt(feedRows("click").length / 2)
+      val (p1, p2) = feedRows("purchase").splitAt(feedRows("purchase").length / 2)
+      memC.addData(c1.toIndexedSeq); memP.addData(p1.toIndexedSeq); q.processAllAvailable()
+      memC.addData(c2.toIndexedSeq); memP.addData(p2.toIndexedSeq); q.processAllAvailable()
+      spark.table(queryName)
+        .select("click_id", "purchase_id", "user_id", "dt_sec")
+        .localCheckpoint(eager = true)
+    } finally q.stop()
+  }
+
   /** Exact discrete percentiles (p50/p90/p99 of extended price per
     * return flag) by explicit rank arithmetic — the SAME index formula
     * on both engines (rank = floor(p·(n−1)) + 1 over the ascending
@@ -563,6 +602,7 @@ object QueriesCore {
     "stream_sessionize" -> (streamSessionize _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_distinct_users" -> (streamDistinctUsers _),
+    "stream_interval_join" -> (streamIntervalJoin _),
     "u1_union" -> (u1Union _),
     "u2_mirror" -> (u2Mirror _),
     "x1_partition" -> (x1Partition _)
@@ -583,6 +623,15 @@ object QueriesCore {
         |  sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS cents_sum
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "interval_click_purchase" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec, event_type FROM events)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  (c.sec - p.sec)::BIGINT AS dt_sec
+        |FROM e c JOIN e p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.sec BETWEEN p.sec - 300 AND p.sec + 300""".stripMargin,
+    "stream_interval_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec, event_type FROM events)
         |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,

@@ -116,6 +116,32 @@ object EventStreams {
       )
   }
 
+  /** STREAM-STREAM inner join with event-time bounds: every (click,
+    * purchase) pair of the same user within ±`rangeSec` seconds — the
+    * streaming form of the batch interval join. Both sides carry
+    * watermarks and the join condition bounds purchase time relative
+    * to click time, so Spark derives state-eviction watermarks for
+    * BOTH join buffers (unbounded state otherwise); matches emit as
+    * soon as both sides arrive. At scale, state shards by user_id and
+    * is bounded by watermark × arrival rate. */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame, rangeSec: Long = 300,
+                   watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .selectExpr("ts AS c_ts", "cast(user_id as long) AS user_id", "cast(event_id as long) AS click_id")
+      .withWatermark("c_ts", watermark)
+    val p = purchases
+      .selectExpr("ts AS p_ts", "cast(user_id as long) AS p_user_id", "cast(event_id as long) AS purchase_id")
+      .withWatermark("p_ts", watermark)
+    c.join(
+        p,
+        expr(s"""user_id = p_user_id AND
+                |p_ts BETWEEN c_ts - INTERVAL $rangeSec seconds
+                |         AND c_ts + INTERVAL $rangeSec seconds""".stripMargin))
+      .select(
+        col("click_id"), col("purchase_id"), col("user_id"),
+        ((unix_timestamp(col("c_ts")) - unix_timestamp(col("p_ts")))).as("dt_sec"))
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, valueSum: Double)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Int, value_sum: Double)

@@ -54,6 +54,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches pairs across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val memP = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = EventStreams.intervalJoin(
+        memC.toDF().toDF("ts", "user_id", "event_id"),
+        memP.toDF().toDF("ts", "user_id", "event_id"), rangeSec = 300)
+      .writeStream.format("memory").queryName("sij").outputMode("append").start()
+    try {
+      // click arrives FIRST, its matching purchase a batch later: the
+      // join must buffer and still match; user 2's purchase is out of
+      // range (+400 s) and user 3's is another user entirely
+      memC.addData((ts(10), 1L, 100L), (ts(10), 2L, 101L))
+      q.processAllAvailable()
+      memP.addData((ts(12), 1L, 200L), (ts(10 + 7), 2L, 201L), (ts(12), 3L, 202L))
+      q.processAllAvailable()
+      val got = spark.table("sij")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set((100L, 200L, 1L, -120L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and emits rollups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
