@@ -1,7 +1,7 @@
 package graft
 
 import graft.ml.{AnnSearch, Multimodal}
-import graft.text.{MinHashLsh, SimHash, TextOps}
+import graft.text.{MinHashLsh, Packing, SimHash, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -442,7 +442,67 @@ object QueriesText {
         round(col("quality"), 6).as("best_quality"))
   }
 
+  /** GPT-style concat-and-chunk sequence packing over the hash-shuffled
+    * corpus (512-token budget): one row per (doc, training-sequence)
+    * span, docs straddling boundaries. The running token offset is a
+    * distributed prefix sum — range partition + per-partition carry +
+    * broadcast partition offsets, never a global window. See
+    * [[graft.text.Packing]]. */
+  private def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Packing.packSequences(
+      docs(spark, dir).withColumn("n_toks", TextOps.tokenCount(col("text"))),
+      "doc_id", "n_toks", budget = 512, parts = parts)
+      .select(col("id").as("doc_id"), col("seq_id"), col("seq_tokens"))
+  }
+
+  /** Gopher-style repetition metrics per document (Rae et al. 2021,
+    * §A1.1 repetition filters): top-word fraction, top-bigram fraction,
+    * duplicate-trigram fraction. Three gram-keyed partial aggregations;
+    * the per-doc rollups all hash-partition on doc_id, so the final
+    * joins reuse the aggregation partitioning without extra exchanges. */
+  private def repQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir).select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+    def gramCounts(df: DataFrame): DataFrame =
+      df.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val uni = gramCounts(t.select(col("doc_id"), explode(col("w")).as("g")))
+      .groupBy("doc_id").agg(max("c").as("max_uni"), sum("c").as("n_uni"))
+    val big = gramCounts(t.filter(size(col("w")) >= 2).select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("g")))
+      .groupBy("doc_id").agg(max("c").as("max_big"), sum("c").as("n_big"))
+    val tri = gramCounts(t.filter(size(col("w")) >= 3).select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("g")))
+      .groupBy("doc_id").agg(count(lit(1)).as("d_tri"), sum("c").as("n_tri"))
+    uni.join(big, Seq("doc_id"), "left").join(tri, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        round(col("max_uni").cast("double") / col("n_uni"), 6).as("top_word_frac"),
+        round(coalesce(col("max_big").cast("double") / col("n_big"), lit(0.0)), 6).as("top_bigram_frac"),
+        round(coalesce(lit(1.0) - col("d_tri").cast("double") / col("n_tri"), lit(0.0)), 6).as("dup_trigram_frac"))
+  }
+
+  /** Temperature-scaled source mixing weights (α = 0.5, the mT5/XLM-R
+    * sampling-temperature scheme): the weight table a multi-source
+    * pretraining run draws from. Since share^α / Σ share^α cancels the
+    * grand total, the weight is sqrt(tokens)/Σ sqrt(tokens). Two tiny
+    * aggregates; the 1-row total broadcasts back over the per-source
+    * rollup. */
+  private def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("tot_tokens"), sum(sqrt(col("n_tokens"))).as("tot_sqrt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot_tokens"), 6).as("token_share"),
+        round(sqrt(col("n_tokens")) / col("tot_sqrt"), 6).as("mix_weight"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> (packSequences _),
+    "rep_quality" -> (repQuality _),
+    "source_mix" -> (sourceMix _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -503,6 +563,48 @@ object QueriesText {
       |  FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))::BIGINT AS n,
+        |    md5(doc_id::VARCHAR) AS ord
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    sum(n) OVER (ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM t WHERE n > 0)
+        |SELECT doc_id, i::BIGINT AS seq_id,
+        |  (least(cum, (i+1)*512) - greatest(cum - n, i*512))::BIGINT AS seq_tokens
+        |FROM c, unnest(range((cum - n) // 512, ((cum - 1) // 512) + 1)) u(i)""".stripMargin,
+    "rep_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |uni AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(w) AS g FROM t) GROUP BY 1, 2) GROUP BY 1),
+        |big AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |    FROM t WHERE len(w) >= 2) GROUP BY 1, 2) GROUP BY 1),
+        |tri AS (SELECT doc_id, count(*) AS d, sum(c) AS n FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |    FROM t WHERE len(w) >= 3) GROUP BY 1, 2) GROUP BY 1)
+        |SELECT uni.doc_id,
+        |  round(uni.mx::DOUBLE / uni.n, 6) AS top_word_frac,
+        |  round(coalesce(big.mx::DOUBLE / big.n, 0.0), 6) AS top_bigram_frac,
+        |  round(coalesce(1.0 - tri.d::DOUBLE / tri.n, 0.0), 6) AS dup_trigram_frac
+        |FROM uni LEFT JOIN big USING (doc_id) LEFT JOIN tri USING (doc_id)""".stripMargin,
+    "source_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS tot_tokens, sum(sqrt(n_tokens)) AS tot_sqrt FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  round(n_tokens / tot_tokens, 6) AS token_share,
+        |  round(sqrt(n_tokens) / tot_sqrt, 6) AS mix_weight
+        |FROM per, tot""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
