@@ -2,7 +2,7 @@ package graft
 
 import graft.geom.Transforms
 import graft.io.FaceTsv
-import graft.ops.{HistogramOps, PartitionSolver, SpatialJoin}
+import graft.ops.{HistogramOps, PartitionSolver, SpatialJoin, ZOrder}
 import graft.physics.Physics
 import graft.pipelines.Layouts
 import graft.streaming.EventStreams
@@ -562,6 +562,24 @@ object QueriesCore {
       .select(col("deg"), round(Transforms.degToRad(col("deg")), 9).as("rad"))
   }
 
+  /** Z-order layout audit over lineitem: Morton-interleave
+    * (l_partkey, l_suppkey) mod 1024 (10 bits each), bucket by the
+    * top z bits, and emit each bucket's row count and per-dimension
+    * bounding box — the min/max stats file-level skipping would use.
+    * Tight boxes in BOTH dimensions are the z-order locality property
+    * that makes `ZOrder.clusterByZ` a multi-dim pruning layout. */
+  private def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val x = pmod(col("l_partkey"), lit(1024L))
+    val y = pmod(col("l_suppkey"), lit(1024L))
+    t(spark, dir, "lineitem")
+      .select(ZOrder.zValue(x, y, 10).as("z"), x.as("x"), y.as("y"))
+      .withColumn("bucket", shiftright(col("z"), 12))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+  }
+
   /** X1: integer partition solver, n = 1..60 (golden VALUES oracle). */
   private def x1Partition(spark: SparkSession, dir: String): DataFrame = {
     val pf = udf((n: Int) => PartitionSolver.getPartition(n).mkString(","))
@@ -605,10 +623,23 @@ object QueriesCore {
     "stream_interval_join" -> (streamIntervalJoin _),
     "u1_union" -> (u1Union _),
     "u2_mirror" -> (u2Mirror _),
-    "x1_partition" -> (x1Partition _)
+    "x1_partition" -> (x1Partition _),
+    "zorder_layout" -> (zorderLayout _)
   )
 
   val oracles: Map[String, String] = Map(
+    "zorder_layout" ->
+      """WITH t AS (
+        |  SELECT (l_partkey % 1024)::BIGINT AS x, (l_suppkey % 1024)::BIGINT AS y FROM lineitem),
+        |z AS (
+        |  SELECT x, y,
+        |    list_sum(list_transform(range(0, 10), i ->
+        |      (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1))))::BIGINT AS z
+        |  FROM t)
+        |SELECT (z >> 12)::BIGINT AS bucket, count(*) AS n,
+        |  min(x)::BIGINT AS x_min, max(x)::BIGINT AS x_max,
+        |  min(y)::BIGINT AS y_min, max(y)::BIGINT AS y_max
+        |FROM z GROUP BY 1""".stripMargin,
     "asof_purchase" ->
       """WITH e AS (
         |  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec, event_type FROM events),

@@ -499,7 +499,24 @@ object QueriesText {
         round(sqrt(col("n_tokens")) / col("tot_sqrt"), 6).as("mix_weight"))
   }
 
+  /** SemDeDup-style embedding dedup: connected components over the
+    * cell-blocked cosine near-pair graph (τ = 0.4, same edges as
+    * `emb_near_pairs`), one row per duplicate cluster with the kept
+    * (min) id and the cluster size. Completes the embedding-dedup
+    * family: near-pairs finds the edges, this collapses them to a
+    * keep-list. The oracle is an all-pairs recursive-CTE closure. */
+  private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(spark, dir)
+    val centroids = AnnSearch.strideCentroids(corpus, 25)
+    val pairs = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = 15)
+    MinHashLsh.components(pairs.select("a", "b"))
+      .groupBy("component")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("cluster_size"))
+      .select("keep_id", "cluster_size")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding" -> (dedupEmbedding _),
     "pack_sequences" -> (packSequences _),
     "rep_quality" -> (repQuality _),
     "source_mix" -> (sourceMix _),
@@ -563,6 +580,24 @@ object QueriesText {
       |  FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_embedding" ->
+      """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |vp AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4),
+        |e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+        |cl AS (
+        |  WITH RECURSIVE closure(src, dst) AS (
+        |    SELECT a AS src, b AS dst FROM e
+        |    UNION
+        |    SELECT closure.src, e.b AS dst FROM closure JOIN e ON e.a = closure.dst
+        |      WHERE e.b <> closure.src
+        |  ) SELECT * FROM closure)
+        |SELECT comp AS keep_id, count(*) AS cluster_size FROM (
+        |  SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src)
+        |GROUP BY comp""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.ZOrder
+import org.apache.spark.sql.functions._
+
+/** Z-order clustering: bit-exact Morton interleave and the locality
+  * property that justifies it as a file-layout operator. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mortonRef(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zValue matches the reference interleave on a golden set") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L),
+      (513L, 2L), (7L, 1000L), (65535L, 12345L))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y"), 16).as("z"))
+      .as[(Long, Long, Long)].collect().toSeq
+    got.foreach { case (x, y, z) =>
+      assert(z === mortonRef(x, y, 16), s"($x,$y)")
+    }
+    // canonical small values: (1,0)->1, (0,1)->2, (3,5)->0b100111
+    assert(mortonRef(1, 0, 16) === 1L && mortonRef(0, 1, 16) === 2L && mortonRef(3, 5, 16) === 39L)
+  }
+
+  test("clusterByZ bounds BOTH dimensions where a single-key sort cannot") {
+    val n = 64
+    val parts = 16
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+
+    def spans(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"),
+          count(lit(1)).as("cnt"))
+        .select("dx", "dy", "cnt")
+        .as[(Long, Long, Long)].collect().toSeq
+
+    val zBoxes = spans(ZOrder.clusterByZ(grid, "x", "y", bits = 6, parts = parts))
+    val xBoxes = spans(grid.repartitionByRange(parts, col("x")).sortWithinPartitions("x"))
+    assert(zBoxes.map(_._3).sum === (n * n).toLong)
+
+    // the skip-relevant metric is the WORST dimension span per
+    // partition: a single-key sort leaves y unbounded (span = n-1) in
+    // every partition; z-order keeps most partitions inside one curve
+    // quadrant (at most a few straddle quadrant seams)
+    def worst(b: Seq[(Long, Long, Long)]) = b.map { case (dx, dy, _) => dx.max(dy) }
+    val zFull = worst(zBoxes).count(_ >= n - 1)
+    val xFull = worst(xBoxes).count(_ >= n - 1)
+    assert(xFull === parts, "the single-key baseline should span y fully everywhere")
+    assert(zFull <= parts / 4, s"z-order partitions spanning a full dimension: $zFull")
+    val zMean = worst(zBoxes).sum.toDouble / zBoxes.size
+    val xMean = worst(xBoxes).sum.toDouble / xBoxes.size
+    assert(zMean < 0.75 * xMean, f"z mean worst-span $zMean%.1f vs single-key $xMean%.1f")
+  }
+}
