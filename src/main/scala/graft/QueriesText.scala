@@ -515,7 +515,41 @@ object QueriesText {
       .select("keep_id", "cluster_size")
   }
 
+  /** Sparse TF-IDF cosine similarity join via inverted index (the
+    * DIMSUM-shaped sparse path): per-(doc,term) weights, a term-keyed
+    * self-join accumulating partial dot products, and norm joins. Two
+    * scale guards: the document-frequency cap drops ultra-common terms
+    * (the skew knob — a term in every doc would otherwise create a
+    * quadratic bucket, exactly like LSH's maxBucket), and weights are
+    * quantized to integer milli-units so the dot/norm arithmetic is
+    * EXACT — the cosine is then a deterministic ratio of integers,
+    * identical across engines regardless of summation order. */
+  private def tfidfNearPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).filter(col("doc_id") < 200)
+    val terms = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = broadcast(terms.agg(countDistinct("doc_id").as("n_docs")))
+    val dfCap = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 150)
+    val w = terms.join(dfCap, "term").crossJoin(nDocs)
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1000, 0)
+          .cast("long").as("w"))
+    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm2"))
+    val dots = w.select(col("doc_id").as("a"), col("term"), col("w").as("wa"))
+      .join(w.select(col("doc_id").as("b"), col("term"), col("w").as("wb")), Seq("term"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots.join(norms.select(col("doc_id").as("a"), col("nrm2").as("na")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("nrm2").as("nb")), "b")
+      .withColumn("cos", round(col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+      .filter(col("cos") >= 0.9)
+      .select("a", "b", "cos")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_near_pairs" -> (tfidfNearPairs _),
     "dedup_embedding" -> (dedupEmbedding _),
     "pack_sequences" -> (packSequences _),
     "rep_quality" -> (repQuality _),
@@ -580,6 +614,23 @@ object QueriesText {
       |  FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "tfidf_near_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS wl
+        |  FROM documents WHERE doc_id < 200),
+        |tf AS (SELECT doc_id, g AS term, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(wl) AS g FROM d) GROUP BY 1, 2),
+        |n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf),
+        |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1 HAVING count(*) <= 150),
+        |w AS (SELECT doc_id, term, round(tf * ln(n_docs / df) * 1000)::BIGINT AS w
+        |  FROM tf JOIN dft USING (term), n),
+        |nrm AS (SELECT doc_id, sum(w * w)::BIGINT AS nrm2 FROM w GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS a, b.doc_id AS b, sum(a.w * b.w)::BIGINT AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a, b,
+        |  round(dot::DOUBLE / (sqrt(na.nrm2::DOUBLE) * sqrt(nb.nrm2::DOUBLE)), 6) AS cos
+        |FROM dots JOIN nrm na ON na.doc_id = a JOIN nrm nb ON nb.doc_id = b
+        |WHERE round(dot::DOUBLE / (sqrt(na.nrm2::DOUBLE) * sqrt(nb.nrm2::DOUBLE)), 6) >= 0.9""".stripMargin,
     "dedup_embedding" ->
       """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |vp AS (
