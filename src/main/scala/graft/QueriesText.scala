@@ -531,10 +531,16 @@ object QueriesText {
     val nDocs = broadcast(terms.agg(countDistinct("doc_id").as("n_docs")))
     val dfCap = terms.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 150)
+    // materialize the weighted inverted index ONCE — it feeds the norm
+    // aggregate and BOTH sides of the dot-product join; without this
+    // the tokenize/tf/df subtree is recomputed three times (at corpus
+    // scale the index is far smaller than the corpus, so this is the
+    // natural materialization point)
     val w = terms.join(dfCap, "term").crossJoin(nDocs)
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1000, 0)
           .cast("long").as("w"))
+      .localCheckpoint()
     val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm2"))
     val dots = w.select(col("doc_id").as("a"), col("term"), col("w").as("wa"))
       .join(w.select(col("doc_id").as("b"), col("term"), col("w").as("wb")), Seq("term"))
