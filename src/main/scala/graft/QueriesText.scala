@@ -554,7 +554,53 @@ object QueriesText {
       .select("a", "b", "cos")
   }
 
+  /** CAPSTONE v2 — the round-5 pretraining-prep chain as ONE query:
+    * quality/language filter → Gopher repetition gate (top-bigram
+    * fraction ≤ 0.06, compared in exact integer form `50·max ≤ 3·total`
+    * so the gate is engine-portable without rounding) → exact dedup →
+    * transitive LSH near-dedup → concat-and-chunk sequence packing
+    * (512-token budget, distributed prefix sum) → per-source shard
+    * stats including how many surviving docs straddle sequence
+    * boundaries. Every stage is an already-oracle-checked operator;
+    * the composed oracle recomputes the whole chain in DuckDB. */
+  private def corpusPipelineV2(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val q = TextOps.withQuality(d, col("text"))
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .filter(col("lang_pred") === "en" && col("quality") > 0.5 && col("n_tokens") >= 30)
+      .select("doc_id", "source", "text")
+    val qw = q.withColumn("w", TextOps.tokens(col("text")))
+    val repKeep = qw.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("nb"))
+      .filter(col("mx") * 50 <= col("nb") * 3)
+      .select("doc_id")
+    val q2 = q.join(repKeep, Seq("doc_id"))
+    val exactKept = q2.groupBy(TextOps.normText(col("text")).as("t"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val kept1 = q2.join(exactKept, Seq("doc_id"))
+    val pairs = MinHashLsh.verifiedPairs(kept1, "doc_id", "text", tau = 0.8)
+    val comp = MinHashLsh.components(pairs)
+    val drop = comp
+      .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
+      .filter(col("id") =!= col("keep"))
+      .select(col("id").as("doc_id"))
+    val kept = kept1.join(drop, Seq("doc_id"), "left_anti")
+      .withColumn("n_toks", TextOps.tokenCount(col("text")))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val packed = Packing.packSequences(kept, "doc_id", "n_toks", budget = 512, parts = parts)
+    val spans = packed.groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_spans"))
+    kept.select("doc_id", "source", "n_toks").join(spans, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"),
+        sum(when(col("n_spans") >= 2, 1L).otherwise(0L)).as("n_spanning"),
+        max(col("n_spans")).as("max_spans"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_pipeline_v2" -> (corpusPipelineV2 _),
     "tfidf_near_pairs" -> (tfidfNearPairs _),
     "dedup_embedding" -> (dedupEmbedding _),
     "pack_sequences" -> (packSequences _),
@@ -620,6 +666,71 @@ object QueriesText {
       |  FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_pipeline_v2" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, text, norm, w, len(w) AS n_tokens,
+        |    length(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::DOUBLE / length(norm) AS punct_ratio,
+        |    len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE / len(w) AS stop_ratio,
+        |    list_distinct(w) AS dw
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, source, norm, w, n_tokens
+        |  FROM s
+        |  WHERE round(0.5 * least(stop_ratio * 3, 1.0) + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+        |          + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) > 0.5
+        |    AND n_tokens >= 30
+        |    AND NOT regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) > 0
+        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) >=
+        |        greatest(
+        |          len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])),
+        |          len(list_intersect(dw, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])),
+        |          len(list_intersect(dw, ['le','la','les','et','est','pas','pour','dans','un','une'])),
+        |          len(list_intersect(dw, ['el','la','los','y','es','no','por','para','un','una'])))),
+        |bg AS (
+        |  SELECT doc_id, max(c) AS mx, sum(c) AS nb FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |      FROM f) GROUP BY 1, 2) GROUP BY 1),
+        |f2 AS (SELECT f.* FROM f JOIN bg USING (doc_id) WHERE mx * 50 <= nb * 3),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM f2 GROUP BY norm),
+        |k1 AS (SELECT f2.* FROM f2 JOIN ex USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |      ELSE [] END AS sgl
+        |  FROM k1),
+        |vp AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sgl, b.sgl))::DOUBLE / len(list_distinct(list_concat(a.sgl, b.sgl))) >= 0.8),
+        |e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+        |cl AS (
+        |  WITH RECURSIVE closure(src, dst) AS (
+        |    SELECT a AS src, b AS dst FROM e
+        |    UNION
+        |    SELECT closure.src, e.b AS dst FROM closure JOIN e ON e.a = closure.dst
+        |      WHERE e.b <> closure.src
+        |  ) SELECT * FROM closure),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src),
+        |k AS (
+        |  SELECT * FROM k1
+        |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)),
+        |p AS (SELECT doc_id, source, n_tokens::BIGINT AS n, md5(doc_id::VARCHAR) AS ord FROM k),
+        |c2 AS (
+        |  SELECT doc_id, source, n,
+        |    sum(n) OVER (ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM p),
+        |sp AS (SELECT source, n, ((cum - 1) // 512) - ((cum - n) // 512) + 1 AS n_spans FROM c2)
+        |SELECT source, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN n_spans >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_spanning,
+        |  max(n_spans)::BIGINT AS max_spans
+        |FROM sp GROUP BY source""".stripMargin,
     "tfidf_near_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS wl
