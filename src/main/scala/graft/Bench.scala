@@ -73,19 +73,45 @@ object Bench {
       catch { case _: Throwable => None }
     val extDirs = (Seq(sfDir, "/root/testdata/sf0.01").distinct
       .filter(d => Files.exists(Paths.get(d))) ++ synthDir)
-    val ext = extDirs.map { dir =>
-      val cells = Bench.extendedFamily.map { name =>
+    // Same hygiene as the headline set (round-5 lesson: the driver's
+    // single-shot extended cells came out 10–150× inflated by host
+    // noise and GC debt from the preceding cell): per cell, one cold
+    // first pass (reported under extended_first_pass), a GC barrier so
+    // the first pass's shuffle/checkpoint tail can't land its pause on
+    // the steady measurement, then min-of-2 steady (reported under
+    // extended).
+    def extPass(dir: String): (Seq[(String, Double)], Seq[(String, Double)]) = {
+      // barrier before the dir's first pass as well: without it the
+      // first cell absorbs the block-manager debt of every preceding
+      // query in the session (measured: a 120 s first-pass cell whose
+      // steady time is 11 s) and "first pass" stops meaning "cold
+      // query cost".
+      System.gc()
+      val both = Bench.extendedFamily.map { name =>
         val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val first = once()
+        System.gc()
+        val steady = math.min(once(), once())
+        (name -> first, name -> steady)
       }
+      (both.map(_._1), both.map(_._2))
+    }
+    val extRuns = extDirs.map { dir =>
       val label = Paths.get(dir).getFileName.toString
         .replace("graft_sf1_synth", "sf1_synth")
-      "\"" + label + "\":" + cells.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      label -> extPass(dir)
+    }
+    def extJson(pick: ((Seq[(String, Double)], Seq[(String, Double)])) => Seq[(String, Double)]): String =
+      extRuns.map { case (label, runs) => "\"" + label + "\":" + cells(pick(runs)) }
         .mkString("{", ",", "}")
-    }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"first_pass_total":${f"$firstTotal%.3f"},"first_pass":$first,"extended":$ext,"sf":"$sfDir"}"""
+    val ext = extJson(_._2)
+    val extFirst = extJson(_._1)
+    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"first_pass_total":${f"$firstTotal%.3f"},"first_pass":$first,"extended":$ext,"extended_first_pass":$extFirst,"sf":"$sfDir"}"""
     try Files.writeString(Paths.get("bench_out.json"), json) catch { case _: Throwable => () }
     // All results are computed and mirrored at this point. Teardown of a
     // session that ran streaming queries can race a late task-end
@@ -179,17 +205,33 @@ object Bench {
       "tiled_acc_hist"
     ).filter(SparkEntry.queries.contains)
 
-  /** Extended dedup/ANN/streaming family measured at two scale factors
-    * (see the `extended` key): the queries whose scale behavior rests on
-    * skew caps, cell blocking, and the map-side centroid assignment. */
+  /** Extended dedup/ANN/streaming family measured at three scale
+    * factors (see the `extended` key): the queries whose scale behavior
+    * rests on skew caps, cell blocking, and the map-side centroid
+    * assignment. Round-6 composition rule: every cell must be
+    * expected-SUBLINEAR in data size, or its growth must be explained
+    * by genuine output growth documented in SCALE.md — so the chain
+    * reads as a scaling trend, not a mix of engine time and
+    * by-construction-quadratic work. Two r5 cells were swapped out
+    * under that rule: `emb_near_pairs` (raw pair output grows ~1500×
+    * on the copy-clique synth step) is benched via its
+    * components-summarized consumer `dedup_embedding` (same pair
+    * generation inside, output = one row per cluster — the form a
+    * pipeline actually materializes; the raw-pairs query remains in
+    * the correctness gate), and `ann_topk_q8` (quantized BRUTE-FORCE
+    * baseline, queries × corpus by definition) yields its slot to the
+    * already-present `ann_topk_ivf_q8` production retrieval shape
+    * (it too stays in the correctness gate). `dedup_simhash` remains:
+    * its synth step is output-bound (~276k true pairs from
+    * identical-multiset copies, see SCALE.md) and now hot-block
+    * capped, so the cell measures the capped candidate join. */
   def extendedFamily: Seq[String] =
     Seq(
       "dedup_clusters_star",
       "dedup_simhash",
       "ann_topk_ivf",
-      "emb_near_pairs",
+      "dedup_embedding",
       "emb_quantize",
-      "ann_topk_q8",
       "ann_topk_ivf_q8",
       "decontaminate",
       "pack_sequences",

@@ -32,11 +32,12 @@ object QueriesText {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
 
   /** SimHash near-dup pairs (Hamming ≤ 3, 60-bit md5-based signature —
-    * fully oracle-checkable; the pigeonhole blocking is exact, so the
-    * all-pairs oracle matches by construction). */
+    * fully oracle-checkable; the pigeonhole blocking is exact, and the
+    * `maxBlock` hot-block skew cap is mirrored block-for-block in the
+    * DuckDB oracle, so parity is exact even when the cap fires). */
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = SimHash.signatures(docs(spark, dir), "doc_id", "text")
-    SimHash.nearPairs(sigs, "doc_id", maxDist = 3)
+    SimHash.nearPairs(sigs, "doc_id", maxDist = 3, maxBlock = 1000)
   }
 
   /** Exact n-gram Jaccard via shingle inverted index (no LSH) on a doc
@@ -486,7 +487,15 @@ object QueriesText {
     * pretraining run draws from. Since share^α / Σ share^α cancels the
     * grand total, the weight is sqrt(tokens)/Σ sqrt(tokens). Two tiny
     * aggregates; the 1-row total broadcasts back over the per-source
-    * rollup. */
+    * rollup.
+    *
+    * Known float-parity edge: `tot_sqrt` is a double sum whose partial
+    * order is nondeterministic in Spark but sequential in DuckDB; with
+    * round(·, 6) a last-ulp difference AT a rounding boundary could
+    * flip the 6th decimal. The handful of sources makes this
+    * vanishingly unlikely; if it ever flakes, sum the sqrts over a
+    * sorted collected array (sources fit on the driver) or quantize to
+    * integer units like tfidf_near_pairs does. */
   private def sourceMix(spark: SparkSession, dir: String): DataFrame = {
     val per = docs(spark, dir)
       .groupBy("source")
@@ -504,7 +513,15 @@ object QueriesText {
     * `emb_near_pairs`), one row per duplicate cluster with the kept
     * (min) id and the cluster size. Completes the embedding-dedup
     * family: near-pairs finds the edges, this collapses them to a
-    * keep-list. The oracle is an all-pairs recursive-CTE closure. */
+    * keep-list. The oracle is an all-pairs recursive-CTE closure.
+    *
+    * RECALL ASSUMPTION (oracle parity is data-dependent): the Spark
+    * side probes nprobe=15 of 25 cells, so a pair whose two vectors'
+    * home cells are mutually outside each other's probe lists is
+    * missed, while the all-pairs oracle always finds it. Parity holds
+    * on the fixture because every τ≥0.4 pair there is co-probed —
+    * if the embeddings fixture changes, re-check that property
+    * (or raise nprobe to 25 = exhaustive) before blaming the engine. */
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embs(spark, dir)
     val centroids = AnnSearch.strideCentroids(corpus, 25)
@@ -548,6 +565,12 @@ object QueriesText {
       .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
     dots.join(norms.select(col("doc_id").as("a"), col("nrm2").as("na")), "a")
       .join(norms.select(col("doc_id").as("b"), col("nrm2").as("nb")), "b")
+      // NaN guard (mirrored in the oracle): if df ever equals n_docs a
+      // term's weight is round(ln(1)*1000) = 0, and a doc made only of
+      // such terms has nrm2 = 0 → cos = 0/0 = NaN, where Spark and
+      // DuckDB disagree on filter semantics. Not reachable on the
+      // current fixture (200 docs > df cap 150), but latent.
+      .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("cos", round(col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
       .filter(col("cos") >= 0.9)
@@ -562,7 +585,18 @@ object QueriesText {
     * (512-token budget, distributed prefix sum) → per-source shard
     * stats including how many surviving docs straddle sequence
     * boundaries. Every stage is an already-oracle-checked operator;
-    * the composed oracle recomputes the whole chain in DuckDB. */
+    * the composed oracle recomputes the whole chain in DuckDB.
+    *
+    * RECALL ASSUMPTION (oracle parity is data-dependent): the oracle's
+    * near-dedup stage is ALL-PAIRS Jaccard ≥ 0.8, while the engine uses
+    * banded MinHash LSH (k=32, 8 bands of 4) whose recall is
+    * probabilistic — the analytic miss rate at exactly J=0.8 is
+    * (1−0.8⁴)⁸ ≈ 1.5% per pair, collapsing fast above the knee. Parity
+    * holds because the fixture's true duplicate pairs sit well above
+    * the S-curve knee (audited at sf0.1: all 256 J≥0.8 pairs
+    * recovered, SCALE.md); a fixture change that plants pairs AT the
+    * threshold can produce a spurious mismatch that is LSH recall, not
+    * an engine bug. */
   private def corpusPipelineV2(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val q = TextOps.withQuality(d, col("text"))
@@ -747,7 +781,8 @@ object QueriesText {
         |SELECT a, b,
         |  round(dot::DOUBLE / (sqrt(na.nrm2::DOUBLE) * sqrt(nb.nrm2::DOUBLE)), 6) AS cos
         |FROM dots JOIN nrm na ON na.doc_id = a JOIN nrm nb ON nb.doc_id = b
-        |WHERE round(dot::DOUBLE / (sqrt(na.nrm2::DOUBLE) * sqrt(nb.nrm2::DOUBLE)), 6) >= 0.9""".stripMargin,
+        |WHERE na.nrm2 > 0 AND nb.nrm2 > 0
+        |  AND round(dot::DOUBLE / (sqrt(na.nrm2::DOUBLE) * sqrt(nb.nrm2::DOUBLE)), 6) >= 0.9""".stripMargin,
     "dedup_embedding" ->
       """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |vp AS (
@@ -819,10 +854,16 @@ object QueriesText {
         |  GROUP BY doc_id, j),
         |sig AS (
         |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-        |  FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  FROM bits GROUP BY doc_id),
+        |blk AS (
+        |  SELECT doc_id, simhash, bi, (simhash >> (bi * 15)) & 32767 AS bv
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bi) g),
+        |capped AS (
+        |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY bi, bv) AS bn FROM blk)
+        |  WHERE bn <= 1000)
+        |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
         |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |FROM capped a JOIN capped b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "dedup_clusters" ->
       (shingleCte +

@@ -58,7 +58,13 @@ object Packing {
       .sortWithinPartitions("ord", "id")
       .withColumn("pid", spark_partition_id())
       // pin the partition assignment: the totals pass and the cumsum
-      // pass must see identical pids and row order
+      // pass must see identical pids and row order. Fault-tolerance
+      // trade-off: localCheckpoint stores blocks on executors with
+      // lineage CUT, so on a real cluster an executor loss makes the
+      // pinned RDD unrecoverable and fails the job (acceptable for a
+      // bench/batch step that simply re-runs). A long-lived production
+      // job should pin via reliable checkpoint() or an explicit
+      // write-out/read-back of `keyed` instead — same plan either way.
       .localCheckpoint()
 
     // exclusive prefix of per-partition token totals (one long per

@@ -45,8 +45,23 @@ object SimHash {
   }
 
   /** Pairs (a < b) with Hamming distance ≤ maxDist, via pigeonhole
-    * blocks (maxDist+1 blocks over 60 bits). */
-  def nearPairs(sigs: DataFrame, idCol: String, maxDist: Int = 3): DataFrame = {
+    * blocks (maxDist+1 blocks over 60 bits).
+    *
+    * Skew guard: `maxBlock` drops (block, value) groups larger than the
+    * cap before the self-join — the direct analog of
+    * [[MinHashLsh.candidatePairs]]'s `maxBucket`. Signature bits are
+    * sign-sums over the doc's token hashes, so documents drawn from a
+    * shared vocabulary have CORRELATED bits and the block-value
+    * distribution is far from uniform (measured on the 50k-doc
+    * synthetic corpus: p99 group size 354, max 2,690 → 57M candidate
+    * rows — and the skew worsens with corpus homogeneity, not size, so
+    * at 100 TB an uncapped hot block is a quadratic stage). Capping
+    * trades recall for a hard bound: a qualifying pair is missed only
+    * if EVERY block it shares lands in an over-cap group (identical
+    * signatures share all `maxDist+1` blocks, so exact dups survive
+    * any single hot block). With the cap, candidate rows are bounded
+    * by groups × maxBlock², independent of the hottest value. */
+  def nearPairs(sigs: DataFrame, idCol: String, maxDist: Int = 3, maxBlock: Int = 1000): DataFrame = {
     val nBlocks = maxDist + 1
     val width = Bits / nBlocks
     val blockCols: Seq[Column] = (0 until nBlocks).map { bi =>
@@ -60,6 +75,11 @@ object SimHash {
       col("simhash"),
       posexplode(array(blockCols: _*)).as(Seq("blk", "blkval"))
     )
+      .withColumn(
+        "bn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("blk", "blkval")))
+      .filter(col("bn") <= maxBlock)
+      .drop("bn")
     val a = blocks.select(col(idCol).as("a"), col("simhash").as("sha"), col("blk"), col("blkval"))
     val b = blocks.select(col(idCol).as("b"), col("simhash").as("shb"), col("blk"), col("blkval"))
     a.join(b, Seq("blk", "blkval"))

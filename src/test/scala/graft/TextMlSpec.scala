@@ -82,6 +82,38 @@ class TextMlSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("simhash maxBlock cap: hot block dropped, pairs sharing a quiet block survive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val hotVal = 123L // shared block-0 value (bits 0..14)
+    def upper45(): Long = (rnd.nextLong() & ((1L << 45) - 1)) << 15
+    // 50 hot-block members with random (pairwise-distant) upper bits
+    val hot = (10L until 60L).map(i => (i, hotVal | upper45()))
+    // near-dup pair (0,1): distance 1 (bit 20 = block 1); blocks 0,2,3 equal.
+    // Block 0 sits in the hot group → dropped by the cap; the pair must
+    // still surface via its (quiet) shared blocks 2 and 3.
+    val s0 = hotVal | upper45()
+    val survivor = Seq((0L, s0), (1L, s0 ^ (1L << 20)))
+    // pair (100,101): distance 3, one flipped bit in EACH of blocks 1,2,3
+    // → the ONLY shared block is the hot block 0: the documented recall
+    // cost of the cap (found uncapped, missed capped).
+    val s100 = hotVal | upper45()
+    val onlyHot = Seq((100L, s100), (101L, s100 ^ (1L << 20) ^ (1L << 35) ^ (1L << 50)))
+    val sigs = (hot ++ survivor ++ onlyHot).toDF("doc_id", "simhash")
+
+    def pairs(maxBlock: Int): Set[(Long, Long)] =
+      SimHash.nearPairs(sigs, "doc_id", maxDist = 3, maxBlock = maxBlock)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val uncapped = pairs(1000000)
+    assert(uncapped.contains((0L, 1L)) && uncapped.contains((100L, 101L)))
+    val capped = pairs(40) // hot group has 54 members > 40
+    assert(capped.contains((0L, 1L)), "pair sharing quiet blocks must survive the cap")
+    assert(!capped.contains((100L, 101L)), "pair whose only shared block is hot is the documented miss")
+    // and the cap introduces no spurious pairs
+    assert((capped -- uncapped).isEmpty)
+  }
+
   test("ANN brute-force top-k ranks by cosine with deterministic ties") {
     import spark.implicits._
     val vecs = Seq(
