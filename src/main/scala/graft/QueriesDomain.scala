@@ -635,6 +635,96 @@ object QueriesDomain {
       .select(col("bin"), round(col("center"), 6).as("center"), col("n"))
   }
 
+  /** geometric_acceptance.ipynb tiling pin (cells 4-31): per-dee
+    * filled (module_matrix sum, ETL.py:702-707) and available
+    * (yes-state slots — the notebook's `slot_matrix`, which no longer
+    * exists on Dee; ETL.py:811 is the reference's own AttributeError
+    * path) for the three tiled variants at their exact notebook
+    * parameters. Goldens from a fresh shim run (dev/gen_ga_golden.py);
+    * the notebook's recorded `available` totals and the v2 `filled`
+    * total match it exactly, while the large/small `filled` outputs
+    * (3936/3852) are stale — an older ETL.py covered a few fewer
+    * slots, the same evolution nb_tiling already pinned. */
+  private def gaVariants(spark: SparkSession, dir: String): DataFrame =
+    Seq("large_sensor", "small_sensor", "small_sensor_v2")
+      .map { v =>
+        graft.ops.DeeTiling.tileFaces(spark, graft.ops.DeeTiling.gaFaces(v))
+          .filter(col("kind") === "slot")
+          .groupBy(col("face").as("dee"))
+          .agg(
+            sum(col("covered").cast("long")).as("filled"),
+            sum((col("available") === "yes").cast("long")).as("available"))
+          .withColumn("variant", lit(v))
+      }
+      .reduce(_ unionByName _)
+      .select("variant", "dee", "filled", "available")
+
+  /** The geometric_acceptance.ipynb MC detector set, as (variant,
+    * face-indexed corner table): two fromCenters layouts (TDR,
+    * new_layout — Sensor(42.5, 22) over the two YAML databases) and
+    * two tiled variants (large_sensor, small_sensor). */
+  private def gaDetectors(spark: SparkSession): Seq[(String, DataFrame)] = {
+    val tiled = Seq("large_sensor", "small_sensor").map { v =>
+      val faces = graft.ops.DeeTiling.gaFaces(v)
+      val all = graft.ops.DeeTiling.tileFaces(spark, faces)
+      v -> faces.zipWithIndex
+        .map { case ((dee, cfg, _), idx) =>
+          graft.ops.DeeTiling.sensors(
+              graft.ops.DeeTiling.supermodules(all.filter(col("face") === dee)), cfg)
+            .select(lit(idx).as("face"), col("ax1"), col("ax2"), col("ay1"), col("ay2"))
+        }
+        .reduce(_ unionByName _)
+    }
+    val layouts = Seq(
+      "TDR" -> ("database_TDR.yaml", "TDR"),
+      "new_layout" -> ("database_new.yaml", "new")
+    ).map { case (v, (yamlName, layout)) =>
+      v -> Layouts.faceSensors(spark, Layouts.resolveFixture(yamlName), layout)
+        .select(col("face"), col("ax1"), col("ax2"), col("ay1"), col("ay2"))
+    }
+    layouts.take(1) ++ tiled ++ layouts.drop(1)
+  }
+
+  /** geometric_acceptance.ipynb MC pin (cells 57-66): per-variant
+    * hit-count histogram (`Hist1D(nHits[det], bins="5,-0.5,4.5")`)
+    * over the seed-42 fixture events — the engine recomputes every
+    * variant's hits from its own tiling / fromCenters chain through
+    * the grid spatial join; the zero bin is total − accepted (events
+    * with no hits never materialize in the sparse join). */
+  private def gaNhits(spark: SparkSession, dir: String): DataFrame = {
+    val p = spark.read.parquet(Layouts.resolveFixture("ga_acceptance_seed42.parquet"))
+      .select("event_id", "x", "y", "theta", "phi", "eta")
+    val total = p.count()
+    gaDetectors(spark)
+      .map { case (v, sensors) =>
+        val sparse = Acceptance.hitCountsKin(spark, p, sensors)
+          .groupBy(col("n_hits").cast("long").as("nhits"))
+          .agg(count(lit(1)).as("n"))
+        val zero = sparse.agg((lit(total) - sum("n")).as("n"))
+          .select(lit(0L).as("nhits"), col("n"))
+        sparse.unionByName(zero).withColumn("variant", lit(v))
+      }
+      .reduce(_ unionByName _)
+      .select("variant", "nhits", "n")
+  }
+
+  /** geometric_acceptance.ipynb efficiency-numerator pin (cell 63):
+    * per-variant η histogram of accepted events
+    * (`Hist1D([v.eta for v in hits[det]], bins="40,1.659,2.950")`). */
+  private def gaAccHist(spark: SparkSession, dir: String): DataFrame = {
+    val p = spark.read.parquet(Layouts.resolveFixture("ga_acceptance_seed42.parquet"))
+      .select("event_id", "x", "y", "theta", "phi", "eta")
+    val spec = graft.ops.HistogramOps.BinSpec(40, 1.659, 2.950)
+    gaDetectors(spark)
+      .map { case (v, sensors) =>
+        val sparse = Acceptance.hitCountsKin(spark, p, sensors)
+        graft.ops.HistogramOps.hist1d(sparse, col("eta"), spec)
+          .select(lit(v).as("variant"), col("bin"),
+            round(col("center"), 6).as("center"), col("n"))
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** X6 module matrix: per-row covered-slot counts over the tiled
     * 'updated' layout (rows keyed by their y coordinate). */
   private def tilingMatrix(spark: SparkSession, dir: String): DataFrame =
@@ -714,6 +804,9 @@ object QueriesDomain {
     "tiling_bitmap" -> (tilingBitmap _),
     "tiled_acc_hist" -> (tiledAccHist _),
     "nb_tiling" -> (nbTiling _),
+    "ga_variants" -> (gaVariants _),
+    "ga_nhits" -> (gaNhits _),
+    "ga_acc_hist" -> (gaAccHist _),
     "nb_acc_hist" -> (nbAccHist _),
     "tiling_sensors" -> (tilingSensors _),
     "service_boards" -> (serviceBoards _),
@@ -1183,6 +1276,205 @@ object QueriesDomain {
         |  ('updated_noft', 'face2', 79, 467, 44190.45, 520.25),
         |  ('updated_noft', 'face3', 76, 466, 41616.6, 1975.0),
         |  ('updated_noft', 'face4', 79, 467, 44190.45, -520.25)) t(variant, face, n_sm, n_modules, sum_x, sum_y)""".stripMargin,
+    "ga_variants" ->
+      """SELECT variant, dee, filled::BIGINT AS filled, available::BIGINT AS available FROM (VALUES
+        |  ('large_sensor', 'D1', 497, 494),
+        |  ('large_sensor', 'D2', 492, 490),
+        |  ('large_sensor', 'D3', 497, 494),
+        |  ('large_sensor', 'D4', 492, 490),
+        |  ('small_sensor', 'D1', 484, 483),
+        |  ('small_sensor', 'D2', 482, 481),
+        |  ('small_sensor', 'D3', 484, 483),
+        |  ('small_sensor', 'D4', 482, 481),
+        |  ('small_sensor_v2', 'D1', 957, 958),
+        |  ('small_sensor_v2', 'D2', 955, 955),
+        |  ('small_sensor_v2', 'D3', 957, 958),
+        |  ('small_sensor_v2', 'D4', 955, 955)
+        |) t(variant, dee, filled, available)""".stripMargin,
+    "ga_nhits" ->
+      """SELECT variant, nhits::BIGINT AS nhits, n::BIGINT AS n FROM (VALUES
+        |  ('TDR', 0, 10333),
+        |  ('TDR', 1, 13622),
+        |  ('TDR', 2, 72763),
+        |  ('TDR', 3, 3212),
+        |  ('TDR', 4, 70),
+        |  ('large_sensor', 0, 10110),
+        |  ('large_sensor', 1, 15613),
+        |  ('large_sensor', 2, 71452),
+        |  ('large_sensor', 3, 2790),
+        |  ('large_sensor', 4, 35),
+        |  ('small_sensor', 0, 10097),
+        |  ('small_sensor', 1, 18858),
+        |  ('small_sensor', 2, 68382),
+        |  ('small_sensor', 3, 2627),
+        |  ('small_sensor', 4, 36),
+        |  ('new_layout', 0, 24689),
+        |  ('new_layout', 1, 12083),
+        |  ('new_layout', 2, 60120),
+        |  ('new_layout', 3, 3068),
+        |  ('new_layout', 4, 40)
+        |) t(variant, nhits, n)""".stripMargin,
+    "ga_acc_hist" ->
+      """SELECT variant, bin::BIGINT AS bin, center::DOUBLE AS center, n::BIGINT AS n FROM (VALUES
+        |  ('TDR', 0, 1.675138, 664),
+        |  ('TDR', 1, 1.707413, 2181),
+        |  ('TDR', 2, 1.739688, 2547),
+        |  ('TDR', 3, 1.771963, 2454),
+        |  ('TDR', 4, 1.804238, 2460),
+        |  ('TDR', 5, 1.836513, 2453),
+        |  ('TDR', 6, 1.868788, 2506),
+        |  ('TDR', 7, 1.901063, 2419),
+        |  ('TDR', 8, 1.933338, 2501),
+        |  ('TDR', 9, 1.965613, 2460),
+        |  ('TDR', 10, 1.997888, 2452),
+        |  ('TDR', 11, 2.030163, 2479),
+        |  ('TDR', 12, 2.062438, 2466),
+        |  ('TDR', 13, 2.094713, 2546),
+        |  ('TDR', 14, 2.126988, 2390),
+        |  ('TDR', 15, 2.159263, 2333),
+        |  ('TDR', 16, 2.191538, 2480),
+        |  ('TDR', 17, 2.223813, 2439),
+        |  ('TDR', 18, 2.256088, 2452),
+        |  ('TDR', 19, 2.288363, 2410),
+        |  ('TDR', 20, 2.320638, 2506),
+        |  ('TDR', 21, 2.352913, 2468),
+        |  ('TDR', 22, 2.385188, 2456),
+        |  ('TDR', 23, 2.417463, 2399),
+        |  ('TDR', 24, 2.449738, 2484),
+        |  ('TDR', 25, 2.482013, 2440),
+        |  ('TDR', 26, 2.514288, 2485),
+        |  ('TDR', 27, 2.546563, 2451),
+        |  ('TDR', 28, 2.578838, 2426),
+        |  ('TDR', 29, 2.611113, 2404),
+        |  ('TDR', 30, 2.643388, 2438),
+        |  ('TDR', 31, 2.675663, 2458),
+        |  ('TDR', 32, 2.707938, 2468),
+        |  ('TDR', 33, 2.740213, 2423),
+        |  ('TDR', 34, 2.772488, 2495),
+        |  ('TDR', 35, 2.804763, 2271),
+        |  ('TDR', 36, 2.837038, 1636),
+        |  ('TDR', 37, 2.869313, 1000),
+        |  ('TDR', 38, 2.901588, 633),
+        |  ('TDR', 39, 2.933863, 234),
+        |  ('large_sensor', 0, 1.675138, 356),
+        |  ('large_sensor', 1, 1.707413, 2148),
+        |  ('large_sensor', 2, 1.739688, 2540),
+        |  ('large_sensor', 3, 1.771963, 2448),
+        |  ('large_sensor', 4, 1.804238, 2472),
+        |  ('large_sensor', 5, 1.836513, 2455),
+        |  ('large_sensor', 6, 1.868788, 2500),
+        |  ('large_sensor', 7, 1.901063, 2424),
+        |  ('large_sensor', 8, 1.933338, 2498),
+        |  ('large_sensor', 9, 1.965613, 2463),
+        |  ('large_sensor', 10, 1.997888, 2454),
+        |  ('large_sensor', 11, 2.030163, 2492),
+        |  ('large_sensor', 12, 2.062438, 2460),
+        |  ('large_sensor', 13, 2.094713, 2555),
+        |  ('large_sensor', 14, 2.126988, 2401),
+        |  ('large_sensor', 15, 2.159263, 2333),
+        |  ('large_sensor', 16, 2.191538, 2478),
+        |  ('large_sensor', 17, 2.223813, 2443),
+        |  ('large_sensor', 18, 2.256088, 2453),
+        |  ('large_sensor', 19, 2.288363, 2412),
+        |  ('large_sensor', 20, 2.320638, 2508),
+        |  ('large_sensor', 21, 2.352913, 2478),
+        |  ('large_sensor', 22, 2.385188, 2447),
+        |  ('large_sensor', 23, 2.417463, 2400),
+        |  ('large_sensor', 24, 2.449738, 2489),
+        |  ('large_sensor', 25, 2.482013, 2438),
+        |  ('large_sensor', 26, 2.514288, 2491),
+        |  ('large_sensor', 27, 2.546563, 2454),
+        |  ('large_sensor', 28, 2.578838, 2427),
+        |  ('large_sensor', 29, 2.611113, 2392),
+        |  ('large_sensor', 30, 2.643388, 2438),
+        |  ('large_sensor', 31, 2.675663, 2453),
+        |  ('large_sensor', 32, 2.707938, 2467),
+        |  ('large_sensor', 33, 2.740213, 2420),
+        |  ('large_sensor', 34, 2.772488, 2492),
+        |  ('large_sensor', 35, 2.804763, 2355),
+        |  ('large_sensor', 36, 2.837038, 1839),
+        |  ('large_sensor', 37, 2.869313, 1301),
+        |  ('large_sensor', 38, 2.901588, 703),
+        |  ('large_sensor', 39, 2.933863, 113),
+        |  ('small_sensor', 0, 1.675138, 417),
+        |  ('small_sensor', 1, 1.707413, 2075),
+        |  ('small_sensor', 2, 1.739688, 2544),
+        |  ('small_sensor', 3, 1.771963, 2440),
+        |  ('small_sensor', 4, 1.804238, 2464),
+        |  ('small_sensor', 5, 1.836513, 2447),
+        |  ('small_sensor', 6, 1.868788, 2493),
+        |  ('small_sensor', 7, 1.901063, 2405),
+        |  ('small_sensor', 8, 1.933338, 2489),
+        |  ('small_sensor', 9, 1.965613, 2449),
+        |  ('small_sensor', 10, 1.997888, 2441),
+        |  ('small_sensor', 11, 2.030163, 2494),
+        |  ('small_sensor', 12, 2.062438, 2462),
+        |  ('small_sensor', 13, 2.094713, 2541),
+        |  ('small_sensor', 14, 2.126988, 2385),
+        |  ('small_sensor', 15, 2.159263, 2327),
+        |  ('small_sensor', 16, 2.191538, 2475),
+        |  ('small_sensor', 17, 2.223813, 2431),
+        |  ('small_sensor', 18, 2.256088, 2437),
+        |  ('small_sensor', 19, 2.288363, 2409),
+        |  ('small_sensor', 20, 2.320638, 2493),
+        |  ('small_sensor', 21, 2.352913, 2474),
+        |  ('small_sensor', 22, 2.385188, 2441),
+        |  ('small_sensor', 23, 2.417463, 2401),
+        |  ('small_sensor', 24, 2.449738, 2471),
+        |  ('small_sensor', 25, 2.482013, 2429),
+        |  ('small_sensor', 26, 2.514288, 2483),
+        |  ('small_sensor', 27, 2.546563, 2453),
+        |  ('small_sensor', 28, 2.578838, 2424),
+        |  ('small_sensor', 29, 2.611113, 2383),
+        |  ('small_sensor', 30, 2.643388, 2454),
+        |  ('small_sensor', 31, 2.675663, 2444),
+        |  ('small_sensor', 32, 2.707938, 2444),
+        |  ('small_sensor', 33, 2.740213, 2405),
+        |  ('small_sensor', 34, 2.772488, 2483),
+        |  ('small_sensor', 35, 2.804763, 2269),
+        |  ('small_sensor', 36, 2.837038, 1892),
+        |  ('small_sensor', 37, 2.869313, 1395),
+        |  ('small_sensor', 38, 2.901588, 801),
+        |  ('small_sensor', 39, 2.933863, 239),
+        |  ('new_layout', 0, 1.675138, 94),
+        |  ('new_layout', 1, 1.707413, 1027),
+        |  ('new_layout', 2, 1.739688, 2097),
+        |  ('new_layout', 3, 1.771963, 2203),
+        |  ('new_layout', 4, 1.804238, 2342),
+        |  ('new_layout', 5, 1.836513, 2453),
+        |  ('new_layout', 6, 1.868788, 2506),
+        |  ('new_layout', 7, 1.901063, 2419),
+        |  ('new_layout', 8, 1.933338, 2501),
+        |  ('new_layout', 9, 1.965613, 2462),
+        |  ('new_layout', 10, 1.997888, 2451),
+        |  ('new_layout', 11, 2.030163, 2479),
+        |  ('new_layout', 12, 2.062438, 2466),
+        |  ('new_layout', 13, 2.094713, 2544),
+        |  ('new_layout', 14, 2.126988, 2392),
+        |  ('new_layout', 15, 2.159263, 2330),
+        |  ('new_layout', 16, 2.191538, 2478),
+        |  ('new_layout', 17, 2.223813, 2440),
+        |  ('new_layout', 18, 2.256088, 2452),
+        |  ('new_layout', 19, 2.288363, 2409),
+        |  ('new_layout', 20, 2.320638, 2506),
+        |  ('new_layout', 21, 2.352913, 2466),
+        |  ('new_layout', 22, 2.385188, 2455),
+        |  ('new_layout', 23, 2.417463, 2400),
+        |  ('new_layout', 24, 2.449738, 2483),
+        |  ('new_layout', 25, 2.482013, 2438),
+        |  ('new_layout', 26, 2.514288, 2431),
+        |  ('new_layout', 27, 2.546563, 2294),
+        |  ('new_layout', 28, 2.578838, 2165),
+        |  ('new_layout', 29, 2.611113, 1953),
+        |  ('new_layout', 30, 2.643388, 1624),
+        |  ('new_layout', 31, 2.675663, 1514),
+        |  ('new_layout', 32, 2.707938, 1320),
+        |  ('new_layout', 33, 2.740213, 1201),
+        |  ('new_layout', 34, 2.772488, 955),
+        |  ('new_layout', 35, 2.804763, 449),
+        |  ('new_layout', 36, 2.837038, 105),
+        |  ('new_layout', 37, 2.869313, 7)
+        |) t(variant, bin, center, n)""".stripMargin,
     "nb_tiling" ->
       """SELECT face, n_sm::BIGINT AS n_sm, n_modules::BIGINT AS n_modules FROM (VALUES
         |  ('disk1_front', 80, 484),

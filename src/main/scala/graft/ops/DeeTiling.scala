@@ -53,7 +53,12 @@ object DeeTiling {
       // non-square sensors (example.ipynb's 21.75 × 22 small-sensor
       // baseline); NaN = fall back to the square sensorSize
       sensorSizeX: Double = Double.NaN,
-      sensorSizeY: Double = Double.NaN
+      sensorSizeY: Double = Double.NaN,
+      // sensor grid shape (Module.__init__ n_sensor_x/n_sensor_y,
+      // ETL.py:207-221: a 1-wide axis forces its distance to 0, so the
+      // single sensor sits on the module center)
+      nSensorX: Int = 2,
+      nSensorY: Int = 2
   ) {
     def sensorW: Double = if (sensorSizeX.isNaN) sensorSize else sensorSizeX
     def sensorH: Double = if (sensorSizeY.isNaN) sensorSize else sensorSizeY
@@ -236,21 +241,25 @@ object DeeTiling {
     tiled.filter(col("kind") === "sm")
       .select(col("row"), col("col").as("seq"), col("n_mod"), col("x").as("x_sm"), col("y").as("y_sm"))
 
-  /** Expand a tiled face's supermodules → modules → 2×2 sensors with
+  /** Expand a tiled face's supermodules → modules → n×m sensors with
     * active-area corners (Module.populate, ETL.py:264-269 +
     * SuperModule module placement, ETL.py:341-343). Output feeds the
-    * acceptance spatial join directly. */
+    * acceptance spatial join directly. A 1-wide sensor axis places its
+    * sensor on the module center (ETL.py:220-221 forces the distance
+    * to 0 — the geometric_acceptance.ipynb 1×2 module variants). */
   def sensors(sms: DataFrame, cfg: Config): DataFrame = {
     val pitch = cfg.pitch
+    val distX = if (cfg.nSensorX == 1) 0.0 else cfg.sensorDistX
+    val distY = if (cfg.nSensorY == 1) 0.0 else cfg.sensorDistY
     val mods = sms
       .withColumn("mod_i", explode(sequence(lit(0), col("n_mod") - 1)))
       .withColumn("x_mod", col("x_sm") + ((lit(0) - (col("n_mod") - 1)) / 2.0 + col("mod_i")) * pitch)
       .withColumn("y_mod", col("y_sm") + cfg.moduleDy)
     val sens = mods
-      .withColumn("ix", explode(array(lit(0), lit(1))))
-      .withColumn("iy", explode(array(lit(0), lit(1))))
-      .withColumn("x", (col("ix") * 2 - 1) * (cfg.sensorDistX / 2.0) + col("x_mod"))
-      .withColumn("y", (col("iy") * 2 - 1) * (cfg.sensorDistY / 2.0) + col("y_mod"))
+      .withColumn("ix", explode(sequence(lit(0), lit(cfg.nSensorX - 1))))
+      .withColumn("iy", explode(sequence(lit(0), lit(cfg.nSensorY - 1))))
+      .withColumn("x", (col("ix") * 2 - 1) * (distX / 2.0) + col("x_mod"))
+      .withColumn("y", (col("iy") * 2 - 1) * (distY / 2.0) + col("y_mod"))
     // withCorners' `height` is the x-extent and `width` the y-extent
     // (Sensor(x, y) in the reference); square for the production
     // modules, 21.75 × 22 for the notebook small-sensor baseline
@@ -302,6 +311,46 @@ object DeeTiling {
       ("disk1_back", base.copy(centerRB = false, centerPB = true), Nil),
       ("disk2_front", base.copy(orientation = "below"), Nil),
       ("disk2_back", base.copy(orientation = "below", centerRB = false, centerPB = true), Nil))
+  }
+
+  /** The geometric_acceptance.ipynb detector variants at their EXACT
+    * notebook parameters (cells 4/6, 16/18, 28/29): four dees D1–D4
+    * (above-RB, above-PB, below-RB, below-PB), Dee(315, 1185), default
+    * edge_x = 6, NO exclusion zones.
+    *  - `large_sensor`: 43.10 × 56.50 modules of 1×2 sensors 42.5 × 22
+    *    at y-pitch 22.5 (x distance forced 0), flavors [3,6,7];
+    *  - `small_sensor`: the example.ipynb small-sensor baseline —
+    *    44.20 × 56.50 modules of 2×2 sensors 21.75 × 22 at 21.85/22.5;
+    *  - `small_sensor_v2`: 22.35 × 56.50 half-height modules of 1×2
+    *    sensors 21.75 × 22, flavors [6,11,14]. */
+  def gaFaces(variant: String): Seq[(String, Config, Seq[Zone])] = {
+    val base = variant match {
+      case "large_sensor" =>
+        Config("above", centerRB = true, centerPB = false, rInner = 315.0,
+          edgeX = 6.0, moduleHeight = 43.10, moduleWidth = 56.5,
+          pbWidth = 29.5, rbWidth = 56.5,
+          sensorDistY = 22.5, sensorSizeX = 42.5, sensorSizeY = 22.0,
+          nSensorX = 1, nSensorY = 2)
+      case "small_sensor" =>
+        Config("above", centerRB = true, centerPB = false, rInner = 315.0,
+          edgeX = 6.0, moduleHeight = 44.2, moduleWidth = 56.5,
+          pbWidth = 29.5, rbWidth = 56.5,
+          sensorDistX = 21.85, sensorDistY = 22.5,
+          sensorSizeX = 21.75, sensorSizeY = 22.0)
+      case "small_sensor_v2" =>
+        Config("above", centerRB = true, centerPB = false, rInner = 315.0,
+          edgeX = 6.0, moduleHeight = 42.5 / 2 + 0.5 + 0.6, moduleWidth = 56.5,
+          pbWidth = 29.5, rbWidth = 56.5, flavors = Seq(6, 11, 14),
+          sensorDistY = 22.5, sensorSizeX = 21.75, sensorSizeY = 22.0,
+          nSensorX = 1, nSensorY = 2)
+      case other =>
+        throw new IllegalArgumentException(s"unknown ga variant '$other'")
+    }
+    Seq(
+      ("D1", base, Nil),
+      ("D2", base.copy(centerRB = false, centerPB = true), Nil),
+      ("D3", base.copy(orientation = "below"), Nil),
+      ("D4", base.copy(orientation = "below", centerRB = false, centerPB = true), Nil))
   }
 
   /** Re-dimension a face config for a named module size
