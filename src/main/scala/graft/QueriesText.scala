@@ -320,6 +320,19 @@ object QueriesText {
     Multimodal.decodeBmp(spark, media)
   }
 
+  /** Decode the FROZEN JPEG fixture through the pure-JVM javax.imageio
+    * codec (the first non-hand-rolled format in the multimodal hook).
+    * JPEG is lossy, so unlike the BMP/WAV oracles the decode facts are
+    * pinned against the frozen byte stream (fixtures/jpeg_seed42
+    * .parquet, written once by dev/GenJpegFixture from the first 32
+    * sf0.01 documents at explicit quality 0.9) rather than recomputed
+    * from source text; dims and band count are additionally known
+    * independently from the encoder's construction rule. */
+  private def mmDecodeJpeg(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeJpeg(
+      spark,
+      spark.read.parquet(graft.pipelines.Layouts.resolveFixture("jpeg_seed42.parquet")))
+
   /** Round-trip through the REAL WAV codec: documents → genuine
     * RIFF/WAVE PCM files → chunk walk + sample decode. The oracle
     * recomputes rate/channels/frame-count/sample-sum from the source
@@ -666,6 +679,7 @@ object QueriesText {
     "mm_frames" -> (mmFrames _),
     "mm_decode_bmp" -> (mmDecodeBmp _),
     "mm_decode_wav" -> (mmDecodeWav _),
+    "mm_decode_jpeg" -> (mmDecodeJpeg _),
     "mm_resize_bmp" -> (mmResizeBmp _),
     "fingerprint_rolling" -> (fingerprintRolling _),
     "sample_stratified" -> (sampleStratified _),
@@ -1238,6 +1252,43 @@ object QueriesText {
         |  FROM t)
         |SELECT doc_id, coalesce(list_reduce(bs, (a, b) -> (a * 31 + b) % 1000000007), 0)::BIGINT AS rh
         |FROM b""".stripMargin,
+    "mm_decode_jpeg" ->
+      """SELECT id::BIGINT AS id, n_bytes::BIGINT AS n_bytes, width::BIGINT AS width,
+        |  height::BIGINT AS height, channels::BIGINT AS channels,
+        |  pixel_bytes::BIGINT AS pixel_bytes, pixel_sum::BIGINT AS pixel_sum FROM (VALUES
+        |  (0, 717, 12, 5, 3, 180, 14602),
+        |  (1, 748, 9, 16, 3, 432, 38544),
+        |  (2, 720, 11, 8, 3, 264, 23224),
+        |  (3, 713, 11, 5, 3, 165, 13901),
+        |  (4, 715, 15, 6, 3, 270, 23727),
+        |  (5, 722, 16, 7, 3, 336, 29792),
+        |  (6, 693, 14, 2, 3, 84, 7326),
+        |  (7, 759, 14, 10, 3, 420, 38019),
+        |  (8, 767, 10, 16, 3, 480, 44655),
+        |  (9, 777, 12, 11, 3, 396, 36555),
+        |  (10, 715, 15, 5, 3, 225, 20324),
+        |  (11, 715, 15, 7, 3, 315, 28467),
+        |  (12, 728, 14, 9, 3, 378, 32907),
+        |  (13, 760, 12, 10, 3, 360, 32980),
+        |  (14, 784, 8, 21, 3, 504, 46734),
+        |  (15, 718, 11, 7, 3, 231, 21445),
+        |  (16, 688, 8, 4, 3, 96, 8495),
+        |  (17, 785, 11, 13, 3, 429, 40425),
+        |  (18, 767, 8, 18, 3, 432, 40111),
+        |  (19, 682, 11, 2, 3, 66, 5517),
+        |  (20, 747, 15, 9, 3, 405, 37717),
+        |  (21, 710, 9, 9, 3, 243, 20797),
+        |  (22, 772, 12, 13, 3, 468, 43167),
+        |  (23, 712, 12, 5, 3, 180, 15756),
+        |  (24, 780, 12, 15, 3, 540, 50653),
+        |  (25, 829, 9, 19, 3, 513, 47605),
+        |  (26, 681, 8, 3, 3, 72, 5919),
+        |  (27, 758, 12, 10, 3, 360, 32589),
+        |  (28, 752, 9, 13, 3, 351, 31767),
+        |  (29, 722, 15, 5, 3, 225, 18825),
+        |  (30, 710, 13, 5, 3, 195, 15855),
+        |  (31, 716, 15, 6, 3, 270, 23927)
+        |) t(id, n_bytes, width, height, channels, pixel_bytes, pixel_sum)""".stripMargin,
     "mm_decode_wav" ->
       """WITH t AS (
         |  SELECT doc_id AS id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx

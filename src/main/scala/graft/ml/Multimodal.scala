@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   *    field extraction, pixel-array offset) and walks the pixel rows
   *    with the genuine 4-byte row-stride padding — a byte-level decode,
   *    not arithmetic on the payload length.
+  *  - JPEG payloads go through the pure-JVM `javax.imageio` codec
+  *    ([[encodeJpegFromText]]/[[decodeJpeg]]) — a genuine external
+  *    format plugged into the same batch hook (lossy, so decode facts
+  *    are pinned against a frozen fixture).
   *  - anything else falls back to deterministic pseudo-features derived
-  *    from the raw bytes (this container ships no image/audio codec
-  *    libraries, so e.g. JPEG would need a library a real deployment
-  *    plugs into the same batch hook).
+  *    from the raw bytes (codecs needing non-JDK libraries — PNG would
+  *    also be ImageIO, but e.g. video formats need a native lib a real
+  *    deployment plugs into the same batch hook).
   */
 object Multimodal {
 
@@ -227,6 +231,94 @@ object Multimodal {
         MediaRow(m.id, m.modality, buf.array())
       }))
       .toDF("id", "modality", "content")
+  }
+
+  /** Encode (id, text) rows as REAL JPEG files through the pure-JVM
+    * `javax.imageio` codec (the JDK ships a JPEG plugin — the first
+    * external-format codec beyond the hand-rolled BMP/WAV): a
+    * deterministic RGB image is built from the payload bytes (same
+    * dims rule as the BMP encoder: width = 8 + n % 9,
+    * height = ceil(n / 3·width), min 1; missing bytes are 0) and
+    * compressed at an EXPLICIT quality so the byte stream does not
+    * depend on writer defaults. JPEG is lossy: decoded pixels are not
+    * the payload bytes, so decode facts are pinned against a frozen
+    * fixture (fixtures/jpeg_seed42.parquet) rather than recomputed
+    * from source text. Runs in the same batched per-partition hook as
+    * the other codecs. */
+  def encodeJpegFromText(df: DataFrame, idCol: String, textCol: String,
+                         quality: Float = 0.9f): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = payload.length
+        val w = 8 + n % 9
+        val h = math.max(1, (n + 3 * w - 1) / (3 * w))
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) {
+              val src = (y * w + x) * 3 + c
+              raster.setSample(x, y, c, if (src < n) payload(src) & 0xff else 0)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(quality)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+        ios.close(); writer.dispose()
+        MediaRow(id, "image/jpeg", bos.toByteArray)
+      })
+      .toDF("id", "modality", "content")
+  }
+
+  /** REAL JPEG decode via `javax.imageio.ImageIO.read`: validates the
+    * SOI magic (0xFFD8) up front so corrupt payloads fail loudly with
+    * the id (ImageIO.read returns null instead of raising), then emits
+    * the decoded dims, band count, and the unsigned sum over every
+    * decoded sample — the decode checksum the fixture golden pins. */
+  def decodeJpeg(spark: SparkSession, media: DataFrame, batchSize: Int = 256): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("id"), col("modality"), col("content"))
+      .as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+        val b = m.content
+        require(b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+          s"not a JPEG payload (id=${m.id})")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        require(img != null, s"undecodable JPEG payload (id=${m.id})")
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < bands) { sum += raster.getSample(x, y, c); c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        ImageDecode(m.id, b.length.toLong, w.toLong, h.toLong, bands.toLong,
+          w.toLong * h * bands, sum)
+      }))
+      .toDF()
   }
 
   /** Decoded audio facts read out of the byte stream itself. */

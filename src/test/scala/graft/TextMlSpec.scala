@@ -196,6 +196,40 @@ class TextMlSpec extends SparkSpec {
     assert(out == ((2L, 2L, 12L, expectSum)))
   }
 
+  test("JPEG codec round-trip: dims exact, pixels near source, corrupt magic raises") {
+    import spark.implicits._
+    val texts = Seq((0L, "x" * 100), (1L, "hello jpeg world, a slightly longer payload"), (2L, "abc"))
+    val media = Multimodal.encodeJpegFromText(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .cache()
+    val decoded = Multimodal.decodeJpeg(spark, media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, text) <- texts) {
+      val n = text.getBytes("UTF-8").length
+      val w = 8 + n % 9
+      val h = math.max(1, (n + 3 * w - 1) / (3 * w))
+      val r = decoded(id)
+      assert(r.getLong(2) == w && r.getLong(3) == h, s"id=$id dims ${r.getLong(2)}x${r.getLong(3)} != ${w}x$h")
+      assert(r.getLong(4) == 3)
+      // lossy but bounded: mean decoded sample within 16 of the mean
+      // source sample (zero-padded to the pixel grid)
+      val srcSum = text.getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum
+      val pixels = 3L * w * h
+      val meanDiff = math.abs(r.getLong(6).toDouble / pixels - srcSum.toDouble / pixels)
+      assert(meanDiff < 16.0, s"id=$id decoded mean drifted $meanDiff from source")
+    }
+    // determinism: re-encode + re-decode yields identical checksums
+    val again = Multimodal.decodeJpeg(spark,
+        Multimodal.encodeJpegFromText(texts.toDF("doc_id", "text"), "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(texts.forall { case (id, _) => again(id) == decoded(id).getLong(6) })
+    val corrupt = media.selectExpr("id", "modality",
+      "concat(cast('XX' as binary), substring(content, 3)) AS content")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeJpeg(spark, corrupt).collect()
+    }
+    media.unpersist()
+  }
+
   test("WAV codec round-trip: chunk walk recovers format and signed sample sum") {
     import spark.implicits._
     // "abcde": n=5 → channels = 1 + 5%2 = 2, rate = 8000 + 100·(5%17) = 8500,
