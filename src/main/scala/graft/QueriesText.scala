@@ -610,7 +610,10 @@ object QueriesText {
     * recovered, SCALE.md); a fixture change that plants pairs AT the
     * threshold can produce a spurious mismatch that is LSH recall, not
     * an engine bug. */
-  private def corpusPipelineV2(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared v2/v3 curation front half: quality/language filter →
+    * integer-exact Gopher bigram gate → exact dedup → transitive LSH
+    * near-dedup. Returns the surviving (doc_id, source, text). */
+  private def curationKept(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val q = TextOps.withQuality(d, col("text"))
       .withColumn("lang_pred", TextOps.langId(col("text")))
@@ -633,8 +636,13 @@ object QueriesText {
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
       .filter(col("id") =!= col("keep"))
       .select(col("id").as("doc_id"))
-    val kept = kept1.join(drop, Seq("doc_id"), "left_anti")
-      .withColumn("n_toks", TextOps.tokenCount(col("text")))
+    kept1.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Shared v2/v3 back half: 512-token sequence packing over the kept
+    * docs + per-source shard stats (spanning-doc counts). */
+  private def shardStats(spark: SparkSession, kept0: DataFrame): DataFrame = {
+    val kept = kept0.withColumn("n_toks", TextOps.tokenCount(col("text")))
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val packed = Packing.packSequences(kept, "doc_id", "n_toks", budget = 512, parts = parts)
     val spans = packed.groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_spans"))
@@ -646,8 +654,35 @@ object QueriesText {
         max(col("n_spans")).as("max_spans"))
   }
 
+  private def corpusPipelineV2(spark: SparkSession, dir: String): DataFrame =
+    shardStats(spark, curationKept(spark, dir))
+
+  /** CAPSTONE v3 — v2 plus a SEMANTIC dedup gate, mirroring real
+    * pretraining pipelines that compose text near-dedup with
+    * SemDeDup-style embedding dedup: after the LSH stage, the
+    * survivors' embeddings (vec_id = doc_id) form a cell-blocked
+    * cosine near-pair graph (τ = 0.4, nprobe 15/25 — same recall
+    * assumption as dedup_embedding, documented there) whose
+    * components keep only their min id; packing + shard stats then
+    * run on the doubly-deduped corpus. The composed oracle re-derives
+    * the whole chain, with the semantic stage as an all-pairs
+    * recursive-CTE closure over the joined embeddings. */
+  private def corpusPipelineV3(spark: SparkSession, dir: String): DataFrame = {
+    val kept = curationKept(spark, dir)
+    val emb = embs(spark, dir).join(kept.select(col("doc_id").as("id")), Seq("id"))
+    val centroids = AnnSearch.strideCentroids(emb, 25)
+    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = 15)
+    val comp = MinHashLsh.components(pairs.select("a", "b"))
+    val drop = comp
+      .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
+      .filter(col("id") =!= col("keep"))
+      .select(col("id").as("doc_id"))
+    shardStats(spark, kept.join(drop, Seq("doc_id"), "left_anti"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pipeline_v2" -> (corpusPipelineV2 _),
+    "corpus_pipeline_v3" -> (corpusPipelineV3 _),
     "tfidf_near_pairs" -> (tfidfNearPairs _),
     "dedup_embedding" -> (dedupEmbedding _),
     "pack_sequences" -> (packSequences _),
@@ -770,6 +805,91 @@ object QueriesText {
         |  SELECT * FROM k1
         |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)),
         |p AS (SELECT doc_id, source, n_tokens::BIGINT AS n, md5(doc_id::VARCHAR) AS ord FROM k),
+        |c2 AS (
+        |  SELECT doc_id, source, n,
+        |    sum(n) OVER (ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM p),
+        |sp AS (SELECT source, n, ((cum - 1) // 512) - ((cum - n) // 512) + 1 AS n_spans FROM c2)
+        |SELECT source, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN n_spans >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_spanning,
+        |  max(n_spans)::BIGINT AS max_spans
+        |FROM sp GROUP BY source""".stripMargin,
+    "corpus_pipeline_v3" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, text, norm, w, len(w) AS n_tokens,
+        |    length(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::DOUBLE / length(norm) AS punct_ratio,
+        |    len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE / len(w) AS stop_ratio,
+        |    list_distinct(w) AS dw
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, source, norm, w, n_tokens
+        |  FROM s
+        |  WHERE round(0.5 * least(stop_ratio * 3, 1.0) + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+        |          + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) > 0.5
+        |    AND n_tokens >= 30
+        |    AND NOT regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) > 0
+        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) >=
+        |        greatest(
+        |          len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])),
+        |          len(list_intersect(dw, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])),
+        |          len(list_intersect(dw, ['le','la','les','et','est','pas','pour','dans','un','une'])),
+        |          len(list_intersect(dw, ['el','la','los','y','es','no','por','para','un','una'])))),
+        |bg AS (
+        |  SELECT doc_id, max(c) AS mx, sum(c) AS nb FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |      FROM f) GROUP BY 1, 2) GROUP BY 1),
+        |f2 AS (SELECT f.* FROM f JOIN bg USING (doc_id) WHERE mx * 50 <= nb * 3),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM f2 GROUP BY norm),
+        |k1 AS (SELECT f2.* FROM f2 JOIN ex USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |      ELSE [] END AS sgl
+        |  FROM k1),
+        |vp AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sgl, b.sgl))::DOUBLE / len(list_distinct(list_concat(a.sgl, b.sgl))) >= 0.8),
+        |e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+        |cl AS (
+        |  WITH RECURSIVE closure(src, dst) AS (
+        |    SELECT a AS src, b AS dst FROM e
+        |    UNION
+        |    SELECT closure.src, e.b AS dst FROM closure JOIN e ON e.a = closure.dst
+        |      WHERE e.b <> closure.src
+        |  ) SELECT * FROM closure),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src),
+        |k AS (
+        |  SELECT * FROM k1
+        |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)),
+        |em AS (
+        |  SELECT k.doc_id AS id, list_transform(e.embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings e JOIN k ON e.vec_id = k.doc_id),
+        |vp2 AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM em a JOIN em b ON a.id < b.id
+        |  WHERE list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4),
+        |e2 AS (SELECT a, b FROM vp2 UNION ALL SELECT b AS a, a AS b FROM vp2),
+        |cl2 AS (
+        |  WITH RECURSIVE closure2(src, dst) AS (
+        |    SELECT a AS src, b AS dst FROM e2
+        |    UNION
+        |    SELECT closure2.src, e2.b AS dst FROM closure2 JOIN e2 ON e2.a = closure2.dst
+        |      WHERE e2.b <> closure2.src
+        |  ) SELECT * FROM closure2),
+        |labels2 AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl2 GROUP BY src),
+        |k2 AS (
+        |  SELECT * FROM k
+        |  WHERE doc_id NOT IN (SELECT id FROM labels2 WHERE id <> comp)),
+        |p AS (SELECT doc_id, source, n_tokens::BIGINT AS n, md5(doc_id::VARCHAR) AS ord FROM k2),
         |c2 AS (
         |  SELECT doc_id, source, n,
         |    sum(n) OVER (ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
