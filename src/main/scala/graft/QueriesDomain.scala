@@ -725,6 +725,93 @@ object QueriesDomain {
       .reduce(_ unionByName _)
   }
 
+  /** SingleObjects.ipynb module pin (cells 3-6): the three module
+    * prototypes at their exact notebook parameters, normalized to the
+    * lower-left origin (`move_by(-x1, -y1)`), expanded to sensors
+    * through the engine's real grid path (DeeTiling.sensors semantics
+    * via explode + withCorners) and rolled up to outline extent,
+    * sensor count, active area (cell 6's recorded 871.5 = half the
+    * 2×2 module's 1743.0), and active-corner coordinate sums. Goldens
+    * from a fresh shim run (dev/gen_so_golden.py). */
+  private def soModules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val specs = Seq(
+      // name, module h (x-extent), module w, sensor sx/sy, grid nx/ny, distances
+      ("module_large", 43.10, 56.50, 42.5, 22.0, 1, 2, 42.6, 22.5),
+      ("module_new", 44.20, 56.50, 21.75, 22.0, 2, 2, 21.85, 22.5),
+      ("module_small", 42.5 / 2 + 0.5 + 0.6, 56.50, 21.75, 22.0, 1, 2, 21.85, 22.5)
+    ).toDF("name", "mh", "mw", "sx", "sy", "nx", "ny", "dx", "dy")
+    val sens = specs
+      // module center after origin normalization; 1-wide axes force
+      // their distance to 0 (Module.__init__, ETL.py:220-221)
+      .withColumn("x_mod", col("mh") / 2)
+      .withColumn("y_mod", col("mw") / 2)
+      .withColumn("ddx", when(col("nx") === 1, 0.0).otherwise(col("dx")))
+      .withColumn("ddy", when(col("ny") === 1, 0.0).otherwise(col("dy")))
+      .withColumn("ix", explode(sequence(lit(0), col("nx") - 1)))
+      .withColumn("iy", explode(sequence(lit(0), col("ny") - 1)))
+      .withColumn("x", (col("ix") * 2 - 1) * (col("ddx") / 2.0) + col("x_mod"))
+      .withColumn("y", (col("iy") * 2 - 1) * (col("ddy") / 2.0) + col("y_mod"))
+      // Sensor active corners, deadspace 0.5 (ETL.py:109-120 order)
+      .withColumn("ax1", (col("x") - col("sx") / 2) + 0.5)
+      .withColumn("ax2", (col("x") + col("sx") / 2) - 0.5)
+      .withColumn("ay1", (col("y") - col("sy") / 2) + 0.5)
+      .withColumn("ay2", (col("y") + col("sy") / 2) - 0.5)
+    sens.groupBy("name")
+      .agg(
+        first(col("mh")).as("x2"),
+        first(col("mw")).as("y2"),
+        count(lit(1)).as("n_sensors"),
+        round(sum((col("ax2") - col("ax1")) * (col("ay2") - col("ay1"))), 6).as("active_area"),
+        round(sum(col("ax1") + col("ax2")), 6).as("sax_sum"),
+        round(sum(col("ay1") + col("ay2")), 6).as("say_sum"))
+  }
+
+  /** SingleObjects.ipynb supermodule pin (cells 7-11): the 3-module
+    * centered SuperModule (the notebook's recorded SM.x2 = 130.3) and
+    * the 17-module `fromSuperModule` variant at the lower-left origin —
+    * outline, component (RB/PB) y-extents, VTRX placement
+    * (x = RB.x2 − 32.5, y = RB.y + 6, ETL.py:198-199), and total
+    * active area, all as column arithmetic over the spec rows
+    * replicating SuperModule.__init__ + centerModule/move_by
+    * (ETL.py:312-423). Goldens from dev/gen_so_golden.py. */
+  private def soSupermodules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val specs = Seq(
+      ("sm_large_3_centered", 3, "above", "centerModule"),
+      ("sm_17_below_origin", 17, "below", "origin")
+    ).toDF("name", "n", "orientation", "centering")
+    val (mh, gap, mw, pbW, rbW) = (lit(43.10), lit(0.5), lit(56.5), lit(29.5), lit(56.5))
+    val smH = mh * col("n") + gap * (col("n") - 1)
+    val smW = mw + pbW
+    // component centers with the SM at the origin (ETL.py:355-357)
+    val rbY0 = when(col("orientation") === "above", -pbW / 2).otherwise(pbW / 2)
+    val pbY0 = when(col("orientation") === "above", rbW / 2).otherwise(-rbW / 2)
+    // centerModule (ETL.py:415-419) vs move_by(-x1, -y1)
+    val shiftX = smH / 2
+    val shiftY = when(col("centering") === "centerModule",
+        when(col("orientation") === "above", smW / 2 - rbW / 2)
+          .otherwise(smW / 2 - pbW - rbW / 2))
+      .otherwise(smW / 2)
+    val rbY = rbY0 + shiftY
+    // per-module active area: n_sensor_y=2 sensors of 42.5 × 22 at deadspace 0.5
+    val moduleActive = lit(2.0) * (lit(42.5) - 1.0) * (lit(22.0) - 1.0)
+    specs.select(
+      col("name"),
+      col("n").cast("long").as("n_modules"),
+      round(shiftX - smH / 2, 6).as("x1"),
+      round(shiftX + smH / 2, 6).as("x2"),
+      round(shiftY - smW / 2, 6).as("y1"),
+      round(shiftY + smW / 2, 6).as("y2"),
+      round(rbY - rbW / 2, 6).as("rb_y1"),
+      round(rbY + rbW / 2, 6).as("rb_y2"),
+      round(pbY0 + shiftY - pbW / 2, 6).as("pb_y1"),
+      round(pbY0 + shiftY + pbW / 2, 6).as("pb_y2"),
+      round(shiftX + smH / 2 - 32.5, 6).as("vtrx_x"),
+      round(rbY + 6.0, 6).as("vtrx_y"),
+      round(moduleActive * col("n"), 6).as("active_area"))
+  }
+
   /** X6 module matrix: per-row covered-slot counts over the tiled
     * 'updated' layout (rows keyed by their y coordinate). */
   private def tilingMatrix(spark: SparkSession, dir: String): DataFrame =
@@ -807,6 +894,8 @@ object QueriesDomain {
     "ga_variants" -> (gaVariants _),
     "ga_nhits" -> (gaNhits _),
     "ga_acc_hist" -> (gaAccHist _),
+    "so_modules" -> (soModules _),
+    "so_supermodules" -> (soSupermodules _),
     "nb_acc_hist" -> (nbAccHist _),
     "tiling_sensors" -> (tilingSensors _),
     "service_boards" -> (serviceBoards _),
@@ -1276,6 +1365,23 @@ object QueriesDomain {
         |  ('updated_noft', 'face2', 79, 467, 44190.45, 520.25),
         |  ('updated_noft', 'face3', 76, 466, 41616.6, 1975.0),
         |  ('updated_noft', 'face4', 79, 467, 44190.45, -520.25)) t(variant, face, n_sm, n_modules, sum_x, sum_y)""".stripMargin,
+    "so_modules" ->
+      """SELECT name, x2::DOUBLE AS x2, y2::DOUBLE AS y2, n_sensors::BIGINT AS n_sensors,
+        |  active_area::DOUBLE AS active_area, sax_sum::DOUBLE AS sax_sum, say_sum::DOUBLE AS say_sum
+        |FROM (VALUES
+        |  ('module_large', 43.1, 56.5, 2, 1743.0, 86.2, 113.0),
+        |  ('module_new', 44.2, 56.5, 4, 1743.0, 176.8, 226.0),
+        |  ('module_small', 22.35, 56.5, 2, 871.5, 44.7, 113.0)
+        |) t(name, x2, y2, n_sensors, active_area, sax_sum, say_sum)""".stripMargin,
+    "so_supermodules" ->
+      """SELECT name, n_modules::BIGINT AS n_modules, x1::DOUBLE AS x1, x2::DOUBLE AS x2,
+        |  y1::DOUBLE AS y1, y2::DOUBLE AS y2, rb_y1::DOUBLE AS rb_y1, rb_y2::DOUBLE AS rb_y2,
+        |  pb_y1::DOUBLE AS pb_y1, pb_y2::DOUBLE AS pb_y2, vtrx_x::DOUBLE AS vtrx_x,
+        |  vtrx_y::DOUBLE AS vtrx_y, active_area::DOUBLE AS active_area
+        |FROM (VALUES
+        |  ('sm_large_3_centered', 3, 0.0, 130.3, -28.25, 57.75, -28.25, 28.25, 28.25, 57.75, 97.8, 6.0, 5229.0),
+        |  ('sm_17_below_origin', 17, 0.0, 740.7, 0.0, 86.0, 29.5, 86.0, 0.0, 29.5, 708.2, 63.75, 29631.0)
+        |) t(name, n_modules, x1, x2, y1, y2, rb_y1, rb_y2, pb_y1, pb_y2, vtrx_x, vtrx_y, active_area)""".stripMargin,
     "ga_variants" ->
       """SELECT variant, dee, filled::BIGINT AS filled, available::BIGINT AS available FROM (VALUES
         |  ('large_sensor', 'D1', 497, 494),
