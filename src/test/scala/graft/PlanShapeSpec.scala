@@ -35,6 +35,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 5, s"LSH plan grew to $shuffles hash exchanges:\n$plan")
   }
 
+  test("simhash near-pairs: capped equi-join, never all-pairs") {
+    import graft.text.SimHash
+    val sigs = SimHash.signatures(docsDf, "doc_id", "text")
+    val plan = physicalPlan(SimHash.nearPairs(sigs, "doc_id", maxDist = 3, maxBlock = 1000))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in simhash plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in simhash plan:\n$plan")
+    // the maxBlock skew cap must survive planning: a count window over
+    // the (block, value) groups ahead of the self-join
+    assert(plan.contains("Window"), s"hot-block cap window missing from simhash plan:\n$plan")
+  }
+
   test("IVF centroid assignment is map-side: zero exchanges, zero joins") {
     // VERDICT r3: the assignment pass touches every corpus row, so ANY
     // exchange here is nlist-amplified shuffle volume at 100 TB. The
