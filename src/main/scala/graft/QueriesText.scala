@@ -320,6 +320,18 @@ object QueriesText {
     Multimodal.decodeBmp(spark, media)
   }
 
+  /** Round-trip through the pure-JVM javax.imageio PNG codec: PNG is
+    * lossless, so the decoded full-raster sample sum equals the source
+    * text's byte sum exactly and the oracle recomputes every fact from
+    * the documents table — the strongest oracle form, unavailable to
+    * the lossy JPEG path below. The encoded byte length is deflate-
+    * dependent (writer implementation detail), so it is NOT part of
+    * the output. */
+  private def mmDecodePng(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.encodePngFromText(docs(spark, dir), "doc_id", "text")
+    Multimodal.decodePng(spark, media).drop("n_bytes")
+  }
+
   /** Decode the FROZEN JPEG fixture through the pure-JVM javax.imageio
     * codec (the first non-hand-rolled format in the multimodal hook).
     * JPEG is lossy, so unlike the BMP/WAV oracles the decode facts are
@@ -715,6 +727,7 @@ object QueriesText {
     "mm_decode_bmp" -> (mmDecodeBmp _),
     "mm_decode_wav" -> (mmDecodeWav _),
     "mm_decode_jpeg" -> (mmDecodeJpeg _),
+    "mm_decode_png" -> (mmDecodePng _),
     "mm_resize_bmp" -> (mmResizeBmp _),
     "fingerprint_rolling" -> (fingerprintRolling _),
     "sample_stratified" -> (sampleStratified _),
@@ -1372,6 +1385,22 @@ object QueriesText {
         |  FROM t)
         |SELECT doc_id, coalesce(list_reduce(bs, (a, b) -> (a * 31 + b) % 1000000007), 0)::BIGINT AS rh
         |FROM b""".stripMargin,
+    "mm_decode_png" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+        |  FROM documents),
+        |d AS (
+        |  SELECT id, n, hx, 8 + n % 9 AS w,
+        |    greatest(1, (n + 3 * (8 + n % 9) - 1) // (3 * (8 + n % 9))) AS h
+        |  FROM t),
+        |s AS (
+        |  SELECT id, w, h,
+        |    coalesce(list_sum(list_transform(range(1, n + 1),
+        |      i -> ('0x' || substr(hx, (i - 1) * 2 + 1, 2))::BIGINT)), 0) AS psum
+        |  FROM d)
+        |SELECT id, w::BIGINT AS width, h::BIGINT AS height, 3::BIGINT AS channels,
+        |  (3 * w * h)::BIGINT AS pixel_bytes, psum::BIGINT AS pixel_sum
+        |FROM s""".stripMargin,
     "mm_decode_jpeg" ->
       """SELECT id::BIGINT AS id, n_bytes::BIGINT AS n_bytes, width::BIGINT AS width,
         |  height::BIGINT AS height, channels::BIGINT AS channels,

@@ -321,6 +321,81 @@ object Multimodal {
       .toDF()
   }
 
+  /** Encode (id, text) rows as REAL PNG files through the same
+    * `javax.imageio` hook as the JPEG path (identical deterministic
+    * image construction). PNG is LOSSLESS, so unlike JPEG the decoded
+    * pixels ARE the payload bytes — the decode checksum is
+    * recomputable from the source text by an independent engine,
+    * giving this codec a true cross-engine oracle rather than a
+    * frozen-fixture pin. */
+  def encodePngFromText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = payload.length
+        val w = 8 + n % 9
+        val h = math.max(1, (n + 3 * w - 1) / (3 * w))
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) {
+              val src = (y * w + x) * 3 + c
+              raster.setSample(x, y, c, if (src < n) payload(src) & 0xff else 0)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, "image/png", bos.toByteArray)
+      })
+      .toDF("id", "modality", "content")
+  }
+
+  /** REAL PNG decode via `javax.imageio.ImageIO.read`: validates the
+    * 8-byte PNG signature, then emits the decoded dims, band count,
+    * and full-raster sample sum — which for a lossless codec equals
+    * the encoder's input byte sum exactly. */
+  def decodePng(spark: SparkSession, media: DataFrame, batchSize: Int = 256): DataFrame = {
+    import spark.implicits._
+    val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    media
+      .select(col("id"), col("modality"), col("content"))
+      .as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+        val b = m.content
+        require(b.length >= 8 && magic.indices.forall(i => b(i) == magic(i)),
+          s"not a PNG payload (id=${m.id})")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        require(img != null, s"undecodable PNG payload (id=${m.id})")
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < bands) { sum += raster.getSample(x, y, c); c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        ImageDecode(m.id, b.length.toLong, w.toLong, h.toLong, bands.toLong,
+          w.toLong * h * bands, sum)
+      }))
+      .toDF()
+  }
+
   /** Decoded audio facts read out of the byte stream itself. */
   final case class AudioDecode(
       id: Long,

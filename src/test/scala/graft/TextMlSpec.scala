@@ -230,6 +230,31 @@ class TextMlSpec extends SparkSpec {
     media.unpersist()
   }
 
+  test("PNG codec round-trip is LOSSLESS: decoded sample sum equals source byte sum") {
+    import spark.implicits._
+    val texts = Seq((0L, "lossless png payload " * 4), (1L, "x"), (2L, "abc def ghi"))
+    val media = Multimodal.encodePngFromText(texts.toDF("doc_id", "text"), "doc_id", "text").cache()
+    val decoded = Multimodal.decodePng(spark, media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, text) <- texts) {
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      val w = 8 + n % 9
+      val h = math.max(1, (n + 3 * w - 1) / (3 * w))
+      val r = decoded(id)
+      assert(r.getLong(2) == w && r.getLong(3) == h && r.getLong(4) == 3)
+      // exact: zero-padding contributes 0 to the sum
+      assert(r.getLong(6) == bytes.map(_ & 0xff).map(_.toLong).sum,
+        s"id=$id PNG round-trip not lossless")
+    }
+    val corrupt = media.selectExpr("id", "modality",
+      "concat(cast('XXXXXXXX' as binary), substring(content, 9)) AS content")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePng(spark, corrupt).collect()
+    }
+    media.unpersist()
+  }
+
   test("WAV codec round-trip: chunk walk recovers format and signed sample sum") {
     import spark.implicits._
     // "abcde": n=5 → channels = 1 + 5%2 = 2, rate = 8000 + 100·(5%17) = 8500,
