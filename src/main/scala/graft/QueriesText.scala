@@ -622,6 +622,68 @@ object QueriesText {
     * recovered, SCALE.md); a fixture change that plants pairs AT the
     * threshold can produce a spurious mismatch that is LSH recall, not
     * an engine bug. */
+  /** CCNet/GPT-3-style perplexity filtering with a corpus-trained
+    * unigram LM (the classic curation gate: keep documents whose
+    * cross-entropy under a reference LM is low). The model is add-one
+    * smoothed over the corpus vocabulary — p(tok) = (c+1)/(T+V) — so
+    * there are no OOV tokens when scoring the training corpus itself.
+    * Cross-engine exactness: each token's log-prob quantizes to
+    * integer MICRO-units (round(ln·1e6)) so the per-doc sum is an
+    * exact long regardless of aggregation order (the tfidf pattern);
+    * one double division at the end. Scale: a token-keyed count
+    * aggregate (the word-count shape), a token-keyed join back to the
+    * exploded corpus, a doc-keyed rollup — every exchange on a
+    * high-cardinality key, nothing quadratic. */
+  private def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val model = counts.crossJoin(
+        broadcast(counts.agg(sum("c").as("t_total"), count(lit(1)).as("v_size"))))
+      .select(col("tok"),
+        round(log(col("c") + 1.0) * 1e6 - log(col("t_total") + col("v_size")) * 1e6, 0)
+          .cast("long").as("nlp_micro"))
+    toks.join(model, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("nlp_micro").as("lp_sum"))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        round(-col("lp_sum").cast("double") / col("n_toks") / 1e6, 6).as("xent"),
+        floor(-col("lp_sum").cast("double") / col("n_toks") / 1e6).cast("long").as("ppl_bucket"))
+  }
+
+  /** Cross-document shared-substring statistics (ExactSubstr-style
+    * dedup diagnostics, Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better" — the lighter per-doc form): for
+    * every 8-token window, does the window's text occur in any OTHER
+    * document? Emits per-doc window counts and the duplicated-window
+    * fraction — the signal the full suffix-array method thresholds.
+    * Scale: windows are gram-keyed (high cardinality) with a df skew
+    * cap ≤ 100 mirroring the LSH/TF-IDF guards; work is linear in
+    * corpus tokens. */
+  private def sharedSubstrings(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val w = docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+    val grams = w.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> array_join(slice(w, i + 1, $k), ' '))")).as("g"))
+    val shared = grams.groupBy("g")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 2 && col("df") <= 100)
+      .select("g")
+    grams.join(shared, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(grams.groupBy("doc_id").agg(count(lit(1)).as("n_windows")), Seq("doc_id"), "right")
+      .select(
+        col("doc_id"),
+        col("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_windows"), 6)
+          .as("shared_frac"))
+  }
+
   /** Shared v2/v3 curation front half: quality/language filter →
     * integer-exact Gopher bigram gate → exact dedup → transitive LSH
     * near-dedup. Returns the surviving (doc_id, source, text). */
@@ -695,6 +757,8 @@ object QueriesText {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pipeline_v2" -> (corpusPipelineV2 _),
     "corpus_pipeline_v3" -> (corpusPipelineV3 _),
+    "perplexity_filter" -> (perplexityFilter _),
+    "shared_substrings" -> (sharedSubstrings _),
     "tfidf_near_pairs" -> (tfidfNearPairs _),
     "dedup_embedding" -> (dedupEmbedding _),
     "pack_sequences" -> (packSequences _),
@@ -1385,6 +1449,36 @@ object QueriesText {
         |  FROM t)
         |SELECT doc_id, coalesce(list_reduce(bs, (a, b) -> (a * 31 + b) % 1000000007), 0)::BIGINT AS rh
         |FROM b""".stripMargin,
+    "perplexity_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS t_total, count(*)::BIGINT AS v_size FROM cnt),
+        |model AS (
+        |  SELECT tok, round(ln(c + 1.0) * 1e6 - ln(t_total + v_size) * 1e6)::BIGINT AS nlp_micro
+        |  FROM cnt, tot),
+        |per AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_toks, sum(nlp_micro)::BIGINT AS lp_sum
+        |  FROM tok JOIN model USING (tok) GROUP BY 1)
+        |SELECT doc_id, n_toks, round(-lp_sum::DOUBLE / n_toks / 1e6, 6) AS xent,
+        |  floor(-lp_sum::DOUBLE / n_toks / 1e6)::BIGINT AS ppl_bucket
+        |FROM per""".stripMargin,
+    "shared_substrings" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS g
+        |  FROM d WHERE len(w) >= 8),
+        |sh AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM gr GROUP BY 1)
+        |  WHERE df >= 2 AND df <= 100),
+        |ns AS (SELECT doc_id, count(*)::BIGINT AS n_shared FROM gr WHERE g IN (SELECT g FROM sh) GROUP BY 1),
+        |nw AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM gr GROUP BY 1)
+        |SELECT doc_id, n_windows, coalesce(n_shared, 0)::BIGINT AS n_shared,
+        |  round(coalesce(n_shared, 0)::DOUBLE / n_windows, 6) AS shared_frac
+        |FROM nw LEFT JOIN ns USING (doc_id)""".stripMargin,
     "mm_decode_png" ->
       """WITH t AS (
         |  SELECT doc_id AS id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
