@@ -82,6 +82,29 @@ class TextMlSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("simhash pigeonhole blocking ≡ brute force on random signatures (property)") {
+    import spark.implicits._
+    // EXACTNESS property (not probabilistic like LSH): with the cap
+    // above every group size, nearPairs must return precisely the
+    // pairs at Hamming distance ≤ maxDist. Seeded random signatures,
+    // plus planted near-dups to guarantee non-empty expectations.
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3; maxDist <- Seq(1, 3)) {
+      val base = Seq.fill(40)(rnd.nextLong() & ((1L << 60) - 1))
+      val planted = base.take(8).map(s => s ^ (1L << rnd.nextInt(60)))
+      val sigs = (base ++ planted).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = SimHash.nearPairs(sigs.toDF("doc_id", "simhash"), "doc_id", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (sa, a) <- sigs.map(_.swap)
+        (sb, b) <- sigs.map(_.swap)
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= maxDist
+      } yield (a, b)).toSet
+      assert(got == want, s"trial=$trial maxDist=$maxDist: got ${got.size}, want ${want.size}")
+      assert(want.nonEmpty, s"trial=$trial maxDist=$maxDist degenerate: no expected pairs")
+    }
+  }
+
   test("simhash maxBlock cap: hot block dropped, pairs sharing a quiet block survive") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
