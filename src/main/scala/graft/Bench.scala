@@ -234,6 +234,8 @@ object Bench {
       "emb_quantize",
       "ann_topk_ivf_q8",
       "decontaminate",
+      "perplexity_filter",
+      "shared_substrings",
       "pack_sequences",
       "stream_dedup_exact"
     ).filter(SparkEntry.queries.contains)

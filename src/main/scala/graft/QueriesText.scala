@@ -635,17 +635,24 @@ object QueriesText {
     * exploded corpus, a doc-keyed rollup — every exchange on a
     * high-cardinality key, nothing quadratic. */
   private def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
+    // one tokenize pass, materialized once: the (doc, token, tf) table
+    // feeds both the model aggregate and the scoring join, and is far
+    // smaller than the raw token stream (the tfidf materialization
+    // rationale; Σ_occurrences nlp ≡ Σ_distinct tf·nlp exactly, since
+    // both are long arithmetic)
+    val docTf = docs(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val counts = docTf.groupBy("tok").agg(sum("tf").as("c"))
     val model = counts.crossJoin(
         broadcast(counts.agg(sum("c").as("t_total"), count(lit(1)).as("v_size"))))
       .select(col("tok"),
         round(log(col("c") + 1.0) * 1e6 - log(col("t_total") + col("v_size")) * 1e6, 0)
           .cast("long").as("nlp_micro"))
-    toks.join(model, "tok")
+    docTf.join(model, "tok")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"), sum("nlp_micro").as("lp_sum"))
+      .agg(sum("tf").as("n_toks"), sum(col("nlp_micro") * col("tf")).as("lp_sum"))
       .select(
         col("doc_id"),
         col("n_toks"),
