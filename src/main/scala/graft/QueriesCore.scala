@@ -467,12 +467,71 @@ object QueriesCore {
     val q = EventStreams.intervalJoin(cdf, pdf)
       .writeStream.format("memory").queryName(queryName).outputMode("append").start()
     try {
-      val (c1, c2) = feedRows("click").splitAt(feedRows("click").length / 2)
-      val (p1, p2) = feedRows("purchase").splitAt(feedRows("purchase").length / 2)
+      // both feeds split at the same global time (see streamAsofJoin:
+      // per-stream halves can advance the watermark past the slower
+      // stream's second half and drop rows as late)
+      val midSec = rows(rows.length / 2)._3
+      val (c1, c2) = feedRows("click").partition(_._1.getTime / 1000 < midSec)
+      val (p1, p2) = feedRows("purchase").partition(_._1.getTime / 1000 < midSec)
       memC.addData(c1.toIndexedSeq); memP.addData(p1.toIndexedSeq); q.processAllAvailable()
       memC.addData(c2.toIndexedSeq); memP.addData(p2.toIndexedSeq); q.processAllAvailable()
       spark.table(queryName)
         .select("click_id", "purchase_id", "user_id", "dt_sec")
+        .localCheckpoint(eager = true)
+    } finally q.stop()
+  }
+
+  /** STREAMING as-of join parity: the clicks and purchases of the
+    * event stream arrive as two watermarked streams and every click is
+    * annotated with its latest prior purchase — the streaming form of
+    * `asof_purchase`, against the SAME DuckDB ASOF LEFT JOIN oracle.
+    * Unlike the interval join, as-of matches cannot emit on arrival
+    * (a later-arriving earlier purchase could change the answer), so
+    * emission is watermark-gated; a far-future sentinel on the left
+    * stream (user −1, filtered from the result) matures every real
+    * click at end of feed. */
+  private def streamAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = t(spark, dir, "events")
+      .withColumn("sec", expr("ts div 1000000000"))
+      .select(col("event_id"), col("user_id"), col("sec"), col("event_type"))
+      .orderBy("sec", "event_id")
+      .as[(Long, Long, Long, String)]
+      .collect()
+    def feedRows(kind: String) = rows.collect {
+      case (id, u, sec, et) if et == kind => (new java.sql.Timestamp(sec * 1000), u, id)
+    }
+    val maxSec = rows.map(_._3).max
+    val memL = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val memR = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val queryName = "stream_asof_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventStreams.asOfJoin(
+        spark,
+        memL.toDF().toDF("ts", "user_id", "event_id"),
+        memR.toDF().toDF("ts", "user_id", "event_id"))
+      .writeStream.format("memory").queryName(queryName).outputMode("append").start()
+    try {
+      // split BOTH feeds at the same global time: a per-stream halfway
+      // split would advance the watermark past the slower stream's
+      // second half (the two types' medians differ) and drop those
+      // rows as late — a feed artifact, not operator semantics
+      val midSec = rows(rows.length / 2)._3
+      val (c1, c2) = feedRows("click").partition(_._1.getTime / 1000 < midSec)
+      val (p1, p2) = feedRows("purchase").partition(_._1.getTime / 1000 < midSec)
+      memL.addData(c1.toIndexedSeq); memR.addData(p1.toIndexedSeq); q.processAllAvailable()
+      memL.addData(c2.toIndexedSeq); memR.addData(p2.toIndexedSeq); q.processAllAvailable()
+      // sentinel a day past the data + the 10 min watermark delay, twice
+      // (first batch advances the watermark, second applies it)
+      memL.addData((new java.sql.Timestamp((maxSec + 86400) * 1000), -1L, -1L))
+      q.processAllAvailable()
+      memL.addData((new java.sql.Timestamp((maxSec + 2 * 86400) * 1000), -1L, -1L))
+      q.processAllAvailable()
+      spark.table(queryName)
+        .filter(col("user_id") >= 0)
+        .select(col("event_id"), col("user_id"), col("sec"),
+          col("asof_id").as("last_purchase_id"), col("gap_sec"))
         .localCheckpoint(eager = true)
     } finally q.stop()
   }
@@ -621,6 +680,7 @@ object QueriesCore {
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_distinct_users" -> (streamDistinctUsers _),
     "stream_interval_join" -> (streamIntervalJoin _),
+    "stream_asof_join" -> (streamAsofJoin _),
     "u1_union" -> (u1Union _),
     "u2_mirror" -> (u2Mirror _),
     "x1_partition" -> (x1Partition _),
@@ -640,6 +700,15 @@ object QueriesCore {
         |  min(x)::BIGINT AS x_min, max(x)::BIGINT AS x_max,
         |  min(y)::BIGINT AS y_min, max(y)::BIGINT AS y_max
         |FROM z GROUP BY 1""".stripMargin,
+    "stream_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec, event_type FROM events),
+        |l AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'click'),
+        |r AS (SELECT user_id, sec, max(event_id) AS r_id FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.sec, r.r_id AS last_purchase_id,
+        |  (l.sec - r.sec)::BIGINT AS gap_sec
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.sec <= l.sec""".stripMargin,
     "asof_purchase" ->
       """WITH e AS (
         |  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS sec, event_type FROM events),

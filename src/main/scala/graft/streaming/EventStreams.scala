@@ -142,6 +142,88 @@ object EventStreams {
         ((unix_timestamp(col("c_ts")) - unix_timestamp(col("p_ts")))).as("dt_sec"))
   }
 
+  final case class AsOfIn(user_id: Long, ts: java.sql.Timestamp, event_id: Long, is_right: Boolean)
+  final case class AsOfState(rights: List[(Long, Long)], pending: List[(Long, Long)])
+  final case class AsOfOut(event_id: Long, user_id: Long, sec: Long,
+                           asof_id: Option[Long], gap_sec: Option[Long])
+
+  /** STREAMING as-of join — the trade/quote classic: for every left
+    * event, the right event of the same key with the greatest
+    * timestamp ≤ the left's (inclusive, rights unique per (key, sec)
+    * with max-id dedup — the exact contract of the batch
+    * [[graft.ops.AsOfJoin.lastPrior]], so the two are
+    * parity-comparable). Spark has no native stream-stream as-of; the
+    * stream-stream interval join cannot express "latest prior"
+    * (argmax needs closure, not a range predicate). This runs as ONE
+    * `flatMapGroupsWithState` over the tagged union of both streams:
+    *
+    *  - a left emits only once the EVENT-TIME WATERMARK passes its
+    *    timestamp — the moment no earlier-or-equal right can still
+    *    arrive — so results are exact, not best-effort;
+    *  - state per key is the pending (unmatured) lefts plus only the
+    *    rights still reachable by some future left: everything before
+    *    the latest right ≤ the oldest pending left is pruned each
+    *    call, so state is bounded by watermark lag × arrival rate;
+    *  - an event-time timeout re-fires the group when the watermark
+    *    passes the oldest pending left with no new data, flushing
+    *    idle users' matured lefts.
+    *
+    * At scale: one exchange keyed by user (high-cardinality), state
+    * store sharded the same way — the sessionize shape. */
+  def asOfJoin(spark: SparkSession, lefts: DataFrame, rights: DataFrame,
+               watermark: String = "10 minutes"): Dataset[AsOfOut] = {
+    import spark.implicits._
+    val tagged = lefts
+      .selectExpr("ts", "cast(user_id as long) AS user_id", "cast(event_id as long) AS event_id",
+        "false AS is_right")
+      .unionByName(rights.selectExpr(
+        "ts", "cast(user_id as long) AS user_id", "cast(event_id as long) AS event_id",
+        "true AS is_right"))
+      .withWatermark("ts", watermark)
+      .as[AsOfIn]
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (userId: Long, rows: Iterator[AsOfIn], state: GroupState[AsOfState]) => {
+          val s = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          val newRows = rows.toSeq
+          // rights unique per (key, sec), keep max id (batch contract)
+          val rightsBuf = (s.rights ++ newRows.collect {
+              case e if e.is_right => (e.ts.getTime / 1000, e.event_id)
+            })
+            .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).max) }
+            .toList.sorted
+          val pending = (s.pending ++ newRows.collect {
+              case e if !e.is_right => (e.ts.getTime / 1000, e.event_id)
+            }).sorted
+          val wmMs = state.getCurrentWatermarkMs
+          // inclusive asof: a right at rt == lt qualifies, so a left is
+          // safe only once the watermark is STRICTLY past it
+          val (matured, stillPending) = pending.partition(_._1 * 1000 < wmMs)
+          val out = matured.map { case (lt, lid) =>
+            rightsBuf.takeWhile(_._1 <= lt).lastOption match {
+              case Some((rt, rid)) => AsOfOut(lid, userId, lt, Some(rid), Some(lt - rt))
+              case None            => AsOfOut(lid, userId, lt, None, None)
+            }
+          }
+          // prune rights unreachable by every future left: future lefts
+          // have lt >= oldest pending (or >= watermark when none pend)
+          val cutoff = stillPending.headOption.map(_._1).getOrElse(wmMs / 1000)
+          val keepFrom = rightsBuf.takeWhile(_._1 <= cutoff).lastOption
+            .map(_._1).getOrElse(Long.MinValue)
+          val keptRights = rightsBuf.dropWhile(_._1 < keepFrom)
+          if (stillPending.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsOfState(keptRights, stillPending))
+            // matured lefts satisfy lt·1000 < wm, so the survivors'
+            // timeout lt·1000 + 1 > wm — always a valid (future) stamp
+            stillPending.headOption.foreach(p => state.setTimeoutTimestamp(p._1 * 1000 + 1))
+          }
+          out.iterator
+        }
+      )
+  }
+
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, valueSum: Double)
   final case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Int, value_sum: Double)

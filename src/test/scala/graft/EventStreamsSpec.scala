@@ -77,6 +77,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join emits latest-prior matches once the watermark matures them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val memR = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = EventStreams.asOfJoin(
+        spark,
+        memL.toDF().toDF("ts", "user_id", "event_id"),
+        memR.toDF().toDF("ts", "user_id", "event_id"))
+      .writeStream.format("memory").queryName("saj").outputMode("append").start()
+    try {
+      // user 1: rights at t2/t8 (t8 arrives LATE, in batch 2), lefts at
+      // t5/t10 — t5 must wait for the watermark and still match t2
+      // (not the late t8); t10 matches t8. user 2: left with no right.
+      memL.addData((ts(5), 1L, 100L), (ts(10), 1L, 101L), (ts(6), 2L, 102L))
+      memR.addData((ts(2), 1L, 200L))
+      q.processAllAvailable()
+      memR.addData((ts(8), 1L, 201L))
+      q.processAllAvailable()
+      // push the watermark (10 min) far past every left, then trigger twice
+      memL.addData((ts(60), 9L, 999L)); q.processAllAvailable()
+      memL.addData((ts(120), 9L, 998L)); q.processAllAvailable()
+      val got = spark.table("saj").filter($"user_id" < 9)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+      assert(got == Set(
+        (100L, 1L, Some(200L), Some(3L * 60)),  // t5 ← right at t2 (late t8 NOT matched)
+        (101L, 1L, Some(201L), Some(2L * 60)),  // t10 ← late-arriving right at t8
+        (102L, 2L, None, None)                  // no prior right
+      ), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and emits rollups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

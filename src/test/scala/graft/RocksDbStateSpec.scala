@@ -103,6 +103,29 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("streaming as-of join (buffered two-stream state) runs on the RocksDB provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val memR = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    underRocksDb("as-of join")(
+      EventStreams.asOfJoin(
+          spark,
+          memL.toDF().toDF("ts", "user_id", "event_id"),
+          memR.toDF().toDF("ts", "user_id", "event_id"))
+        .writeStream.format("memory").queryName("rocks_asof").outputMode("append").start()
+    ) { q =>
+      memL.addData((ts(5), 1L, 100L))
+      memR.addData((ts(2), 1L, 200L))
+      q.processAllAvailable()
+      memL.addData((ts(60), 9L, 999L)); q.processAllAvailable()
+      memL.addData((ts(120), 9L, 998L)); q.processAllAvailable()
+      val got = spark.table("rocks_asof").filter($"user_id" === 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(got == Set((100L, 200L)), s"got $got")
+    }
+  }
+
   test("sessionization (flatMapGroupsWithState) runs on the RocksDB provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
