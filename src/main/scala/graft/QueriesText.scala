@@ -116,15 +116,19 @@ object QueriesText {
     val centroids = AnnSearch.strideCentroids(corpus, 25)
     val cents = AnnSearch.collectCentroids(centroids)
     val assigned = AnnSearch.ivfAssign(corpus, centroids)
+    // nprobe = ceil(0.85·nlist): these synthetic embeddings are
+    // near-isotropic (no cluster structure), so IVF pruning buys
+    // little here and the probe FRACTION — not a fixed count — is what
+    // exact top-10 recall vs the brute-force oracle tracks (a fixed
+    // 17 was exact at sf0.01's 20 cells but missed a neighbor at
+    // sf0.1's 80). On real clustered corpora nprobe ≪ nlist. At
+    // sf0.01 this is ceil(0.85·20) = 17 — the driver-gate plan is
+    // unchanged. Probe cells are picked map-side (same bit-exact
+    // ordering as the old crossJoin+window: cosine desc, c_id asc).
+    val nprobe = math.ceil(0.85 * cents.ids.length).toInt
     val probes = queries
       .select(col("id").as("q_id"), col("vec").as("q_vec"))
-      // nprobe 17/20: these synthetic embeddings are near-isotropic (no
-      // cluster structure), so IVF pruning buys little here; on real
-      // clustered corpora nprobe ≪ nlist. 17 is the measured minimum for
-      // exact top-10 recall on this corpus (oracle = brute force).
-      // Probe cells are picked map-side (same bit-exact ordering as the
-      // old crossJoin+window: cosine desc, c_id asc).
-      .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("q_vec"), cents, 17)))
+      .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("q_vec"), cents, nprobe)))
       .select(col("q_id"), col("q_vec"), col("cell"))
     probes
       .join(assigned, Seq("cell"))
@@ -203,9 +207,12 @@ object QueriesText {
     val assigned = q8.select(
       graft.functions.NearestCells.topCells(col("vec"), cents, 1).getItem(0).as("cell"),
       col("id").as("n_id"), col("qvec").as("n_vec"))
+    // probe FRACTION, not fixed count (see annTopKIvf): ceil(0.9·20)
+    // = 18 at sf0.01, so the driver-gate plan is unchanged
+    val nprobe = math.ceil(0.9 * cents.ids.length).toInt
     val probes = q8
       .filter(pmod(col("id"), lit(50)) === 0)
-      .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("vec"), cents, 18)))
+      .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("vec"), cents, nprobe)))
       .select(col("id").as("q_id"), col("qvec").as("q_vec"), col("cell"))
     probes
       .join(assigned, Seq("cell"))
