@@ -229,6 +229,7 @@ object Bench {
     Seq(
       "dedup_clusters_star",
       "dedup_simhash",
+      "dedup_paragraph",
       "ann_topk_ivf",
       "dedup_embedding",
       "emb_quantize",

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ml.{AnnSearch, Multimodal}
-import graft.text.{MinHashLsh, Packing, SimHash, TextOps}
+import graft.text.{MinHashLsh, Packing, ParagraphDedup, PiiRedact, SimHash, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -698,6 +698,39 @@ object QueriesText {
           .as("shared_frac"))
   }
 
+  /** Dolma-style PII detection + redaction. The synthetic corpus
+    * carries no PII, so the query PLANTS deterministic doc_id-derived
+    * spans (an email for doc_id%7==0, a dashed phone for %11==0, an
+    * IPv4 for %13==0 — identical expressions on the oracle side) and
+    * then counts + redacts them with [[PiiRedact]]. The operator
+    * itself is corpus-agnostic; the injection exists purely so the
+    * redaction path does verifiable work on this fixture. Pure
+    * map-side: no shuffle, fuses with the scan. */
+  private def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = concat(
+      col("text"),
+      when(id % 7 === 0,
+        concat(lit(" reach user"), id.cast("string"), lit("@example.com"))).otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(lit(" call 555-"), lpad((id * 7 % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((id * 13 % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 13 === 0,
+        concat(lit(" host 10."), (id % 256).cast("string"),
+          lit("."), (id * 3 % 256).cast("string"),
+          lit("."), (id * 5 % 256).cast("string"))).otherwise(lit("")))
+    PiiRedact.annotate(docs(spark, dir).withColumn("atext", planted), col("atext"))
+      .filter(col("n_email") + col("n_phone") + col("n_ip") > 0)
+      .select("doc_id", "n_email", "n_phone", "n_ip", "redacted")
+  }
+
+  /** CCNet-style corpus-wide paragraph dedup: keep the global first
+    * occurrence of every distinct 8-word paragraph, reassemble docs
+    * from survivors. Single wide exchange (window over the paragraph
+    * hash) — see [[ParagraphDedup]] for the scale analysis. */
+  private def dedupParagraph(spark: SparkSession, dir: String): DataFrame =
+    ParagraphDedup.dedupByParagraph(docs(spark, dir), "doc_id", "text", width = 8)
+
   /** Shared v2/v3 curation front half: quality/language filter →
     * integer-exact Gopher bigram gate → exact dedup → transitive LSH
     * near-dedup. Returns the surviving (doc_id, source, text). */
@@ -773,6 +806,8 @@ object QueriesText {
     "corpus_pipeline_v3" -> (corpusPipelineV3 _),
     "perplexity_filter" -> (perplexityFilter _),
     "shared_substrings" -> (sharedSubstrings _),
+    "pii_redact" -> (piiRedact _),
+    "dedup_paragraph" -> (dedupParagraph _),
     "tfidf_near_pairs" -> (tfidfNearPairs _),
     "dedup_embedding" -> (dedupEmbedding _),
     "pack_sequences" -> (packSequences _),
@@ -1493,6 +1528,49 @@ object QueriesText {
         |SELECT doc_id, n_windows, coalesce(n_shared, 0)::BIGINT AS n_shared,
         |  round(coalesce(n_shared, 0)::DOUBLE / n_windows, 6) AS shared_frac
         |FROM nw LEFT JOIN ns USING (doc_id)""".stripMargin,
+    "pii_redact" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' reach user' || doc_id || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' call 555-' || lpad((doc_id * 7 % 1000)::VARCHAR, 3, '0')
+        |              || '-' || lpad((doc_id * 13 % 10000)::VARCHAR, 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN ' host 10.' || (doc_id % 256) || '.' || (doc_id * 3 % 256)
+        |              || '.' || (doc_id * 5 % 256) ELSE '' END AS atext
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(atext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |    len(regexp_extract_all(atext, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+        |    len(regexp_extract_all(atext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(atext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+        |  FROM a)
+        |SELECT * FROM c WHERE n_email + n_phone + n_ip > 0""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |ps AS (
+        |  SELECT doc_id, list_transform(range(0, cast(ceil(len(w) / 8.0) AS BIGINT)),
+        |    i -> array_to_string(w[(i * 8 + 1):(i * 8 + 8)], ' ')) AS p
+        |  FROM t),
+        |p AS (SELECT doc_id, unnest(range(0, len(p))) AS pidx, unnest(p) AS para FROM ps),
+        |h AS (SELECT doc_id, pidx, para, ('0x' || substr(md5(para), 1, 15))::BIGINT AS ph FROM p),
+        |m AS (
+        |  SELECT doc_id, pidx, para,
+        |    first_value(doc_id) OVER win = doc_id AND first_value(pidx) OVER win = pidx AS kept
+        |  FROM h WINDOW win AS (PARTITION BY ph ORDER BY doc_id, pidx))
+        |SELECT doc_id, count(*)::BIGINT AS n_paras,
+        |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE kept), '') AS kept_text
+        |FROM m GROUP BY doc_id""".stripMargin,
     "mm_decode_png" ->
       """WITH t AS (
         |  SELECT doc_id AS id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
