@@ -731,6 +731,19 @@ object QueriesText {
   private def dedupParagraph(spark: SparkSession, dir: String): DataFrame =
     ParagraphDedup.dedupByParagraph(docs(spark, dir), "doc_id", "text", width = 8)
 
+  /** SSL-prototypes pruning over the embedding table: stride-25
+    * centroids (the deterministic IVF seed set), map-side assignment,
+    * per-cluster prototypicality ranking, drop the top 30% most
+    * prototypical per cluster. Oracle recomputes assignment as an
+    * exact argmax cross join — safe because [[graft.functions.DotProduct]]
+    * accumulates left-to-right, bit-identical to DuckDB's
+    * `list_inner_product` on the double-cast lists (same invariant the
+    * IVF retrieval oracles already rely on). */
+  private def prunePrototypes(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(spark, dir)
+    AnnSearch.prototypeRanks(corpus, AnnSearch.strideCentroids(corpus, 25), dropFrac = 0.3)
+  }
+
   /** Shared v2/v3 curation front half: quality/language filter →
     * integer-exact Gopher bigram gate → exact dedup → transitive LSH
     * near-dedup. Returns the surviving (doc_id, source, text). */
@@ -808,6 +821,7 @@ object QueriesText {
     "shared_substrings" -> (sharedSubstrings _),
     "pii_redact" -> (piiRedact _),
     "dedup_paragraph" -> (dedupParagraph _),
+    "prune_prototypes" -> (prunePrototypes _),
     "tfidf_near_pairs" -> (tfidfNearPairs _),
     "dedup_embedding" -> (dedupEmbedding _),
     "pack_sequences" -> (packSequences _),
@@ -1571,6 +1585,25 @@ object QueriesText {
         |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
         |  coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE kept), '') AS kept_text
         |FROM m GROUP BY doc_id""".stripMargin,
+    "prune_prototypes" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |sc AS (
+        |  SELECT e.vec_id AS id, c.cell,
+        |    list_inner_product(e.v, c.cv) /
+        |      (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv))) AS cos
+        |  FROM e CROSS JOIN c),
+        |asg AS (
+        |  SELECT id, cell, cos FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell) = 1),
+        |rk AS (
+        |  SELECT id, cell, cos,
+        |    CAST(row_number() OVER (PARTITION BY cell ORDER BY cos DESC, id) AS BIGINT) AS rank,
+        |    count(*) OVER (PARTITION BY cell) AS n
+        |  FROM asg)
+        |SELECT id, cell, rank, round(cos, 6) AS cos6,
+        |  rank > floor(n * 0.3) AS kept
+        |FROM rk""".stripMargin,
     "mm_decode_png" ->
       """WITH t AS (
         |  SELECT doc_id AS id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx

@@ -182,4 +182,38 @@ object AnnSearch {
       )
     joined.distinct().filter(col("sim") >= tau)
   }
+
+  /** SSL-prototypes data pruning (Sorscher et al., "Beyond neural
+    * scaling laws", NeurIPS 2022): rank every vector within its
+    * cluster by cosine to the cluster centroid — the MOST prototypical
+    * (closest) examples are the most redundant on large corpora — and
+    * mark the top `dropFrac` of each cluster for removal.
+    *
+    * Returns `(id, cell, rank, cos6, kept)`: rank 1 = most
+    * prototypical; `kept` = rank past the cluster's drop cutoff
+    * (`floor(cluster_size * dropFrac)`).
+    *
+    * Scale shape: assignment is the map-side [[ivfAssign]] kernel
+    * (zero shuffle); the centroid re-join for the cosine is a
+    * broadcast (dim-table) join; ranking is ONE exchange keyed by
+    * cell. Cluster sizes are corpus_size/nlist on average — pick nlist
+    * so cells fit a partition (same knob as IVF retrieval), and skew
+    * is bounded by the true cluster structure, not by a join blowup. */
+  def prototypeRanks(corpus: DataFrame, centroids: DataFrame, dropFrac: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids)
+    val byCell = Window.partitionBy("cell")
+    val byCos = byCell.orderBy(desc("cos"), col("n_id"))
+    assigned
+      .join(broadcast(centroids.select(col("c_id").as("cell"), col("c_vec"))), Seq("cell"))
+      .withColumn("cos",
+        dot(col("n_vec"), col("c_vec")) / (norm(col("n_vec")) * norm(col("c_vec"))))
+      .withColumn("rank", row_number().over(byCos).cast("long"))
+      .withColumn("n_in_cell", count(lit(1)).over(byCell))
+      .select(
+        col("n_id").as("id"),
+        col("cell"),
+        col("rank"),
+        round(col("cos"), 6).as("cos6"),
+        (col("rank") > floor(col("n_in_cell") * dropFrac)).as("kept"))
+  }
 }
