@@ -744,6 +744,50 @@ object QueriesText {
     AnnSearch.prototypeRanks(corpus, AnnSearch.strideCentroids(corpus, 25), dropFrac = 0.3)
   }
 
+  /** Per-source token-budget sampling: admit each source's documents
+    * in salted-hash order until 800 tokens are reached (the admitting
+    * doc may overshoot). The grouped distributed prefix sum — see
+    * [[Packing.sampleToBudget]] for why this is not a per-source
+    * global window. */
+  private def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("n_toks", TextOps.tokenCount(col("text")))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Packing
+      .sampleToBudget(d, "doc_id", "n_toks", "source", budget = 800L, parts, "graft-budget-v1")
+      .select(
+        col("grp").as("source"),
+        col("id").as("doc_id"),
+        col("toks").as("n_toks"),
+        col("cum_before"))
+  }
+
+  /** Cross-source contamination matrix: for every source pair, the
+    * number of distinct 8-token windows they share and the Jaccard of
+    * their window sets — the dataset-overlap audit run before mixing
+    * corpora. Gram-keyed join: candidates per gram are bounded by the
+    * SQUARE OF THE SOURCE COUNT (a tiny constant), never by corpus
+    * size, so no df cap is needed — the pair aggregate is
+    * #sources²-row tiny. */
+  private def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val w = docs(spark, dir)
+      .select(col("source"), TextOps.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+    val grams = w.select(col("source"), explode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> array_join(slice(w, i + 1, $k), ' '))")).as("g"))
+      .distinct()
+    val perSrc = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    grams.select(col("source").as("src_a"), col("g"))
+      .join(grams.select(col("source").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      .join(perSrc.select(col("source").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(perSrc.select(col("source").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"), col("n_a"), col("n_b"),
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6)
+          .as("jaccard"))
+  }
+
   /** Shared v2/v3 curation front half: quality/language filter →
     * integer-exact Gopher bigram gate → exact dedup → transitive LSH
     * near-dedup. Returns the surviving (doc_id, source, text). */
@@ -822,6 +866,8 @@ object QueriesText {
     "pii_redact" -> (piiRedact _),
     "dedup_paragraph" -> (dedupParagraph _),
     "prune_prototypes" -> (prunePrototypes _),
+    "sample_token_budget" -> (sampleTokenBudget _),
+    "source_overlap" -> (sourceOverlap _),
     "tfidf_near_pairs" -> (tfidfNearPairs _),
     "dedup_embedding" -> (dedupEmbedding _),
     "pack_sequences" -> (packSequences _),
@@ -1604,6 +1650,35 @@ object QueriesText {
         |SELECT id, cell, rank, round(cos, 6) AS cos6,
         |  rank > floor(n * 0.3) AS kept
         |FROM rk""".stripMargin,
+    "sample_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))::BIGINT AS n_toks,
+        |    md5(doc_id::VARCHAR || 'graft-budget-v1') AS ord
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_toks,
+        |    coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |  FROM t WHERE n_toks > 0)
+        |SELECT source, doc_id, n_toks, cum_before FROM c WHERE cum_before < 800""".stripMargin,
+    "source_overlap" ->
+      """WITH d AS (
+        |  SELECT source, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |gr AS (
+        |  SELECT DISTINCT source, g FROM (
+        |    SELECT source, unnest(list_transform(range(1, len(w) - 6),
+        |      i -> array_to_string(w[i:i+7], ' '))) AS g
+        |    FROM d WHERE len(w) >= 8)),
+        |ns AS (SELECT source, count(*)::BIGINT AS n FROM gr GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS inter
+        |  FROM gr a JOIN gr b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter, na.n AS n_a, nb.n AS n_b,
+        |  round(inter::DOUBLE / (na.n + nb.n - inter), 6) AS jaccard
+        |FROM pr JOIN ns na ON na.source = pr.src_a JOIN ns nb ON nb.source = pr.src_b""".stripMargin,
     "mm_decode_png" ->
       """WITH t AS (
         |  SELECT doc_id AS id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx

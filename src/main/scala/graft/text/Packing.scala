@@ -98,4 +98,87 @@ object Packing {
         (least(col("cum"), (col("seq_id") + 1L) * b) -
           greatest(col("start"), col("seq_id") * b)).as("seq_tokens"))
   }
+
+  /** Deterministic down-sampling to a per-group token budget: order
+    * each group's documents by a salted portable hash (an arbitrary
+    * but reproducible shuffle), admit documents while the group's
+    * running token total is still under `budget` (the admitting
+    * document may overshoot — "fill until full" semantics, the form
+    * subset builders like FineWeb's subsamples use).
+    *
+    * The running total is the GROUPED form of [[packSequences]]'s
+    * distributed prefix sum: one range exchange on (group, hash), a
+    * per-partition carry scan that RESETS at group boundaries (groups
+    * are contiguous within a partition under the range partitioning),
+    * and per-(partition, group) totals rolled into per-group exclusive
+    * offsets on the driver — O(parts + groups crossing a partition
+    * boundary) driver state, never a per-group global window (a
+    * billion-doc group would serialize through one task there; here it
+    * just spans many range partitions like any other key range).
+    *
+    * Same fault-tolerance note as [[packSequences]]: the pinned
+    * partition order uses `localCheckpoint`.
+    *
+    * @return the ADMITTED rows: (group, id, toks, cum_before) with
+    *         cum_before = group tokens ahead of this doc in hash order
+    */
+  def sampleToBudget(docs: DataFrame, idCol: String, tokensCol: String,
+                     groupCol: String, budget: Long, parts: Int, salt: String): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val keyed = docs
+      .select(
+        col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("toks"))
+      .filter(col("toks") > 0)
+      .withColumn("ord", md5(concat(col("id").cast("string"), lit(salt))))
+      .repartitionByRange(parts, col("grp"), col("ord"), col("id"))
+      .sortWithinPartitions("grp", "ord", "id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+
+    // per-(partition, group) totals → per-group exclusive offsets in
+    // pid order; only groups that span a boundary contribute >1 row
+    val offsets: Seq[(Int, String, Long)] = keyed
+      .groupBy("pid", "grp").agg(sum("toks").as("t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._1))
+      .toSeq
+      .groupBy(_._2)
+      .iterator
+      .flatMap { case (grp, rows) =>
+        val sorted = rows.sortBy(_._1)
+        sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._3)).map {
+          case (pid, off) => (pid, grp, off)
+        }
+      }
+      .toSeq
+    val offDf = broadcast(offsets.toDF("pid", "grp", "off"))
+
+    // per-partition carry, reset at group boundaries (rows are sorted
+    // by grp within the pinned partitions)
+    val grpIdx = keyed.schema.fieldIndex("grp")
+    val toksIdx = keyed.schema.fieldIndex("toks")
+    val cum = keyed.mapPartitions { it =>
+      var acc = 0L
+      var cur: String = null
+      it.map { r =>
+        val g = r.getString(grpIdx)
+        if (g != cur) { cur = g; acc = 0L }
+        acc += r.getLong(toksIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(Encoders.row(keyed.schema.add("pcum", LongType, nullable = false)))
+
+    cum
+      .join(offDf, Seq("pid", "grp"), "left")
+      .na.fill(0L, Seq("off"))
+      .withColumn("cum_before", col("pcum") + col("off") - col("toks"))
+      .filter(col("cum_before") < budget)
+      .select(col("grp"), col("id"), col("toks"), col("cum_before"))
+  }
 }
