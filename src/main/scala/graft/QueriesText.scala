@@ -788,6 +788,28 @@ object QueriesText {
           .as("jaccard"))
   }
 
+  /** Tokenizer-vocabulary coverage audit: build the top-20 corpus
+    * vocabulary (count desc, word asc — deterministic ties) and report
+    * each document's out-of-vocabulary token count and rate. The
+    * vocabulary is a global top-k — Spark plans `orderBy.limit` as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows, no global sort) — and the membership test is a broadcast
+    * semi-join against the k-row vocab. */
+  private def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("tok")).limit(20)
+      .select("tok")
+    toks
+      .join(broadcast(vocab).withColumn("in_vocab", lit(1L)), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov").cast("double") / col("n_toks"), 6))
+  }
+
   /** Shared v2/v3 curation front half: quality/language filter →
     * integer-exact Gopher bigram gate → exact dedup → transitive LSH
     * near-dedup. Returns the surviving (doc_id, source, text). */
@@ -868,6 +890,7 @@ object QueriesText {
     "prune_prototypes" -> (prunePrototypes _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "source_overlap" -> (sourceOverlap _),
+    "vocab_coverage" -> (vocabCoverage _),
     "tfidf_near_pairs" -> (tfidfNearPairs _),
     "dedup_embedding" -> (dedupEmbedding _),
     "pack_sequences" -> (packSequences _),
@@ -1679,6 +1702,17 @@ object QueriesText {
         |SELECT src_a, src_b, inter, na.n AS n_a, nb.n AS n_b,
         |  round(inter::DOUBLE / (na.n + nb.n - inter), 6) AS jaccard
         |FROM pr JOIN ns na ON na.source = pr.src_a JOIN ns nb ON nb.source = pr.src_b""".stripMargin,
+    "vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS t
+        |  FROM documents),
+        |v AS (
+        |  SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY 1)
+        |  QUALIFY row_number() OVER (ORDER BY c DESC, t) <= 20)
+        |SELECT doc_id, count(*)::BIGINT AS n_toks,
+        |  sum(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+        |  round(sum(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END)::DOUBLE / count(*), 6) AS oov_rate
+        |FROM tok GROUP BY doc_id""".stripMargin,
     "mm_decode_png" ->
       """WITH t AS (
         |  SELECT doc_id AS id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
