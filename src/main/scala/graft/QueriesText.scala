@@ -482,7 +482,7 @@ object QueriesText {
     * broadcast partition offsets, never a global window. See
     * [[graft.text.Packing]]. */
   private def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = spark.sessionState.conf.numShufflePartitions
     Packing.packSequences(
       docs(spark, dir).withColumn("n_toks", TextOps.tokenCount(col("text"))),
       "doc_id", "n_toks", budget = 512, parts = parts)
@@ -751,7 +751,7 @@ object QueriesText {
     * global window. */
   private def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).withColumn("n_toks", TextOps.tokenCount(col("text")))
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = spark.sessionState.conf.numShufflePartitions
     Packing
       .sampleToBudget(d, "doc_id", "n_toks", "source", budget = 800L, parts, "graft-budget-v1")
       .select(
@@ -843,7 +843,7 @@ object QueriesText {
     * docs + per-source shard stats (spanning-doc counts). */
   private def shardStats(spark: SparkSession, kept0: DataFrame): DataFrame = {
     val kept = kept0.withColumn("n_toks", TextOps.tokenCount(col("text")))
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = spark.sessionState.conf.numShufflePartitions
     val packed = Packing.packSequences(kept, "doc_id", "n_toks", budget = 512, parts = parts)
     val spans = packed.groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_spans"))
     kept.select("doc_id", "source", "n_toks").join(spans, Seq("doc_id"))
@@ -1624,17 +1624,21 @@ object QueriesText {
         |         THEN ' host 10.' || (doc_id % 256) || '.' || (doc_id * 3 % 256)
         |              || '.' || (doc_id * 5 % 256) ELSE '' END AS atext
         |  FROM documents),
+        |r1 AS (
+        |  SELECT doc_id, atext,
+        |    regexp_replace(atext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+        |  FROM a),
+        |r2 AS (
+        |  SELECT doc_id, atext, t1,
+        |    regexp_replace(t1, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS t2
+        |  FROM r1),
         |c AS (
         |  SELECT doc_id,
         |    len(regexp_extract_all(atext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
-        |    len(regexp_extract_all(atext, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
-        |    len(regexp_extract_all(atext, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(atext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |        '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
-        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
-        |  FROM a)
+        |    len(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+        |    len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+        |    regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+        |  FROM r2)
         |SELECT * FROM c WHERE n_email + n_phone + n_ip > 0""".stripMargin,
     "dedup_paragraph" ->
       """WITH t AS (

@@ -200,6 +200,7 @@ object AnnSearch {
     * so cells fit a partition (same knob as IVF retrieval), and skew
     * is bounded by the true cluster structure, not by a join blowup. */
   def prototypeRanks(corpus: DataFrame, centroids: DataFrame, dropFrac: Double): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0, s"dropFrac must be in [0, 1), got $dropFrac")
     val assigned = ivfAssign(corpus, centroids)
     val byCell = Window.partitionBy("cell")
     val byCos = byCell.orderBy(desc("cos"), col("n_id"))

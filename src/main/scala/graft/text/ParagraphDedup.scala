@@ -46,7 +46,12 @@ object ParagraphDedup {
   def paragraphs(text: Column, width: Int): Column = {
     val w = TextOps.tokens(text)
     val n = ceil(size(w).cast("double") / width).cast("int")
-    transform(sequence(lit(0), n - 1), i => concat_ws(" ", slice(w, i * width + 1, lit(width))))
+    // Null/blank text → empty array (split("", " ") is [""], one
+    // empty token, and sequence(0, -1) would descend — guard both).
+    when(text.isNull || trim(text) === "" || w.isNull || size(w) <= 0,
+      array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(0), n - 1), i => concat_ws(" ", slice(w, i * width + 1, lit(width)))))
   }
 
   /** Per-document paragraph survival after global first-occurrence
@@ -54,18 +59,23 @@ object ParagraphDedup {
     * the document reassembled from its surviving paragraphs in
     * original order ("" when every paragraph lost its race). */
   def dedupByParagraph(docs: DataFrame, idCol: String, textCol: String, width: Int = 8): DataFrame = {
+    // posexplode_outer keeps a (null pidx, null para) row for docs
+    // whose text is null/empty, so every input document surfaces in
+    // the output — null-text docs as an explicit (doc_id, 0, 0, "")
+    // row rather than silently vanishing.
     val paras = docs
-      .select(col(idCol), posexplode(paragraphs(col(textCol), width)).as(Seq("pidx", "para")))
-      .withColumn("ph", SimHash.tokenHash(col("para")))
+      .select(col(idCol), posexplode_outer(paragraphs(col(textCol), width)).as(Seq("pidx", "para")))
+      .withColumn("ph", when(col("para").isNotNull, SimHash.tokenHash(col("para"))))
     val firstSeen = Window.partitionBy("ph").orderBy(col(idCol), col("pidx"))
     val marked = paras
       .withColumn("wdoc", first(col(idCol)).over(firstSeen))
       .withColumn("widx", first(col("pidx")).over(firstSeen))
-      .withColumn("kept", col("wdoc") === col(idCol) && col("widx") === col("pidx"))
+      .withColumn("kept",
+        col("para").isNotNull && col("wdoc") === col(idCol) && col("widx") === col("pidx"))
     marked
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_paras"),
+        count(col("para")).as("n_paras"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         array_join(
           transform(

@@ -54,11 +54,23 @@ object PiiRedact {
       IpTag)
 
   /** Adds `n_email` / `n_phone` / `n_ip` (long) and `redacted` columns
-    * for `textCol`; counts are taken before redaction. */
-  def annotate(df: DataFrame, textCol: Column): DataFrame =
+    * for `textCol`.
+    *
+    * Counts are CHAINED, mirroring the replacement order: `n_email`
+    * is matched on the original text, `n_phone` on the email-redacted
+    * text, `n_ip` on the email+phone-redacted text. Each count
+    * therefore equals exactly the number of tags that replacement
+    * step inserts, so the invariant `n_x == count of [X] tags in
+    * redacted` holds even when a span matches two patterns (e.g.
+    * `555-123-4567@example.com` is email-redacted first and is then
+    * invisible to the phone matcher — counted once, tagged once). */
+  def annotate(df: DataFrame, textCol: Column): DataFrame = {
+    val afterEmail = regexp_replace(textCol, EmailRe, EmailTag)
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, PhoneTag)
     df
-      .withColumn("n_email", emailCount(textCol).cast("long"))
-      .withColumn("n_phone", phoneCount(textCol).cast("long"))
-      .withColumn("n_ip", ipCount(textCol).cast("long"))
-      .withColumn("redacted", redact(textCol))
+      .withColumn("n_email", regexp_count(textCol, lit(EmailRe)).cast("long"))
+      .withColumn("n_phone", regexp_count(afterEmail, lit(PhoneRe)).cast("long"))
+      .withColumn("n_ip", regexp_count(afterPhone, lit(Ipv4Re)).cast("long"))
+      .withColumn("redacted", regexp_replace(afterPhone, Ipv4Re, IpTag))
+  }
 }

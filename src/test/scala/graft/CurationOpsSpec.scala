@@ -49,6 +49,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(joined.filter(col("redacted") =!= col("r2")).count() === 0)
   }
 
+  test("counts equal tag counts even when one span matches two patterns") {
+    // '555-123-4567@example.com' matches both the email and the phone
+    // regex; the chained counting must count it once (as email).
+    val tricky = Seq((9L, "write 555-123-4567@example.com soon")).toDF("doc_id", "text")
+    val r = PiiRedact.annotate(tricky, col("text"))
+      .select("n_email", "n_phone", "n_ip", "redacted").collect()(0)
+    assert(r.getLong(0) === 1L && r.getLong(1) === 0L && r.getLong(2) === 0L)
+    assert(r.getString(3) === "write [EMAIL] soon")
+    // invariant: n_x == number of [X] tags in the redacted output
+    assert("\\[EMAIL\\]".r.findAllIn(r.getString(3)).length === r.getLong(0))
+    assert("\\[PHONE\\]".r.findAllIn(r.getString(3)).length === r.getLong(1))
+  }
+
   test("pii annotation is map-side: no exchange in the plan") {
     val plan = PiiRedact.annotate(piiDocs, col("text")).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"exchange in pii plan:\n$plan")
@@ -99,6 +112,19 @@ class CurationOpsSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("null and empty text docs surface as explicit (doc_id, 0, 0, \"\") rows") {
+    val withNulls = Seq[(Long, String)]((1L, "pa pb"), (2L, null), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = ParagraphDedup.dedupByParagraph(withNulls, "doc_id", "text", width = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(out(id).getLong(1) === 0L && out(id).getLong(2) === 0L, s"doc $id stats")
+      assert(out(id).getString(3) === "", s"doc $id kept_text")
+    }
+    assert(out(1L).getLong(2) === 1L && out(1L).getString(3) === "pa pb")
   }
 
   test("paragraph dedup plan: two hash exchanges (hash, doc_id), no join") {
