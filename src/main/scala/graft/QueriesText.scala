@@ -2,6 +2,7 @@ package graft
 
 import graft.ml.{AnnSearch, Multimodal}
 import graft.text.{MinHashLsh, Packing, ParagraphDedup, PiiRedact, SimHash, TextOps}
+import graft.util.Pin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -485,7 +486,8 @@ object QueriesText {
     val parts = spark.sessionState.conf.numShufflePartitions
     Packing.packSequences(
       docs(spark, dir).withColumn("n_toks", TextOps.tokenCount(col("text"))),
-      "doc_id", "n_toks", budget = 512, parts = parts)
+      "doc_id", "n_toks", budget = 512, parts = parts,
+      reliable = Pin.reliableFromConf(spark))
       .select(col("id").as("doc_id"), col("seq_id"), col("seq_tokens"))
   }
 
@@ -585,11 +587,10 @@ object QueriesText {
     // the tokenize/tf/df subtree is recomputed three times (at corpus
     // scale the index is far smaller than the corpus, so this is the
     // natural materialization point)
-    val w = terms.join(dfCap, "term").crossJoin(nDocs)
+    val w = Pin(terms.join(dfCap, "term").crossJoin(nDocs)
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1000, 0)
-          .cast("long").as("w"))
-      .localCheckpoint()
+          .cast("long").as("w")))
     val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm2"))
     val dots = w.select(col("doc_id").as("a"), col("term"), col("w").as("wa"))
       .join(w.select(col("doc_id").as("b"), col("term"), col("w").as("wb")), Seq("term"))
@@ -647,10 +648,9 @@ object QueriesText {
     // smaller than the raw token stream (the tfidf materialization
     // rationale; Σ_occurrences nlp ≡ Σ_distinct tf·nlp exactly, since
     // both are long arithmetic)
-    val docTf = docs(spark, dir)
+    val docTf = Pin(docs(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
     val counts = docTf.groupBy("tok").agg(sum("tf").as("c"))
     val model = counts.crossJoin(
         broadcast(counts.agg(sum("c").as("t_total"), count(lit(1)).as("v_size"))))
@@ -753,7 +753,8 @@ object QueriesText {
     val d = docs(spark, dir).withColumn("n_toks", TextOps.tokenCount(col("text")))
     val parts = spark.sessionState.conf.numShufflePartitions
     Packing
-      .sampleToBudget(d, "doc_id", "n_toks", "source", budget = 800L, parts, "graft-budget-v1")
+      .sampleToBudget(d, "doc_id", "n_toks", "source", budget = 800L, parts, "graft-budget-v1",
+        reliable = Pin.reliableFromConf(spark))
       .select(
         col("grp").as("source"),
         col("id").as("doc_id"),
@@ -844,7 +845,8 @@ object QueriesText {
   private def shardStats(spark: SparkSession, kept0: DataFrame): DataFrame = {
     val kept = kept0.withColumn("n_toks", TextOps.tokenCount(col("text")))
     val parts = spark.sessionState.conf.numShufflePartitions
-    val packed = Packing.packSequences(kept, "doc_id", "n_toks", budget = 512, parts = parts)
+    val packed = Packing.packSequences(kept, "doc_id", "n_toks", budget = 512, parts = parts,
+      reliable = Pin.reliableFromConf(spark))
     val spans = packed.groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_spans"))
     kept.select("doc_id", "source", "n_toks").join(spans, Seq("doc_id"))
       .groupBy("source")

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.util.Pin
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -43,12 +44,17 @@ object Packing {
     *         seq_tokens (tokens this doc contributes to that sequence)
     */
   def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
-                    budget: Int, parts: Int): DataFrame = {
+                    budget: Int, parts: Int, reliable: Boolean = false): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val keyed = docs
+    // pin the partition assignment: the totals pass and the cumsum
+    // pass must see identical pids and row order. Mode trade-off
+    // (executor-local blocks vs reliable checkpoint storage) is
+    // [[graft.util.Pin]]'s contract; pass reliable = true on long
+    // production jobs where an executor loss must not fail the run.
+    val keyed = Pin(docs
       .select(col(idCol).cast("long").as("id"), col(tokensCol).cast("long").as("toks"))
       // zero-token docs occupy no span; dropping them keeps the
       // sequence() bounds well-ordered (start <= cum - 1 iff toks >= 1)
@@ -56,16 +62,8 @@ object Packing {
       .withColumn("ord", md5(col("id").cast("string")))
       .repartitionByRange(parts, col("ord"), col("id"))
       .sortWithinPartitions("ord", "id")
-      .withColumn("pid", spark_partition_id())
-      // pin the partition assignment: the totals pass and the cumsum
-      // pass must see identical pids and row order. Fault-tolerance
-      // trade-off: localCheckpoint stores blocks on executors with
-      // lineage CUT, so on a real cluster an executor loss makes the
-      // pinned RDD unrecoverable and fails the job (acceptable for a
-      // bench/batch step that simply re-runs). A long-lived production
-      // job should pin via reliable checkpoint() or an explicit
-      // write-out/read-back of `keyed` instead — same plan either way.
-      .localCheckpoint()
+      .withColumn("pid", spark_partition_id()),
+      reliable)
 
     // exclusive prefix of per-partition token totals (one long per
     // partition — driver state is O(parts), not O(rows))
@@ -117,18 +115,20 @@ object Packing {
     * just spans many range partitions like any other key range).
     *
     * Same fault-tolerance note as [[packSequences]]: the pinned
-    * partition order uses `localCheckpoint`.
+    * partition order uses [[graft.util.Pin]] (`localCheckpoint` by
+    * default, reliable checkpoint with `reliable = true`).
     *
     * @return the ADMITTED rows: (group, id, toks, cum_before) with
     *         cum_before = group tokens ahead of this doc in hash order
     */
   def sampleToBudget(docs: DataFrame, idCol: String, tokensCol: String,
-                     groupCol: String, budget: Long, parts: Int, salt: String): DataFrame = {
+                     groupCol: String, budget: Long, parts: Int, salt: String,
+                     reliable: Boolean = false): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val keyed = docs
+    val keyed = Pin(docs
       .select(
         col(groupCol).cast("string").as("grp"),
         col(idCol).cast("long").as("id"),
@@ -137,8 +137,8 @@ object Packing {
       .withColumn("ord", md5(concat(col("id").cast("string"), lit(salt))))
       .repartitionByRange(parts, col("grp"), col("ord"), col("id"))
       .sortWithinPartitions("grp", "ord", "id")
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("pid", spark_partition_id()),
+      reliable)
 
     // per-(partition, group) totals → per-group exclusive offsets in
     // pid order; only groups that span a boundary contribute >1 row

@@ -51,4 +51,47 @@ class PackingSpec extends SparkSpec {
     val s = live.queryExecution.executedPlan.toString
     assert(!s.contains("Window"), s"global window leaked into the packing plan:\n$s")
   }
+
+  test("reliable pinning yields bit-identical output to localCheckpoint pinning") {
+    // The prefix-sum operators depend on a frozen (pid, row-order)
+    // snapshot; this proves the reliable-checkpoint mode (the
+    // cluster-resilient path) freezes the SAME snapshot.
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val before = sc.getCheckpointDir
+    sc.setCheckpointDir(dir)
+    try {
+      val local = Packing.packSequences(docs, "doc_id", "n_toks", budget, parts = 8)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val rel = Packing.packSequences(docs, "doc_id", "n_toks", budget, parts = 8,
+        reliable = true).collect().map(_.toSeq).sortBy(_.toString)
+      assert(local.toSeq === rel.toSeq)
+      // and the checkpoint actually went to reliable storage
+      assert(new java.io.File(dir).listFiles().nonEmpty, "no reliable checkpoint written")
+
+      val sLocal = Packing.sampleToBudget(
+        docs.withColumn("src", (col("doc_id") % 3).cast("string")),
+        "doc_id", "n_toks", "src", budget = 900L, parts = 8, salt = "s7")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val sRel = Packing.sampleToBudget(
+        docs.withColumn("src", (col("doc_id") % 3).cast("string")),
+        "doc_id", "n_toks", "src", budget = 900L, parts = 8, salt = "s7", reliable = true)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(sLocal.toSeq === sRel.toSeq)
+    } finally before match {
+      case Some(d) => sc.setCheckpointDir(d)
+      case None    => // leave the temp dir set; no API to unset
+    }
+  }
+
+  test("reliable pinning without a checkpoint dir fails fast with a clear message") {
+    // guard is in Pin: checked before any job runs
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        Packing.packSequences(docs, "doc_id", "n_toks", budget, parts = 4, reliable = true)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    } else succeed // dir already set by an earlier test in this JVM
+  }
 }
