@@ -1,7 +1,7 @@
 package graft
 
 import graft.ml.{AnnSearch, Multimodal}
-import graft.text.{MinHashLsh, Packing, ParagraphDedup, PiiRedact, SimHash, TextOps}
+import graft.text.{ExactSubstr, MinHashLsh, Packing, ParagraphDedup, PiiRedact, SimHash, TextOps}
 import graft.util.Pin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -698,6 +698,17 @@ object QueriesText {
           .as("shared_frac"))
   }
 
+  /** ExactSubstr duplicate-SPAN removal — the surgical half of the
+    * Lee et al. 2022 family whose statistics [[sharedSubstrings]]
+    * measures: every duplicated 8-token window keeps its global first
+    * occurrence and is cut everywhere else; overlapping windows merge
+    * into variable-length spans; docs reassemble from surviving
+    * tokens. See [[ExactSubstr]] for the gram-sharded scale design.
+    * Oracle: full DuckDB re-derivation (window winner via
+    * first_value, covered-position union, positional anti-join). */
+  private def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    ExactSubstr.removeDuplicateSpans(docs(spark, dir), "doc_id", "text", k = 8)
+
   /** Dolma-style PII detection + redaction. The synthetic corpus
     * carries no PII, so the query PLANTS deterministic doc_id-derived
     * spans (an email for doc_id%7==0, a dashed phone for %11==0, an
@@ -882,9 +893,45 @@ object QueriesText {
     shardStats(spark, kept.join(drop, Seq("doc_id"), "left_anti"))
   }
 
+  /** CAPSTONE v4 — v3 plus the ExactSubstr SPAN-removal stage: after
+    * the lexical + semantic doc-level dedup, duplicated ≥8-token
+    * spans are cut from the survivors (first occurrence kept,
+    * computed WITHIN the surviving corpus), and packing/shard stats
+    * run on the span-reduced token counts. Docs whose every token was
+    * duplicated pack zero sequences and drop out of the rollup. The
+    * oracle re-derives the entire chain, with the span stage as a
+    * window-winner + covered-position union over the k2 survivors. */
+  private def corpusPipelineV4(spark: SparkSession, dir: String): DataFrame = {
+    val kept = curationKept(spark, dir)
+    val emb = embs(spark, dir).join(kept.select(col("doc_id").as("id")), Seq("id"))
+    val centroids = AnnSearch.strideCentroids(emb, 25)
+    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = 15)
+    val comp = MinHashLsh.components(pairs.select("a", "b"))
+    val drop = comp
+      .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
+      .filter(col("id") =!= col("keep"))
+      .select(col("id").as("doc_id"))
+    val k2 = kept.join(drop, Seq("doc_id"), "left_anti")
+    val spanned = ExactSubstr.removeDuplicateSpans(k2, "doc_id", "text", k = 8)
+      .select(col("doc_id"), (col("n_tokens") - col("n_removed")).as("n_toks"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val slim = k2.select("doc_id", "source").join(spanned, Seq("doc_id"))
+    val packed = Packing.packSequences(slim, "doc_id", "n_toks", budget = 512, parts = parts,
+      reliable = Pin.reliableFromConf(spark))
+    val spans = packed.groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_spans"))
+    slim.join(spans, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"),
+        sum(when(col("n_spans") >= 2, 1L).otherwise(0L)).as("n_spanning"),
+        max(col("n_spans")).as("max_spans"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_pipeline_v2" -> (corpusPipelineV2 _),
     "corpus_pipeline_v3" -> (corpusPipelineV3 _),
+    "corpus_pipeline_v4" -> (corpusPipelineV4 _),
+    "dedup_spans" -> (dedupSpans _),
     "perplexity_filter" -> (perplexityFilter _),
     "shared_substrings" -> (sharedSubstrings _),
     "pii_redact" -> (piiRedact _),
@@ -960,6 +1007,31 @@ object QueriesText {
       |  FROM s)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i, array_to_string(w[(i + 1):(i + 8)], ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS i FROM t)),
+        |win AS (
+        |  SELECT doc_id, i,
+        |    first_value(doc_id) OVER wn = doc_id AND first_value(i) OVER wn = i AS is_first,
+        |    count(*) OVER (PARTITION BY g) AS cnt
+        |  FROM occ WINDOW wn AS (PARTITION BY g ORDER BY doc_id, i)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, i + unnest(range(0, 8)) AS pos
+        |  FROM win WHERE cnt >= 2 AND NOT is_first),
+        |nr AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY 1),
+        |px AS (SELECT doc_id, unnest(range(0, len(w))) AS p, w FROM t),
+        |kt AS (
+        |  SELECT px.doc_id,
+        |    coalesce(string_agg(px.w[px.p + 1], ' ' ORDER BY px.p) FILTER (WHERE cov.pos IS NULL), '') AS kept_text
+        |  FROM px LEFT JOIN cov ON px.doc_id = cov.doc_id AND px.p = cov.pos
+        |  GROUP BY px.doc_id)
+        |SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+        |  coalesce(nr.n_removed, 0)::BIGINT AS n_removed, kt.kept_text
+        |FROM t LEFT JOIN nr ON t.doc_id = nr.doc_id JOIN kt ON t.doc_id = kt.doc_id""".stripMargin,
     "corpus_pipeline_v2" ->
       """WITH t AS (
         |  SELECT doc_id, source, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
@@ -1101,6 +1173,108 @@ object QueriesText {
         |  SELECT * FROM k
         |  WHERE doc_id NOT IN (SELECT id FROM labels2 WHERE id <> comp)),
         |p AS (SELECT doc_id, source, n_tokens::BIGINT AS n, md5(doc_id::VARCHAR) AS ord FROM k2),
+        |c2 AS (
+        |  SELECT doc_id, source, n,
+        |    sum(n) OVER (ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM p),
+        |sp AS (SELECT source, n, ((cum - 1) // 512) - ((cum - n) // 512) + 1 AS n_spans FROM c2)
+        |SELECT source, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN n_spans >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_spanning,
+        |  max(n_spans)::BIGINT AS max_spans
+        |FROM sp GROUP BY source""".stripMargin,
+    "corpus_pipeline_v4" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, text, norm, w, len(w) AS n_tokens,
+        |    length(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::DOUBLE / length(norm) AS punct_ratio,
+        |    len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE / len(w) AS stop_ratio,
+        |    list_distinct(w) AS dw
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, source, norm, w, n_tokens
+        |  FROM s
+        |  WHERE round(0.5 * least(stop_ratio * 3, 1.0) + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+        |          + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) > 0.5
+        |    AND n_tokens >= 30
+        |    AND NOT regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) > 0
+        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) >=
+        |        greatest(
+        |          len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])),
+        |          len(list_intersect(dw, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])),
+        |          len(list_intersect(dw, ['le','la','les','et','est','pas','pour','dans','un','une'])),
+        |          len(list_intersect(dw, ['el','la','los','y','es','no','por','para','un','una'])))),
+        |bg AS (
+        |  SELECT doc_id, max(c) AS mx, sum(c) AS nb FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |      FROM f) GROUP BY 1, 2) GROUP BY 1),
+        |f2 AS (SELECT f.* FROM f JOIN bg USING (doc_id) WHERE mx * 50 <= nb * 3),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM f2 GROUP BY norm),
+        |k1 AS (SELECT f2.* FROM f2 JOIN ex USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |      ELSE [] END AS sgl
+        |  FROM k1),
+        |vp AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sgl, b.sgl))::DOUBLE / len(list_distinct(list_concat(a.sgl, b.sgl))) >= 0.8),
+        |e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+        |cl AS (
+        |  WITH RECURSIVE closure(src, dst) AS (
+        |    SELECT a AS src, b AS dst FROM e
+        |    UNION
+        |    SELECT closure.src, e.b AS dst FROM closure JOIN e ON e.a = closure.dst
+        |      WHERE e.b <> closure.src
+        |  ) SELECT * FROM closure),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src),
+        |k AS (
+        |  SELECT * FROM k1
+        |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)),
+        |em AS (
+        |  SELECT k.doc_id AS id, list_transform(e.embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings e JOIN k ON e.vec_id = k.doc_id),
+        |vp2 AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM em a JOIN em b ON a.id < b.id
+        |  WHERE list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4),
+        |e2 AS (SELECT a, b FROM vp2 UNION ALL SELECT b AS a, a AS b FROM vp2),
+        |cl2 AS (
+        |  WITH RECURSIVE closure2(src, dst) AS (
+        |    SELECT a AS src, b AS dst FROM e2
+        |    UNION
+        |    SELECT closure2.src, e2.b AS dst FROM closure2 JOIN e2 ON e2.a = closure2.dst
+        |      WHERE e2.b <> closure2.src
+        |  ) SELECT * FROM closure2),
+        |labels2 AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl2 GROUP BY src),
+        |k2 AS (
+        |  SELECT * FROM k
+        |  WHERE doc_id NOT IN (SELECT id FROM labels2 WHERE id <> comp)),
+        |occ AS (
+        |  SELECT doc_id, i, array_to_string(w[(i + 1):(i + 8)], ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS i FROM k2)),
+        |win AS (
+        |  SELECT doc_id, i,
+        |    first_value(doc_id) OVER wn = doc_id AND first_value(i) OVER wn = i AS is_first,
+        |    count(*) OVER (PARTITION BY g) AS cnt
+        |  FROM occ WINDOW wn AS (PARTITION BY g ORDER BY doc_id, i)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, i + unnest(range(0, 8)) AS pos
+        |  FROM win WHERE cnt >= 2 AND NOT is_first),
+        |nr AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY 1),
+        |k3 AS (
+        |  SELECT k2.doc_id, k2.source,
+        |    (k2.n_tokens - coalesce(nr.n_removed, 0))::BIGINT AS n
+        |  FROM k2 LEFT JOIN nr ON k2.doc_id = nr.doc_id
+        |  WHERE k2.n_tokens - coalesce(nr.n_removed, 0) > 0),
+        |p AS (SELECT doc_id, source, n, md5(doc_id::VARCHAR) AS ord FROM k3),
         |c2 AS (
         |  SELECT doc_id, source, n,
         |    sum(n) OVER (ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
