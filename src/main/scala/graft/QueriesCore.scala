@@ -135,6 +135,30 @@ object QueriesCore {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** J1 with the LARGE-rect-side plan: `broadcastRects = false`
+    * shuffles BOTH sides on the grid-cell key into a hash equi-join —
+    * the shape for a rect table too big to broadcast (100× sensor
+    * counts). Same oracle as `j1_spatial_grid`: the two physical
+    * plans must agree row-for-row; [[graft.PlanShapeSpec]] pins the
+    * exchange-on-cell-keys/no-BNLJ plan shape. */
+  private def j1SpatialShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val points = t(spark, dir, "customer").select(
+      col("c_custkey"),
+      col("c_acctbal").as("px"),
+      (pmod(col("c_custkey") * 37, lit(2000)) - 1000).cast("double").as("py")
+    )
+    val rects = t(spark, dir, "supplier").select(
+      col("s_suppkey"),
+      (col("s_acctbal") - 40).as("ax1"),
+      (col("s_acctbal") + 40).as("ax2"),
+      ((pmod(col("s_suppkey") * 97, lit(2000)) - 1000).cast("double") - 60).as("ay1"),
+      ((pmod(col("s_suppkey") * 97, lit(2000)) - 1000).cast("double") + 60).as("ay2")
+    )
+    SpatialJoin.hitJoin(points, rects, Seq.empty, cell = 100.0, broadcastRects = false)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** J3/O8: rank-based row pairing (consecutive pairs by descending
     * account balance within a nation). */
   private def j3Pairing(spark: SparkSession, dir: String): DataFrame =
@@ -656,6 +680,7 @@ object QueriesCore {
     "f9_multihit" -> (f9Multihit _),
     "join_orders_customer" -> (joinOrdersCustomer _),
     "j1_spatial_grid" -> (j1SpatialGrid _),
+    "j1_spatial_shuffle" -> (j1SpatialShuffle _),
     "j3_pairing" -> (j3Pairing _),
     "j5_selfpair" -> (j5SelfPair _),
     "a1_minmax" -> (a1MinMax _),
@@ -913,6 +938,18 @@ object QueriesCore {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "j1_spatial_grid" ->
+      """WITH pts AS (
+        |  SELECT c_custkey, c_acctbal AS px,
+        |         ((c_custkey * 37) % 2000 - 1000)::DOUBLE AS py FROM customer),
+        |rects AS (
+        |  SELECT s_suppkey, s_acctbal - 40 AS ax1, s_acctbal + 40 AS ax2,
+        |         ((s_suppkey * 97) % 2000 - 1000)::DOUBLE - 60 AS ay1,
+        |         ((s_suppkey * 97) % 2000 - 1000)::DOUBLE + 60 AS ay2 FROM supplier)
+        |SELECT s_suppkey, count(*) AS n_hits
+        |FROM pts JOIN rects
+        |  ON ax1 < px AND px < ax2 AND ay1 < py AND py < ay2
+        |GROUP BY s_suppkey""".stripMargin,
+    "j1_spatial_shuffle" ->
       """WITH pts AS (
         |  SELECT c_custkey, c_acctbal AS px,
         |         ((c_custkey * 37) % 2000 - 1000)::DOUBLE AS py FROM customer),

@@ -32,9 +32,18 @@ object SpatialJoin {
 
   /** Inner join of points (with `px`,`py` columns) against rects on
     * (extraKeys…, grid cell) + strict containment (ETL.py:772-776:
-    * ax1 < x < ax2, ay1 < y < ay2). Rect side is broadcast — callers
-    * with a large rect side should repartition both sides by cell
-    * instead. */
+    * ax1 < x < ax2, ay1 < y < ay2).
+    *
+    * `broadcastRects = true` (default): rect side broadcast, zero
+    * shuffle of the point side — right whenever the gridded rect
+    * table fits an executor (detector geometries: always).
+    * `broadcastRects = false`: BOTH sides shuffle on the
+    * (extraKeys…, cell) equi-key into a shuffled hash join — the plan
+    * for a rect side too large to broadcast (the SHUFFLE_HASH hint
+    * pins the shape; without it the optimizer would re-broadcast
+    * whichever side happens to be small at test scale, silently
+    * un-testing the large-side path). Both plans return the
+    * identical hit set — asserted by PlanShapeSpec. */
   def hitJoin(
       points: DataFrame,
       rects: DataFrame,
@@ -43,7 +52,7 @@ object SpatialJoin {
       broadcastRects: Boolean = true
   ): DataFrame = {
     val gridded = gridRects(rects, cell)
-    val right = if (broadcastRects) broadcast(gridded) else gridded
+    val right = if (broadcastRects) broadcast(gridded) else gridded.hint("shuffle_hash")
     val p = points
       .withColumn("cx", floor(col("px") / cell).cast("long"))
       .withColumn("cy", floor(col("py") / cell).cast("long"))

@@ -131,6 +131,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast grid join:\n$plan")
   }
 
+  test("shuffled-cell spatial join: exchanges on cell keys, no BNLJ, equals broadcast path") {
+    // The large-rect-side plan (VERDICT r6 item 3): at 100× sensor
+    // counts the broadcast stops fitting; broadcastRects = false must
+    // shuffle BOTH sides on the grid-cell key into a hash equi-join
+    // that returns the identical hit set.
+    import graft.ops.SpatialJoin
+    import spark.implicits._
+    val points = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+      col("c_custkey"),
+      col("c_acctbal").as("px"),
+      (pmod(col("c_custkey") * 37, lit(2000)) - 1000).cast("double").as("py"))
+    // ×100 the rect side: replicate each supplier rect with jittered
+    // offsets so the blown-up table isn't just duplicate keys
+    val rects = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .withColumn("rep", explode(sequence(lit(0L), lit(99L))))
+      .select(
+        (col("s_suppkey") * 100 + col("rep")).as("s_suppkey"),
+        (col("s_acctbal") - 40 + col("rep")).as("ax1"),
+        (col("s_acctbal") + 40 + col("rep")).as("ax2"),
+        ((pmod(col("s_suppkey") * 97 + col("rep") * 13, lit(2000)) - 1000).cast("double") - 60).as("ay1"),
+        ((pmod(col("s_suppkey") * 97 + col("rep") * 13, lit(2000)) - 1000).cast("double") + 60).as("ay2"))
+    val shuffled = SpatialJoin.hitJoin(points, rects, Seq.empty, cell = 100.0,
+      broadcastRects = false)
+    val plan = physicalPlan(shuffled)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in shuffled spatial plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in shuffled spatial plan:\n$plan")
+    assert("Exchange hashpartitioning\\((?:[^)]*\\b)?cx".r.findFirstIn(plan).isDefined,
+      s"no cell-key exchange in shuffled spatial plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"no shuffle equi-join in plan:\n$plan")
+    val a = shuffled.select("c_custkey", "s_suppkey").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = SpatialJoin.hitJoin(points, rects, Seq.empty, cell = 100.0)
+      .select("c_custkey", "s_suppkey").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.nonEmpty && (a.toSeq == b.toSeq), s"shuffled/broadcast hit sets differ: ${a.length} vs ${b.length}")
+  }
+
   test("sessionize and o6_runs shuffle exactly once, keyed by user_id") {
     // VERDICT r3 item 7: both queries window over partitionBy(user_id) —
     // a high-cardinality key, so ONE exchange is the contract. The
