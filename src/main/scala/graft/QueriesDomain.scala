@@ -591,7 +591,12 @@ object QueriesDomain {
     // no cache: the fixture feeds the count and the join scan, and two
     // 46 MB columnar scans are cheaper than one in-memory cache fill
     // (measured ~0.3 s vs ~1.4 s); histSparse's aggregate cache already
-    // keeps the expensive join pass single-shot
+    // keeps the expensive join pass single-shot.
+    // r7 re-adjudication of the r4(cached 2.89 s) vs r6(uncached
+    // 3.97 s) bench discrepancy: dev.CacheProbe A/Bs both shapes under
+    // bench conditions (local[32], min-of-3 steady) — uncached 1.74 s
+    // vs cached 1.96 s on this host; the r6 cell's 3.97 s was session
+    // debt in the bench tail, not this code path. Decision stands.
     val p = spark.read.parquet(Layouts.resolveFixture("tiled_acceptance_seed42.parquet"))
       .select("event_id", "x", "y", "theta", "phi", "eta")
     Acceptance.histSparse(spark, Acceptance.hitCountsKin(spark, p, sensors), p.count())
