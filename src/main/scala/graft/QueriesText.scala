@@ -927,7 +927,13 @@ object QueriesText {
         max(col("n_spans")).as("max_spans"))
   }
 
+  /** Distributed BPE vocabulary learning: the first 12 merges over the
+    * corpus, deterministic order (count desc, pair asc). */
+  private def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.learn(docs(spark, dir), "text", nMerges = 12)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train" -> (bpeTrain _),
     "corpus_pipeline_v2" -> (corpusPipelineV2 _),
     "corpus_pipeline_v3" -> (corpusPipelineV3 _),
     "corpus_pipeline_v4" -> (corpusPipelineV4 _),
@@ -1006,7 +1012,34 @@ object QueriesText {
       |          + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) AS quality
       |  FROM s)""".stripMargin
 
+  /** DuckDB re-derivation of `nMerges` BPE merges, unrolled: stage i
+    * recounts pairs on the post-(i-1)-merge vocabulary, picks the
+    * (count desc, pair asc) winner, and applies it with the same
+    * delimited-string literal replace the engine uses (leftmost
+    * non-overlapping replace semantics are identical in Java and
+    * DuckDB — see [[graft.text.Bpe]]). */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val head =
+      """WITH w AS (
+        |  SELECT word, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) GROUP BY 1),
+        |s0 AS (SELECT cnt, '|' || regexp_replace(word, '(.)', '\1||', 'g') || '</w>|' AS seq FROM w)""".stripMargin
+    val stages = (1 to nMerges).map { i =>
+      s""",
+         |p$i AS (SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS c FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(sy)), j -> {'l': sy[j], 'r': sy[j+1]})) AS p FROM (
+         |      SELECT cnt, string_split(trim(seq, '|'), '||') AS sy FROM s${i - 1})) GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |s$i AS (SELECT cnt, replace(seq, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS seq FROM s${i - 1}, b$i b)""".stripMargin
+    }.mkString
+    val sel = (1 to nMerges)
+      .map(i => s"SELECT $i::BIGINT AS step, l AS lhs, r AS rhs, l || r AS merged, c AS pair_count FROM b$i")
+      .mkString("\nUNION ALL ")
+    head + stages + "\n" + sel
+  }
+
   val oracles: Map[String, String] = Map(
+    "bpe_train" -> bpeOracleSql(12),
     "dedup_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w

@@ -1,0 +1,93 @@
+package graft
+
+import graft.text.Bpe
+import org.apache.spark.sql.DataFrame
+
+/** BPE merge learning vs an independent naive in-memory reference. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive reference: Sennrich-2016 BPE on a driver-side word-count
+    * map, greedy left-to-right merge application. */
+  private def naiveBpe(texts: Seq[String], nMerges: Int): Seq[Bpe.Merge] = {
+    val wordRe = "[a-z]+".r
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts; w <- wordRe.findAllIn(t.toLowerCase))
+      wc(w) = wc.getOrElse(w, 0L) + 1L
+    var vocab: Map[Vector[String], Long] =
+      wc.toMap.map { case (w, c) => (w.map(_.toString).toVector :+ Bpe.EndOfWord, c) }
+    val out = Seq.newBuilder[Bpe.Merge]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; p <- syms.zip(syms.tail))
+        pc(p) = pc.getOrElse(p, 0L) + c
+      if (pc.isEmpty) done = true
+      else {
+        val ((l, r), c) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+        out += Bpe.Merge(step.toLong, l, r, l + r, c)
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { b += l + r; i += 2 }
+            else { b += syms(i); i += 1 }
+          }
+          b.result()
+        }(_._2)(_ + _)
+      }
+      step += 1
+    }
+    out.result()
+  }
+
+  private def docsDf(texts: Seq[String]): DataFrame =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("greedy left-to-right application: 'a a a' merges to (aa, a), not (a, aa)") {
+    // corpus where (a,a) wins: word "aaa" twice -> pairs (a,a)x2 per word
+    val merges = Bpe.learnMerges(docsDf(Seq("aaa aaa aaa")), "text", nMerges = 2)
+    assert(merges.head.lhs == "a" && merges.head.rhs == "a" && merges.head.pair_count == 6L)
+    // after |aa||a||</w>| the remaining pairs are (aa,a) and (a,</w>);
+    // if the replace had been non-greedy/right-biased we'd see (aa,aa)
+    val second = merges(1)
+    assert(Set(("aa", "a"), ("a", Bpe.EndOfWord)).contains((second.lhs, second.rhs)))
+  }
+
+  test("matches the naive reference on a mixed corpus (ties, multi-merge symbols, stop-early)") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "low lower lowest low low newer newest wider wide",
+      "banana bandana ana ana anna",
+      "Mixed CASE and punctuation, 42 numbers! the the the",
+      "aaa aa aaaa a",
+      "" // empty doc contributes nothing
+    )
+    val expect = naiveBpe(texts, 25)
+    val got = Bpe.learnMerges(docsDf(texts), "text", nMerges = 25)
+    assert(got == expect)
+  }
+
+  test("stops early when every word is a single symbol") {
+    val merges = Bpe.learnMerges(docsDf(Seq("ab ab")), "text", nMerges = 10)
+    // "ab</w>": (a,b) -> (ab,</w>) -> single symbol, nothing left
+    assert(merges.map(m => (m.lhs, m.rhs)) == Seq(("a", "b"), ("ab", Bpe.EndOfWord)))
+  }
+
+  test("pinEvery lineage cut preserves the merge sequence") {
+    val texts = Seq("low lower lowest newer newest wide wider widest the the")
+    val a = Bpe.learnMerges(docsDf(texts), "text", nMerges = 12, pinEvery = 3)
+    val b = Bpe.learnMerges(docsDf(texts), "text", nMerges = 12, pinEvery = 100)
+    assert(a == b)
+  }
+
+  test("matches the naive reference on the sf0.001 documents fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val texts = docs.select("text").as[String].collect().toSeq.filter(_ != null)
+    val expect = naiveBpe(texts, 12)
+    val got = SparkEntry.queries("bpe_train")(spark, "/root/testdata/sf0.001")
+      .as[Bpe.Merge].collect().toSeq.sortBy(_.step)
+    assert(got == expect)
+  }
+}
