@@ -174,6 +174,50 @@ object QueriesText {
     } finally q.stop()
   }
 
+  /** Streaming paragraph-dedup parity: segment the corpus into 8-word
+    * paragraphs batch-side (the stateless per-row map that would run
+    * on the stream), feed them through the stateful first-seen
+    * paragraph dedup in (doc_id, pidx) order across two micro-batches,
+    * then reassemble documents from the stream's kept rows. The
+    * micro-batch boundary falls mid-corpus, so cross-batch state is
+    * exercised; the output and oracle are EXACTLY the batch
+    * `dedup_paragraph` contract — the parity proof that the streaming
+    * port preserves global first-occurrence semantics. */
+  private def streamDedupParagraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val paras = docs(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode_outer(ParagraphDedup.paragraphs(col("text"), 8)).as(Seq("pidx", "para")))
+    val feed = paras
+      .filter(col("para").isNotNull)
+      .select(col("doc_id"), col("pidx").cast("long").as("pidx"),
+        SimHash.tokenHash(col("para")).as("ph"), col("para"))
+      .orderBy("doc_id", "pidx")
+      .as[(Long, Long, Long, String)].collect()
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("doc_id", "pidx", "ph", "para")
+    val queryName = "stream_para_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventStreams.dedupParagraphFirstSeen(spark, df)
+      .writeStream.format("memory").queryName(queryName).outputMode("append").start()
+    val kept = try {
+      val (h1, h2) = feed.splitAt(feed.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      spark.table(queryName).localCheckpoint(eager = true)
+    } finally q.stop()
+    val perDoc = paras.groupBy("doc_id").agg(count(col("para")).as("n_paras"))
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("pidx"), col("para")))),
+        s => s.getField("para")), " ").as("kept_text"))
+    perDoc.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Brute-force top-10 over the INT8-QUANTIZED corpus — the memory-
     * compressed retrieval path. Cosine is scale-free (the symmetric
     * scales cancel), so scoring is pure small-integer arithmetic:
@@ -959,6 +1003,7 @@ object QueriesText {
     "corpus_report" -> (corpusReport _),
     "dedup_exact" -> (dedupExact _),
     "stream_dedup_exact" -> (streamDedupExact _),
+    "stream_dedup_paragraph" -> (streamDedupParagraph _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
@@ -1037,6 +1082,27 @@ object QueriesText {
       .mkString("\nUNION ALL ")
     head + stages + "\n" + sel
   }
+
+  /** DuckDB re-derivation of the paragraph-dedup contract — shared by
+    * the batch and streaming queries (the parity pin). */
+  private val paragraphDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM documents),
+      |ps AS (
+      |  SELECT doc_id, list_transform(range(0, cast(ceil(len(w) / 8.0) AS BIGINT)),
+      |    i -> array_to_string(w[(i * 8 + 1):(i * 8 + 8)], ' ')) AS p
+      |  FROM t),
+      |p AS (SELECT doc_id, unnest(range(0, len(p))) AS pidx, unnest(p) AS para FROM ps),
+      |h AS (SELECT doc_id, pidx, para, ('0x' || substr(md5(para), 1, 15))::BIGINT AS ph FROM p),
+      |m AS (
+      |  SELECT doc_id, pidx, para,
+      |    first_value(doc_id) OVER win = doc_id AND first_value(pidx) OVER win = pidx AS kept
+      |  FROM h WINDOW win AS (PARTITION BY ph ORDER BY doc_id, pidx))
+      |SELECT doc_id, count(*)::BIGINT AS n_paras,
+      |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      |  coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE kept), '') AS kept_text
+      |FROM m GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeOracleSql(12),
@@ -1849,24 +1915,10 @@ object QueriesText {
         |    regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
         |  FROM r2)
         |SELECT * FROM c WHERE n_email + n_phone + n_ip > 0""".stripMargin,
-    "dedup_paragraph" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-        |  FROM documents),
-        |ps AS (
-        |  SELECT doc_id, list_transform(range(0, cast(ceil(len(w) / 8.0) AS BIGINT)),
-        |    i -> array_to_string(w[(i * 8 + 1):(i * 8 + 8)], ' ')) AS p
-        |  FROM t),
-        |p AS (SELECT doc_id, unnest(range(0, len(p))) AS pidx, unnest(p) AS para FROM ps),
-        |h AS (SELECT doc_id, pidx, para, ('0x' || substr(md5(para), 1, 15))::BIGINT AS ph FROM p),
-        |m AS (
-        |  SELECT doc_id, pidx, para,
-        |    first_value(doc_id) OVER win = doc_id AND first_value(pidx) OVER win = pidx AS kept
-        |  FROM h WINDOW win AS (PARTITION BY ph ORDER BY doc_id, pidx))
-        |SELECT doc_id, count(*)::BIGINT AS n_paras,
-        |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-        |  coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE kept), '') AS kept_text
-        |FROM m GROUP BY doc_id""".stripMargin,
+    "dedup_paragraph" -> paragraphDedupSql,
+    // identical contract by design: the streaming port must reproduce
+    // the batch global-first-occurrence result exactly
+    "stream_dedup_paragraph" -> paragraphDedupSql,
     "prune_prototypes" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 25 = 0),

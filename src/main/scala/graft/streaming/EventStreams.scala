@@ -72,6 +72,48 @@ object EventStreams {
       )
   }
 
+  final case class ParaIn(doc_id: Long, pidx: Long, ph: Long, para: String)
+  final case class ParaKeep(doc_id: Long, pidx: Long, para: String)
+
+  /** Streaming PARAGRAPH dedup, first-seen-wins per paragraph hash —
+    * the streaming port of [[graft.text.ParagraphDedup]]'s global
+    * first-occurrence rule. Input is the already-segmented paragraph
+    * stream `(doc_id, pidx, ph, para)` (segmentation is a stateless
+    * per-row map — [[graft.text.ParagraphDedup.paragraphs]] — so it
+    * runs on the stream before the stateful hop); output is one row
+    * per distinct paragraph hash, emitted in its arrival micro-batch.
+    * Within a micro-batch the (doc_id, pidx)-smallest occurrence wins,
+    * so a feed in (doc_id, pidx) order reproduces the batch
+    * `first_value OVER (PARTITION BY ph ORDER BY doc_id, pidx)`
+    * winner EXACTLY regardless of where micro-batch boundaries fall —
+    * the cross-batch case reduces to first-seen, the intra-batch case
+    * to the explicit minBy. State is one boolean per distinct
+    * paragraph hash, sharded by hash — same scale shape as
+    * [[dedupFirstSeen]]; on a 100 TB corpus this is the path that
+    * wants RocksDB (state = distinct-paragraph cardinality) and an
+    * event-time TTL where the boilerplate horizon allows. Document
+    * reassembly stays a batch `groupBy(doc_id)` over the kept rows —
+    * it needs per-doc completeness, which only the consumer of the
+    * stream (sink table) can decide. */
+  def dedupParagraphFirstSeen(spark: SparkSession, paras: DataFrame): Dataset[ParaKeep] = {
+    import spark.implicits._
+    paras
+      .selectExpr("cast(doc_id as long) doc_id", "cast(pidx as long) pidx",
+        "cast(ph as long) ph", "para")
+      .as[ParaIn]
+      .groupByKey(_.ph)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (ph: Long, rows: Iterator[ParaIn], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val w = rows.minBy(r => (r.doc_id, r.pidx))
+            Iterator.single(ParaKeep(w.doc_id, w.pidx, w.para))
+          }
+        }
+      )
+  }
+
   final case class WinEv(ts: java.sql.Timestamp, event_type: String, user_id: Long)
   final case class DistinctOut(window_start: Long, event_type: String, n_users: Long)
 

@@ -30,6 +30,17 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming paragraph dedup reproduces the batch global-first-occurrence result on the fixture") {
+    val batch = graft.text.ParagraphDedup
+      .dedupByParagraph(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text", width = 8)
+      .select(col("doc_id").cast("long"), col("n_paras"), col("n_kept"), col("kept_text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val streamed = SparkEntry.queries("stream_dedup_paragraph")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming distinct users: per-window sets dedup across micro-batches, emit on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

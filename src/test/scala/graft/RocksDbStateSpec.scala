@@ -63,6 +63,27 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("streaming paragraph dedup runs on the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val df = mem.toDF().toDF("doc_id", "pidx", "ph", "para")
+    underRocksDb("paragraph dedup")(
+      EventStreams.dedupParagraphFirstSeen(spark, df)
+        .writeStream.format("memory").queryName("rocks_para").outputMode("append").start()
+    ) { q =>
+      // hash 100 appears twice in batch 1 (intra-batch minBy) and
+      // again in batch 2 (cross-batch state)
+      mem.addData((1L, 0L, 100L, "a b"), (1L, 1L, 100L, "a b"), (2L, 0L, 200L, "c d"))
+      q.processAllAvailable()
+      mem.addData((3L, 0L, 100L, "a b"), (3L, 1L, 300L, "e f"))
+      q.processAllAvailable()
+      val kept = spark.table("rocks_para")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(kept === Set((1L, 0L, "a b"), (2L, 0L, "c d"), (3L, 1L, "e f")))
+    }
+  }
+
   test("windowed counts run on the RocksDB state store provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
