@@ -144,7 +144,7 @@ object QueriesText {
   private def embNearPairs(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embs(spark, dir)
     val centroids = AnnSearch.strideCentroids(corpus, 25)
-    AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = 15)
+    AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = 17)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
   }
 
@@ -594,16 +594,19 @@ object QueriesText {
     * keep-list. The oracle is an all-pairs recursive-CTE closure.
     *
     * RECALL ASSUMPTION (oracle parity is data-dependent): the Spark
-    * side probes nprobe=15 of 25 cells, so a pair whose two vectors'
+    * side probes nprobe of nlist cells, so a pair whose two vectors'
     * home cells are mutually outside each other's probe lists is
     * missed, while the all-pairs oracle always finds it. Parity holds
-    * on the fixture because every τ≥0.4 pair there is co-probed —
-    * if the embeddings fixture changes, re-check that property
-    * (or raise nprobe to 25 = exhaustive) before blaming the engine. */
+    * on the fixture because every τ≥0.4 pair is co-probed WITH A
+    * TWO-PROBE MARGIN — machine-checked by `RecallGuardSpec` (full
+    * recall at nprobe−2), which found the old nprobe=15 had zero
+    * margin and drove the bump to 17. If the embeddings fixture
+    * changes, that spec goes red with a recall diagnosis before the
+    * conformance row can produce a spurious engine-bug red. */
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embs(spark, dir)
     val centroids = AnnSearch.strideCentroids(corpus, 25)
-    val pairs = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = 15)
+    val pairs = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = 17)
     MinHashLsh.components(pairs.select("a", "b"))
       .groupBy("component")
       .agg(min("id").as("keep_id"), count(lit(1)).as("cluster_size"))
@@ -671,9 +674,11 @@ object QueriesText {
     * (1−0.8⁴)⁸ ≈ 1.5% per pair, collapsing fast above the knee. Parity
     * holds because the fixture's true duplicate pairs sit well above
     * the S-curve knee (audited at sf0.1: all 256 J≥0.8 pairs
-    * recovered, SCALE.md); a fixture change that plants pairs AT the
-    * threshold can produce a spurious mismatch that is LSH recall, not
-    * an engine bug. */
+    * recovered, SCALE.md; MACHINE-CHECKED per-build by
+    * `RecallGuardSpec` — full recovery plus an expected-miss bound
+    * over the analytic S-curve); a fixture change that plants pairs AT
+    * the threshold trips that guard with a recall diagnosis instead of
+    * a spurious conformance red. */
   /** CCNet/GPT-3-style perplexity filtering with a corpus-trained
     * unigram LM (the classic curation gate: keep documents whose
     * cross-entropy under a reference LM is low). The model is add-one
@@ -928,7 +933,7 @@ object QueriesText {
     val kept = curationKept(spark, dir)
     val emb = embs(spark, dir).join(kept.select(col("doc_id").as("id")), Seq("id"))
     val centroids = AnnSearch.strideCentroids(emb, 25)
-    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = 15)
+    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = 17)
     val comp = MinHashLsh.components(pairs.select("a", "b"))
     val drop = comp
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
@@ -949,7 +954,7 @@ object QueriesText {
     val kept = curationKept(spark, dir)
     val emb = embs(spark, dir).join(kept.select(col("doc_id").as("id")), Seq("id"))
     val centroids = AnnSearch.strideCentroids(emb, 25)
-    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = 15)
+    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = 17)
     val comp = MinHashLsh.components(pairs.select("a", "b"))
     val drop = comp
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
