@@ -20,6 +20,16 @@ object QueriesCore {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table with a whole-epoch-seconds `sec` column — the
+    * key every event-time query (sessionize, windows, as-of, interval)
+    * groups and orders by. Derivation is schema-adaptive
+    * ([[graft.util.EventTime]]): the fixture's `ts` has shipped both as
+    * long epoch-nanos and as parquet timestamp micros across driver
+    * generations, while the DuckDB oracles' `floor(epoch(ts))::BIGINT`
+    * is stable across both. */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.util.EventTime.withEpochSec(t(spark, dir, "events"))
+
   /** q1: pricing-summary aggregation (A2/A5/A14-style). */
   private def q1Agg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -294,10 +304,7 @@ object QueriesCore {
   /** Sessionization: 30-minute-gap sessions over the events stream. */
   private def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t(spark, dir, "events")
-      // ts arrives as long nanoseconds (nanosAsLong); integer-divide to
-      // whole seconds (matches the oracle's floor(epoch(ts))).
-      .withColumn("sec", expr("ts div 1000000000"))
+    events(spark, dir)
       .withColumn("gap", col("sec") - lag("sec", 1).over(w))
       .withColumn("new_sess", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
       .withColumn("sess_id", sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
@@ -318,8 +325,7 @@ object QueriesCore {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val rows = t(spark, dir, "events")
-      .withColumn("sec", expr("ts div 1000000000"))
+    val rows = events(spark, dir)
       .select(col("user_id"), col("sec"), col("event_type"), col("value").cast("double"))
       .orderBy("sec", "user_id")
       .as[(Long, Long, String, Double)]
@@ -361,8 +367,7 @@ object QueriesCore {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val rows = t(spark, dir, "events")
-      .withColumn("sec", expr("ts div 1000000000"))
+    val rows = events(spark, dir)
       .select(col("user_id"), col("sec"), col("event_type"), col("value").cast("double"))
       .orderBy("sec", "user_id")
       .as[(Long, Long, String, Double)]
@@ -401,8 +406,7 @@ object QueriesCore {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val rows = t(spark, dir, "events")
-      .withColumn("sec", expr("ts div 1000000000"))
+    val rows = events(spark, dir)
       .select(col("user_id"), col("sec"), col("event_type"))
       .orderBy("sec", "user_id")
       .as[(Long, Long, String)]
@@ -450,7 +454,7 @@ object QueriesCore {
     * equi-join (bucket = 600 s ≈ interval width → ≤2 replicas per
     * interval). The oracle is the plain inequality join. */
   private def intervalClickPurchase(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "events").withColumn("sec", expr("ts div 1000000000"))
+    val e = events(spark, dir)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("sec").as("t"), col("event_id").as("id"))
     val purchases = e.filter(col("event_type") === "purchase")
@@ -474,8 +478,7 @@ object QueriesCore {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val rows = t(spark, dir, "events")
-      .withColumn("sec", expr("ts div 1000000000"))
+    val rows = events(spark, dir)
       .select(col("event_id"), col("user_id"), col("sec"), col("event_type"))
       .orderBy("sec", "event_id")
       .as[(Long, Long, Long, String)]
@@ -518,8 +521,7 @@ object QueriesCore {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val rows = t(spark, dir, "events")
-      .withColumn("sec", expr("ts div 1000000000"))
+    val rows = events(spark, dir)
       .select(col("event_id"), col("user_id"), col("sec"), col("event_type"))
       .orderBy("sec", "event_id")
       .as[(Long, Long, Long, String)]
@@ -591,8 +593,7 @@ object QueriesCore {
     * plan. Purchases are deduped to max event_id per (user, second) on
     * both sides so the match is deterministic. */
   private def asofPurchase(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "events")
-      .withColumn("sec", expr("ts div 1000000000"))
+    val e = events(spark, dir)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("sec"), col("event_id"))
     val purchases = e.filter(col("event_type") === "purchase")

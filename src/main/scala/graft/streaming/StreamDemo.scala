@@ -25,9 +25,11 @@ object StreamDemo {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events.parquet")
     )
-    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
-      // ts arrives as long nanos (nanosAsLong) → timestamp seconds
-      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+    val stream0 = spark.readStream.schema(schema).parquet(stageDir.toString)
+    // normalize ts (long nanos or timestamp micros, fixture-dependent)
+    // to whole-second event time — see graft.util.EventTime
+    val stream = stream0
+      .withColumn("ts", timestamp_seconds(graft.util.EventTime.epochSec(stream0)))
 
     val counts = EventStreams.windowedCounts(stream, window_ = "1 hour", watermark = "2 hours")
     val q = counts.writeStream.format("memory").queryName("demo").outputMode("append").start()
