@@ -16,6 +16,7 @@ object GoldenDump {
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       // local-mode parallelism for single-file inputs: without an
       // advisory minimum, a 46 MB fixture is one 128 MB-bound split and
       // the 1e6-row probe stage runs on one core. On a real cluster

@@ -977,12 +977,29 @@ object QueriesText {
   }
 
   /** Distributed BPE vocabulary learning: the first 12 merges over the
-    * corpus, deterministic order (count desc, pair asc). */
+    * corpus, deterministic order (count desc, pair asc). This is the
+    * ORACLE-PARITY path (every stage replayable in ANSI SQL); the
+    * scale path for realistic vocabularies is [[bpeTrain1k]]. */
   private def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.text.Bpe.learn(docs(spark, dir), "text", nMerges = 12)
 
+  /** BPE at realistic vocabulary scale: ONE distributed count pass,
+    * then the classic in-memory pair-heap merge loop on the collected
+    * word table — 1,000 merges in seconds where the distributed loop
+    * would schedule ~2,000 job waves. The fixture corpus carries only
+    * 31 distinct words (≈138 possible merges), so the pre-tokenizer
+    * counts 3-token shingles (~16k distinct at sf0.01), giving the
+    * merge loop the table shape a real few-million-word corpus
+    * presents. [[graft.BpeSpec]] proves heap ≡ distributed at N=50;
+    * no SQL oracle (a 1,000-stage chained-CTE replay is not a DuckDB
+    * query) — driver records the rows-only check. */
+  private def bpeTrain1k(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.learnLocal(
+      graft.text.Bpe.shingleCounts(docs(spark, dir), "text", n = 3), nMerges = 1000)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain _),
+    "bpe_train_1k" -> (bpeTrain1k _),
     "corpus_pipeline_v2" -> (corpusPipelineV2 _),
     "corpus_pipeline_v3" -> (corpusPipelineV3 _),
     "corpus_pipeline_v4" -> (corpusPipelineV4 _),

@@ -21,6 +21,7 @@ object CacheProbe {
       .config("spark.sql.files.openCostInBytes", "1048576")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

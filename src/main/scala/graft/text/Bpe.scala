@@ -60,6 +60,23 @@ object Bpe {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Corpus counts at a COARSER pre-tokenization unit: overlapping
+    * n-token shingles joined by `_`. Same full-corpus-pass shape as
+    * [[wordCounts]]; exists because a corpus whose word vocabulary is
+    * tiny (this repo's synthetic fixtures carry 31 distinct words)
+    * still presents the merge loop with a realistic many-thousand-entry
+    * word table at shingle granularity. */
+  def shingleCounts(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    docs
+      .select(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), '_'))")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Initial symbol sequences: one character per symbol plus the
     * end-of-word marker, in the delimited-string encoding. */
   private def initSeqs(words: DataFrame): DataFrame =
@@ -83,9 +100,19 @@ object Bpe {
     * merge runs keep O(pinEvery) plan depth (mode per
     * [[graft.util.Pin]] — reliable on clusters via conf). */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
-                  pinEvery: Int = 16): Seq[Merge] = {
+                  pinEvery: Int = 16): Seq[Merge] =
+    learnMergesFromCounts(wordCounts(docs, textCol), nMerges, pinEvery)
+
+  /** Distributed merge loop over an explicit `(word, cnt)` table —
+    * [[learnMerges]] with the pre-tokenization factored out so the
+    * shingle-granularity path shares it. Kept as the ORACLE-PARITY
+    * path: every stage is replayable in ANSI SQL, but each merge costs
+    * one-to-two Spark job waves, so use [[learnMergesLocal]] beyond a
+    * few dozen merges (the r7 verdict's named scale ceiling). */
+  def learnMergesFromCounts(words: DataFrame, nMerges: Int,
+                            pinEvery: Int = 16): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var vocab = initSeqs(wordCounts(docs, textCol)).cache()
+    var vocab = initSeqs(words).cache()
     vocab.count()
     val merges = Seq.newBuilder[Merge]
     var step = 1
@@ -115,5 +142,110 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     learnMerges(docs, textCol, nMerges).toDF()
+  }
+
+  /** SCALE path for realistic vocabulary sizes: ONE distributed
+    * word-count pass over the corpus (the only pass that touches the
+    * 100 TB input), collect the distinct-word table — thousands of
+    * times smaller than the corpus; a few million rows for web text —
+    * and run the classic in-memory pair-heap merge loop (Sennrich et
+    * al. 2016's actual algorithm) on the driver. Emits the IDENTICAL
+    * deterministic (count desc, pair asc) merge sequence as the
+    * distributed loop ([[graft.BpeSpec]] proves equality), without the
+    * one-to-two Spark job waves per merge that make the distributed
+    * loop a ~50k-job non-starter at a 32k-merge vocabulary. */
+  def learnLocal(words: DataFrame, nMerges: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val wc = words.select(col("word").cast("string"), col("cnt").cast("long"))
+      .as[(String, Long)].collect()
+    learnMergesLocal(wc, nMerges).toDF()
+  }
+
+  /** In-memory merge loop: pair-heap with lazy deletion + an inverted
+    * pair→words index, so each merge touches only the words containing
+    * the chosen pair. O(total symbols) init; each merge is
+    * O(affected-word lengths + log-heap). Tie-break and greedy
+    * left-to-right application are bit-identical to the distributed
+    * delimited-string formulation. */
+  def learnMergesLocal(wordCounts: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    import scala.collection.mutable
+    val syms: Array[Array[String]] =
+      wordCounts.map { case (w, _) => (w.map(_.toString) :+ EndOfWord).toArray }
+    val cnt: Array[Long] = wordCounts.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    val touched = mutable.HashSet.empty[(String, String)]
+    def indexWord(i: Int, sign: Long): Unit = {
+      val s = syms(i); val c = cnt(i) * sign
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val nc = pairCount.getOrElse(p, 0L) + c
+        if (nc == 0L) pairCount.remove(p) else pairCount(p) = nc
+        touched += p
+        if (sign > 0L) pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += i
+        j += 1
+      }
+    }
+    syms.indices.foreach(indexWord(_, 1L))
+    // max-heap on (count, pair) with the pair order REVERSED so equal
+    // counts pop the lexicographically smallest (l, r) first — the
+    // engine's deterministic total order. Stale entries (superseded
+    // counts) are skipped on pop by validating against pairCount.
+    implicit val ord: Ordering[(Long, String, String)] =
+      (a, b) => {
+        val byCount = java.lang.Long.compare(a._1, b._1)
+        if (byCount != 0) byCount
+        else {
+          val byL = b._2.compareTo(a._2)
+          if (byL != 0) byL else b._3.compareTo(a._3)
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+    pairCount.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      var best: Option[(Long, String, String)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (pairCount.get((e._2, e._3)).contains(e._1)) best = Some(e)
+      }
+      best match {
+        case Some((c, l, r)) =>
+          merges += Merge(step.toLong, l, r, l + r, c)
+          touched.clear()
+          // re-index each affected word around the greedy replace; the
+          // inverted index may hold stale ids — skip words where the
+          // adjacency no longer exists
+          val affected = pairWords.remove((l, r)).getOrElse(mutable.ArrayBuffer.empty)
+          affected.distinct.foreach { i =>
+            val s = syms(i)
+            var has = false
+            var j = 0
+            while (!has && j + 1 < s.length) { has = s(j) == l && s(j + 1) == r; j += 1 }
+            if (has) {
+              indexWord(i, -1L)
+              val b = Array.newBuilder[String]
+              var p = 0
+              while (p < s.length) {
+                if (p + 1 < s.length && s(p) == l && s(p + 1) == r) { b += l + r; p += 2 }
+                else { b += s(p); p += 1 }
+              }
+              syms(i) = b.result()
+              indexWord(i, 1L)
+            }
+          }
+          touched.foreach { p =>
+            pairCount.get(p).foreach(c2 => heap.enqueue((c2, p._1, p._2)))
+          }
+        case None => exhausted = true
+      }
+      step += 1
+    }
+    merges.result()
   }
 }

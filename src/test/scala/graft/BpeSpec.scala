@@ -82,6 +82,47 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("local pair-heap loop matches the naive reference on a mixed corpus") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "low lower lowest low low newer newest wider wide",
+      "banana bandana ana ana anna",
+      "aaa aa aaaa a")
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts; w <- "[a-z]+".r.findAllIn(t.toLowerCase)) wc(w) = wc.getOrElse(w, 0L) + 1L
+    val got = Bpe.learnMergesLocal(wc.toArray.sortBy(_._1), nMerges = 25)
+    assert(got == naiveBpe(texts, 25))
+  }
+
+  test("heap and distributed loops emit the identical 50-merge sequence on shingle counts") {
+    // the r8 scale-design proof: the in-memory pair-heap path (the
+    // production path for a 32k-merge vocabulary) and the distributed
+    // oracle-parity path produce the SAME deterministic merge sequence
+    // on a realistic many-thousand-entry word table
+    val counts = Bpe.shingleCounts(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "text", n = 3).cache()
+    try {
+      val dist = Bpe.learnMergesFromCounts(counts, nMerges = 50)
+      val local = Bpe.learnMergesLocal(
+        counts.as[(String, Long)].collect(), nMerges = 50)
+      assert(local == dist)
+    } finally counts.unpersist(blocking = false)
+  }
+
+  test("bpe_train_1k: 1,000 merges over the shingle vocabulary, order invariant to input order") {
+    val counts = Bpe.shingleCounts(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "text", n = 3)
+      .as[(String, Long)].collect()
+    val t0 = System.nanoTime()
+    val a = Bpe.learnMergesLocal(counts, nMerges = 1000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(a.length == 1000, s"expected 1000 merges, vocabulary exhausted at ${a.length}")
+    info(f"1000 merges over ${counts.length} words in $secs%.2f s")
+    // collection order must not affect the deterministic merge order
+    val b = Bpe.learnMergesLocal(counts.reverse, nMerges = 1000)
+    assert(a == b)
+  }
+
   test("matches the naive reference on the sf0.001 documents fixture") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val texts = docs.select("text").as[String].collect().toSeq.filter(_ != null)
