@@ -5,6 +5,7 @@ import graft.text.{ExactSubstr, MinHashLsh, Packing, ParagraphDedup, PiiRedact, 
 import graft.util.Pin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Training-data-pipeline conformance queries over the `documents` and
   * `embeddings` tables: deduplication (exact, MinHash-LSH, SimHash,
@@ -535,6 +536,29 @@ object QueriesText {
       .select(col("id").as("doc_id"), col("seq_id"), col("seq_tokens"))
   }
 
+  /** [[packSequences]] with [[graft.util.Pin]]'s RELIABLE checkpoint
+    * mode exercised end-to-end through the driver's conformance gate
+    * (the r7 verdict's missing last inch — PackingSpec proves local ≡
+    * reliable in-suite, but the production mode should clear the same
+    * oracle the default mode clears). Sets a checkpoint dir if the
+    * context has none, flips `spark.graft.pin.reliable` for the
+    * DataFrame CONSTRUCTION window only — both pins are eager, so the
+    * reliable checkpoints materialize before the conf is restored —
+    * and shares `pack_sequences`' oracle verbatim. */
+  private def packSequencesReliable(spark: SparkSession, dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_reliable_ckpt").toString)
+    val prev = spark.conf.getOption(Pin.ReliableConfKey)
+    spark.conf.set(Pin.ReliableConfKey, "true")
+    try packSequences(spark, dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(Pin.ReliableConfKey, v)
+      case None => spark.conf.unset(Pin.ReliableConfKey)
+    }
+  }
+
   /** Gopher-style repetition metrics per document (Rae et al. 2021,
     * §A1.1 repetition filters): top-word fraction, top-bigram fraction,
     * duplicate-trigram fraction. Three gram-keyed partial aggregations;
@@ -1015,6 +1039,7 @@ object QueriesText {
     "tfidf_near_pairs" -> (tfidfNearPairs _),
     "dedup_embedding" -> (dedupEmbedding _),
     "pack_sequences" -> (packSequences _),
+    "pack_sequences_reliable" -> (packSequencesReliable _),
     "rep_quality" -> (repQuality _),
     "source_mix" -> (sourceMix _),
     "dedup_clusters" -> (dedupClusters _),
@@ -2096,4 +2121,7 @@ object QueriesText {
         |  term, tf::BIGINT AS tf, df::BIGINT AS df, score_ppm
         |FROM s QUALIFY rank <= 5""".stripMargin
   )
+    // the reliable-pin variant must clear the IDENTICAL oracle as the
+    // default-pin path — that equality is the point of the query
+    .pipe(m => m + ("pack_sequences_reliable" -> m("pack_sequences")))
 }

@@ -61,6 +61,96 @@ class ExactSubstrSpec extends SparkSpec {
     }
   }
 
+  test("mega-doc bound: a 400k-token self-duplicated document resolves with per-doc state ≤ doc length") {
+    // doc 1 = 200k distinct tokens followed by the same 200k again: every
+    // second-half window duplicates its first-half twin (straddle windows
+    // are unique), so exactly the second half must be cut. The two-phase
+    // covered aggregation buffers the distinct position set (200k ints),
+    // never k × occurrences.
+    val n = 200000
+    val k = 8
+    val half = (0 until n).map(i => s"t$i").mkString(" ")
+    val mega = Seq(
+      (1L, half + " " + half),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")
+    ).toDF("doc_id", "text")
+    val o = ExactSubstr.removeDuplicateSpans(mega, "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(o(1L).getLong(1) === 2L * n)
+    assert(o(1L).getLong(2) === n.toLong, "exactly the second copy must be cut")
+    assert(o(1L).getString(3) === half)
+    assert(o(2L).getLong(2) === 0L)
+  }
+
+  test("salted winner join spreads a 2e6-copy hot gram: no task reads it whole, result exact") {
+    // the r7 watch item (ExactSubstr winner join): unsalted, every
+    // occurrence of one gram lands in ONE reduce partition — a
+    // billion-copy boilerplate footer at 100 TB — and AQE cannot
+    // rescue it (OptimizeSkewedJoin needs bare Sort(ShuffleQueryStage)
+    // children; the winner side is an aggregate, and an explicit
+    // repartition gets elided as redundant — verified empirically
+    // before the salt landed). The salt makes the spread structural;
+    // this pins it with direct task metrics: 1M docs of PURE hot
+    // boilerplate (two 3-grams × 1M occurrences) + 1k unique docs,
+    // asserting no task's shuffle read approaches one hot gram's 1M
+    // rows.
+    val maxRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          maxRecords.getAndUpdate(cur => math.max(cur, r))
+        }
+      }
+    }
+    // at-scale join shape: the winner table won't broadcast at 100 TB
+    // (one row per duplicated gram), and partitions won't sit under the
+    // coalesce advisory — disable both so the fixture exercises the
+    // shuffled salted join, not a broadcast that makes salt moot, and
+    // so AQE's benign small-partition coalescing (which funnels this
+    // tiny fixture into one reader task) doesn't pollute the metric.
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(kk => kk -> scala.util.Try(spark.conf.get(kk)).toOption)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // 150k docs of the SAME token ×20 → every window is ONE mega-gram
+      // ("hot hot hot") with 18 × 150k = 2.7M occurrences. Unsalted,
+      // the winner join funnels all 2.7M into one reduce task; salted,
+      // the heaviest task anywhere in the query stays ≈ the benign
+      // per-stage share (~1M combined join-input reads). The 1.5M
+      // threshold separates the two with ~2× margin on both sides.
+      val hot = spark.range(0, 150000).selectExpr(
+        "id AS doc_id",
+        "array_join(array_repeat('hot', 20), ' ') AS text")
+        .union(spark.range(150000, 151000).selectExpr(
+          "id AS doc_id", "concat('u', id, 'a u', id, 'b u', id, 'c u', id, 'd') AS text"))
+      val row = ExactSubstr.removeDuplicateSpans(hot, "doc_id", "text", k = 3)
+        .agg(count(lit(1)).as("docs"), sum("n_removed").as("cut"))
+        .collect()(0)
+      assert(row.getLong(0) === 151000L)
+      // winner doc 0 keeps only its first token (positions 1..19 are
+      // covered by its own later duplicate windows); every other hot
+      // doc is fully cut; unique fillers are untouched
+      assert(row.getLong(1) === 19L + 20L * 149999L)
+      Thread.sleep(2000) // listener bus drain
+      val mx = maxRecords.get()
+      assert(mx > 0L, "listener saw no shuffle reads — measurement broken")
+      assert(mx < 1500000L,
+        s"one task read $mx shuffle records — the 2.7M-copy hot gram was not spread")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      prev.foreach {
+        case (kk, Some(v)) => spark.conf.set(kk, v)
+        case (kk, None) => spark.conf.unset(kk)
+      }
+    }
+  }
+
   test("plan is gram-keyed: no cartesian, no nested-loop over the corpus") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = ExactSubstr.removeDuplicateSpans(real, "doc_id", "text", k = 8)

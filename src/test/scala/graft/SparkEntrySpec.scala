@@ -6,10 +6,18 @@ package graft
 class SparkEntrySpec extends SparkSpec {
 
   test("every query has an oracle and every oracle has a query") {
+    // Intentional rows-only checks, each with the reason an ANSI-SQL
+    // oracle cannot exist. Everything else missing an oracle is a bug.
+    val rowsOnly = Set(
+      "bpe_train_1k" // 1,000 merges = a 1,000-stage chained CTE; the
+                     // N=50 engine/engine equality lives in BpeSpec
+    )
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert((q diff o).isEmpty, s"queries without oracle: ${(q diff o).toSeq.sorted}")
+    assert((q diff o diff rowsOnly).isEmpty,
+      s"queries without oracle: ${(q diff o diff rowsOnly).toSeq.sorted}")
     assert((o diff q).isEmpty, s"orphan oracles: ${(o diff q).toSeq.sorted}")
+    assert((rowsOnly diff q).isEmpty, s"stale rows-only entries: ${(rowsOnly diff q).toSeq.sorted}")
   }
 
   test("flagship entry produces rows") {
