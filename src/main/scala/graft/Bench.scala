@@ -5,8 +5,41 @@ import java.nio.file.{Files, Paths}
 /** Benchmark main. Emits ONE JSON line as the final raw stdout line
   * (build.sbt sets run/outputStrategy=StdoutOutput so sbt does not
   * prefix it) and mirrors it to bench_out.json for robustness.
+  *
+  * LINE-LENGTH CONTRACT (r8): the driver records only the last ~2000
+  * characters of stdout and parses the JSON line out of that tail —
+  * the r6/r7 lines outgrew the window and two rounds of bench data
+  * went unparsed. The stdout line therefore carries the headline
+  * cells, both calibration readings, and the extended STEADY cells
+  * only (≈1.6 kB); the per-query first-pass breakdowns live in
+  * bench_out.json, which this main always writes in full.
   */
 object Bench {
+
+  /** Fixed-work host-speed calibration: a seeded, in-memory, CPU-bound
+    * aggregation of CONSTANT size (2B xxhash64 evaluations fanned
+    * over 32 partitions, partial-aggregated to one row — no input IO,
+    * no shuffle). Identical work every round, so the ratio of two
+    * rounds' calibration readings IS the host-speed ratio, ending the
+    * per-round "was the regression code or host?" adjudication (r4,
+    * r5, r6, r7 each needed it). Run BEFORE and AFTER the query cells
+    * to bracket drift DURING the run; min-of-3 after a JIT warm pass.
+    * Sized so task-scheduling overhead is noise (<5%): a 256M version
+    * ran ~0.1 s where 32 × ~1.5 ms task dispatch was a third of the
+    * cell. Reference reading on the round-8 build host: ~0.7 s. */
+  def calibration(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      // max, not sum: ANSI mode throws on long overflow and summing
+      // full-range hashes overflows immediately
+      spark.range(0L, 2000000000L, 1L, 32)
+        .select(max(xxhash64(col("id"))).as("s")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once()
+    (1 to 3).map(_ => once()).min
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,23 +68,33 @@ object Bench {
     // layout dimension tables carry over.)
     try { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
     catch { case _: Throwable => () }
-    def runPass(repeats: Int): Seq[(String, Double)] = Bench.headline.map { name =>
+    val calPre = calibration(spark)
+    def timeQuery(name: String, repeats: Int, dir: String = sfDir): Double = {
       val fn = SparkEntry.queries(name)
-      val times = (1 to repeats).map { _ =>
+      (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.min
     }
-    val firstPass = runPass(1)
+    // tiled_acc_hist runs both FIRST and LAST in each headline pass
+    // (r7 ask): the in-harness cell measured 3.5× the builder's own
+    // CacheProbe for the identical code path — suspect session debt
+    // from the 12 preceding cells. tiled_first is the no-debt reading;
+    // the canonical last-position cell stays in the total so the
+    // headline remains comparable round-over-round.
+    def runPass(repeats: Int): (Double, Seq[(String, Double)]) = {
+      val tiledFirst = timeQuery("tiled_acc_hist", repeats)
+      (tiledFirst, Bench.headline.map(n => n -> timeQuery(n, repeats)))
+    }
+    val (tiledFirstCold, firstPass) = runPass(1)
     // GC barrier: the heavy tail of the first pass (shuffle files,
     // checkpointed blocks) otherwise lands its collection pause on the
     // FIRST steady query — r4 measured q1_agg 2.6× slower from exactly
     // this, while every other query got faster. Steady cells are then
     // min-of-2: one transient pause can't masquerade as a regression.
     System.gc()
-    val results = runPass(2)
+    val (tiledFirst, results) = runPass(2)
     def cells(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = cells(results)
@@ -106,13 +149,34 @@ object Bench {
         .replace("graft_sf1_synth", "sf1_synth")
       label -> extPass(dir)
     }
-    def extJson(pick: ((Seq[(String, Double)], Seq[(String, Double)])) => Seq[(String, Double)]): String =
-      extRuns.map { case (label, runs) => "\"" + label + "\":" + cells(pick(runs)) }
+    // post-run calibration: together with calPre this brackets host
+    // drift DURING the run — a slow round with pre≈post≈historical
+    // calibration is a code regression; pre/post ≫ historical is host.
+    val calPost = calibration(spark)
+    // extended cells at 2 decimals on stdout: 3 dirs × 15 cells at
+    // 3 decimals leaves no margin inside the driver's tail window
+    def cells2(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    def extJson(pick: ((Seq[(String, Double)], Seq[(String, Double)])) => Seq[(String, Double)],
+                fmt: Seq[(String, Double)] => String): String =
+      extRuns.map { case (label, runs) => "\"" + label + "\":" + fmt(pick(runs)) }
         .mkString("{", ",", "}")
-    val ext = extJson(_._2)
-    val extFirst = extJson(_._1)
-    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"first_pass_total":${f"$firstTotal%.3f"},"first_pass":$first,"extended":$ext,"extended_first_pass":$extFirst,"sf":"$sfDir"}"""
-    try Files.writeString(Paths.get("bench_out.json"), json) catch { case _: Throwable => () }
+    val ext2 = extJson(_._2, cells2)
+    val ext = extJson(_._2, cells)
+    val extFirst = extJson(_._1, cells)
+    def core(extPart: String): String =
+      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"first_pass_total":${f"$firstTotal%.3f"},"tiled_first":${f"$tiledFirst%.3f"},"tiled_first_cold":${f"$tiledFirstCold%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"}$extPart,"sf":"$sfDir""""
+    // stdout line: must fit the driver's ~2 kB stdout tail window
+    // (with the trailing sbt status line) or the round's bench goes
+    // unparsed — r6/r7 both lost their lines to exactly this. Guarded
+    // by construction: if the extended block ever pushes past 1850
+    // chars, it is dropped from stdout (bench_out.json always has it).
+    val withExt = "{" + core(s""","extended":$ext2""") + "}"
+    val stdoutJson = if (withExt.length <= 1850) withExt else "{" + core("") + "}"
+    // full detail (per-query first passes) → bench_out.json
+    val fullJson = "{" + core(s""","extended":$ext""") +
+      s""","first_pass":$first,"extended_first_pass":$extFirst}"""
+    try Files.writeString(Paths.get("bench_out.json"), fullJson) catch { case _: Throwable => () }
     // All results are computed and mirrored at this point. Teardown of a
     // session that ran streaming queries can race a late task-end
     // accumulator update (already-stopped query → unregistered
@@ -122,7 +186,7 @@ object Bench {
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     // last raw stdout line, after Spark's shutdown logging
-    System.out.println(json)
+    System.out.println(stdoutJson)
     System.out.flush()
   }
 
@@ -238,6 +302,27 @@ object Bench {
       "perplexity_filter",
       "shared_substrings",
       "pack_sequences",
-      "stream_dedup_exact"
+      // stream_dedup_exact's near-FLAT chain (r7: 1.79/2.25/2.14 s at
+      // 500/5k/50k docs) is expected, not a broken feed: the input IS
+      // the dir's documents table (collected and replayed through a
+      // MemoryStream in two micro-batches), but the cell's floor is
+      // the streaming-query machinery — query start/stop, two
+      // processAllAvailable barriers, state-store open — which
+      // dominates until the feed is ≫ ~100k rows. The cell measures
+      // that floor plus the stateful dedup, so it reads as a constant
+      // until the state path itself is the cost.
+      "stream_dedup_exact",
+      // r7 additions (the verdict's missing bench coverage). Under the
+      // composition rule: dedup_spans output is one row per doc (the
+      // gram exchange + two-phase covered union is the measured path);
+      // bpe_train is 12 fixed iterations over a distinct-word table
+      // whose size is near-CONSTANT across the synth copy step (the
+      // corpus pass is the only linear stage) — expected sublinear;
+      // corpus_pipeline_v4 is the full capstone chain with a
+      // per-source-rollup output — measures the composed LSH + ANN +
+      // span + packing engine path at scale.
+      "dedup_spans",
+      "bpe_train",
+      "corpus_pipeline_v4"
     ).filter(SparkEntry.queries.contains)
 }

@@ -123,6 +123,24 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("16k merges — half a realistic 32k vocabulary — complete in seconds on the heap path") {
+    // the r7 verdict's scale ceiling was the distributed loop's ~2 job
+    // waves per merge (~32k waves at a real vocabulary). The heap path
+    // must absorb a 16k-merge run without the runtime exploding in the
+    // merge count; sf0.1 shingles (~27k words, ~420k symbols) support
+    // it. No timing assert (host-dependent) — the suite's own timeout
+    // is the bound; the count assert proves the vocabulary actually
+    // sustains 16k merges.
+    val counts = Bpe.shingleCounts(
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet"), "text", n = 3)
+      .as[(String, Long)].collect()
+    val t0 = System.nanoTime()
+    val m = Bpe.learnMergesLocal(counts, nMerges = 16000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(m.length == 16000, s"vocabulary exhausted at ${m.length}")
+    info(f"16000 merges over ${counts.length} words in $secs%.2f s")
+  }
+
   test("matches the naive reference on the sf0.001 documents fixture") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val texts = docs.select("text").as[String].collect().toSeq.filter(_ != null)
