@@ -1021,9 +1021,50 @@ object QueriesText {
     graft.text.Bpe.learnLocal(
       graft.text.Bpe.shingleCounts(docs(spark, dir), "text", n = 3), nMerges = 1000)
 
+  /** Tokenizer forward pass: learn 12 merges (heap path — proven equal
+    * to the distributed loop), encode the corpus with them via the
+    * zero-exchange nested-replace expression chain, and report
+    * per-document word/subword counts. Oracle re-derives the learn
+    * chain AND the encode join. */
+  private def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val wc = graft.text.Bpe.wordCounts(d, "text")
+    val merges = {
+      import spark.implicits._
+      graft.text.Bpe.learnMergesLocal(
+        wc.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 12)
+    }
+    graft.text.Bpe.encodeCounts(d, "doc_id", "text", merges)
+  }
+
+  /** The scale-path encode through the driver gate: 1,000 learned
+    * merges force the typed sequential-emulation path (the expression
+    * chain caps at 64). Rows-only — the oracle would be a 1,000-stage
+    * CTE; BpeSpec proves expr ≡ typed path equality instead. */
+  private def bpeEncode1k(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val counts = graft.text.Bpe.shingleCounts(d, "text", n = 3)
+    val merges = {
+      import spark.implicits._
+      graft.text.Bpe.learnMergesLocal(
+        counts.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 1000)
+    }
+    // encode at the same shingle granularity the vocabulary was
+    // learned on (the words-array seam; the guard keeps short docs at
+    // an empty array — sequence(0, n<0) would go DESCENDING)
+    val shingles = expr(
+      """CASE WHEN size(regexp_extract_all(lower(text), '[a-z]+', 0)) >= 3
+        |THEN transform(sequence(0, size(regexp_extract_all(lower(text), '[a-z]+', 0)) - 3),
+        |  i -> array_join(slice(regexp_extract_all(lower(text), '[a-z]+', 0), i + 1, 3), '_'))
+        |ELSE cast(array() AS array<string>) END""".stripMargin)
+    graft.text.Bpe.encodeCountsOf(d, "doc_id", shingles, merges)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain _),
     "bpe_train_1k" -> (bpeTrain1k _),
+    "bpe_encode" -> (bpeEncode _),
+    "bpe_encode_1k" -> (bpeEncode1k _),
     "corpus_pipeline_v2" -> (corpusPipelineV2 _),
     "corpus_pipeline_v3" -> (corpusPipelineV3 _),
     "corpus_pipeline_v4" -> (corpusPipelineV4 _),
@@ -1110,25 +1151,51 @@ object QueriesText {
     * delimited-string literal replace the engine uses (leftmost
     * non-overlapping replace semantics are identical in Java and
     * DuckDB — see [[graft.text.Bpe]]). */
-  private def bpeOracleSql(nMerges: Int): String = {
+  /** Shared chained-CTE re-derivation of the BPE learn loop: `w` =
+    * corpus word counts, `s0..sN` = the evolving per-word symbol
+    * sequences (delimited-string encoding, `word` carried through so
+    * encode oracles can join back), `b1..bN` = the chosen merges. */
+  private def bpeChainSql(nMerges: Int): String = {
     val head =
       """WITH w AS (
         |  SELECT word, count(*)::BIGINT AS cnt FROM (
         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) GROUP BY 1),
-        |s0 AS (SELECT cnt, '|' || regexp_replace(word, '(.)', '\1||', 'g') || '</w>|' AS seq FROM w)""".stripMargin
+        |s0 AS (SELECT word, cnt, '|' || regexp_replace(word, '(.)', '\1||', 'g') || '</w>|' AS seq FROM w)""".stripMargin
     val stages = (1 to nMerges).map { i =>
       s""",
          |p$i AS (SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS c FROM (
          |    SELECT cnt, unnest(list_transform(range(1, len(sy)), j -> {'l': sy[j], 'r': sy[j+1]})) AS p FROM (
          |      SELECT cnt, string_split(trim(seq, '|'), '||') AS sy FROM s${i - 1})) GROUP BY 1, 2),
          |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-         |s$i AS (SELECT cnt, replace(seq, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS seq FROM s${i - 1}, b$i b)""".stripMargin
+         |s$i AS (SELECT word, cnt, replace(seq, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS seq FROM s${i - 1}, b$i b)""".stripMargin
     }.mkString
+    head + stages
+  }
+
+  private def bpeOracleSql(nMerges: Int): String = {
     val sel = (1 to nMerges)
       .map(i => s"SELECT $i::BIGINT AS step, l AS lhs, r AS rhs, l || r AS merged, c AS pair_count FROM b$i")
       .mkString("\nUNION ALL ")
-    head + stages + "\n" + sel
+    bpeChainSql(nMerges) + "\n" + sel
   }
+
+  /** Encode oracle: the final learn stage `sN` IS every distinct
+    * word's fully-merged symbol sequence (sequential application =
+    * the training evolution); join it back to the per-doc word stream
+    * and count subwords. Docs with zero `[a-z]+` words keep a
+    * (0, 0) row via the left join. */
+  private def bpeEncodeOracleSql(nMerges: Int): String =
+    bpeChainSql(nMerges) +
+      s""",
+         |wd AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+         |cnts AS (
+         |  SELECT wd.doc_id, count(*)::BIGINT AS n_words,
+         |    sum(len(string_split(trim(s.seq, '|'), '||')))::BIGINT AS n_subwords
+         |  FROM wd JOIN s$nMerges s USING (word) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(c.n_words, 0)::BIGINT AS n_words,
+         |  coalesce(c.n_subwords, 0)::BIGINT AS n_subwords
+         |FROM documents d LEFT JOIN cnts c USING (doc_id)""".stripMargin
 
   /** DuckDB re-derivation of the paragraph-dedup contract — shared by
     * the batch and streaming queries (the parity pin). */
@@ -1153,6 +1220,7 @@ object QueriesText {
 
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeOracleSql(12),
+    "bpe_encode" -> bpeEncodeOracleSql(12),
     "dedup_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w

@@ -162,6 +162,116 @@ object Bpe {
     learnMergesLocal(wc, nMerges).toDF()
   }
 
+  /** ENCODE: apply a learned merge sequence to the corpus, reporting
+    * per-document word and subword counts — the tokenizer's forward
+    * pass (train → encode → coverage completes the family).
+    *
+    * Merges apply SEQUENTIALLY in learned order (merge 1 everywhere,
+    * then merge 2, ...), exactly the evolution the training corpus
+    * underwent — so a training word always encodes to its final
+    * training-time symbols. (Rank-priority re-scan encoders differ
+    * only on symbol contexts never seen at that point of training;
+    * sequential is the replayable-in-SQL semantics this engine's
+    * oracles need, and is deterministic either way.)
+    *
+    * Two paths, bit-identical (BpeSpec proves equality):
+    *  - `maxExprMerges` or fewer merges → a chain of nested codegen
+    *    `replace` calls inside one `transform`/`aggregate` column
+    *    expression: ZERO exchanges, fused with the scan (the
+    *    conformance path — the DuckDB oracle replays the same chain);
+    *  - more merges → a typed per-partition map with a broadcast-style
+    *    rank table (a 32k-entry map in the closure): per word, scan
+    *    for the lowest applicable rank at-or-after the sequential
+    *    cursor, apply greedily left-to-right, advance the cursor —
+    *    O(word² ) worst case on tiny strings, still zero exchanges.
+    */
+  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[Merge], maxExprMerges: Int = 64): DataFrame =
+    encodeCountsOf(docs, idCol,
+      regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)), merges, maxExprMerges)
+
+  /** [[encodeCounts]] over an explicit words-array column — the seam
+    * that lets callers encode at a different pre-tokenization
+    * granularity than `[a-z]+` runs (e.g. the shingle vocabulary
+    * `bpe_train_1k` learns on). */
+  def encodeCountsOf(docs: DataFrame, idCol: String, words: org.apache.spark.sql.Column,
+                     merges: Seq[Merge], maxExprMerges: Int = 64): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"), words.as("ws"))
+    if (merges.size <= maxExprMerges) {
+      val chain = merges.foldLeft(
+        "concat('|', regexp_replace(w, '(.)', '$1||'), '</w>|')") { (acc, m) =>
+        s"replace($acc, '|${m.lhs}||${m.rhs}|', '|${m.merged}|')"
+      }
+      base.select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr(s"aggregate(transform(ws, w -> size(split(btrim($chain, '|'), '\\\\|\\\\|'))), " +
+          "0L, (a, x) -> a + x)").as("n_subwords"))
+    } else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val ranked: Map[(String, String), Int] =
+        merges.map(m => (m.lhs, m.rhs) -> m.step.toInt).toMap
+      base.select(col("doc_id"), col("ws"))
+        .as[(Long, Seq[String])]
+        .map { case (id, ws) =>
+          (id, ws.size.toLong, ws.iterator.map(w => encodeWordSeq(w, ranked)).sum)
+        }
+        .toDF("doc_id", "n_words", "n_subwords")
+    }
+  }
+
+  /** Subword count of one word under sequential merge application —
+    * the typed-path kernel. Emulates "apply merge 1 everywhere, then
+    * merge 2, ..." without touching absent ranks: repeatedly find the
+    * LOWEST present rank at-or-after the cursor, apply it greedily
+    * left-to-right, move the cursor past it (pairs formed with ranks
+    * behind the cursor were already passed by the sequential sweep and
+    * must not apply). */
+  private[text] def encodeWordSeq(word: String, rank: Map[(String, String), Int]): Long = {
+    var syms: Array[String] = {
+      val a = new Array[String](word.length + 1)
+      var i = 0
+      while (i < word.length) { a(i) = word.substring(i, i + 1); i += 1 }
+      a(word.length) = EndOfWord
+      a
+    }
+    var cursor = 1
+    var continue = true
+    while (continue && syms.length >= 2) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j + 1 < syms.length) {
+        rank.get((syms(j), syms(j + 1))) match {
+          case Some(r) if r >= cursor && r < best => best = r
+          case _ => ()
+        }
+        j += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        val m = merged(syms, best, rank)
+        syms = m
+        cursor = best + 1
+      }
+    }
+    syms.length.toLong
+  }
+
+  /** Greedy left-to-right application of the single merge with rank
+    * `r` (identified by looking the pair back up in `rank`). */
+  private def merged(syms: Array[String], r: Int,
+                     rank: Map[(String, String), Int]): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && rank.get((syms(i), syms(i + 1))).contains(r)) {
+        b += syms(i) + syms(i + 1); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
   /** In-memory merge loop: pair-heap with lazy deletion + an inverted
     * pair→words index, so each merge touches only the words containing
     * the chosen pair. O(total symbols) init; each merge is

@@ -141,6 +141,63 @@ class BpeSpec extends SparkSpec {
     info(f"16000 merges over ${counts.length} words in $secs%.2f s")
   }
 
+  test("encode: expression chain and typed sequential-emulation paths agree with a naive replay") {
+    val texts = Seq(
+      "low lower lowest low low newer newest wider wide",
+      "the quick brown fox jumps over the lazy dog the the",
+      "aaa aa aaaa a",
+      "banana bandana ana ana anna",
+      "" // zero-word doc must keep a (0, 0) row
+    )
+    val d = docsDf(texts)
+    val merges = Bpe.learnMerges(d, "text", nMerges = 15)
+    // naive replay: sequential full application per word (the exact
+    // training-time evolution)
+    def naiveEncode(t: String): (Long, Long) = {
+      val ws = "[a-z]+".r.findAllIn(t.toLowerCase).toSeq
+      val n = ws.map { w =>
+        var syms = w.map(_.toString).toVector :+ Bpe.EndOfWord
+        for (m <- merges) {
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == m.lhs && syms(i + 1) == m.rhs) { b += m.merged; i += 2 }
+            else { b += syms(i); i += 1 }
+          }
+          syms = b.result()
+        }
+        syms.length.toLong
+      }.sum
+      (ws.size.toLong, n)
+    }
+    val expect = texts.zipWithIndex.map { case (t, i) =>
+      val (w, s) = naiveEncode(t); (i.toLong, w, s)
+    }.toSet
+    val viaExpr = Bpe.encodeCounts(d, "doc_id", "text", merges, maxExprMerges = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaTyped = Bpe.encodeCounts(d, "doc_id", "text", merges, maxExprMerges = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaExpr == expect)
+    assert(viaTyped == expect)
+  }
+
+  test("encode paths agree on the sf0.001 fixture at N=12 and the typed path handles N=1000 shingle merges") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m12 = Bpe.learnLocal(Bpe.wordCounts(d, "text"), 12)
+    val merges = m12.as[Bpe.Merge].collect().toSeq.sortBy(_.step)
+    val a = Bpe.encodeCounts(d, "doc_id", "text", merges, maxExprMerges = 64)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Bpe.encodeCounts(d, "doc_id", "text", merges, maxExprMerges = 0)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    // scale path end-to-end: 1000 shingle merges, every doc encoded
+    val out = SparkEntry.queries("bpe_encode_1k")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == d.count().toInt)
+    assert(out.forall { case (_, w, s) => s >= w || (w == 0 && s == 0) },
+      "subword count below word count: merges cannot cross word boundaries")
+  }
+
   test("matches the naive reference on the sf0.001 documents fixture") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val texts = docs.select("text").as[String].collect().toSeq.filter(_ != null)

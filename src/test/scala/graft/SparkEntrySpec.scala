@@ -9,8 +9,10 @@ class SparkEntrySpec extends SparkSpec {
     // Intentional rows-only checks, each with the reason an ANSI-SQL
     // oracle cannot exist. Everything else missing an oracle is a bug.
     val rowsOnly = Set(
-      "bpe_train_1k" // 1,000 merges = a 1,000-stage chained CTE; the
-                     // N=50 engine/engine equality lives in BpeSpec
+      "bpe_train_1k", // 1,000 merges = a 1,000-stage chained CTE; the
+                      // N=50 engine/engine equality lives in BpeSpec
+      "bpe_encode_1k" // same 1,000-stage ceiling; expr ≡ typed encode
+                      // equality lives in BpeSpec
     )
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
