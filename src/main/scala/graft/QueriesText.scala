@@ -1000,6 +1000,52 @@ object QueriesText {
         max(col("n_spans")).as("max_spans"))
   }
 
+  /** CAPSTONE v5 — v4 with the packing budget measured in TOKENIZER
+    * SUBWORDS instead of whitespace tokens, the way a real pretraining
+    * pipeline packs: a 12-merge BPE vocabulary is learned over the RAW
+    * corpus (tokenizers are trained before curation), the span-reduced
+    * surviving text is encoded with it ([[graft.text.Bpe.encodeCounts]]'
+    * zero-exchange expression chain), and packing + shard stats run on
+    * the per-doc subword counts. Docs whose surviving text holds no
+    * `[a-z]+` word encode to zero subwords and drop out, exactly as
+    * zero-token docs do in v4. The oracle re-derives the ENTIRE chain:
+    * curation → LSH closure → semantic closure → span removal with
+    * kept-token reconstruction → the 12-stage BPE learn chain → the
+    * encode join → the packing prefix sum. */
+  private def corpusPipelineV5(spark: SparkSession, dir: String): DataFrame = {
+    val kept = curationKept(spark, dir)
+    val emb = embs(spark, dir).join(kept.select(col("doc_id").as("id")), Seq("id"))
+    val centroids = AnnSearch.strideCentroids(emb, 25)
+    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = 17)
+    val comp = MinHashLsh.components(pairs.select("a", "b"))
+    val drop = comp
+      .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
+      .filter(col("id") =!= col("keep"))
+      .select(col("id").as("doc_id"))
+    val k2 = kept.join(drop, Seq("doc_id"), "left_anti")
+    val spanned = ExactSubstr.removeDuplicateSpans(k2, "doc_id", "text", k = 8)
+    val merges = {
+      import spark.implicits._
+      graft.text.Bpe.learnMergesLocal(
+        graft.text.Bpe.wordCounts(docs(spark, dir), "text")
+          .as[(String, Long)].collect(), nMerges = 12)
+    }
+    val enc = graft.text.Bpe.encodeCounts(spanned, "doc_id", "kept_text", merges)
+      .filter(col("n_subwords") > 0)
+      .select(col("doc_id"), col("n_subwords"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val slim = k2.select("doc_id", "source").join(enc, Seq("doc_id"))
+    val packed = Packing.packSequences(slim, "doc_id", "n_subwords", budget = 512, parts = parts,
+      reliable = Pin.reliableFromConf(spark))
+    val spans = packed.groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_spans"))
+    slim.join(spans, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_subwords").cast("long")).as("n_subwords"),
+        sum(when(col("n_spans") >= 2, 1L).otherwise(0L)).as("n_spanning"),
+        max(col("n_spans")).as("max_spans"))
+  }
+
   /** Distributed BPE vocabulary learning: the first 12 merges over the
     * corpus, deterministic order (count desc, pair asc). This is the
     * ORACLE-PARITY path (every stage replayable in ANSI SQL); the
@@ -1068,6 +1114,7 @@ object QueriesText {
     "corpus_pipeline_v2" -> (corpusPipelineV2 _),
     "corpus_pipeline_v3" -> (corpusPipelineV3 _),
     "corpus_pipeline_v4" -> (corpusPipelineV4 _),
+    "corpus_pipeline_v5" -> (corpusPipelineV5 _),
     "dedup_spans" -> (dedupSpans _),
     "perplexity_filter" -> (perplexityFilter _),
     "shared_substrings" -> (sharedSubstrings _),
@@ -1155,19 +1202,20 @@ object QueriesText {
     * corpus word counts, `s0..sN` = the evolving per-word symbol
     * sequences (delimited-string encoding, `word` carried through so
     * encode oracles can join back), `b1..bN` = the chosen merges. */
-  private def bpeChainSql(nMerges: Int): String = {
+  private def bpeChainSql(nMerges: Int, embedded: Boolean = false): String = {
     val head =
-      """WITH w AS (
+      (if (embedded) "bpew AS (" else "WITH bpew AS (") +
+      """
         |  SELECT word, count(*)::BIGINT AS cnt FROM (
         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents) GROUP BY 1),
-        |s0 AS (SELECT word, cnt, '|' || regexp_replace(word, '(.)', '\1||', 'g') || '</w>|' AS seq FROM w)""".stripMargin
+        |s0 AS MATERIALIZED (SELECT word, cnt, '|' || regexp_replace(word, '(.)', '\1||', 'g') || '</w>|' AS seq FROM bpew)""".stripMargin
     val stages = (1 to nMerges).map { i =>
       s""",
          |p$i AS (SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS c FROM (
          |    SELECT cnt, unnest(list_transform(range(1, len(sy)), j -> {'l': sy[j], 'r': sy[j+1]})) AS p FROM (
          |      SELECT cnt, string_split(trim(seq, '|'), '||') AS sy FROM s${i - 1})) GROUP BY 1, 2),
-         |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-         |s$i AS (SELECT word, cnt, replace(seq, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS seq FROM s${i - 1}, b$i b)""".stripMargin
+         |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT word, cnt, replace(seq, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS seq FROM s${i - 1}, b$i b)""".stripMargin
     }.mkString
     head + stages
   }
@@ -1218,6 +1266,96 @@ object QueriesText {
       |  coalesce(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE kept), '') AS kept_text
       |FROM m GROUP BY doc_id""".stripMargin
 
+  /** Shared curation->closure->span front half of the v4/v5 capstone
+    * oracles: CTEs `t` through `nr` (WITH-body, no prefix). */
+  private val corpusV4FrontSql: String =
+    """t AS (
+        |  SELECT doc_id, source, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, text, norm, w, len(w) AS n_tokens,
+        |    length(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::DOUBLE / length(norm) AS punct_ratio,
+        |    len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE / len(w) AS stop_ratio,
+        |    list_distinct(w) AS dw
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, source, norm, w, n_tokens
+        |  FROM s
+        |  WHERE round(0.5 * least(stop_ratio * 3, 1.0) + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+        |          + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) > 0.5
+        |    AND n_tokens >= 30
+        |    AND NOT regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) > 0
+        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) >=
+        |        greatest(
+        |          len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])),
+        |          len(list_intersect(dw, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])),
+        |          len(list_intersect(dw, ['le','la','les','et','est','pas','pour','dans','un','une'])),
+        |          len(list_intersect(dw, ['el','la','los','y','es','no','por','para','un','una'])))),
+        |bg AS (
+        |  SELECT doc_id, max(c) AS mx, sum(c) AS nb FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |      FROM f) GROUP BY 1, 2) GROUP BY 1),
+        |f2 AS (SELECT f.* FROM f JOIN bg USING (doc_id) WHERE mx * 50 <= nb * 3),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM f2 GROUP BY norm),
+        |k1 AS MATERIALIZED (SELECT f2.* FROM f2 JOIN ex USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |      ELSE [] END AS sgl
+        |  FROM k1),
+        |vp AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sgl, b.sgl))::DOUBLE / len(list_distinct(list_concat(a.sgl, b.sgl))) >= 0.8),
+        |e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+        |cl AS (
+        |  WITH RECURSIVE closure(src, dst) AS (
+        |    SELECT a AS src, b AS dst FROM e
+        |    UNION
+        |    SELECT closure.src, e.b AS dst FROM closure JOIN e ON e.a = closure.dst
+        |      WHERE e.b <> closure.src
+        |  ) SELECT * FROM closure),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src),
+        |k AS MATERIALIZED (
+        |  SELECT * FROM k1
+        |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)),
+        |em AS (
+        |  SELECT k.doc_id AS id, list_transform(e.embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings e JOIN k ON e.vec_id = k.doc_id),
+        |vp2 AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM em a JOIN em b ON a.id < b.id
+        |  WHERE list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4),
+        |e2 AS (SELECT a, b FROM vp2 UNION ALL SELECT b AS a, a AS b FROM vp2),
+        |cl2 AS (
+        |  WITH RECURSIVE closure2(src, dst) AS (
+        |    SELECT a AS src, b AS dst FROM e2
+        |    UNION
+        |    SELECT closure2.src, e2.b AS dst FROM closure2 JOIN e2 ON e2.a = closure2.dst
+        |      WHERE e2.b <> closure2.src
+        |  ) SELECT * FROM closure2),
+        |labels2 AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl2 GROUP BY src),
+        |k2 AS MATERIALIZED (
+        |  SELECT * FROM k
+        |  WHERE doc_id NOT IN (SELECT id FROM labels2 WHERE id <> comp)),
+        |occ AS (
+        |  SELECT doc_id, i, array_to_string(w[(i + 1):(i + 8)], ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS i FROM k2)),
+        |win AS (
+        |  SELECT doc_id, i,
+        |    first_value(doc_id) OVER wn = doc_id AND first_value(i) OVER wn = i AS is_first,
+        |    count(*) OVER (PARTITION BY g) AS cnt
+        |  FROM occ WINDOW wn AS (PARTITION BY g ORDER BY doc_id, i)),
+        |cov AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, i + unnest(range(0, 8)) AS pos
+        |  FROM win WHERE cnt >= 2 AND NOT is_first),
+        |nr AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeOracleSql(12),
     "bpe_encode" -> bpeEncodeOracleSql(12),
@@ -1233,7 +1371,7 @@ object QueriesText {
         |    first_value(doc_id) OVER wn = doc_id AND first_value(i) OVER wn = i AS is_first,
         |    count(*) OVER (PARTITION BY g) AS cnt
         |  FROM occ WINDOW wn AS (PARTITION BY g ORDER BY doc_id, i)),
-        |cov AS (
+        |cov AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, i + unnest(range(0, 8)) AS pos
         |  FROM win WHERE cnt >= 2 AND NOT is_first),
         |nr AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY 1),
@@ -1278,7 +1416,7 @@ object QueriesText {
         |      FROM f) GROUP BY 1, 2) GROUP BY 1),
         |f2 AS (SELECT f.* FROM f JOIN bg USING (doc_id) WHERE mx * 50 <= nb * 3),
         |ex AS (SELECT min(doc_id) AS doc_id FROM f2 GROUP BY norm),
-        |k1 AS (SELECT f2.* FROM f2 JOIN ex USING (doc_id)),
+        |k1 AS MATERIALIZED (SELECT f2.* FROM f2 JOIN ex USING (doc_id)),
         |sh AS (
         |  SELECT doc_id,
         |    CASE WHEN len(w) >= 3
@@ -1298,7 +1436,7 @@ object QueriesText {
         |      WHERE e.b <> closure.src
         |  ) SELECT * FROM closure),
         |labels AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src),
-        |k AS (
+        |k AS MATERIALIZED (
         |  SELECT * FROM k1
         |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)),
         |p AS (SELECT doc_id, source, n_tokens::BIGINT AS n, md5(doc_id::VARCHAR) AS ord FROM k),
@@ -1343,7 +1481,7 @@ object QueriesText {
         |      FROM f) GROUP BY 1, 2) GROUP BY 1),
         |f2 AS (SELECT f.* FROM f JOIN bg USING (doc_id) WHERE mx * 50 <= nb * 3),
         |ex AS (SELECT min(doc_id) AS doc_id FROM f2 GROUP BY norm),
-        |k1 AS (SELECT f2.* FROM f2 JOIN ex USING (doc_id)),
+        |k1 AS MATERIALIZED (SELECT f2.* FROM f2 JOIN ex USING (doc_id)),
         |sh AS (
         |  SELECT doc_id,
         |    CASE WHEN len(w) >= 3
@@ -1363,7 +1501,7 @@ object QueriesText {
         |      WHERE e.b <> closure.src
         |  ) SELECT * FROM closure),
         |labels AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src),
-        |k AS (
+        |k AS MATERIALIZED (
         |  SELECT * FROM k1
         |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)),
         |em AS (
@@ -1383,7 +1521,7 @@ object QueriesText {
         |      WHERE e2.b <> closure2.src
         |  ) SELECT * FROM closure2),
         |labels2 AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl2 GROUP BY src),
-        |k2 AS (
+        |k2 AS MATERIALIZED (
         |  SELECT * FROM k
         |  WHERE doc_id NOT IN (SELECT id FROM labels2 WHERE id <> comp)),
         |p AS (SELECT doc_id, source, n_tokens::BIGINT AS n, md5(doc_id::VARCHAR) AS ord FROM k2),
@@ -1397,92 +1535,8 @@ object QueriesText {
         |  max(n_spans)::BIGINT AS max_spans
         |FROM sp GROUP BY source""".stripMargin,
     "corpus_pipeline_v4" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, source, text, norm, w, len(w) AS n_tokens,
-        |    length(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::DOUBLE / length(norm) AS punct_ratio,
-        |    len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE / len(w) AS stop_ratio,
-        |    list_distinct(w) AS dw
-        |  FROM t),
-        |f AS (
-        |  SELECT doc_id, source, norm, w, n_tokens
-        |  FROM s
-        |  WHERE round(0.5 * least(stop_ratio * 3, 1.0) + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
-        |          + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) > 0.5
-        |    AND n_tokens >= 30
-        |    AND NOT regexp_matches(text, '[\x{4e00}-\x{9fff}]')
-        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) > 0
-        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) >=
-        |        greatest(
-        |          len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])),
-        |          len(list_intersect(dw, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])),
-        |          len(list_intersect(dw, ['le','la','les','et','est','pas','pour','dans','un','une'])),
-        |          len(list_intersect(dw, ['el','la','los','y','es','no','por','para','un','una'])))),
-        |bg AS (
-        |  SELECT doc_id, max(c) AS mx, sum(c) AS nb FROM (
-        |    SELECT doc_id, g, count(*) AS c FROM (
-        |      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
-        |      FROM f) GROUP BY 1, 2) GROUP BY 1),
-        |f2 AS (SELECT f.* FROM f JOIN bg USING (doc_id) WHERE mx * 50 <= nb * 3),
-        |ex AS (SELECT min(doc_id) AS doc_id FROM f2 GROUP BY norm),
-        |k1 AS (SELECT f2.* FROM f2 JOIN ex USING (doc_id)),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(w) >= 3
-        |      THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-        |      ELSE [] END AS sgl
-        |  FROM k1),
-        |vp AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sgl, b.sgl))::DOUBLE / len(list_distinct(list_concat(a.sgl, b.sgl))) >= 0.8),
-        |e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
-        |cl AS (
-        |  WITH RECURSIVE closure(src, dst) AS (
-        |    SELECT a AS src, b AS dst FROM e
-        |    UNION
-        |    SELECT closure.src, e.b AS dst FROM closure JOIN e ON e.a = closure.dst
-        |      WHERE e.b <> closure.src
-        |  ) SELECT * FROM closure),
-        |labels AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src),
-        |k AS (
-        |  SELECT * FROM k1
-        |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)),
-        |em AS (
-        |  SELECT k.doc_id AS id, list_transform(e.embedding, x -> x::DOUBLE) AS v
-        |  FROM embeddings e JOIN k ON e.vec_id = k.doc_id),
-        |vp2 AS (
-        |  SELECT a.id AS a, b.id AS b
-        |  FROM em a JOIN em b ON a.id < b.id
-        |  WHERE list_inner_product(a.v, b.v) /
-        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4),
-        |e2 AS (SELECT a, b FROM vp2 UNION ALL SELECT b AS a, a AS b FROM vp2),
-        |cl2 AS (
-        |  WITH RECURSIVE closure2(src, dst) AS (
-        |    SELECT a AS src, b AS dst FROM e2
-        |    UNION
-        |    SELECT closure2.src, e2.b AS dst FROM closure2 JOIN e2 ON e2.a = closure2.dst
-        |      WHERE e2.b <> closure2.src
-        |  ) SELECT * FROM closure2),
-        |labels2 AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl2 GROUP BY src),
-        |k2 AS (
-        |  SELECT * FROM k
-        |  WHERE doc_id NOT IN (SELECT id FROM labels2 WHERE id <> comp)),
-        |occ AS (
-        |  SELECT doc_id, i, array_to_string(w[(i + 1):(i + 8)], ' ') AS g
-        |  FROM (SELECT doc_id, w, unnest(range(0, greatest(len(w) - 7, 0))) AS i FROM k2)),
-        |win AS (
-        |  SELECT doc_id, i,
-        |    first_value(doc_id) OVER wn = doc_id AND first_value(i) OVER wn = i AS is_first,
-        |    count(*) OVER (PARTITION BY g) AS cnt
-        |  FROM occ WINDOW wn AS (PARTITION BY g ORDER BY doc_id, i)),
-        |cov AS (
-        |  SELECT DISTINCT doc_id, i + unnest(range(0, 8)) AS pos
-        |  FROM win WHERE cnt >= 2 AND NOT is_first),
-        |nr AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY 1),
+      ("WITH " + corpusV4FrontSql +
+      """,
         |k3 AS (
         |  SELECT k2.doc_id, k2.source,
         |    (k2.n_tokens - coalesce(nr.n_removed, 0))::BIGINT AS n
@@ -1497,7 +1551,36 @@ object QueriesText {
         |SELECT source, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens,
         |  sum(CASE WHEN n_spans >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_spanning,
         |  max(n_spans)::BIGINT AS max_spans
-        |FROM sp GROUP BY source""".stripMargin,
+        |FROM sp GROUP BY source""".stripMargin),
+    "corpus_pipeline_v5" ->
+      ("WITH " + corpusV4FrontSql + ",\n" + bpeChainSql(12, embedded = true) +
+      """,
+        |px AS (SELECT doc_id, w, unnest(range(0, len(w))) AS pos2 FROM k2),
+        |ktok AS (
+        |  SELECT px.doc_id, px.w[px.pos2 + 1] AS tok, px.pos2
+        |  FROM px LEFT JOIN cov ON cov.doc_id = px.doc_id AND cov.pos = px.pos2
+        |  WHERE cov.doc_id IS NULL),
+        |ktext AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos2) AS kt FROM ktok GROUP BY 1),
+        |wd5 AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(kt), '[a-z]+')) AS word FROM ktext),
+        |enc5 AS (
+        |  SELECT wd5.doc_id,
+        |    sum(len(string_split(trim(sq.seq, '|'), '||')))::BIGINT AS n
+        |  FROM wd5 JOIN s12 sq USING (word) GROUP BY 1),
+        |k3 AS (
+        |  SELECT k2.doc_id, k2.source, enc5.n
+        |  FROM k2 JOIN enc5 ON k2.doc_id = enc5.doc_id
+        |  WHERE enc5.n > 0),
+        |pk5 AS (SELECT doc_id, source, n, md5(doc_id::VARCHAR) AS ord FROM k3),
+        |ck5 AS (
+        |  SELECT doc_id, source, n,
+        |    sum(n) OVER (ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM pk5),
+        |sp5 AS (SELECT source, n, ((cum - 1) // 512) - ((cum - n) // 512) + 1 AS n_spans FROM ck5)
+        |SELECT source, count(*) AS n_docs, sum(n)::BIGINT AS n_subwords,
+        |  sum(CASE WHEN n_spans >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_spanning,
+        |  max(n_spans)::BIGINT AS max_spans
+        |FROM sp5 GROUP BY source""".stripMargin),
     "tfidf_near_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS wl
@@ -1680,7 +1763,7 @@ object QueriesText {
         |      WHERE e.b <> closure.src
         |  ) SELECT * FROM closure),
         |labels AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src),
-        |k AS (
+        |k AS MATERIALIZED (
         |  SELECT * FROM k1
         |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp)),
         |c AS (
