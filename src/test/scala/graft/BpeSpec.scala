@@ -198,6 +198,15 @@ class BpeSpec extends SparkSpec {
       "subword count below word count: merges cannot cross word boundaries")
   }
 
+  test("encode expression path plans ZERO exchanges — fused with the scan") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.learnMergesLocal(
+      Bpe.wordCounts(d, "text").as[(String, Long)].collect(), nMerges = 12)
+    val plan = Bpe.encodeCounts(d, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode expression path shuffled:\n$plan")
+  }
+
   test("matches the naive reference on the sf0.001 documents fixture") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val texts = docs.select("text").as[String].collect().toSeq.filter(_ != null)
