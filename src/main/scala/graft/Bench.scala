@@ -323,6 +323,12 @@ object Bench {
       // span + packing engine path at scale.
       "dedup_spans",
       "bpe_train",
+      // the scale-path contrast cells: bpe_train_1k does 83× the
+      // merges of bpe_train in a fraction of its time (one corpus
+      // pass + the in-memory pair-heap vs ~2 job waves per merge);
+      // bpe_encode is the zero-exchange expression-chain forward pass
+      "bpe_train_1k",
+      "bpe_encode",
       "corpus_pipeline_v4"
     ).filter(SparkEntry.queries.contains)
 }
