@@ -21,6 +21,12 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.all ++ QueriesText.all ++ QueriesDomain.all
 
+  /** Bench-only scale-contrast cells (no ANSI-SQL oracle can exist;
+    * engine-side equality proofs live in the test suites). Disjoint
+    * from `all` so the driver's conformance catalog stays all-green. */
+  val scaleOnly: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesText.scaleOnly
+
   val oracles: Map[String, String] =
     QueriesCore.oracles ++ QueriesText.oracles ++ QueriesDomain.oracles
 }

@@ -544,12 +544,28 @@ object QueriesText {
     * context has none, flips `spark.graft.pin.reliable` for the
     * DataFrame CONSTRUCTION window only — both pins are eager, so the
     * reliable checkpoints materialize before the conf is restored —
-    * and shares `pack_sequences`' oracle verbatim. */
+    * and shares `pack_sequences`' oracle verbatim.
+    *
+    * The conf flip is session-wide for that window, so the gate
+    * assumes queries are CONSTRUCTED sequentially on the session (the
+    * driver's Verify loop is); concurrent construction on the same
+    * session would see reliable mode bleed in. Reliable-checkpoint
+    * files are not auto-removed by Spark — when this query creates the
+    * temp dir it registers a JVM-exit sweep so conformance runs don't
+    * leak checkpoint data under /tmp. */
   private def packSequencesReliable(spark: SparkSession, dir: String): DataFrame = {
     val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft_reliable_ckpt").toString)
+    if (sc.getCheckpointDir.isEmpty) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt")
+      sc.setCheckpointDir(tmp.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () }; () })
+        catch { case _: Throwable => () }
+      }))
+    }
     val prev = spark.conf.getOption(Pin.ReliableConfKey)
     spark.conf.set(Pin.ReliableConfKey, "true")
     try packSequences(spark, dir)
@@ -780,7 +796,8 @@ object QueriesText {
     * Oracle: full DuckDB re-derivation (window winner via
     * first_value, covered-position union, positional anti-join). */
   private def dedupSpans(spark: SparkSession, dir: String): DataFrame =
-    ExactSubstr.removeDuplicateSpans(docs(spark, dir), "doc_id", "text", k = 8)
+    ExactSubstr.removeDuplicateSpans(docs(spark, dir), "doc_id", "text", k = 8,
+      saltBuckets = ExactSubstr.saltBucketsFromConf(spark))
 
   /** Dolma-style PII detection + redaction. The synthetic corpus
     * carries no PII, so the query PLANTS deterministic doc_id-derived
@@ -985,7 +1002,8 @@ object QueriesText {
       .filter(col("id") =!= col("keep"))
       .select(col("id").as("doc_id"))
     val k2 = kept.join(drop, Seq("doc_id"), "left_anti")
-    val spanned = ExactSubstr.removeDuplicateSpans(k2, "doc_id", "text", k = 8)
+    val spanned = ExactSubstr.removeDuplicateSpans(k2, "doc_id", "text", k = 8,
+      saltBuckets = ExactSubstr.saltBucketsFromConf(spark))
       .select(col("doc_id"), (col("n_tokens") - col("n_removed")).as("n_toks"))
     val parts = spark.sessionState.conf.numShufflePartitions
     val slim = k2.select("doc_id", "source").join(spanned, Seq("doc_id"))
@@ -1012,7 +1030,11 @@ object QueriesText {
     * curation → LSH closure → semantic closure → span removal with
     * kept-token reconstruction → the 12-stage BPE learn chain → the
     * encode join → the packing prefix sum. */
-  private def corpusPipelineV5(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared v5/v6 front half: curation → LSH closure keep (inside
+    * curationKept) → semantic (embedding) closure keep → ExactSubstr
+    * span removal. Returns (k2 = surviving docs, spanned = their
+    * span-reduced text). */
+  private def tokenizerCapstoneFront(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val kept = curationKept(spark, dir)
     val emb = embs(spark, dir).join(kept.select(col("doc_id").as("id")), Seq("id"))
     val centroids = AnnSearch.strideCentroids(emb, 25)
@@ -1023,27 +1045,69 @@ object QueriesText {
       .filter(col("id") =!= col("keep"))
       .select(col("id").as("doc_id"))
     val k2 = kept.join(drop, Seq("doc_id"), "left_anti")
-    val spanned = ExactSubstr.removeDuplicateSpans(k2, "doc_id", "text", k = 8)
-    val merges = {
-      import spark.implicits._
-      graft.text.Bpe.learnMergesLocal(
-        graft.text.Bpe.wordCounts(docs(spark, dir), "text")
-          .as[(String, Long)].collect(), nMerges = 12)
-    }
-    val enc = graft.text.Bpe.encodeCounts(spanned, "doc_id", "kept_text", merges)
-      .filter(col("n_subwords") > 0)
-      .select(col("doc_id"), col("n_subwords"))
+    val spanned = ExactSubstr.removeDuplicateSpans(k2, "doc_id", "text", k = 8,
+      saltBuckets = ExactSubstr.saltBucketsFromConf(spark))
+    (k2, spanned)
+  }
+
+  /** The raw-corpus 12-merge tokenizer the capstones train before
+    * curation (tokenizers are trained on the raw corpus). */
+  private def capstoneMerges(spark: SparkSession, dir: String): Seq[graft.text.Bpe.Merge] = {
+    import spark.implicits._
+    graft.text.Bpe.learnMergesLocal(
+      graft.text.Bpe.wordCounts(docs(spark, dir), "text")
+        .as[(String, Long)].collect(), nMerges = 12)
+  }
+
+  /** Packing + per-source shard stats over per-doc subword weights —
+    * the shared back half of capstones v5/v6. `enc` must carry
+    * (doc_id, n_subwords [, extra agg columns pre-summed via
+    * `extraAggs`]). */
+  private def packByCounts(spark: SparkSession, k2: DataFrame, enc: DataFrame,
+                           extraAggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
     val slim = k2.select("doc_id", "source").join(enc, Seq("doc_id"))
     val packed = Packing.packSequences(slim, "doc_id", "n_subwords", budget = 512, parts = parts,
       reliable = Pin.reliableFromConf(spark))
     val spans = packed.groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_subwords").cast("long")).as("n_subwords")) ++ extraAggs ++ Seq(
+      sum(when(col("n_spans") >= 2, 1L).otherwise(0L)).as("n_spanning"),
+      max(col("n_spans")).as("max_spans"))
     slim.join(spans, Seq("doc_id"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_subwords").cast("long")).as("n_subwords"),
-        sum(when(col("n_spans") >= 2, 1L).otherwise(0L)).as("n_spanning"),
-        max(col("n_spans")).as("max_spans"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def corpusPipelineV5(spark: SparkSession, dir: String): DataFrame = {
+    val (k2, spanned) = tokenizerCapstoneFront(spark, dir)
+    val enc = graft.text.Bpe.encodeCounts(spanned, "doc_id", "kept_text", capstoneMerges(spark, dir))
+      .filter(col("n_subwords") > 0)
+      .select(col("doc_id"), col("n_subwords"))
+    packByCounts(spark, k2, enc, Seq.empty)
+  }
+
+  /** CAPSTONE v6 — v5 with the tokenizer emitting REAL token-id
+    * sequences ([[graft.text.Bpe.encodeIds]]): the span-reduced
+    * surviving text encodes to `array<int>` ids against the learned
+    * vocabulary, packing budgets on the id-sequence lengths (identical
+    * to v5's subword counts by construction), and the per-source
+    * rollup carries `id_sum` — an order-insensitive checksum proving
+    * the actual id stream (not just its length) flowed through the
+    * chain. The oracle re-derives vocabulary ids and the per-word id
+    * sums on top of the v5 chain. */
+  private def corpusPipelineV6(spark: SparkSession, dir: String): DataFrame = {
+    val (k2, spanned) = tokenizerCapstoneFront(spark, dir)
+    val merges = capstoneMerges(spark, dir)
+    val wc = graft.text.Bpe.wordCounts(docs(spark, dir), "text")
+    val vocab = graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wc), merges)
+    val enc = graft.text.Bpe.encodeIds(spanned, "doc_id",
+        regexp_extract_all(lower(col("kept_text")), lit("[a-z]+"), lit(0)), merges, vocab)
+      .filter(size(col("ids")) > 0)
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_subwords"),
+        expr("aggregate(ids, 0L, (a, x) -> a + x)").as("doc_id_sum"))
+    packByCounts(spark, k2, enc, Seq(sum(col("doc_id_sum")).as("id_sum")))
   }
 
   /** Distributed BPE vocabulary learning: the first 12 merges over the
@@ -1083,6 +1147,37 @@ object QueriesText {
     graft.text.Bpe.encodeCounts(d, "doc_id", "text", merges)
   }
 
+  /** Tokenizer vocabulary as a table `(token_id, symbol, kind)`: the
+    * corpus alphabet (sorted, ids 0..B-1) plus one merged symbol per
+    * learned merge (id B+step-1) — the id space [[bpeEncodeIds]]
+    * emits. Oracle re-derives the learn chain and the id layout. */
+  private def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wc = graft.text.Bpe.wordCounts(docs(spark, dir), "text")
+    val merges = graft.text.Bpe.learnMergesLocal(
+      wc.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 12)
+    graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wc), merges).toDF()
+  }
+
+  /** The tokenizer forward pass emitting REAL token ids: every doc's
+    * `[a-z]+` words encode (12 merges, the zero-exchange expression
+    * chain) to the id sequence under [[bpeVocab]]'s layout. The gate
+    * row carries the ids space-joined (the driver compare hashes
+    * scalar columns); the engine API ([[graft.text.Bpe.encodeIds]])
+    * returns the `array<int>` form capstone v6 packs. */
+  private def bpeEncodeIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val wc = graft.text.Bpe.wordCounts(d, "text")
+    val merges = graft.text.Bpe.learnMergesLocal(
+      wc.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 12)
+    val vocab = graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wc), merges)
+    graft.text.Bpe.encodeIds(d, "doc_id",
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)), merges, vocab)
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        expr("array_join(transform(ids, x -> cast(x AS string)), ' ')").as("ids"))
+  }
+
   /** The scale-path encode through the driver gate: 1,000 learned
     * merges force the typed sequential-emulation path (the expression
     * chain caps at 64). Rows-only — the oracle would be a 1,000-stage
@@ -1106,11 +1201,24 @@ object QueriesText {
     graft.text.Bpe.encodeCountsOf(d, "doc_id", shingles, merges)
   }
 
+  /** SCALE-CONTRAST cells: real engine paths (the production BPE heap
+    * loop and the >64-merge typed encode) whose only honest oracle
+    * would be a 1,000-stage chained CTE — not a DuckDB query. They are
+    * NOT in `all` (the driver gate would record them as `no_oracle`,
+    * which reads as broken); the bench runs them from this registry and
+    * [[graft.BpeSpec]] proves heap ≡ distributed (N=50) and expr ≡
+    * typed equality engine-side. */
+  val scaleOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train_1k" -> (bpeTrain1k _),
+    "bpe_encode_1k" -> (bpeEncode1k _)
+  )
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> (bpeTrain _),
-    "bpe_train_1k" -> (bpeTrain1k _),
     "bpe_encode" -> (bpeEncode _),
-    "bpe_encode_1k" -> (bpeEncode1k _),
+    "bpe_vocab" -> (bpeVocab _),
+    "bpe_encode_ids" -> (bpeEncodeIds _),
+    "corpus_pipeline_v6" -> (corpusPipelineV6 _),
     "corpus_pipeline_v2" -> (corpusPipelineV2 _),
     "corpus_pipeline_v3" -> (corpusPipelineV3 _),
     "corpus_pipeline_v4" -> (corpusPipelineV4 _),
@@ -1219,6 +1327,49 @@ object QueriesText {
     }.mkString
     head + stages
   }
+
+  /** Vocabulary-id CTEs on top of [[bpeChainSql]]: `vall` = the dense
+    * (token_id, symbol, kind) table (base alphabet sorted at 0..B-1,
+    * merge i at B+i-1), `voc` = symbol → SMALLEST id (the encode map —
+    * two merges can produce the same surface string). */
+  private def bpeVocabSql(nMerges: Int): String = {
+    val mergeRows = (1 to nMerges)
+      .map(i => s"SELECT $i::BIGINT AS step, l || r AS symbol FROM b$i")
+      .mkString("\n              UNION ALL ")
+    s""",
+       |vbase AS (SELECT DISTINCT unnest(regexp_extract_all(word, '.')) AS symbol FROM bpew
+       |          UNION SELECT '</w>' AS symbol),
+       |vbi AS (SELECT (row_number() OVER (ORDER BY symbol) - 1)::BIGINT AS token_id, symbol,
+       |          'base' AS kind FROM vbase),
+       |vnb AS (SELECT count(*)::BIGINT AS n FROM vbase),
+       |vmi AS (SELECT vnb.n + st.step - 1 AS token_id, st.symbol, 'merge' AS kind
+       |        FROM ($mergeRows) st, vnb),
+       |vall AS (SELECT * FROM vbi UNION ALL SELECT * FROM vmi),
+       |voc AS (SELECT symbol, min(token_id) AS tid FROM vall GROUP BY symbol)""".stripMargin
+  }
+
+  private def bpeVocabOracleSql(nMerges: Int): String =
+    bpeChainSql(nMerges) + bpeVocabSql(nMerges) +
+      "\nSELECT token_id, symbol, kind FROM vall"
+
+  /** Encode-to-ids oracle: final learn stage `sN` gives every word's
+    * symbol sequence; map symbols to their smallest vocabulary id
+    * (UNK → -1, matching the engine's coalesce), flatten per document
+    * in word order, and emit the space-joined stream. */
+  private def bpeEncodeIdsOracleSql(nMerges: Int): String =
+    bpeChainSql(nMerges) + bpeVocabSql(nMerges) +
+      s""",
+         |wd AS (SELECT doc_id, unnest(w) AS word, unnest(range(1, len(w) + 1)) AS pos
+         |       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents)),
+         |wsym AS (SELECT word, unnest(sy) AS symbol, unnest(range(1, len(sy) + 1)) AS spos
+         |         FROM (SELECT word, string_split(trim(seq, '|'), '||') AS sy FROM s$nMerges)),
+         |wid AS (SELECT word, list(coalesce(voc.tid, -1) ORDER BY spos) AS wids
+         |        FROM wsym LEFT JOIN voc USING (symbol) GROUP BY word),
+         |di AS (SELECT wd.doc_id, flatten(list(wid.wids ORDER BY wd.pos)) AS ids
+         |       FROM wd JOIN wid USING (word) GROUP BY wd.doc_id)
+         |SELECT d.doc_id, coalesce(len(i.ids), 0)::BIGINT AS n_ids,
+         |  coalesce(array_to_string(list_transform(i.ids, x -> x::VARCHAR), ' '), '') AS ids
+         |FROM documents d LEFT JOIN di i USING (doc_id)""".stripMargin
 
   private def bpeOracleSql(nMerges: Int): String = {
     val sel = (1 to nMerges)
@@ -1359,6 +1510,8 @@ object QueriesText {
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeOracleSql(12),
     "bpe_encode" -> bpeEncodeOracleSql(12),
+    "bpe_vocab" -> bpeVocabOracleSql(12),
+    "bpe_encode_ids" -> bpeEncodeIdsOracleSql(12),
     "dedup_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
@@ -1581,6 +1734,39 @@ object QueriesText {
         |  sum(CASE WHEN n_spans >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_spanning,
         |  max(n_spans)::BIGINT AS max_spans
         |FROM sp5 GROUP BY source""".stripMargin),
+    "corpus_pipeline_v6" ->
+      ("WITH " + corpusV4FrontSql + ",\n" + bpeChainSql(12, embedded = true) +
+        bpeVocabSql(12) +
+      """,
+        |px AS (SELECT doc_id, w, unnest(range(0, len(w))) AS pos2 FROM k2),
+        |ktok AS (
+        |  SELECT px.doc_id, px.w[px.pos2 + 1] AS tok, px.pos2
+        |  FROM px LEFT JOIN cov ON cov.doc_id = px.doc_id AND cov.pos = px.pos2
+        |  WHERE cov.doc_id IS NULL),
+        |ktext AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos2) AS kt FROM ktok GROUP BY 1),
+        |wd6 AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(kt), '[a-z]+')) AS word FROM ktext),
+        |vsym AS (SELECT word, unnest(string_split(trim(seq, '|'), '||')) AS symbol FROM s12),
+        |vwid AS (SELECT word, count(*)::BIGINT AS n_sub, sum(coalesce(voc.tid, -1))::BIGINT AS wsum
+        |         FROM vsym LEFT JOIN voc USING (symbol) GROUP BY word),
+        |enc6 AS (
+        |  SELECT wd6.doc_id, sum(vwid.n_sub)::BIGINT AS n, sum(vwid.wsum)::BIGINT AS dsum
+        |  FROM wd6 JOIN vwid USING (word) GROUP BY 1),
+        |k3 AS (
+        |  SELECT k2.doc_id, k2.source, enc6.n, enc6.dsum
+        |  FROM k2 JOIN enc6 ON k2.doc_id = enc6.doc_id
+        |  WHERE enc6.n > 0),
+        |pk6 AS (SELECT doc_id, source, n, dsum, md5(doc_id::VARCHAR) AS ord FROM k3),
+        |ck6 AS (
+        |  SELECT doc_id, source, n, dsum,
+        |    sum(n) OVER (ORDER BY ord, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM pk6),
+        |sp6 AS (SELECT source, n, dsum, ((cum - 1) // 512) - ((cum - n) // 512) + 1 AS n_spans FROM ck6)
+        |SELECT source, count(*) AS n_docs, sum(n)::BIGINT AS n_subwords,
+        |  sum(dsum)::BIGINT AS id_sum,
+        |  sum(CASE WHEN n_spans >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_spanning,
+        |  max(n_spans)::BIGINT AS max_spans
+        |FROM sp6 GROUP BY source""".stripMargin),
     "tfidf_near_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS wl

@@ -25,4 +25,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracles
+
+  /** Bench-only registry: scale-contrast cells whose oracle would be a
+    * 1,000-stage CTE chain (engine-side equality proofs in BpeSpec).
+    * Deliberately NOT part of `queries` — every `queries` entry carries
+    * a DuckDB oracle, keeping the driver's conformance file all-green. */
+  def scaleQueries: Map[String, (SparkSession, String) => DataFrame] = Queries.scaleOnly
 }

@@ -53,6 +53,11 @@ object Bpe {
 
   final case class Merge(step: Long, lhs: String, rhs: String, merged: String, pair_count: Long)
 
+  /** One vocabulary row: dense `token_id`, the symbol's surface string,
+    * and whether it is a base symbol or the product of merge
+    * `token_id - nBase + 1`. */
+  final case class VocabEntry(token_id: Long, symbol: String, kind: String)
+
   /** Corpus word counts: the single full-corpus pass. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs
@@ -196,7 +201,13 @@ object Bpe {
     * `bpe_train_1k` learns on). */
   def encodeCountsOf(docs: DataFrame, idCol: String, words: org.apache.spark.sql.Column,
                      merges: Seq[Merge], maxExprMerges: Int = 64): DataFrame = {
-    val base = docs.select(col(idCol).cast("long").as("doc_id"), words.as("ws"))
+    // null text → null words array: size() would report -1 on the expr
+    // path and the typed path would NPE, while the oracle's left join
+    // contracts (0, 0) — coalesce to the empty array so both paths and
+    // the oracle agree on null input.
+    val base = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      coalesce(words, expr("cast(array() AS array<string>)")).as("ws"))
     if (merges.size <= maxExprMerges) {
       val chain = merges.foldLeft(
         "concat('|', regexp_replace(w, '(.)', '$1||'), '</w>|')") { (acc, m) =>
@@ -212,12 +223,98 @@ object Bpe {
       import spark.implicits._
       val ranked: Map[(String, String), Int] =
         merges.map(m => (m.lhs, m.rhs) -> m.step.toInt).toMap
+      // A learned sequence CAN in principle re-choose a (lhs, rhs) pair
+      // at a later step (a multi-char lhs recreated by a different
+      // parenthesization — e.g. ("a","bc") after ("ab","c") both yield
+      // "abc" — makes new adjacencies of an already-merged pair). The
+      // pair-keyed map cannot represent two ranks for one pair, and
+      // .toMap would silently keep the LAST, diverging from the
+      // expression path's literal step-by-step replay — so fail loudly.
+      require(ranked.size == merges.size,
+        s"duplicate (lhs, rhs) pair in merge sequence: the rank-map encode " +
+          s"path cannot replay a pair merged at two steps (${merges.size} merges, " +
+          s"${ranked.size} distinct pairs)")
       base.select(col("doc_id"), col("ws"))
         .as[(Long, Seq[String])]
         .map { case (id, ws) =>
           (id, ws.size.toLong, ws.iterator.map(w => encodeWordSeq(w, ranked)).sum)
         }
         .toDF("doc_id", "n_words", "n_subwords")
+    }
+  }
+
+  /** Base symbol inventory of a word table: the distinct single
+    * characters across the distinct words plus the end-of-word marker,
+    * sorted — the deterministic id-0..B-1 prefix of the vocabulary.
+    * One tiny aggregate over the (already small) distinct-word table;
+    * collected because the alphabet is dim-table-sized by nature. */
+  def baseSymbols(words: DataFrame): Seq[String] = {
+    val chars = words
+      .select(explode(expr("regexp_extract_all(word, '.', 0)")).as("sym"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+    (chars.toSeq :+ EndOfWord).distinct.sorted
+  }
+
+  /** Dense token-id vocabulary: base symbols (sorted) take ids 0..B-1,
+    * merge i's merged symbol takes id B+i-1 — the standard BPE vocab
+    * layout (one new symbol per merge). Two different merges CAN
+    * produce the same surface string (("a","bc") and ("ab","c") both
+    * yield "abc"); both keep their dense ids here, and [[encodeIds]]
+    * resolves a string to its SMALLEST id, so the id stream is
+    * deterministic. */
+  def vocabEntries(baseSyms: Seq[String], merges: Seq[Merge]): Seq[VocabEntry] = {
+    val base = baseSyms.zipWithIndex.map { case (s, i) => VocabEntry(i.toLong, s, "base") }
+    val nBase = baseSyms.size.toLong
+    base ++ merges.map(m => VocabEntry(nBase + m.step - 1, m.merged, "merge"))
+  }
+
+  /** ENCODE to token ids: the [[encodeCountsOf]] pipeline emitting the
+    * actual id sequence — `(doc_id, ids array<int>)`, ids in document
+    * order (words in order, each word's subwords in order, every word
+    * closed by its `</w>`-bearing final symbol). Symbols outside the
+    * vocabulary (a character the training corpus never saw) map to -1,
+    * the explicit UNK contract — the oracle replays the same coalesce.
+    *
+    * Same dual path as the counts: ≤`maxExprMerges` merges → the
+    * zero-exchange nested-replace chain with a literal symbol→id map
+    * (`element_at` on a map literal — codegen, fused with the scan);
+    * beyond → the typed per-partition rank-cursor sweep with the same
+    * map in the closure. BpeSpec proves the paths emit identical ids. */
+  def encodeIds(docs: DataFrame, idCol: String, words: org.apache.spark.sql.Column,
+                merges: Seq[Merge], vocab: Seq[VocabEntry],
+                maxExprMerges: Int = 64): DataFrame = {
+    val idByString: Map[String, Int] =
+      vocab.groupBy(_.symbol).view.mapValues(_.map(_.token_id).min.toInt).toMap
+    val base = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      coalesce(words, expr("cast(array() AS array<string>)")).as("ws"))
+    if (merges.size <= maxExprMerges) {
+      val chain = merges.foldLeft(
+        "concat('|', regexp_replace(w, '(.)', '$1||'), '</w>|')") { (acc, m) =>
+        s"replace($acc, '|${m.lhs}||${m.rhs}|', '|${m.merged}|')"
+      }
+      val symMap = typedLit(idByString)
+      base
+        .select(col("doc_id"),
+          flatten(expr(s"transform(ws, w -> split(btrim($chain, '|'), '\\\\|\\\\|'))")).as("syms"))
+        .select(col("doc_id"),
+          transform(col("syms"), s => coalesce(element_at(symMap, s), lit(-1))).as("ids"))
+    } else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val ranked: Map[(String, String), Int] =
+        merges.map(m => (m.lhs, m.rhs) -> m.step.toInt).toMap
+      require(ranked.size == merges.size,
+        s"duplicate (lhs, rhs) pair in merge sequence (${merges.size} merges, " +
+          s"${ranked.size} distinct pairs)")
+      base.as[(Long, Seq[String])]
+        .map { case (id, ws) =>
+          (id, ws.iterator.flatMap(w =>
+            encodeWordSymbols(w, ranked).iterator.map(s => idByString.getOrElse(s, -1))).toSeq)
+        }
+        .toDF("doc_id", "ids")
     }
   }
 
@@ -228,7 +325,13 @@ object Bpe {
     * left-to-right, move the cursor past it (pairs formed with ranks
     * behind the cursor were already passed by the sequential sweep and
     * must not apply). */
-  private[text] def encodeWordSeq(word: String, rank: Map[(String, String), Int]): Long = {
+  private[text] def encodeWordSeq(word: String, rank: Map[(String, String), Int]): Long =
+    encodeWordSymbols(word, rank).length.toLong
+
+  /** The final symbol sequence of one word under the same sequential
+    * sweep — the kernel behind both the typed count and typed id
+    * paths. */
+  private[text] def encodeWordSymbols(word: String, rank: Map[(String, String), Int]): Array[String] = {
     var syms: Array[String] = {
       val a = new Array[String](word.length + 1)
       var i = 0
@@ -255,7 +358,7 @@ object Bpe {
         cursor = best + 1
       }
     }
-    syms.length.toLong
+    syms
   }
 
   /** Greedy left-to-right application of the single merge with rank

@@ -60,6 +60,25 @@ import org.apache.spark.sql.functions._
   */
 object ExactSubstr {
 
+  /** Session conf key for the winner-join salt-bucket count, so a
+    * cluster run can raise the spread without a code change
+    * (`spark.conf.set(SaltBucketsConfKey, "256")`).
+    *
+    * SIZING: the salt bounds a single reduce task's share of the
+    * hottest gram at `copies / saltBuckets` occurrence rows. Pick
+    * `saltBuckets ≥ hottest-gram copies / target-rows-per-task` —
+    * the default 16 keeps a 2.7M-copy boilerplate footer (the spec's
+    * pinned case) at ~170k rows per task; a 100 TB corpus whose worst
+    * footer approaches billions of copies wants 256–1024. Cost is
+    * linear in the salt: saltBuckets × one replicated winner row per
+    * DUPLICATED gram (winners with cnt < 2 are filtered before
+    * replication), a small fraction of the occurrence exchange it
+    * de-skews. */
+  val SaltBucketsConfKey = "spark.graft.exactsubstr.saltBuckets"
+
+  def saltBucketsFromConf(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption(SaltBucketsConfKey).map(_.toInt).getOrElse(16)
+
   /** Per-document span-removal result:
     * `(doc_id, n_tokens, n_removed, kept_text)` — `n_removed` counts
     * tokens cut, `kept_text` is the surviving tokens joined in

@@ -191,11 +191,62 @@ class BpeSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(a == b)
     // scale path end-to-end: 1000 shingle merges, every doc encoded
-    val out = SparkEntry.queries("bpe_encode_1k")(spark, "/root/testdata/sf0.001")
+    val out = SparkEntry.scaleQueries("bpe_encode_1k")(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long)].collect()
     assert(out.length == d.count().toInt)
     assert(out.forall { case (_, w, s) => s >= w || (w == 0 && s == 0) },
       "subword count below word count: merges cannot cross word boundaries")
+  }
+
+  test("vocabulary layout: sorted base alphabet prefix, one dense id per merge") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wc = Bpe.wordCounts(d, "text")
+    val merges = Bpe.learnMergesLocal(wc.as[(String, Long)].collect(), nMerges = 12)
+    val base = Bpe.baseSymbols(wc)
+    assert(base == base.sorted && base.distinct == base)
+    assert(base.contains(Bpe.EndOfWord))
+    val vocab = Bpe.vocabEntries(base, merges)
+    // dense 0..N-1 ids, base prefix then merges in step order
+    assert(vocab.map(_.token_id) == vocab.indices.map(_.toLong))
+    assert(vocab.take(base.size).map(_.symbol) == base)
+    assert(vocab.drop(base.size).map(_.symbol) == merges.map(_.merged))
+    assert(vocab.drop(base.size).forall(_.kind == "merge"))
+  }
+
+  test("encode-to-ids: expr and typed paths emit identical id streams; ids decode to the counts") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wc = Bpe.wordCounts(d, "text")
+    val merges = Bpe.learnMergesLocal(wc.as[(String, Long)].collect(), nMerges = 12)
+    val vocab = Bpe.vocabEntries(Bpe.baseSymbols(wc), merges)
+    val words = org.apache.spark.sql.functions.expr(
+      "regexp_extract_all(lower(text), '[a-z]+', 0)")
+    val viaExpr = Bpe.encodeIds(d, "doc_id", words, merges, vocab, maxExprMerges = 64)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val viaTyped = Bpe.encodeIds(d, "doc_id", words, merges, vocab, maxExprMerges = 0)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(viaExpr == viaTyped)
+    // the id sequence's length IS the subword count (same chain)
+    val counts = Bpe.encodeCounts(d, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(viaExpr.forall { case (id, ids) => ids.size.toLong == counts(id) })
+    // every id resolves in the vocabulary (training corpus == encode
+    // corpus, so no UNKs) and word boundaries close with an
+    // </w>-bearing symbol
+    val eowIds = vocab.filter(_.symbol.endsWith(Bpe.EndOfWord)).map(_.token_id.toInt).toSet
+    assert(viaExpr.forall { case (_, ids) => ids.forall(_ >= 0) })
+    assert(viaExpr.filter(_._2.nonEmpty).forall { case (_, ids) => eowIds.contains(ids.last) })
+  }
+
+  test("encode-to-ids expression path plans ZERO exchanges") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wc = Bpe.wordCounts(d, "text")
+    val merges = Bpe.learnMergesLocal(wc.as[(String, Long)].collect(), nMerges = 12)
+    val vocab = Bpe.vocabEntries(Bpe.baseSymbols(wc), merges)
+    val plan = Bpe.encodeIds(d, "doc_id",
+        org.apache.spark.sql.functions.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"),
+        merges, vocab)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode-to-ids expression path shuffled:\n$plan")
   }
 
   test("encode expression path plans ZERO exchanges — fused with the scan") {

@@ -6,20 +6,22 @@ package graft
 class SparkEntrySpec extends SparkSpec {
 
   test("every query has an oracle and every oracle has a query") {
-    // Intentional rows-only checks, each with the reason an ANSI-SQL
-    // oracle cannot exist. Everything else missing an oracle is a bug.
-    val rowsOnly = Set(
-      "bpe_train_1k", // 1,000 merges = a 1,000-stage chained CTE; the
-                      // N=50 engine/engine equality lives in BpeSpec
-      "bpe_encode_1k" // same 1,000-stage ceiling; expr ≡ typed encode
-                      // equality lives in BpeSpec
-    )
+    // r9: the former rows-only cells (bpe_train_1k / bpe_encode_1k —
+    // no ANSI-SQL oracle can exist; engine-side equality in BpeSpec)
+    // moved to the bench-only scaleQueries registry, so the driver
+    // catalog is STRICTLY oracled: any query without an oracle is a bug.
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert((q diff o diff rowsOnly).isEmpty,
-      s"queries without oracle: ${(q diff o diff rowsOnly).toSeq.sorted}")
+    assert((q diff o).isEmpty, s"queries without oracle: ${(q diff o).toSeq.sorted}")
     assert((o diff q).isEmpty, s"orphan oracles: ${(o diff q).toSeq.sorted}")
-    assert((rowsOnly diff q).isEmpty, s"stale rows-only entries: ${(rowsOnly diff q).toSeq.sorted}")
+  }
+
+  test("scale-contrast registry is disjoint from the driver catalog and bench-resolvable") {
+    val scale = SparkEntry.scaleQueries.keySet
+    assert(scale.nonEmpty)
+    assert((scale intersect SparkEntry.queries.keySet).isEmpty,
+      "scaleQueries must not shadow driver-gated queries")
+    assert(scale.subsetOf(Bench.catalog.keySet))
   }
 
   test("flagship entry produces rows") {
