@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main. Emits ONE JSON line as the final raw stdout line
@@ -41,6 +41,27 @@ object Bench {
     (1 to 3).map(_ => once()).min
   }
   def main(args: Array[String]): Unit = {
+    // Route stderr to bench_spark.log BEFORE anything touches Spark:
+    // log4j2's console appender targets SYSTEM_ERR and latches the
+    // stream when it starts (first Logging call below), so after this
+    // line every Spark log record AND any direct printStackTrace lands
+    // in the file, never in the process tail. The r8 tail carried a
+    // ~1.2 kB DAGScheduler ERROR trace; the r9 rerun with this routing
+    // captured it in full: five `ERROR DAGScheduler: Failed to update
+    // accumulator N ... attempted to access non-existent accumulator`
+    // stacks, fired together ~55 s into the run (mid headline FIRST
+    // pass — no streaming cell runs there), i.e. a straggler task-end
+    // reporting its SQL-metric accumulators after their execution had
+    // already completed and unregistered them (the early-exit
+    // collect()/cancelled-stage class — harmless, results unaffected;
+    // Bench's per-cell catch recorded no -1). The driver's ~2 kB
+    // stdout tail window merges stderr, so one such trace can push the
+    // round's JSON line out of the window — hence the routing.
+    // Per-cell failures are still visible: the catch records -1 for
+    // the cell and the full trace is in bench_spark.log.
+    try System.setErr(new java.io.PrintStream(
+      new java.io.FileOutputStream("bench_spark.log"), true, "UTF-8"))
+    catch { case _: Throwable => () }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -70,7 +91,7 @@ object Bench {
     catch { case _: Throwable => () }
     val calPre = calibration(spark)
     def timeQuery(name: String, repeats: Int, dir: String = sfDir): Double = {
-      val fn = SparkEntry.queries(name)
+      val fn = Bench.catalog(name)
       (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
@@ -131,7 +152,7 @@ object Bench {
       // query cost".
       System.gc()
       val both = Bench.extendedFamily.map { name =>
-        val fn = SparkEntry.queries(name)
+        val fn = Bench.catalog(name)
         def once(): Double = {
           val t0 = System.nanoTime()
           try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
@@ -164,25 +185,43 @@ object Bench {
     val ext2 = extJson(_._2, cells2)
     val ext = extJson(_._2, cells)
     val extFirst = extJson(_._1, cells)
-    def core(extPart: String): String =
-      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"first_pass_total":${f"$firstTotal%.3f"},"tiled_first":${f"$tiledFirst%.3f"},"tiled_first_cold":${f"$tiledFirstCold%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"}$extPart,"sf":"$sfDir""""
+    // cal_drift = pre/post: ~1.0 means a stable host; ≫1 means the run
+    // started on a slow host (or carried JIT debt the warm pass missed)
+    val calDrift = calPre / calPost
+    // slim=true for the stdout line: drops the session-debt diagnostics
+    // (first_pass_total, tiled_first_cold) and shortens the sf label —
+    // they live in bench_out.json / BENCH_LOCAL — buying back the ~70
+    // chars the two r9 extended cells (bpe_encode_1k,
+    // corpus_pipeline_v5 × 3 dirs) cost inside the tail window.
+    def core(extPart: String, slim: Boolean): String = {
+      val debt =
+        if (slim) ""
+        else s""""first_pass_total":${f"$firstTotal%.3f"},"tiled_first_cold":${f"$tiledFirstCold%.3f"},"""
+      val sfLabel = if (slim) Paths.get(sfDir).getFileName.toString else sfDir
+      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$debt"tiled_first":${f"$tiledFirst%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"},"cal_drift":${f"$calDrift%.2f"}$extPart,"sf":"$sfLabel""""
+    }
     // stdout line: must fit the driver's ~2 kB stdout tail window
     // (with the trailing sbt status line) or the round's bench goes
     // unparsed — r6/r7 both lost their lines to exactly this. Guarded
-    // by construction: if the extended block ever pushes past 1850
-    // chars, it is dropped from stdout (bench_out.json always has it).
-    val withExt = "{" + core(s""","extended":$ext2""") + "}"
-    val stdoutJson = if (withExt.length <= 1850) withExt else "{" + core("") + "}"
+    // by construction: if the extended block ever pushes past 1780
+    // chars (leaving ~150 chars of headroom for the trailing sbt
+    // status line inside the ~2000-char tail — r8 ADVICE), it is
+    // dropped from stdout (bench_out.json always has it).
+    val withExt = "{" + core(s""","extended":$ext2""", slim = true) + "}"
+    val stdoutJson = if (withExt.length <= 1780) withExt else "{" + core("", slim = true) + "}"
     // full detail (per-query first passes) → bench_out.json
-    val fullJson = "{" + core(s""","extended":$ext""") +
+    val fullJson = "{" + core(s""","extended":$ext""", slim = false) +
       s""","first_pass":$first,"extended_first_pass":$extFirst}"""
     try Files.writeString(Paths.get("bench_out.json"), fullJson) catch { case _: Throwable => () }
     // All results are computed and mirrored at this point. Teardown of a
     // session that ran streaming queries can race a late task-end
     // accumulator update (already-stopped query → unregistered
-    // accumulator → a harmless DAGScheduler ERROR stack in the tail), so
-    // silence logging for the stop itself — nothing after this line can
-    // affect results.
+    // accumulator → a harmless DAGScheduler ERROR stack) — the r8 tail
+    // trace was exactly this class, logged MID-RUN after a stream_dedup
+    // cell's query stop, which is why the stderr→bench_spark.log routing
+    // at the top of main (not this OFF) is the real guard. The OFF stays
+    // as belt-and-braces for the stop itself — nothing after this line
+    // can affect results.
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     // last raw stdout line, after Spark's shutdown logging
@@ -250,6 +289,12 @@ object Bench {
     outDir
   }
 
+  /** Conformance queries plus the bench-only scale-contrast cells
+    * (`bpe_train_1k` / `bpe_encode_1k` — oracle-less by design, moved
+    * out of the driver catalog in r9 so CORRECTNESS stays all-green). */
+  def catalog: Map[String, (SparkSession, String) => DataFrame] =
+    SparkEntry.queries ++ SparkEntry.scaleQueries
+
   /** Headline bench set: the flagship acceptance scan + representative
     * per-family queries (kept small — the driver runs this at sf0.1). */
   def headline: Seq[String] =
@@ -267,7 +312,7 @@ object Bench {
       "text_stats",
       "tiling_counts",
       "tiled_acc_hist"
-    ).filter(SparkEntry.queries.contains)
+    ).filter(catalog.contains)
 
   /** Extended dedup/ANN/streaming family measured at three scale
     * factors (see the `extended` key): the queries whose scale behavior
@@ -329,6 +374,15 @@ object Bench {
       // bpe_encode is the zero-exchange expression-chain forward pass
       "bpe_train_1k",
       "bpe_encode",
-      "corpus_pipeline_v4"
-    ).filter(SparkEntry.queries.contains)
+      // the >64-merge typed encode path (1,000 merges): like bpe_train,
+      // its vocabulary work is near-constant across the synth copy step
+      // — the cell tracks the corpus encode sweep, expected ~linear
+      "bpe_encode_1k",
+      "corpus_pipeline_v4",
+      // v5 = v4 with packing budgeted in BPE subwords of the
+      // span-reduced text — since r8 the heaviest chain in the engine;
+      // its subword-budget packing stage is where a superlinear
+      // surprise would hide (r8 verdict item 2)
+      "corpus_pipeline_v5"
+    ).filter(catalog.contains)
 }

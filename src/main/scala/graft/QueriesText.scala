@@ -109,24 +109,24 @@ object QueriesText {
       .select("q_id", "rank", "n_id", "sim")
   }
 
-  /** IVF-bucketed top-10 (scale path). Probes chosen so the result is
-    * exact on this corpus — verified against the brute-force oracle. */
-  private def annTopKIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared IVF top-10 retrieval body over an explicit centroid table:
+    * map-side cell assignment, probe ceil(0.85·nlist) cells per query,
+    * exact rounded-cosine scoring on the survivors.
+    *
+    * nprobe = ceil(0.85·nlist): these synthetic embeddings are
+    * near-isotropic (no cluster structure), so IVF pruning buys
+    * little here and the probe FRACTION — not a fixed count — is what
+    * exact top-10 recall vs the brute-force oracle tracks (a fixed
+    * 17 was exact at sf0.01's 20 cells but missed a neighbor at
+    * sf0.1's 80). On real clustered corpora nprobe ≪ nlist. At
+    * sf0.01 this is ceil(0.85·20) = 17 — the driver-gate plan is
+    * unchanged. Probe cells are picked map-side (same bit-exact
+    * ordering as the old crossJoin+window: cosine desc, c_id asc). */
+  private def ivfTop10Of(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = embs(spark, dir)
     val queries = corpus.filter(pmod(col("id"), lit(50)) === 0)
-    val centroids = AnnSearch.strideCentroids(corpus, 25)
     val cents = AnnSearch.collectCentroids(centroids)
     val assigned = AnnSearch.ivfAssign(corpus, centroids)
-    // nprobe = ceil(0.85·nlist): these synthetic embeddings are
-    // near-isotropic (no cluster structure), so IVF pruning buys
-    // little here and the probe FRACTION — not a fixed count — is what
-    // exact top-10 recall vs the brute-force oracle tracks (a fixed
-    // 17 was exact at sf0.01's 20 cells but missed a neighbor at
-    // sf0.1's 80). On real clustered corpora nprobe ≪ nlist. At
-    // sf0.01 this is ceil(0.85·20) = 17 — the driver-gate plan is
-    // unchanged. Probe cells are picked map-side (same bit-exact
-    // ordering as the old crossJoin+window: cosine desc, c_id asc).
     val nprobe = math.ceil(0.85 * cents.ids.length).toInt
     val probes = queries
       .select(col("id").as("q_id"), col("vec").as("q_vec"))
@@ -139,6 +139,26 @@ object QueriesText {
       .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))).cast("long"))
       .filter(col("rank") <= 10)
       .select("q_id", "rank", "n_id", "sim")
+  }
+
+  /** IVF-bucketed top-10 (scale path). Probes chosen so the result is
+    * exact on this corpus — verified against the brute-force oracle. */
+  private def annTopKIvf(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(spark, dir)
+    ivfTop10Of(corpus, AnnSearch.strideCentroids(corpus, 25))
+  }
+
+  /** IVF top-10 with LLOYD-REFINED centroids (2 exact-decimal k-means
+    * iterations on the stride seeds — [[graft.ml.AnnSearch.kmeansCentroidsExact]],
+    * bit-deterministic so the cell assignment replays): the r8
+    * verdict's refinement ask, gated against the exact BRUTE-FORCE
+    * oracle — a stronger check than replaying the refinement, because
+    * the refined cells must preserve exact top-10 retrieval at the
+    * same probe fraction the stride query uses. RecallGuardSpec pins
+    * the refinement's recall ≥ the stride baseline at reduced probes. */
+  private def annTopKIvfKm(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(spark, dir)
+    ivfTop10Of(corpus, AnnSearch.kmeansCentroidsExact(corpus, 25, iters = 2))
   }
 
   /** Embedding-cosine near-dup pairs (cell-blocked, no all-pairs). */
@@ -1256,6 +1276,7 @@ object QueriesText {
     "fingerprint" -> (fingerprint _),
     "ann_topk_bf" -> (annTopKBf _),
     "ann_topk_ivf" -> (annTopKIvf _),
+    "ann_topk_ivf_km" -> (annTopKIvfKm _),
     "emb_near_pairs" -> (embNearPairs _),
     "emb_quantize" -> (embQuantize _),
     "ann_topk_q8" -> (annTopKQ8 _),
@@ -2100,6 +2121,21 @@ object QueriesText {
         |FROM scored
         |QUALIFY rank <= 10""".stripMargin,
     "ann_topk_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    round(list_inner_product(q.v, e.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(e.v, e.v))), 6) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
+    // the k-means-refined retrieval must return the IDENTICAL exact
+    // top-10 — same brute-force oracle (refinement changes the cells,
+    // not the answer)
+    "ann_topk_ivf_km" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
         |scored AS (

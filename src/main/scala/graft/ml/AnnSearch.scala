@@ -87,6 +87,35 @@ object AnnSearch {
     centroids
   }
 
+  /** [[kmeansCentroids]] with BIT-DETERMINISTIC per-cell means, for the
+    * oracle-checked retrieval queries: each component is rounded to 6
+    * decimals and accumulated as `decimal(27, 6)` — decimal addition is
+    * EXACT (a scaled-integer sum, no intermediate rounding), hence
+    * order-independent, hence the refined centroids are identical
+    * across partitionings and re-runs where the plain double `avg` can
+    * drift in the last ulps and flip a near-tied assignment argmax
+    * downstream. The mean is the exact sum cast once to double divided
+    * by the count — one rounding, reproducible anywhere (DuckDB
+    * included). Precision headroom: |component| ≤ ~10 at 6-decimal
+    * scale leaves 20 integer digits — overflow needs a 10^19-member
+    * cell. Same scale shape as [[kmeansCentroids]]: the corpus streams
+    * once per iteration, only (cell, dim) partial sums shuffle. */
+  def kmeansCentroidsExact(corpus: DataFrame, stride: Int, iters: Int): DataFrame = {
+    var centroids = strideCentroids(corpus, stride)
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(corpus, centroids)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("n_vec")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg((sum(expr("cast(round(cast(v AS double), 6) AS decimal(27, 6))")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy(col("cell").as("c_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("c_id"), expr("transform(dm, x -> x.m)").as("c_vec"))
+    }
+    centroids
+  }
+
   /** Deterministic centroid table: every `stride`-th corpus vector. At
     * scale this is a k-means refinement target; the IVF plumbing is
     * identical either way. */

@@ -62,6 +62,57 @@ class RecallGuardSpec extends SparkSpec {
         "regenerate the fixture with duplicate pairs well above J=0.8, or widen the bands.")
   }
 
+  test("k-means refinement guard: exact-decimal centroids are bit-deterministic and recall >= the stride baseline") {
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    // bit-determinism across partitionings: the whole point of the
+    // decimal-sum means — different physical aggregation orders MUST
+    // produce identical centroid doubles, or the refined-cell queries
+    // stop being oracle-reproducible
+    def cents(parts: Int): Seq[(Long, Seq[Double])] =
+      AnnSearch.kmeansCentroidsExact(embs.repartition(parts), 25, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    val a = cents(3)
+    val b = cents(17)
+    assert(a == b, "refined centroids differ across input partitionings — decimal means not exact")
+
+    // ground truth (independent of every engine kernel)
+    val vecs = embs.selectExpr("id", "cast(vec as array<double>) vec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val ids = vecs.keys.toArray.sorted
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val truePairs = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      if cos(vecs(ids(i)), vecs(ids(j))) >= 0.4
+    } yield (ids(i), ids(j))).toSet
+
+    // recall >= the stride baseline, probe-for-probe: at every nprobe
+    // the refined cells must miss no more true pairs than the stride
+    // cells do (the refinement exists to CONCENTRATE neighbors)
+    val stride = AnnSearch.strideCentroids(embs, 25)
+    val refined = AnnSearch.kmeansCentroidsExact(embs, 25, iters = 2)
+    def missed(centroids: org.apache.spark.sql.DataFrame, nprobe: Int): Int = {
+      val got = AnnSearch.cosineNearPairs(embs, centroids, tau = 0.4, nprobe = nprobe)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truePairs -- got).size
+    }
+    for (nprobe <- Seq(8, 12, 15, 17)) {
+      val ms = missed(stride, nprobe)
+      val mk = missed(refined, nprobe)
+      assert(mk <= ms,
+        s"refined centroids LOST recall vs stride seeds at nprobe=$nprobe: missed $mk vs $ms")
+    }
+    // and at the conformance probe fraction the refined cells must be
+    // complete (the ann_topk_ivf_km row gates against the exact
+    // brute-force oracle)
+    assert(missed(refined, 17) == 0, "refined cells miss true pairs at the conformance nprobe")
+  }
+
   test("embedding guard: every true cosine>=0.4 pair is recovered by the IVF-blocked path, with probe margin") {
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
