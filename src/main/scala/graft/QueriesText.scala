@@ -1198,6 +1198,31 @@ object QueriesText {
         expr("array_join(transform(ids, x -> cast(x AS string)), ' ')").as("ids"))
   }
 
+  /** Tokenizer LOSSLESSNESS gate: decode(encode(text)) must reproduce
+    * the exact lower-cased word stream the encoder consumed, for every
+    * document — the engine computes both sides and emits the match
+    * bit; the oracle states the contract (`roundtrip_ok = true`
+    * unconditionally), so any lossy id stream or broken decode flips
+    * rows to false and hash-mismatches. Null/zero-word docs roundtrip
+    * through '' by coalesce on both sides. */
+  private def bpeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val wc = graft.text.Bpe.wordCounts(d, "text")
+    val merges = graft.text.Bpe.learnMergesLocal(
+      wc.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 12)
+    val vocab = graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wc), merges)
+    val enc = graft.text.Bpe.encodeIds(d, "doc_id",
+      regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)), merges, vocab)
+    val original = d.select(col("doc_id"),
+      coalesce(array_join(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)), " "), lit(""))
+        .as("words"))
+    enc
+      .select(col("doc_id"), graft.text.Bpe.decodeIdsToText(col("ids"), vocab).as("decoded"))
+      .join(original, Seq("doc_id"))
+      .select(col("doc_id"), col("words"), (col("decoded") === col("words")).as("roundtrip_ok"))
+  }
+
   /** The scale-path encode through the driver gate: 1,000 learned
     * merges force the typed sequential-emulation path (the expression
     * chain caps at 64). Rows-only — the oracle would be a 1,000-stage
@@ -1238,6 +1263,7 @@ object QueriesText {
     "bpe_encode" -> (bpeEncode _),
     "bpe_vocab" -> (bpeVocab _),
     "bpe_encode_ids" -> (bpeEncodeIds _),
+    "bpe_roundtrip" -> (bpeRoundtrip _),
     "corpus_pipeline_v6" -> (corpusPipelineV6 _),
     "corpus_pipeline_v2" -> (corpusPipelineV2 _),
     "corpus_pipeline_v3" -> (corpusPipelineV3 _),
@@ -1532,6 +1558,13 @@ object QueriesText {
     "bpe_train" -> bpeOracleSql(12),
     "bpe_encode" -> bpeEncodeOracleSql(12),
     "bpe_vocab" -> bpeVocabOracleSql(12),
+    // the engine computes decode(encode(text)) and emits the equality
+    // bit; the oracle IS the losslessness contract
+    "bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  coalesce(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' '), '') AS words,
+        |  true AS roundtrip_ok
+        |FROM documents""".stripMargin,
     "bpe_encode_ids" -> bpeEncodeIdsOracleSql(12),
     "dedup_spans" ->
       """WITH t AS (

@@ -318,6 +318,25 @@ object Bpe {
     }
   }
 
+  /** Inverse of [[encodeIds]] at the word-stream level: map each id
+    * back to its vocabulary symbol (the id→symbol direction is
+    * injective even when two merges share a surface string),
+    * concatenate, and split on the end-of-word marker — every word
+    * ends with exactly one `</w>`-bearing symbol and merges never
+    * cross word boundaries, so this reproduces the lower-cased word
+    * stream the encoder consumed, space-joined. Lossless by
+    * construction; the `bpe_roundtrip` query gates
+    * decode(encode(text)) == the original word stream through the
+    * driver oracle. Pure codegen column (literal map + string ops) —
+    * zero exchanges, like the encode chain it inverts. */
+  def decodeIdsToText(ids: org.apache.spark.sql.Column,
+                      vocab: Seq[VocabEntry]): org.apache.spark.sql.Column = {
+    val symById: Map[Int, String] = vocab.map(v => v.token_id.toInt -> v.symbol).toMap
+    val m = typedLit(symById)
+    val joined = array_join(transform(ids, i => coalesce(element_at(m, i), lit(""))), "")
+    rtrim(replace(joined, lit(EndOfWord), lit(" ")))
+  }
+
   /** Subword count of one word under sequential merge application —
     * the typed-path kernel. Emulates "apply merge 1 everywhere, then
     * merge 2, ..." without touching absent ranks: repeatedly find the

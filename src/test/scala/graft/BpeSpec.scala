@@ -237,6 +237,24 @@ class BpeSpec extends SparkSpec {
     assert(viaExpr.filter(_._2.nonEmpty).forall { case (_, ids) => eowIds.contains(ids.last) })
   }
 
+  test("decode inverts encode losslessly on both paths (word-stream roundtrip)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wc = Bpe.wordCounts(d, "text")
+    val merges = Bpe.learnMergesLocal(wc.as[(String, Long)].collect(), nMerges = 12)
+    val vocab = Bpe.vocabEntries(Bpe.baseSymbols(wc), merges)
+    import org.apache.spark.sql.functions.{array_join, coalesce, col, expr, lit}
+    val words = expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    val original = d.select(col("doc_id"),
+      coalesce(array_join(words, " "), lit("")).as("w"))
+      .as[(Long, String)].collect().toMap
+    for (maxExpr <- Seq(64, 0)) {
+      val decoded = Bpe.encodeIds(d, "doc_id", words, merges, vocab, maxExprMerges = maxExpr)
+        .select(col("doc_id"), Bpe.decodeIdsToText(col("ids"), vocab).as("t"))
+        .as[(Long, String)].collect().toMap
+      assert(decoded == original, s"roundtrip broken on maxExprMerges=$maxExpr path")
+    }
+  }
+
   test("encode-to-ids expression path plans ZERO exchanges") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val wc = Bpe.wordCounts(d, "text")
