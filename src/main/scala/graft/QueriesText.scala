@@ -122,12 +122,13 @@ object QueriesText {
     * sf0.01 this is ceil(0.85·20) = 17 — the driver-gate plan is
     * unchanged. Probe cells are picked map-side (same bit-exact
     * ordering as the old crossJoin+window: cosine desc, c_id asc). */
-  private def ivfTop10Of(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  private def ivfTop10Of(corpus: DataFrame, centroids: DataFrame,
+                         frac: Double = 0.85): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val queries = corpus.filter(pmod(col("id"), lit(50)) === 0)
     val cents = AnnSearch.collectCentroids(centroids)
     val assigned = AnnSearch.ivfAssign(corpus, centroids)
-    val nprobe = math.ceil(0.85 * cents.ids.length).toInt
+    val nprobe = math.ceil(frac * cents.ids.length).toInt
     val probes = queries
       .select(col("id").as("q_id"), col("vec").as("q_vec"))
       .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("q_vec"), cents, nprobe)))
@@ -158,14 +159,42 @@ object QueriesText {
     * the refinement's recall ≥ the stride baseline at reduced probes. */
   private def annTopKIvfKm(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embs(spark, dir)
-    ivfTop10Of(corpus, AnnSearch.kmeansCentroidsExact(corpus, 25, iters = 2))
+    // 0.95 probe fraction (vs stride's 0.85): Lloyd means on this
+    // NEAR-ISOTROPIC fixture are direction-noisy (a near-uniform
+    // cell's mean points nowhere in particular), so the probe
+    // ordering aligns slightly worse with cosine neighborhoods than
+    // the data-point stride seeds. Measured exactly by
+    // graft.dev.KmProbeRank: the worst true-top-10 neighbor needs
+    // probe rank 73/80 at sf0.1 (stride: 67/80) and 15/20 at the
+    // sf0.01 gate (stride: 17/20) - 0.95 covers both with >=3-cell
+    // margin. On clustered real corpora refinement CONCENTRATES
+    // cells and cuts the needed fraction; this fixture is its worst
+    // case and the stride query remains the 0.85 calibration point.
+    ivfTop10Of(corpus, AnnSearch.kmeansCentroidsExact(corpus, 25, iters = 2), frac = 0.95)
   }
+
+  /** Probe count for the pair-closure (cosineNearPairs) stages:
+    * ceil(0.9 * nlist). The r6 retrieval lesson — exact recall tracks
+    * the probe FRACTION, never a fixed count — reached these sites in
+    * r9: the old fixed nprobe=17 was the 0.85 fraction at the sf0.01
+    * gate's 20 cells (full recall, margin to 15) and EXHAUSTIVE at the
+    * capstone subset's 7, but a 21-46% probe at sf0.1's 80/37 cells,
+    * where it missed true pairs (graft.dev.RecallProbe: 145 of 920
+    * full-corpus, 7 of 227 capstone-subset) and silently diverged the
+    * capstone doc sets from their all-pairs oracles. At 0.9 every
+    * fixture scale has measured FULL recall with >=1-cell margin
+    * (exact down to 0.85 full-corpus sf0.1 / 0.86 subset), and the
+    * sf0.01 gate outputs are bit-unchanged. On real clustered corpora
+    * the fraction is a far-smaller quality knob; the near-isotropic
+    * synthetic fixture is its worst case. */
+  private def closureNprobe(centroids: DataFrame): Int =
+    math.ceil(0.9 * centroids.count()).toInt
 
   /** Embedding-cosine near-dup pairs (cell-blocked, no all-pairs). */
   private def embNearPairs(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embs(spark, dir)
     val centroids = AnnSearch.strideCentroids(corpus, 25)
-    AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = 17)
+    AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = closureNprobe(centroids))
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
   }
 
@@ -660,13 +689,15 @@ object QueriesText {
     * on the fixture because every τ≥0.4 pair is co-probed WITH A
     * TWO-PROBE MARGIN — machine-checked by `RecallGuardSpec` (full
     * recall at nprobe−2), which found the old nprobe=15 had zero
-    * margin and drove the bump to 17. If the embeddings fixture
+    * margin and drove the bump to 17 (r9: now the 0.9 probe
+    * FRACTION via closureNprobe — 18 at the gate's 20 cells, scale-
+    * consistent at sf0.1's 80). If the embeddings fixture
     * changes, that spec goes red with a recall diagnosis before the
     * conformance row can produce a spurious engine-bug red. */
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embs(spark, dir)
     val centroids = AnnSearch.strideCentroids(corpus, 25)
-    val pairs = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = 17)
+    val pairs = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = closureNprobe(centroids))
     MinHashLsh.components(pairs.select("a", "b"))
       .groupBy("component")
       .agg(min("id").as("keep_id"), count(lit(1)).as("cluster_size"))
@@ -935,7 +966,7 @@ object QueriesText {
   /** Shared v2/v3 curation front half: quality/language filter →
     * integer-exact Gopher bigram gate → exact dedup → transitive LSH
     * near-dedup. Returns the surviving (doc_id, source, text). */
-  private def curationKept(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def curationKept(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val q = TextOps.withQuality(d, col("text"))
       .withColumn("lang_pred", TextOps.langId(col("text")))
@@ -994,7 +1025,7 @@ object QueriesText {
     val kept = curationKept(spark, dir)
     val emb = embs(spark, dir).join(kept.select(col("doc_id").as("id")), Seq("id"))
     val centroids = AnnSearch.strideCentroids(emb, 25)
-    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = 17)
+    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = closureNprobe(centroids))
     val comp = MinHashLsh.components(pairs.select("a", "b"))
     val drop = comp
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
@@ -1015,7 +1046,7 @@ object QueriesText {
     val kept = curationKept(spark, dir)
     val emb = embs(spark, dir).join(kept.select(col("doc_id").as("id")), Seq("id"))
     val centroids = AnnSearch.strideCentroids(emb, 25)
-    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = 17)
+    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = closureNprobe(centroids))
     val comp = MinHashLsh.components(pairs.select("a", "b"))
     val drop = comp
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
@@ -1058,7 +1089,7 @@ object QueriesText {
     val kept = curationKept(spark, dir)
     val emb = embs(spark, dir).join(kept.select(col("doc_id").as("id")), Seq("id"))
     val centroids = AnnSearch.strideCentroids(emb, 25)
-    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = 17)
+    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = closureNprobe(centroids))
     val comp = MinHashLsh.components(pairs.select("a", "b"))
     val drop = comp
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))

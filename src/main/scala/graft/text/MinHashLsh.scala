@@ -160,8 +160,15 @@ object MinHashLsh {
     * iterations suffice; each iteration is one hash join + aggregate.
     * At petabyte scale, [[componentsStar]] is the drop-in swap — same
     * (id, component) interface, edge-set (not label-table) iteration.
-    * Returns (id, component). */
-  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * Returns (id, component).
+    *
+    * maxIter bounds the DIAMETER the doubling can cover (~2^maxIter
+    * hops), not the usual work: the loop exits on the first no-change
+    * round, so converged graphs never pay for the headroom. 20 covers
+    * ~10^6-hop chains — r9 found 10 genuinely too small once the
+    * embedding-dedup recall fix recovered the full sf0.1 pair set and
+    * its largest component's label chain passed 2^10 reach. */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .cache()
