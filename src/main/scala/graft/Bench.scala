@@ -378,6 +378,11 @@ object Bench {
       // its vocabulary work is near-constant across the synth copy step
       // — the cell tracks the corpus encode sweep, expected ~linear
       "bpe_encode_1k",
+      // r9: PQ-ADC retrieval with exact re-rank — the big scoring pass
+      // reads only the byte-code table, so the cell should track the
+      // (codes × queries) ADC sweep; the float corpus is touched once
+      // for encode and once map-side for the shortlist re-rank
+      "ann_topk_pq",
       "corpus_pipeline_v4",
       // v5 = v4 with packing budgeted in BPE subwords of the
       // span-reduced text — since r8 the heaviest chain in the engine;

@@ -318,6 +318,35 @@ object QueriesText {
       .select("q_id", "rank", "n_id", "sim")
   }
 
+  /** Product-quantized top-10 with exact re-rank (Jégou 2011 ADC) —
+    * the retrieval shape when even int8 floats are too big: the big
+    * per-query scoring pass reads ONLY the PQ codes table (m=32 byte
+    * codes + a norm per vector — 8× smaller than float32, 64× smaller
+    * than the double compute form), shortlists by approximate ADC
+    * cosine, then re-ranks the shortlist with exact dots by an
+    * id-equi-join against the float corpus. Because the shortlist
+    * covers the true top-10 (RecallGuardSpec pins it WITH MARGIN at
+    * both fixture scales), the output is exactly the brute-force
+    * answer — same oracle as `ann_topk_bf`.
+    *
+    * shortlist = ceil(0.16·n): 2× the measured worst-case ADC rank
+    * fraction at the sf0.01 gate (graft.dev.PqProbe: worst true-top-10
+    * neighbor at ADC rank 40/500 = 0.08; sf0.1 is easier at 45/2000 =
+    * 0.0225). A corpus FRACTION, not a fixed count, because these
+    * near-isotropic synthetic embeddings are PQ's worst case — stride
+    * codebooks barely beat random assignment, so ADC ranks spread
+    * wide. On real clustered corpora a fixed few-hundred shortlist is
+    * the production setting and the fraction here is the calibrated
+    * upper bound. */
+  private def annTopKPq(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(spark, dir)
+    val queries = corpus.filter(pmod(col("id"), lit(50)) === 0)
+    val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
+    val encoded = AnnSearch.pqEncode(corpus, book)
+    val shortlist = math.ceil(0.16 * corpus.count()).toInt
+    AnnSearch.pqTopK(queries, encoded, corpus, book, k = 10, shortlist = shortlist)
+  }
+
   /** Benchmark DECONTAMINATION — the standard curation step that drops
     * training documents overlapping an evaluation set (n-gram
     * containment, as in the GPT-3/Pile dedup appendices). The probe
@@ -1338,6 +1367,7 @@ object QueriesText {
     "emb_quantize" -> (embQuantize _),
     "ann_topk_q8" -> (annTopKQ8 _),
     "ann_topk_ivf_q8" -> (annTopKIvfQ8 _),
+    "ann_topk_pq" -> (annTopKPq _),
     "decontaminate" -> (decontaminate _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
@@ -2219,6 +2249,21 @@ object QueriesText {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v) /
         |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4""".stripMargin,
+    // PQ retrieval re-ranks its ADC shortlist with exact dots, and the
+    // shortlist provably covers the true top-10 on the fixtures
+    // (RecallGuardSpec) — so the contract IS the brute-force answer
+    "ann_topk_pq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    round(list_inner_product(q.v, e.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(e.v, e.v))), 6) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
     "ann_topk_q8" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS sc FROM e),

@@ -212,6 +212,80 @@ object AnnSearch {
     joined.distinct().filter(col("sim") >= tau)
   }
 
+  /** Deterministic PQ codebooks ([[graft.functions.PqBook]]): subspace
+    * `j`'s codewords are the j-th `dim/m`-slices of every `stride`-th
+    * corpus vector, in corpus-id order — the same reproducible seeding
+    * discipline as [[strideCentroids]] (at scale these are k-means
+    * refinement targets per subspace; the ADC plumbing is identical).
+    * Driver footprint: m × ksub × dsub doubles — dim-table-sized. */
+  def pqBook(corpus: DataFrame, m: Int, stride: Int, maxK: Int = 256): graft.functions.PqBook = {
+    // ksub caps at 256 so codes always fit one byte per subspace — the
+    // production storage contract — and codeword scans stay O(256)
+    // however big the corpus (the stride sample is id-sorted first, so
+    // the cap keeps a deterministic prefix).
+    val rows = corpus
+      .filter(pmod(col("id"), lit(stride)) === 0)
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .take(maxK)
+    val dim = rows.head.getSeq[Double](1).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val books = Array.tabulate(m) { j =>
+      rows.map(_.getSeq[Double](1).slice(j * dsub, (j + 1) * dsub).toArray)
+    }
+    graft.functions.PqBook(m, dsub, books)
+  }
+
+  /** Encode the corpus to PQ codes + exact norm, entirely MAP-SIDE
+    * (one scan-fused codegen projection, zero shuffle — the
+    * [[ivfAssign]] discipline). The stored `n_norm` lets ADC rank by
+    * approximate COSINE (adc_dot / (q_norm · n_norm)) instead of raw
+    * dot, matching the engine's cosine retrieval contract. At 100 TB
+    * this materialized table is the only thing the per-query scoring
+    * pass reads: m ints + one double per vector vs d floats. */
+  def pqEncode(corpus: DataFrame, book: graft.functions.PqBook): DataFrame =
+    corpus.select(
+      col("id").as("n_id"),
+      graft.functions.PqOps.codes(col("vec"), book).as("codes"),
+      norm(col("vec")).as("n_norm"))
+
+  /** PQ-ADC top-k with EXACT re-rank: ADC-cosine-rank the encoded
+    * corpus per query (codes only — the float corpus is NOT read),
+    * keep the top `shortlist` candidates, then join the floats back BY
+    * ID for exact scoring of that tiny set. When the shortlist covers
+    * the true top-k (machine-checked on the fixtures by
+    * RecallGuardSpec, with margin), the output is EXACTLY the
+    * brute-force answer — same oracle.
+    *
+    * Plan shape: queries broadcast; the encoded corpus streams through
+    * one codegen ADC projection; ONE exchange ranks (q_id) candidates;
+    * the shortlist is carried as BARE ID PAIRS (broadcast-sized even
+    * with thousands of queries), so the float corpus streams map-side
+    * exactly once for the re-rank. No all-pairs float pass anywhere. */
+  def pqTopK(queries: DataFrame, encoded: DataFrame, corpus: DataFrame,
+             book: graft.functions.PqBook, k: Int, shortlist: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("id").as("q_id"), col("vec").as("q_vec"), norm(col("vec")).as("q_norm")))
+    val shortIds = encoded
+      .join(q, col("q_id") =!= col("n_id"))
+      .withColumn("adc",
+        graft.functions.PqOps.adc(col("q_vec"), col("codes"), book)
+          / (col("q_norm") * col("n_norm")))
+      // ADC ties (identical codes) break on n_id — deterministic
+      .withColumn("arank", row_number().over(Window.partitionBy("q_id").orderBy(desc("adc"), col("n_id"))))
+      .filter(col("arank") <= shortlist)
+      .select("q_id", "n_id")
+    broadcast(shortIds)
+      .join(corpus.select(col("id").as("n_id"), col("vec").as("n_vec")), Seq("n_id"))
+      .join(q, Seq("q_id"))
+      .withColumn("sim", round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * norm(col("n_vec"))), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
   /** SSL-prototypes data pruning (Sorscher et al., "Beyond neural
     * scaling laws", NeurIPS 2022): rank every vector within its
     * cluster by cosine to the cluster centroid — the MOST prototypical

@@ -228,6 +228,30 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("ShuffledHashJoin"), s"no equi-join on cell in q8-IVF plan:\n$plan")
   }
 
+  test("PQ encode is map-side scan-fused; re-rank joins floats by id equi-join only") {
+    val corpus = embsDf
+    val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
+    // encode: pure scan + codegen projection — any exchange here would
+    // be re-paid on every corpus materialization at 100 TB
+    val encPlan = physicalPlan(AnnSearch.pqEncode(corpus, book))
+    assert(!encPlan.contains("Exchange"), s"exchange in PQ encode plan:\n$encPlan")
+    assert(!encPlan.contains("Join"), s"join in PQ encode plan:\n$encPlan")
+    assert(encPlan.contains("*("), s"PQ encode fell out of codegen:\n$encPlan")
+
+    // full retrieval: the ADC stage's query join may be a broadcast
+    // theta-join (query side is broadcast-small, the corpus side is the
+    // CODES table — same shape as the bf baseline), but the float
+    // corpus must come back ONLY through the n_id equi-join, and
+    // nothing may go cartesian
+    val queries = corpus.filter(pmod(col("id"), lit(50)) === 0)
+    val encoded = AnnSearch.pqEncode(corpus, book)
+    val plan = physicalPlan(
+      AnnSearch.pqTopK(queries, encoded, corpus, book, k = 5, shortlist = 50))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in PQ retrieval plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"no equi-join for the PQ re-rank:\n$plan")
+  }
+
   test("filter and projection push down to the parquet scan") {
     val q = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .filter(col("l_quantity") > 30.0)

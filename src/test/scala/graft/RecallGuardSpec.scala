@@ -132,26 +132,88 @@ class RecallGuardSpec extends SparkSpec {
     } yield (ids(i), ids(j))).toSet
     assert(truePairs.nonEmpty, "fixture has no cosine>=0.4 pairs — the dedup_embedding row checks nothing")
 
-    // the dedup_embedding config: stride-25 centroids, tau=0.4,
-    // nprobe=17 (bumped from 15 by this very guard — at 15 the margin
-    // check below failed: pairs (334,382) and (53,430) needed probe
-    // rank 14/15, i.e. zero headroom)
+    // the dedup_embedding config: stride-25 centroids, tau=0.4, and
+    // the 0.9 probe FRACTION (r9 — the old fixed 17 was this fixture's
+    // 0.85; the guard history that bumped 15 → 17 found pairs
+    // (334,382)/(53,430) at probe rank 14/15). Derive nprobe exactly
+    // as the queries do so fixture regeneration re-derives both.
     val centroids = AnnSearch.strideCentroids(embs, 25)
-    def recovered(nprobe: Int): Set[(Long, Long)] =
-      AnnSearch.cosineNearPairs(embs, centroids, tau = 0.4, nprobe = nprobe)
+    val nprobe = math.ceil(0.9 * centroids.count()).toInt
+    def recovered(np: Int): Set[(Long, Long)] =
+      AnnSearch.cosineNearPairs(embs, centroids, tau = 0.4, nprobe = np)
         .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val atConfig = recovered(17)
+    val atConfig = recovered(nprobe)
     assert((truePairs -- atConfig).isEmpty,
-      s"IVF cell-blocking missed true pairs at the configured nprobe=17: ${truePairs -- atConfig}")
+      s"IVF cell-blocking missed true pairs at the configured nprobe=$nprobe: ${truePairs -- atConfig}")
 
     // margin: full recall must survive TWO fewer probes, so a fixture
     // drift that pushes a pair's partner cell to the last probe slot
     // (one re-generation away from a spurious conformance red) trips
     // this guard first.
-    val atMargin = recovered(15)
+    val atMargin = recovered(nprobe - 2)
     assert((truePairs -- atMargin).isEmpty,
-      s"recall margin exhausted: true pairs need probe ranks above nprobe-2=15: ${truePairs -- atMargin}. " +
+      s"recall margin exhausted: true pairs need probe ranks above nprobe-2=${nprobe - 2}: ${truePairs -- atMargin}. " +
         "Oracle parity for dedup_embedding / corpus_pipeline_v3 is one fixture drift from a " +
-        "spurious red — raise nprobe or regenerate the fixture with tighter clusters.")
+        "spurious red — raise the fraction or regenerate the fixture with tighter clusters.")
+  }
+
+  test("PQ guard: ADC shortlist covers the true top-10 with 2x margin, and codes are partitioning-stable") {
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = embs.count()
+
+    // codes are a pure map-side function of (vector, driver codebook):
+    // identical across partitionings, or the encoded table isn't a
+    // reusable materialization
+    val book = AnnSearch.pqBook(embs, m = 32, stride = 10)
+    def codesOf(parts: Int): Seq[(Long, Seq[Int])] =
+      AnnSearch.pqEncode(embs.repartition(parts), book)
+        .select("n_id", "codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).sortBy(_._1).toSeq
+    assert(codesOf(3) == codesOf(17), "PQ codes differ across input partitionings")
+
+    // ground truth: exact rounded-cosine top-10 per query (the
+    // ann_topk_pq oracle's ordering), independent of engine kernels
+    val vecs = embs.selectExpr("id", "cast(vec as array<double>) vec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val ids = vecs.keys.toArray.sorted
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = ids.filter(_ % 50 == 0)
+    val trueTop = queries.map { q =>
+      q -> ids.filter(_ != q)
+        .map(o => (o, math.rint(cos(vecs(q), vecs(o)) * 1e6) / 1e6))
+        .sortBy { case (o, s) => (-s, o) }.take(10).map(_._1).toSet
+    }.toMap
+
+    // the ann_topk_pq config: shortlist fraction 0.16. Full top-10
+    // coverage must hold at HALF that fraction — a fixture drift that
+    // pushes a true neighbor's ADC rank past 0.08·n trips this guard
+    // before the conformance row can turn red.
+    val encoded = AnnSearch.pqEncode(embs, book)
+    def shortIdsAt(frac: Double): Map[Long, Set[Long]] = {
+      import org.apache.spark.sql.expressions.Window
+      val q = broadcast(embs.filter(pmod(col("id"), lit(50)) === 0).select(
+        col("id").as("q_id"), col("vec").as("q_vec"), AnnSearch.norm(col("vec")).as("q_norm")))
+      val cut = math.ceil(frac * n).toInt
+      encoded.join(q, col("q_id") =!= col("n_id"))
+        .withColumn("adc", graft.functions.PqOps.adc(col("q_vec"), col("codes"), book)
+          / (col("q_norm") * col("n_norm")))
+        .withColumn("arank", row_number().over(Window.partitionBy("q_id").orderBy(desc("adc"), col("n_id"))))
+        .filter(col("arank") <= cut)
+        .select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    }
+    val atMargin = shortIdsAt(0.08)
+    for (q <- queries) {
+      val missing = trueTop(q) -- atMargin(q)
+      assert(missing.isEmpty,
+        s"PQ ADC shortlist margin exhausted for query $q: true top-10 neighbors $missing " +
+          "sit past the 0.08·n ADC rank (config is 0.16·n). Oracle parity for ann_topk_pq " +
+          "is one fixture drift from a spurious red — raise the fraction or re-probe with graft.dev.PqProbe.")
+    }
   }
 }
