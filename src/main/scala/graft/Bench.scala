@@ -357,6 +357,11 @@ object Bench {
       // that floor plus the stateful dedup, so it reads as a constant
       // until the state path itself is the cost.
       "stream_dedup_exact",
+      // r9: the streaming LSH near-dedup — same machinery floor as
+      // stream_dedup_exact plus the per-bucket pair emission and the
+      // batch-side verify join; expected to track dedup_minhash_lsh
+      // once the feed outgrows the streaming-query fixed cost
+      "stream_dedup_minhash",
       // r7 additions (the verdict's missing bench coverage). Under the
       // composition rule: dedup_spans output is one row per doc (the
       // gram exchange + two-phase covered union is the measured path);

@@ -268,6 +268,50 @@ object QueriesText {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Streaming NEAR-dedup parity: the banded-LSH pipeline with its
+    * stateful half on a stream. Signature + band hashing is computed
+    * batch-side (it is a stateless per-doc map — the same rule that
+    * feeds segmentation to `stream_dedup_paragraph`), the band-bucket
+    * rows stream through [[graft.streaming.EventStreams.lshCandidatesFirstSeen]]
+    * in doc_id order across two micro-batches (cross-batch bucket
+    * state exercised), and the emitted candidates are exact-Jaccard
+    * verified batch-side against the shingle-set table. Because banded
+    * recall on the fixture is complete WITH margin (RecallGuardSpec's
+    * LSH guard), the verified output is EXACTLY the batch
+    * `dedup_minhash_lsh` rows — and shares its all-pairs oracle. */
+  private def streamDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val sets = MinHashLsh.shingleSets(docs(spark, dir), "doc_id", "text")
+      .localCheckpoint(eager = false)
+    val sigs = MinHashLsh.signaturesFromSets(sets, "doc_id")
+    val feed = MinHashLsh.bandBuckets(sigs, "doc_id", bands = 8)
+      .select(col("doc_id").cast("long"), col("band").cast("int"), col("bucket").cast("long"))
+      .orderBy("doc_id", "band")
+      .as[(Long, Int, Long)].collect()
+    val mem = MemoryStream[(Long, Int, Long)]
+    val df = mem.toDF().toDF("doc_id", "band", "bucket")
+    val queryName = "stream_lsh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventStreams.lshCandidatesFirstSeen(spark, df)
+      .writeStream.format("memory").queryName(queryName).outputMode("append").start()
+    val cand = try {
+      val (h1, h2) = feed.splitAt(feed.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      spark.table(queryName).select(col("a"), col("b")).distinct()
+        .localCheckpoint(eager = true)
+    } finally q.stop()
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Brute-force top-10 over the INT8-QUANTIZED corpus — the memory-
     * compressed retrieval path. Cosine is scale-free (the symmetric
     * scales cancel), so scoring is pure small-integer arithmetic:
@@ -1353,6 +1397,7 @@ object QueriesText {
     "dedup_exact" -> (dedupExact _),
     "stream_dedup_exact" -> (streamDedupExact _),
     "stream_dedup_paragraph" -> (streamDedupParagraph _),
+    "stream_dedup_minhash" -> (streamDedupMinhash _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
@@ -2141,6 +2186,16 @@ object QueriesText {
         |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents)
         |GROUP BY t""".stripMargin,
     "dedup_minhash_lsh" ->
+      (shingleCte +
+        """
+          |SELECT a.doc_id AS a, b.doc_id AS b,
+          |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""".stripMargin),
+    // the streaming LSH pipeline's verified output contract IS the
+    // batch near-dup pair set (complete banded recall on the fixture —
+    // RecallGuardSpec) — same all-pairs oracle
+    "stream_dedup_minhash" ->
       (shingleCte +
         """
           |SELECT a.doc_id AS a, b.doc_id AS b,

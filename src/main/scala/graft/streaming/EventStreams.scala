@@ -114,6 +114,66 @@ object EventStreams {
       )
   }
 
+  final case class BandIn(doc_id: Long, band: Int, bucket: Long)
+  final case class CandOut(a: Long, b: Long)
+
+  /** Streaming MinHash-LSH CANDIDATE pairs, first-collision-wins: the
+    * stateful half of near-dedup on a stream. Input is the band-bucket
+    * stream `(doc_id, band, bucket)` — signature + banding is a
+    * stateless per-doc map ([[graft.text.MinHashLsh.signaturesFromSets]]
+    * + the codegen band hash), so it runs on the stream ahead of this
+    * hop, exactly as paragraph segmentation does for
+    * [[dedupParagraphFirstSeen]]. State per (band, bucket) key is the
+    * doc ids seen in that bucket; a new arrival emits one candidate
+    * pair per resident (earlier-id first) and joins the residency.
+    * Within a micro-batch, rows apply in doc_id order, so a feed
+    * ordered by doc_id reproduces the batch candidate set exactly,
+    * wherever the micro-batch boundary falls.
+    *
+    * `maxBucket` is the skew guard, mirroring the batch
+    * [[graft.text.MinHashLsh.candidatePairs]] cap with the PROSPECTIVE
+    * streaming semantics: once a bucket holds `maxBucket` residents it
+    * stops emitting and admitting (count-and-discard — the
+    * [[graft.text.ParagraphDedup]] hot-footer rule), whereas the batch
+    * form drops the whole pathological bucket retroactively. On
+    * healthy corpora the cap never binds and the two agree (the
+    * conformance fixture is spec-checked to stay far below it);
+    * pathological buckets degrade to bounded state either way, which
+    * is what matters at 100 TB: state is O(resident ids per bucket),
+    * sharded by (band, bucket), RocksDB-ready, capped.
+    *
+    * Exact-Jaccard verification of the emitted candidates is the
+    * downstream batch join against the shingle-set table — same
+    * decomposition as the batch path (candidates ≫ verify), so the
+    * VERIFIED output of the composed pipeline matches
+    * `dedup_minhash_lsh` whenever banded recall is complete
+    * (machine-checked by RecallGuardSpec). */
+  def lshCandidatesFirstSeen(spark: SparkSession, bandRows: DataFrame,
+                             maxBucket: Int = 1000): Dataset[CandOut] = {
+    import spark.implicits._
+    bandRows
+      .selectExpr("cast(doc_id as long) doc_id", "cast(band as int) band", "cast(bucket as long) bucket")
+      .as[BandIn]
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: (Int, Long), rows: Iterator[BandIn], state: GroupState[List[Long]]) => {
+          var residents = state.getOption.getOrElse(Nil)
+          val out = Vector.newBuilder[CandOut]
+          // doc_id order within the batch = deterministic arrival order
+          for (r <- rows.toSeq.sortBy(_.doc_id)) {
+            if (residents.length < maxBucket && !residents.contains(r.doc_id)) {
+              for (earlier <- residents)
+                out += (if (earlier < r.doc_id) CandOut(earlier, r.doc_id)
+                        else CandOut(r.doc_id, earlier))
+              residents = r.doc_id :: residents
+            }
+          }
+          state.update(residents)
+          out.result().iterator
+        }
+      )
+  }
+
   final case class WinEv(ts: java.sql.Timestamp, event_type: String, user_id: Long)
   final case class DistinctOut(window_start: Long, event_type: String, n_users: Long)
 

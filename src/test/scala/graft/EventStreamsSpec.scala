@@ -41,6 +41,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming LSH candidates: cross-batch bucket state, first-collision pairs, maxBucket cap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Int, Long)]
+    val df = mem.toDF().toDF("doc_id", "band", "bucket")
+    val q = EventStreams.lshCandidatesFirstSeen(spark, df, maxBucket = 3)
+      .writeStream.format("memory").queryName("lsh_cand").outputMode("append").start()
+    try {
+      // batch 1: docs 1,2 share (0,100) → pair (1,2); doc 5 alone in (1,200)
+      mem.addData((2L, 0, 100L), (1L, 0, 100L), (5L, 1, 200L))
+      q.processAllAvailable()
+      // batch 2: doc 3 joins bucket (0,100) ACROSS the batch boundary →
+      // pairs (1,3),(2,3); the 4th member hits the maxBucket=3 cap and
+      // must emit nothing; doc 7 joins (1,200) → (5,7)
+      mem.addData((3L, 0, 100L), (4L, 0, 100L), (7L, 1, 200L))
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 7L)),
+        s"unexpected candidate set: $pairs")
+    } finally q.stop()
+  }
+
+  test("streaming minhash dedup reproduces the batch verified near-dup pairs on the fixture") {
+    val batch = SparkEntry.queries("dedup_minhash_lsh")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = SparkEntry.queries("stream_dedup_minhash")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming distinct users: per-window sets dedup across micro-batches, emit on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -103,6 +103,24 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("streaming LSH candidates (List-valued bucket state) run on the RocksDB provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Int, Long)]
+    val df = mem.toDF().toDF("doc_id", "band", "bucket")
+    underRocksDb("lsh candidates")(
+      EventStreams.lshCandidatesFirstSeen(spark, df)
+        .writeStream.format("memory").queryName("rocks_lsh").outputMode("append").start()
+    ) { q =>
+      mem.addData((1L, 0, 100L), (2L, 0, 100L))
+      q.processAllAvailable()
+      mem.addData((3L, 0, 100L)) // joins the bucket across the batch boundary
+      q.processAllAvailable()
+      val pairs = spark.table("rocks_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+    }
+  }
+
   test("exact windowed COUNT(DISTINCT) (Set-valued state) runs on the RocksDB provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
