@@ -391,6 +391,62 @@ object QueriesText {
     AnnSearch.pqTopK(queries, encoded, corpus, book, k = 10, shortlist = shortlist)
   }
 
+  /** The composed IVFADC production shape: IVF probe restriction (the
+    * `ann_topk_ivf` 0.85 cell fraction) + PQ-ADC scoring on byte codes
+    * (the `ann_topk_pq` config) + exact re-rank. Exact on the fixture
+    * because both measured bounds compose — probed cells contain the
+    * true top-10, and a probed neighbor's ADC rank can only IMPROVE
+    * when unprobed competitors drop out, so the 0.16·n shortlist still
+    * covers. Same brute-force oracle as every retrieval row. */
+  private def annTopKIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(spark, dir)
+    val queries = corpus.filter(pmod(col("id"), lit(50)) === 0)
+    val centroids = AnnSearch.strideCentroids(corpus, 25)
+    val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
+    val nprobe = math.ceil(0.85 * centroids.count()).toInt
+    val shortlist = math.ceil(0.16 * corpus.count()).toInt
+    AnnSearch.ivfPqTopK(queries, corpus, centroids, book, k = 10, nprobe = nprobe, shortlist = shortlist)
+  }
+
+  /** JSONL round-trip as a driver query: export the documents table
+    * through the distributed JSON-Lines sink ([[graft.io.Sinks.writeJsonl]]
+    * — the format LLM corpora interchange in), read it back with the
+    * EXPLICIT schema (no inference pass), and prove losslessness
+    * in-engine by joining every read-back row against the original on
+    * doc_id and counting field mismatches (null-safe `<=>`, so a
+    * corrupted null would count too). The oracle pins the per-source
+    * aggregates from the parquet table directly and asserts the
+    * mismatch count is zero — text with newlines/quotes/unicode must
+    * survive the JSON escape round trip exactly. */
+  private def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    // corpus-sized export: sweep on JVM exit so conformance runs don't
+    // accumulate copies under /tmp (the reliable-checkpoint lesson)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      try Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () }; () })
+      catch { case _: Throwable => () }
+    }))
+    val out = tmp.resolve("docs").toString
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    graft.io.Sinks.writeJsonl(d, out)
+    val back = graft.io.Sinks.readJsonl(spark, out, d.schema)
+    val orig = d.select(col("doc_id"), col("text").as("o_text"), col("lang").as("o_lang"),
+      col("source").as("o_source"), col("n_chars").as("o_n_chars"))
+    back.join(orig, Seq("doc_id"))
+      .withColumn("mismatch",
+        when(not(col("text") <=> col("o_text")) || not(col("lang") <=> col("o_lang")) ||
+          not(col("source") <=> col("o_source")) || not(col("n_chars") <=> col("o_n_chars")), 1L)
+          .otherwise(0L))
+      .groupBy(col("o_source").as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("doc_id").as("sum_doc_id"),
+        sum("o_n_chars").as("sum_n_chars"),
+        sum("mismatch").as("n_mismatch"))
+  }
+
   /** Benchmark DECONTAMINATION — the standard curation step that drops
     * training documents overlapping an evaluation set (n-gram
     * containment, as in the GPT-3/Pile dedup appendices). The probe
@@ -1413,6 +1469,8 @@ object QueriesText {
     "ann_topk_q8" -> (annTopKQ8 _),
     "ann_topk_ivf_q8" -> (annTopKIvfQ8 _),
     "ann_topk_pq" -> (annTopKPq _),
+    "ann_topk_ivfpq" -> (annTopKIvfPq _),
+    "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "decontaminate" -> (decontaminate _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
@@ -2308,6 +2366,29 @@ object QueriesText {
     // shortlist provably covers the true top-10 on the fixtures
     // (RecallGuardSpec) — so the contract IS the brute-force answer
     "ann_topk_pq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    round(list_inner_product(q.v, e.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(e.v, e.v))), 6) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
+    // the engine-side join against the original proves field-level
+    // losslessness (n_mismatch literally counts differences); the
+    // oracle pins the per-source totals and the zero
+    "jsonl_roundtrip" ->
+      """SELECT source, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_doc_id,
+        |  sum(n_chars)::BIGINT AS sum_n_chars, 0::BIGINT AS n_mismatch
+        |FROM documents GROUP BY source""".stripMargin,
+    // composed IVFADC: probed cells cover the true top-10 and the ADC
+    // shortlist covers within probed candidates (both margins
+    // machine-checked) — the exact re-rank makes the contract the
+    // brute-force answer
+    "ann_topk_ivfpq" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
         |scored AS (

@@ -74,4 +74,25 @@ object Sinks {
     val all = spark.read.parquet(cachePath)
     runName.fold(all)(n => all.filter(col("run_name") === n))
   }
+
+  /** JSON-Lines sink (engine extension): the interchange format LLM
+    * data pipelines actually exchange corpora in (one JSON object per
+    * line — Dolma, RedPajama, FineWeb all ship this way). Spark's json
+    * writer IS jsonl (one object per line, one file per partition), so
+    * this is a thin, distributed, fully parallel write — no driver
+    * collect; `coalesce` only if a bounded file count is required.
+    * Text round-trips losslessly: JSON string escaping covers
+    * newlines, quotes, and non-BMP unicode. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** JSON-Lines source. `schema` is REQUIRED by design: schema
+    * inference is a second full pass over the data — at 100 TB that
+    * doubles the read before any work happens, and a sampled inference
+    * can silently widen or mistype columns between runs. Malformed
+    * lines surface in the `_corrupt_record` column (PERMISSIVE mode)
+    * rather than failing the scan, so curation can count-and-quarantine
+    * them — append it to the schema to capture, omit it to ignore. */
+  def readJsonl(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

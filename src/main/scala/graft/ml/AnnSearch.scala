@@ -286,6 +286,53 @@ object AnnSearch {
       .select("q_id", "rank", "n_id", "sim")
   }
 
+  /** IVF + PQ retrieval (the full Jégou-2011 IVFADC production shape):
+    * the corpus is cell-partitioned map-side ([[ivfAssign]]) AND
+    * PQ-encoded map-side in the same scan projection; per query, only
+    * the `nprobe` nearest cells' CODES are ADC-scored, the shortlist
+    * re-ranks exactly. This composes both scale levers: IVF cuts the
+    * candidate count ~nlist/nprobe, PQ cuts candidate bytes ~32× — at
+    * 100 TB the scoring pass reads a few probed cells of byte codes.
+    *
+    * Exactness on the fixtures composes from the two measured bounds:
+    * the probed cells contain every true top-k neighbor (the IVF probe
+    * fraction), and a covered neighbor's ADC rank within the PROBED
+    * candidate set is at most its global ADC rank (dropping unprobed
+    * competitors can only improve it), so the [[pqTopK]] shortlist
+    * fraction still covers — both margins machine-checked by
+    * RecallGuardSpec. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                book: graft.functions.PqBook, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val cents = collectCentroids(centroids)
+    // one corpus scan: cell + codes + norm, all map-side expressions
+    val encodedCells = corpus.select(
+      graft.functions.NearestCells.topCells(col("vec"), cents, 1).getItem(0).as("cell"),
+      col("id").as("n_id"),
+      graft.functions.PqOps.codes(col("vec"), book).as("codes"),
+      norm(col("vec")).as("n_norm"))
+    val probes = queries
+      .select(col("id").as("q_id"), col("vec").as("q_vec"), norm(col("vec")).as("q_norm"))
+      .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("q_vec"), cents, nprobe)))
+    val shortIds = probes
+      .join(encodedCells, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc",
+        graft.functions.PqOps.adc(col("q_vec"), col("codes"), book)
+          / (col("q_norm") * col("n_norm")))
+      .withColumn("arank", row_number().over(Window.partitionBy("q_id").orderBy(desc("adc"), col("n_id"))))
+      .filter(col("arank") <= shortlist)
+      .select("q_id", "n_id")
+    val q = broadcast(queries.select(
+      col("id").as("q_id"), col("vec").as("q_vec"), norm(col("vec")).as("q_norm")))
+    broadcast(shortIds)
+      .join(corpus.select(col("id").as("n_id"), col("vec").as("n_vec")), Seq("n_id"))
+      .join(q, Seq("q_id"))
+      .withColumn("sim", round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * norm(col("n_vec"))), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+
   /** SSL-prototypes data pruning (Sorscher et al., "Beyond neural
     * scaling laws", NeurIPS 2022): rank every vector within its
     * cluster by cosine to the cluster centroid — the MOST prototypical
