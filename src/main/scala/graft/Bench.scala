@@ -179,8 +179,10 @@ object Bench {
     def cells2(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     def extJson(pick: ((Seq[(String, Double)], Seq[(String, Double)])) => Seq[(String, Double)],
-                fmt: Seq[(String, Double)] => String): String =
-      extRuns.map { case (label, runs) => "\"" + label + "\":" + fmt(pick(runs)) }
+                fmt: Seq[(String, Double)] => String,
+                only: String => Boolean = _ => true): String =
+      extRuns.filter { case (label, _) => only(label) }
+        .map { case (label, runs) => "\"" + label + "\":" + fmt(pick(runs)) }
         .mkString("{", ",", "}")
     val ext2 = extJson(_._2, cells2)
     val ext = extJson(_._2, cells)
@@ -200,15 +202,18 @@ object Bench {
       val sfLabel = if (slim) Paths.get(sfDir).getFileName.toString else sfDir
       s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$debt"tiled_first":${f"$tiledFirst%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"},"cal_drift":${f"$calDrift%.2f"}$extPart,"sf":"$sfLabel""""
     }
-    // stdout line: must fit the driver's ~2 kB stdout tail window
-    // (with the trailing sbt status line) or the round's bench goes
-    // unparsed — r6/r7 both lost their lines to exactly this. Guarded
-    // by construction: if the extended block ever pushes past 1780
-    // chars (leaving ~150 chars of headroom for the trailing sbt
-    // status line inside the ~2000-char tail — r8 ADVICE), it is
-    // dropped from stdout (bench_out.json always has it).
+    // stdout line: must fit the driver's 2000-char stdout tail window
+    // (with the trailing ~75-char sbt status line) or the round's bench
+    // goes unparsed — r6/r7 both lost their lines to exactly this.
+    // Guarded by construction: if the extended block ever pushes past
+    // 1860 chars it is dropped from stdout (bench_out.json always has
+    // it). The budget: since r9 stderr (log4j console + stack traces)
+    // routes to bench_spark.log BEFORE Spark starts, the tail holds
+    // ONLY this line plus sbt's status line — 1860 + 76 = 1936 < 2000
+    // with real slack; the tighter 1780 of the r8 ADVICE predates that
+    // routing.
     val withExt = "{" + core(s""","extended":$ext2""", slim = true) + "}"
-    val stdoutJson = if (withExt.length <= 1780) withExt else "{" + core("", slim = true) + "}"
+    val stdoutJson = if (withExt.length <= 1860) withExt else "{" + core("", slim = true) + "}"
     // full detail (per-query first passes) → bench_out.json
     val fullJson = "{" + core(s""","extended":$ext""", slim = false) +
       s""","first_pass":$first,"extended_first_pass":$extFirst}"""
@@ -356,12 +361,14 @@ object Bench {
       // dominates until the feed is ≫ ~100k rows. The cell measures
       // that floor plus the stateful dedup, so it reads as a constant
       // until the state path itself is the cost.
+      // stream_dedup_minhash is deliberately NOT a bench cell: like
+      // stream_dedup_exact it is streaming-machinery-floor-dominated at
+      // fixture scale (query start/stop + processAllAvailable barriers),
+      // so a second flat ~2 s cell would add stdout-line pressure
+      // without a second scaling story; the exact-dedup cell already
+      // measures that floor and the LSH candidate join is benched via
+      // dedup_minhash_lsh.
       "stream_dedup_exact",
-      // r9: the streaming LSH near-dedup — same machinery floor as
-      // stream_dedup_exact plus the per-bucket pair emission and the
-      // batch-side verify join; expected to track dedup_minhash_lsh
-      // once the feed outgrows the streaming-query fixed cost
-      "stream_dedup_minhash",
       // r7 additions (the verdict's missing bench coverage). Under the
       // composition rule: dedup_spans output is one row per doc (the
       // gram exchange + two-phase covered union is the measured path);
