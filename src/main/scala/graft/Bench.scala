@@ -390,11 +390,13 @@ object Bench {
       // its vocabulary work is near-constant across the synth copy step
       // — the cell tracks the corpus encode sweep, expected ~linear
       "bpe_encode_1k",
-      // r9: PQ-ADC retrieval with exact re-rank — the big scoring pass
-      // reads only the byte-code table, so the cell should track the
-      // (codes × queries) ADC sweep; the float corpus is touched once
-      // for encode and once map-side for the shortlist re-rank
-      "ann_topk_pq",
+      // r9: the composed IVFADC production retrieval. The PURE PQ cell
+      // (ann_topk_pq) is deliberately absent for the same reason
+      // ann_topk_q8 is: an un-probed ADC sweep is queries × corpus BY
+      // DEFINITION (the quadratic growth is the contract, not a
+      // pathology) — the bench measures the probe-restricted shape a
+      // pipeline runs; both stay in the correctness gate
+      "ann_topk_ivfpq",
       "corpus_pipeline_v4",
       // v5 = v4 with packing budgeted in BPE subwords of the
       // span-reduced text — since r8 the heaviest chain in the engine;

@@ -268,11 +268,20 @@ object AnnSearch {
              book: graft.functions.PqBook, k: Int, shortlist: Int): DataFrame = {
     val q = broadcast(queries.select(
       col("id").as("q_id"), col("vec").as("q_vec"), norm(col("vec")).as("q_norm")))
-    val shortIds = encoded
+    // MATERIALIZE the code table before the per-query join — not an
+    // optimization nicety but the operator's core contract (encode
+    // once, scan codes per query batch). Without the barrier,
+    // whole-stage codegen DEFERS non-join-key columns into the join's
+    // match loop, so graft_pq_codes (m·ksub·dsub mult-adds, ~36 µs at
+    // m=32/ksub=256) re-evaluates PER CANDIDATE ROW instead of per
+    // corpus row — measured 31 s vs ~2 s on the 8M-candidate synth
+    // step. Join KEYS are evaluated eagerly (that is why ivfAssign's
+    // cell column never hits this); payload columns are not.
+    val shortIds = encoded.localCheckpoint(false)
       .join(q, col("q_id") =!= col("n_id"))
-      .withColumn("adc",
-        graft.functions.PqOps.adc(col("q_vec"), col("codes"), book)
-          / (col("q_norm") * col("n_norm")))
+      .select(col("q_id"), col("n_id"),
+        (graft.functions.PqOps.adc(col("q_vec"), col("codes"), book)
+          / (col("q_norm") * col("n_norm"))).as("adc"))
       // ADC ties (identical codes) break on n_id — deterministic
       .withColumn("arank", row_number().over(Window.partitionBy("q_id").orderBy(desc("adc"), col("n_id"))))
       .filter(col("arank") <= shortlist)
@@ -280,7 +289,10 @@ object AnnSearch {
     broadcast(shortIds)
       .join(corpus.select(col("id").as("n_id"), col("vec").as("n_vec")), Seq("n_id"))
       .join(q, Seq("q_id"))
-      .withColumn("sim", round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * norm(col("n_vec"))), 6))
+      // exact sims projected ahead of the top-k window (same shuffle
+      // rule as the ADC stage: never sort vectors, only scalars)
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * norm(col("n_vec"))), 6).as("sim"))
       .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "sim")
@@ -304,21 +316,27 @@ object AnnSearch {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                 book: graft.functions.PqBook, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     val cents = collectCentroids(centroids)
-    // one corpus scan: cell + codes + norm, all map-side expressions
+    // one corpus scan: cell + codes + norm, all map-side expressions —
+    // MATERIALIZED before the probe join (see pqTopK: codegen defers
+    // non-key columns into the join loop, re-running graft_pq_codes per
+    // candidate row without the barrier; `cell` is safe only because
+    // join keys evaluate eagerly)
     val encodedCells = corpus.select(
       graft.functions.NearestCells.topCells(col("vec"), cents, 1).getItem(0).as("cell"),
       col("id").as("n_id"),
       graft.functions.PqOps.codes(col("vec"), book).as("codes"),
       norm(col("vec")).as("n_norm"))
+      .localCheckpoint(false)
     val probes = queries
       .select(col("id").as("q_id"), col("vec").as("q_vec"), norm(col("vec")).as("q_norm"))
       .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("q_vec"), cents, nprobe)))
+    // (q_id, n_id, adc) projection ahead of the window — see pqTopK
     val shortIds = probes
       .join(encodedCells, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc",
-        graft.functions.PqOps.adc(col("q_vec"), col("codes"), book)
-          / (col("q_norm") * col("n_norm")))
+      .select(col("q_id"), col("n_id"),
+        (graft.functions.PqOps.adc(col("q_vec"), col("codes"), book)
+          / (col("q_norm") * col("n_norm"))).as("adc"))
       .withColumn("arank", row_number().over(Window.partitionBy("q_id").orderBy(desc("adc"), col("n_id"))))
       .filter(col("arank") <= shortlist)
       .select("q_id", "n_id")
@@ -327,7 +345,10 @@ object AnnSearch {
     broadcast(shortIds)
       .join(corpus.select(col("id").as("n_id"), col("vec").as("n_vec")), Seq("n_id"))
       .join(q, Seq("q_id"))
-      .withColumn("sim", round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * norm(col("n_vec"))), 6))
+      // exact sims projected ahead of the top-k window (same shuffle
+      // rule as the ADC stage: never sort vectors, only scalars)
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * norm(col("n_vec"))), 6).as("sim"))
       .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "sim")
