@@ -391,6 +391,23 @@ object QueriesText {
     AnnSearch.pqTopK(queries, encoded, corpus, book, k = 10, shortlist = shortlist)
   }
 
+  /** [[annTopKPq]] with LLOYD-REFINED subspace codebooks
+    * ([[graft.ml.AnnSearch.pqBookRefined]] — per-(subspace, code, dim)
+    * decimal-exact means, bit-deterministic across partitionings, the
+    * PQ mirror of the IVF k-means refinement). Same shortlist fraction
+    * and the same brute-force oracle: refinement must PRESERVE exact
+    * covered retrieval while tightening the ADC rank spread
+    * (graft.dev.PqProbe: worst true-neighbor rank 40 → 31 at the gate,
+    * 45 → 31 at sf0.1 — margin grows from 2× to ~2.6×). */
+  private def annTopKPqKm(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(spark, dir)
+    val queries = corpus.filter(pmod(col("id"), lit(50)) === 0)
+    val book = AnnSearch.pqBookRefined(corpus, m = 32, stride = 10, iters = 2)
+    val encoded = AnnSearch.pqEncode(corpus, book)
+    val shortlist = math.ceil(0.16 * corpus.count()).toInt
+    AnnSearch.pqTopK(queries, encoded, corpus, book, k = 10, shortlist = shortlist)
+  }
+
   /** The composed IVFADC production shape: IVF probe restriction (the
     * `ann_topk_ivf` 0.85 cell fraction) + PQ-ADC scoring on byte codes
     * (the `ann_topk_pq` config) + exact re-rank. Exact on the fixture
@@ -1470,6 +1487,7 @@ object QueriesText {
     "ann_topk_ivf_q8" -> (annTopKIvfQ8 _),
     "ann_topk_pq" -> (annTopKPq _),
     "ann_topk_ivfpq" -> (annTopKIvfPq _),
+    "ann_topk_pq_km" -> (annTopKPqKm _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "decontaminate" -> (decontaminate _),
     "mm_features" -> (mmFeatures _),
@@ -2384,6 +2402,20 @@ object QueriesText {
       """SELECT source, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_doc_id,
         |  sum(n_chars)::BIGINT AS sum_n_chars, 0::BIGINT AS n_mismatch
         |FROM documents GROUP BY source""".stripMargin,
+    // refined-codebook PQ must return the IDENTICAL exact top-10 —
+    // refinement changes ADC ranks, not the re-ranked answer
+    "ann_topk_pq_km" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    round(list_inner_product(q.v, e.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(e.v, e.v))), 6) AS sim
+        |  FROM q JOIN e ON e.vec_id <> q.vec_id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
     // composed IVFADC: probed cells cover the true top-10 and the ADC
     // shortlist covers within probed candidates (both margins
     // machine-checked) — the exact re-rank makes the contract the

@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * for the `shortlist` fraction in `ann_topk_pq` (same method as
   * KmProbeRank for the IVF probe fraction).
   *
-  * Usage: runMain graft.dev.PqProbe /root/testdata/sf0.01 [m] [stride]
+  * Usage: runMain graft.dev.PqProbe /root/testdata/sf0.01 [m] [stride] [iters]
   */
 object PqProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val m = if (args.length > 1) args(1).toInt else 8
     val stride = if (args.length > 2) args(2).toInt else 25
+    val iters = if (args.length > 3) args(3).toInt else 0
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -39,7 +40,9 @@ object PqProbe {
       .filter(col("rank") <= 10)
       .select("q_id", "n_id")
 
-    val book = AnnSearch.pqBook(corpus, m, stride)
+    val book =
+      if (iters == 0) AnnSearch.pqBook(corpus, m, stride)
+      else AnnSearch.pqBookRefined(corpus, m, stride, iters)
     val encoded = AnnSearch.pqEncode(corpus, book)
     val adc = encoded
       .join(broadcast(queries.select(
@@ -56,7 +59,7 @@ object PqProbe {
       expr("percentile(arank, 0.5)").as("p50"),
       expr("percentile(arank, 0.9)").as("p90"),
       max("arank").as("max")).collect()(0)
-    println(s"PQPROBE dir=$dir n=$n m=$m stride=$stride ksub=${book.ksub} " +
+    println(s"PQPROBE dir=$dir n=$n m=$m stride=$stride iters=$iters ksub=${book.ksub} " +
       s"worstRank=$worst frac=${worst.toDouble / n} p50=${dist.get(0)} p90=${dist.get(1)}")
     spark.stop()
   }

@@ -238,6 +238,53 @@ object AnnSearch {
     graft.functions.PqBook(m, dsub, books)
   }
 
+  /** Per-subspace Lloyd refinement of [[pqBook]] with BIT-DETERMINISTIC
+    * decimal means — the PQ mirror of [[kmeansCentroidsExact]]. Each
+    * iteration: one corpus scan assigns every subvector through the
+    * [[graft.functions.PqCodes]] kernel itself (map-side, zero
+    * shuffle), then per-(subspace, code, dim) means accumulate as
+    * exact decimal(27,6) sums — order-independent, so the refined book
+    * is identical across partitionings and replayable. Codewords whose
+    * cell is empty keep their previous value (k-means convention).
+    * Only (m × ksub × dsub) partial-sum rows shuffle per iteration —
+    * dim-table-sized at any corpus scale. On clustered real data this
+    * is what turns the crude stride seeds into tight subspace
+    * codebooks (lower ADC rank spread → smaller shortlists); the
+    * near-isotropic fixture is the worst case and the measured gain
+    * there is what `graft.dev.PqProbe --iters` reports. */
+  def pqBookRefined(corpus: DataFrame, m: Int, stride: Int, iters: Int,
+                    maxK: Int = 256): graft.functions.PqBook = {
+    var book = pqBook(corpus, m, stride, maxK)
+    for (_ <- 0 until iters) {
+      val dsub = book.dsub
+      val assigned = corpus.select(
+        col("vec").cast("array<double>").as("v"),
+        graft.functions.PqOps.codes(col("vec"), book).as("codes"))
+      val means = assigned
+        .select(posexplode(col("v")).as(Seq("pos", "x")), col("codes"))
+        .select(
+          (col("pos") / dsub).cast("int").as("sub"),
+          pmod(col("pos"), lit(dsub)).cast("int").as("t"),
+          col("x"),
+          element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("code"))
+        .groupBy("sub", "code", "t")
+        .agg((sum(expr("cast(round(x, 6) AS decimal(27, 6))")).cast("double")
+          / count(lit(1))).as("mean"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      book = graft.functions.PqBook(book.m, dsub,
+        Array.tabulate(book.m) { j =>
+          Array.tabulate(book.ksub) { c =>
+            Array.tabulate(dsub) { t =>
+              means.getOrElse(((j, c, t)), book.books(j)(c)(t))
+            }
+          }
+        })
+    }
+    book
+  }
+
   /** Encode the corpus to PQ codes + exact norm, entirely MAP-SIDE
     * (one scan-fused codegen projection, zero shuffle — the
     * [[ivfAssign]] discipline). The stored `n_norm` lets ADC rank by

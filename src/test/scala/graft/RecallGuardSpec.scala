@@ -215,5 +215,38 @@ class RecallGuardSpec extends SparkSpec {
           "sit past the 0.08·n ADC rank (config is 0.16·n). Oracle parity for ann_topk_pq " +
           "is one fixture drift from a spurious red — raise the fraction or re-probe with graft.dev.PqProbe.")
     }
+
+    // the refined book (ann_topk_pq_km): decimal-exact subspace means
+    // must be bit-deterministic across partitionings (or the refined
+    // codes stop being a reusable materialization), and coverage must
+    // hold at the same margin fraction — refinement tightens ranks,
+    // it must never widen them past the guard
+    val refined = AnnSearch.pqBookRefined(embs, m = 32, stride = 10, iters = 2)
+    def refinedBookOf(parts: Int): Seq[Seq[Seq[Double]]] =
+      AnnSearch.pqBookRefined(embs.repartition(parts), m = 32, stride = 10, iters = 2)
+        .books.map(_.map(_.toSeq).toSeq).toSeq
+    assert(refinedBookOf(3) == refinedBookOf(17),
+      "refined PQ codebooks differ across input partitionings — decimal means not exact")
+    val encodedR = AnnSearch.pqEncode(embs, refined)
+    def shortIdsRefinedAt(frac: Double): Map[Long, Set[Long]] = {
+      import org.apache.spark.sql.expressions.Window
+      val q = broadcast(embs.filter(pmod(col("id"), lit(50)) === 0).select(
+        col("id").as("q_id"), col("vec").as("q_vec"), AnnSearch.norm(col("vec")).as("q_norm")))
+      val cut = math.ceil(frac * n).toInt
+      encodedR.join(q, col("q_id") =!= col("n_id"))
+        .withColumn("adc", graft.functions.PqOps.adc(col("q_vec"), col("codes"), refined)
+          / (col("q_norm") * col("n_norm")))
+        .withColumn("arank", row_number().over(Window.partitionBy("q_id").orderBy(desc("adc"), col("n_id"))))
+        .filter(col("arank") <= cut)
+        .select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    }
+    val refinedAtMargin = shortIdsRefinedAt(0.08)
+    for (q <- queries) {
+      val missing = trueTop(q) -- refinedAtMargin(q)
+      assert(missing.isEmpty,
+        s"refined-book ADC margin exhausted for query $q: $missing past 0.08·n — " +
+          "ann_topk_pq_km parity is at risk; re-probe with graft.dev.PqProbe --iters")
+    }
   }
 }
