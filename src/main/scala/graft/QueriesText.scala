@@ -1400,6 +1400,51 @@ object QueriesText {
       .select(col("doc_id"), col("words"), (col("decoded") === col("words")).as("roundtrip_ok"))
   }
 
+  /** Tokenizer PERSISTENCE gate: the learned merge table and vocabulary
+    * ship as JSONL artifacts ([[graft.io.Sinks.writeJsonl]] — the form
+    * a training job hands to every downstream consumer), reload with
+    * explicit schemas, and the corpus encodes FROM THE RELOADED tables.
+    * The row contract is identical to [[bpeEncodeIds]] and the oracle
+    * re-derives the whole chain from scratch in DuckDB — so any loss in
+    * the save/load leg (field order, escaping, id drift) breaks the
+    * hash, not just an in-engine self-comparison. Merge/vocab tables
+    * are dim-table-sized by construction (vocab = alphabet + one row
+    * per merge), so the reload collect is a broadcast-scale move. */
+  private def bpeSaveLoad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val d = docs(spark, dir)
+    val wc = graft.text.Bpe.wordCounts(d, "text")
+    val merges = graft.text.Bpe.learnMergesLocal(
+      wc.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 12)
+    val vocab = graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wc), merges)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_artifact")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      try Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () }; () })
+      catch { case _: Throwable => () }
+    }))
+    graft.io.Sinks.writeJsonl(merges.toDF(), tmp.resolve("merges").toString)
+    graft.io.Sinks.writeJsonl(vocab.toDF(), tmp.resolve("vocab").toString)
+
+    val mergesBack = graft.io.Sinks.readJsonl(spark, tmp.resolve("merges").toString,
+        StructType(Seq(StructField("step", LongType), StructField("lhs", StringType),
+          StructField("rhs", StringType), StructField("merged", StringType),
+          StructField("pair_count", LongType))))
+      .as[graft.text.Bpe.Merge].collect().sortBy(_.step).toSeq
+    val vocabBack = graft.io.Sinks.readJsonl(spark, tmp.resolve("vocab").toString,
+        StructType(Seq(StructField("token_id", LongType), StructField("symbol", StringType),
+          StructField("kind", StringType))))
+      .as[graft.text.Bpe.VocabEntry].collect().sortBy(_.token_id).toSeq
+
+    graft.text.Bpe.encodeIds(d, "doc_id",
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)), mergesBack, vocabBack)
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        expr("array_join(transform(ids, x -> cast(x AS string)), ' ')").as("ids"))
+  }
+
   /** The scale-path encode through the driver gate: 1,000 learned
     * merges force the typed sequential-emulation path (the expression
     * chain caps at 64). Rows-only — the oracle would be a 1,000-stage
@@ -1441,6 +1486,7 @@ object QueriesText {
     "bpe_vocab" -> (bpeVocab _),
     "bpe_encode_ids" -> (bpeEncodeIds _),
     "bpe_roundtrip" -> (bpeRoundtrip _),
+    "bpe_save_load" -> (bpeSaveLoad _),
     "corpus_pipeline_v6" -> (corpusPipelineV6 _),
     "corpus_pipeline_v2" -> (corpusPipelineV2 _),
     "corpus_pipeline_v3" -> (corpusPipelineV3 _),
@@ -1748,6 +1794,10 @@ object QueriesText {
         |  true AS roundtrip_ok
         |FROM documents""".stripMargin,
     "bpe_encode_ids" -> bpeEncodeIdsOracleSql(12),
+    // the reload-then-encode leg must match the SAME from-scratch
+    // DuckDB replay — persistence loss breaks the hash, not just an
+    // in-engine self-comparison
+    "bpe_save_load" -> bpeEncodeIdsOracleSql(12),
     "dedup_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w

@@ -52,4 +52,37 @@ class SinksSpec extends SparkSpec {
     val onlyB = Sinks.readRun(spark, cache, Some("runB")).count()
     assert(onlyB == 1)
   }
+
+  test("JSONL: text with newlines/quotes/unicode round-trips; malformed lines quarantine, not fail") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_spec")
+    val out = dir.resolve("docs").toString
+    val nasty = Seq(
+      (1L, "line one\nline two\ttabbed"),
+      (2L, "quotes \" and \\ backslash"),
+      (3L, "unicode é中😀 end"),
+      (4L, ""))
+    val df = spark.createDataFrame(nasty).toDF("doc_id", "text")
+    Sinks.writeJsonl(df, out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val back = Sinks.readJsonl(spark, out, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    for ((id, t) <- nasty) assert(back(id) == t, s"doc $id mangled: ${back(id)}")
+
+    // a malformed line lands in _corrupt_record when the schema asks
+    // for it (PERMISSIVE default) — the scan must NOT fail
+    val corrupt = dir.resolve("corrupt.jsonl")
+    java.nio.file.Files.writeString(corrupt,
+      """{"doc_id": 10, "text": "good"}
+        |{broken json here
+        |{"doc_id": 11, "text": "also good"}
+        |""".stripMargin)
+    val qSchema = StructType(schema.fields :+ StructField("_corrupt_record", StringType))
+    val read = Sinks.readJsonl(spark, corrupt.toString, qSchema).cache()
+    assert(read.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(read.filter(col("_corrupt_record").isNull).count() == 2)
+    read.unpersist()
+  }
 }
