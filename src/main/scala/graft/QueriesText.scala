@@ -103,7 +103,9 @@ object QueriesText {
     corpus
       .select(col("id").as("n_id"), col("vec").as("n_vec"))
       .join(q, col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(AnnSearch.cosine(col("q_vec"), col("n_vec")), 6))
+      // sims projected to scalars ahead of the window (SCALE.md rule)
+      .select(col("q_id"), col("n_id"),
+        round(AnnSearch.cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
       .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "sim")
@@ -136,7 +138,9 @@ object QueriesText {
     probes
       .join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(AnnSearch.cosine(col("q_vec"), col("n_vec")), 6))
+      // sims projected to scalars ahead of the window (SCALE.md rule)
+      .select(col("q_id"), col("n_id"),
+        round(AnnSearch.cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
       .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))).cast("long"))
       .filter(col("rank") <= 10)
       .select("q_id", "rank", "n_id", "sim")
@@ -320,9 +324,14 @@ object QueriesText {
     * quantization trades; the plan is identical to `ann_topk_bf`
     * (broadcast queries, corpus streams once, codegen dot). */
   private def annTopKQ8(spark: SparkSession, dir: String): DataFrame = {
+    // materialized before the scoring join — the PQ engine rule
+    // (SCALE.md): codegen defers non-key projection columns into the
+    // join loop, so an unmaterialized quantize would re-run per
+    // CANDIDATE row instead of per corpus row
     val q8 = embs(spark, dir)
       .select(col("id"), graft.functions.Int8Quantize.quantize(col("vec")).getField("q")
         .cast("array<double>").as("vec"))
+      .localCheckpoint(false)
     val queries = q8.filter(pmod(col("id"), lit(50)) === 0)
     bfTopKRounded(queries, q8, 10)
   }
@@ -343,9 +352,13 @@ object QueriesText {
     val q8 = corpus.select(col("id"), col("vec"),
       graft.functions.Int8Quantize.quantize(col("vec")).getField("q")
         .cast("array<double>").as("qvec"))
+    // materialized before the probe join — the PQ engine rule
+    // (SCALE.md): the quantized vector is non-key payload, and without
+    // the barrier codegen re-runs Int8Quantize per CANDIDATE row
     val assigned = q8.select(
       graft.functions.NearestCells.topCells(col("vec"), cents, 1).getItem(0).as("cell"),
       col("id").as("n_id"), col("qvec").as("n_vec"))
+      .localCheckpoint(false)
     // probe FRACTION, not fixed count (see annTopKIvf): ceil(0.9·20)
     // = 18 at sf0.01, so the driver-gate plan is unchanged
     val nprobe = math.ceil(0.9 * cents.ids.length).toInt
@@ -356,7 +369,10 @@ object QueriesText {
     probes
       .join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(AnnSearch.cosine(col("q_vec"), col("n_vec")), 6))
+      // sims projected to scalars ahead of the window (SCALE.md: no
+      // vector rides a top-k sort)
+      .select(col("q_id"), col("n_id"),
+        round(AnnSearch.cosine(col("q_vec"), col("n_vec")), 6).as("sim"))
       .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))).cast("long"))
       .filter(col("rank") <= 10)
       .select("q_id", "rank", "n_id", "sim")

@@ -52,7 +52,10 @@ object AnnSearch {
     val scored = corpus
       .select(col("id").as("n_id"), col("vec").as("n_vec"), norm(col("vec")).as("n_norm"))
       .join(q, col("q_id") =!= col("n_id"))
-      .withColumn("sim", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      // sims projected to scalars ahead of the window (SCALE.md rule:
+      // never carry vectors through a top-k sort)
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("sim"))
     scored
       .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))))
       .filter(col("rank") <= k)
@@ -171,7 +174,9 @@ object AnnSearch {
       .withColumn("q_norm", norm(col("q_vec")))
       .join(assigned.withColumn("n_norm", norm(col("n_vec"))), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      // sims projected to scalars ahead of the window (SCALE.md rule)
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("sim"))
       .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "sim")
