@@ -201,12 +201,20 @@ object AnnSearch {
     // Per-side norms: one dot per candidate pair; the (a,b,sim) distinct
     // still dedups because dot and the norm product are commutative
     // bit-exact, so both orientations of a pair produce the same sim.
+    // SHUFFLE_HASH on the assigned side: NEITHER side of this join is
+    // broadcast-safe at scale (probes = corpus × nprobe rows with
+    // vectors, assigned = the corpus), but Spark's size estimate for
+    // the generate output is the tiny pre-explode scan, so the planner
+    // happily broadcasts a multi-GB probe table (it OOM'd the driver
+    // on the 20k-vector synth step). The hint forces a shuffled hash
+    // join keyed by cell — each partition builds only its cells'
+    // assigned rows, the per-cell blocking the operator is named for.
     val joined = probes
       .withColumn("p_norm", norm(col("p_vec")))
       .join(
         assigned.select(
           col("cell"), col("n_id").as("h_id"), col("n_vec").as("h_vec"),
-          norm(col("n_vec")).as("h_norm")),
+          norm(col("n_vec")).as("h_norm")).hint("shuffle_hash"),
         Seq("cell"))
       .filter(col("p_id") =!= col("h_id"))
       .select(
@@ -214,7 +222,15 @@ object AnnSearch {
         greatest(col("p_id"), col("h_id")).as("b"),
         (dot(col("p_vec"), col("h_vec")) / (col("p_norm") * col("h_norm"))).as("sim")
       )
-    joined.distinct().filter(col("sim") >= tau)
+    // filter BEFORE distinct: bit-identical (both orientations of a
+    // pair produce the same sim, so τ passes or drops the pair
+    // consistently), and the dedup exchange then carries only
+    // near-pairs instead of every candidate pair. Catalyst cannot do
+    // this itself — the float grouping key is rewritten to
+    // knownfloatingpointnormalized(...), which stops
+    // PushPredicateThroughNonJoin from matching sim as a grouping
+    // column (probed in graft.dev.NearPairsPlanProbe).
+    joined.filter(col("sim") >= tau).distinct()
   }
 
   /** Deterministic PQ codebooks ([[graft.functions.PqBook]]): subspace
