@@ -193,43 +193,52 @@ object AnnSearch {
     // top-k against the collected centroid array (zero shuffle), same
     // kernel as the assignment pass
     val probes = corpus
-      .select(col("id").as("p_id"), col("vec").as("p_vec"))
+      .select(col("id").as("p_id"), col("vec").as("p_vec"),
+        norm(col("vec")).as("p_norm"))
       .withColumn("cell", explode(NearestCells.topCells(col("p_vec"), cents, nprobe)))
-      .select(col("p_id"), col("p_vec"), col("cell"))
+      .select(col("p_id"), col("p_vec"), col("p_norm"), col("cell"))
     // symmetric blocking: a pair qualifies when EITHER side's probe set
     // reaches the other's home cell — doubles coverage for free.
     // Per-side norms: one dot per candidate pair; the (a,b,sim) distinct
     // still dedups because dot and the norm product are commutative
     // bit-exact, so both orientations of a pair produce the same sim.
-    // SHUFFLE_HASH on the assigned side: NEITHER side of this join is
-    // broadcast-safe at scale (probes = corpus × nprobe rows with
-    // vectors, assigned = the corpus), but Spark's size estimate for
-    // the generate output is the tiny pre-explode scan, so the planner
-    // happily broadcasts a multi-GB probe table (it OOM'd the driver
-    // on the 20k-vector synth step). The hint forces a shuffled hash
-    // join keyed by cell — each partition builds only its cells'
-    // assigned rows, the per-cell blocking the operator is named for.
+    // Build-side choice, made with CORRECT sizes — the planner cannot:
+    // its estimate for the exploded probe side is the tiny pre-explode
+    // scan, so left alone it broadcast a corpus × nprobe probe table
+    // WITH VECTORS (multi-GB at the synth step — driver OOM under AQE
+    // stage materialization). Structurally the assigned side (one row
+    // per vector) is nprobe× smaller than the probe side, so it is the
+    // only candidate for broadcast: when its true size (corpus count ×
+    // vector bytes) fits the threshold, broadcasting it keeps the
+    // probe side entirely MAP-SIDE (zero shuffle — the fast path at
+    // fixture scales); past the threshold the join degrades to a
+    // shuffled hash join keyed by cell — each partition builds only
+    // its cells' assigned rows, the per-cell blocking the operator is
+    // named for, with the probe-table shuffle as its intrinsic cost.
+    // The size probe counts the MATERIALIZED assigned table (not the
+    // raw corpus — for the capstones `corpus` is itself a curation
+    // join, and counting it would re-execute that whole chain); the
+    // materialization is one corpus scan the join consumes anyway.
+    val dim = cents.vecs.headOption.map(_.length).getOrElse(0)
+    val assignedSel = assigned.select(
+        col("cell"), col("n_id").as("h_id"), col("n_vec").as("h_vec"),
+        norm(col("n_vec")).as("h_norm"))
+      .localCheckpoint(false)
+    val assignedBytes = assignedSel.count() * (8L * dim + 48L)
+    val bcMax = corpus.sparkSession.conf
+      .getOption("spark.graft.nearpairs.broadcastAssignedMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val buildSide =
+      if (assignedBytes <= bcMax) broadcast(assignedSel)
+      else assignedSel.hint("shuffle_hash")
     val joined = probes
-      .withColumn("p_norm", norm(col("p_vec")))
-      .join(
-        assigned.select(
-          col("cell"), col("n_id").as("h_id"), col("n_vec").as("h_vec"),
-          norm(col("n_vec")).as("h_norm")).hint("shuffle_hash"),
-        Seq("cell"))
+      .join(buildSide, Seq("cell"))
       .filter(col("p_id") =!= col("h_id"))
       .select(
         least(col("p_id"), col("h_id")).as("a"),
         greatest(col("p_id"), col("h_id")).as("b"),
         (dot(col("p_vec"), col("h_vec")) / (col("p_norm") * col("h_norm"))).as("sim")
       )
-    // filter BEFORE distinct: bit-identical (both orientations of a
-    // pair produce the same sim, so τ passes or drops the pair
-    // consistently), and the dedup exchange then carries only
-    // near-pairs instead of every candidate pair. Catalyst cannot do
-    // this itself — the float grouping key is rewritten to
-    // knownfloatingpointnormalized(...), which stops
-    // PushPredicateThroughNonJoin from matching sim as a grouping
-    // column (probed in graft.dev.NearPairsPlanProbe).
     joined.filter(col("sim") >= tau).distinct()
   }
 
