@@ -177,28 +177,19 @@ object QueriesText {
     ivfTop10Of(corpus, AnnSearch.kmeansCentroidsExact(corpus, 25, iters = 2), frac = 0.95)
   }
 
-  /** Probe count for the pair-closure (cosineNearPairs) stages:
-    * ceil(0.9 * nlist). The r6 retrieval lesson — exact recall tracks
-    * the probe FRACTION, never a fixed count — reached these sites in
-    * r9: the old fixed nprobe=17 was the 0.85 fraction at the sf0.01
-    * gate's 20 cells (full recall, margin to 15) and EXHAUSTIVE at the
-    * capstone subset's 7, but a 21-46% probe at sf0.1's 80/37 cells,
-    * where it missed true pairs (graft.dev.RecallProbe: 145 of 920
-    * full-corpus, 7 of 227 capstone-subset) and silently diverged the
-    * capstone doc sets from their all-pairs oracles. At 0.9 every
-    * fixture scale has measured FULL recall with >=1-cell margin
-    * (exact down to 0.85 full-corpus sf0.1 / 0.86 subset), and the
-    * sf0.01 gate outputs are bit-unchanged. On real clustered corpora
-    * the fraction is a far-smaller quality knob; the near-isotropic
-    * synthetic fixture is its worst case. */
-  private def closureNprobe(centroids: DataFrame): Int =
-    math.ceil(0.9 * centroids.count()).toInt
-
-  /** Embedding-cosine near-dup pairs (cell-blocked, no all-pairs). */
+  /** Embedding-cosine near-dup pairs — EXACT cell-pair-blocked closure
+    * (spherical triangle-inequality pruning, no probe knob — see
+    * [[graft.ml.AnnSearch.cosineNearPairs]]). The r9 probe-FRACTION
+    * heuristic (ceil(0.9·nlist), itself the fix for a fixed-nprobe
+    * recall bug) is gone: recall is now unconditional, and the pruning
+    * is a measured property of the data — vacuous on this deliberately
+    * near-isotropic fixture (true pairs AT τ=0.4, so nothing may be
+    * excluded), spec-pinned ≤ 0.2 kept cell pairs on the clustered
+    * fixture where real corpora live. */
   private def embNearPairs(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embs(spark, dir)
     val centroids = AnnSearch.strideCentroids(corpus, 25)
-    AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = closureNprobe(centroids))
+    AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
   }
 
@@ -853,14 +844,21 @@ object QueriesText {
     * recall at nprobe−2), which found the old nprobe=15 had zero
     * margin and drove the bump to 17 (r9: now the 0.9 probe
     * FRACTION via closureNprobe — 18 at the gate's 20 cells, scale-
-    * consistent at sf0.1's 80). If the embeddings fixture
-    * changes, that spec goes red with a recall diagnosis before the
-    * conformance row can produce a spurious engine-bug red. */
+    * consistent at sf0.1's 80). r10 RETIRES the assumption entirely:
+    * the closure is now EXACT (triangle-inequality cell-pair pruning,
+    * [[graft.ml.AnnSearch.cosineNearPairs]]), so oracle parity holds
+    * on ANY fixture unconditionally; RecallGuardSpec's embedding guard
+    * now asserts engine == all-pairs ground truth directly. */
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val corpus = embs(spark, dir)
     val centroids = AnnSearch.strideCentroids(corpus, 25)
-    val pairs = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = closureNprobe(centroids))
-    MinHashLsh.components(pairs.select("a", "b"))
+    val pairs = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4)
+    // star contraction, not pointer doubling: identical (min-id)
+    // components, but measured 6.3 s vs 13.6 s on the synth step's
+    // 181k-edge graph (graft.dev.CompProbe) — its long clique-chains
+    // are doubling's worst case, and at scale the contracting edge
+    // set beats a static-edge join per round anyway (SCALE.md)
+    MinHashLsh.componentsStar(pairs.select("a", "b"))
       .groupBy("component")
       .agg(min("id").as("keep_id"), count(lit(1)).as("cluster_size"))
       .select("keep_id", "cluster_size")
@@ -1177,8 +1175,8 @@ object QueriesText {
     * pretraining pipelines that compose text near-dedup with
     * SemDeDup-style embedding dedup: after the LSH stage, the
     * survivors' embeddings (vec_id = doc_id) form a cell-blocked
-    * cosine near-pair graph (τ = 0.4, nprobe 15/25 — same recall
-    * assumption as dedup_embedding, documented there) whose
+    * cosine near-pair graph (τ = 0.4 — EXACT closure, see
+    * dedup_embedding / [[graft.ml.AnnSearch.cosineNearPairs]]) whose
     * components keep only their min id; packing + shard stats then
     * run on the doubly-deduped corpus. The composed oracle re-derives
     * the whole chain, with the semantic stage as an all-pairs
@@ -1187,8 +1185,8 @@ object QueriesText {
     val kept = curationKept(spark, dir)
     val emb = embs(spark, dir).join(kept.select(col("doc_id").as("id")), Seq("id"))
     val centroids = AnnSearch.strideCentroids(emb, 25)
-    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = closureNprobe(centroids))
-    val comp = MinHashLsh.components(pairs.select("a", "b"))
+    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4)
+    val comp = MinHashLsh.componentsStar(pairs.select("a", "b"))
     val drop = comp
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
       .filter(col("id") =!= col("keep"))
@@ -1208,8 +1206,8 @@ object QueriesText {
     val kept = curationKept(spark, dir)
     val emb = embs(spark, dir).join(kept.select(col("doc_id").as("id")), Seq("id"))
     val centroids = AnnSearch.strideCentroids(emb, 25)
-    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = closureNprobe(centroids))
-    val comp = MinHashLsh.components(pairs.select("a", "b"))
+    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4)
+    val comp = MinHashLsh.componentsStar(pairs.select("a", "b"))
     val drop = comp
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
       .filter(col("id") =!= col("keep"))
@@ -1251,8 +1249,8 @@ object QueriesText {
     val kept = curationKept(spark, dir)
     val emb = embs(spark, dir).join(kept.select(col("doc_id").as("id")), Seq("id"))
     val centroids = AnnSearch.strideCentroids(emb, 25)
-    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = closureNprobe(centroids))
-    val comp = MinHashLsh.components(pairs.select("a", "b"))
+    val pairs = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4)
+    val comp = MinHashLsh.componentsStar(pairs.select("a", "b"))
     val drop = comp
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
       .filter(col("id") =!= col("keep"))

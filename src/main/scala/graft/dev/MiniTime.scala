@@ -2,36 +2,35 @@ package graft.dev
 
 import org.apache.spark.sql.SparkSession
 
-/** Times one catalog query once (bench-style: one count action, warm
-  * session) — for adjudicating single-cell changes without a full
-  * bench run. Usage: runMain graft.dev.MiniTime <query> <sfDir> [reps] */
+/** Dev utility: wall-time one SparkEntry query (count only, warm
+  * session, min of `reps`). `runMain graft.dev.MiniTime <name> [sfDir] [reps]` */
 object MiniTime {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val dir = args(1)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // mirror the bench's local-parallelism conf — without the
-      // advisory minimum a few-MB fixture is ONE split and a
-      // 360M-candidate scoring loop runs on one core (this probe's
-      // first readings were 7× off the bench's for exactly that)
-      .config("spark.sql.files.minPartitionNum", "32")
-      .config("spark.sql.files.openCostInBytes", "1048576")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.sql.files.openCostInBytes", "1048576")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     graft.GraftSession.attach(spark)
-    val fn = graft.SparkEntry.queries(name)
+    var best = Double.MaxValue
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
-      println(f"MINITIME $name rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"MINITIME $name rep$r: $sec%.3f s, rows=$n")
+      best = math.min(best, sec)
     }
+    println(f"MINITIME $name best: $best%.3f s")
     spark.stop()
   }
 }

@@ -4,11 +4,11 @@ import graft.ml.AnnSearch
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Does Catalyst push the tau filter below cosineNearPairs' distinct
-  * (PushPredicateThroughNonJoin on a grouping column)? If yes the
-  * candidate exchange already carries only near-pairs; if no, the
-  * distinct shuffles every candidate pair and the operator should
-  * filter first explicitly. */
+/** Prints the physical plan of the exact cell-pair-blocked
+  * cosineNearPairs closure (r10 form: chunk-pair broadcast join +
+  * compiled CellPairSims kernel, no distinct pass) — used to eyeball
+  * that the pair join stays a broadcast/shuffled HASH join on
+  * (cell, chunk) keys and nothing degenerates to a nested loop. */
 object NearPairsPlanProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -23,12 +23,11 @@ object NearPairsPlanProbe {
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centroids = AnnSearch.strideCentroids(corpus, 25)
-    val pairs = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = 18)
+    val pairs = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4)
     val plan = pairs.queryExecution.executedPlan.toString
-    val exIdx = plan.indexOf("Exchange hashpartitioning")
-    val filterAboveExchange = plan.indexOf("Filter") >= 0 && plan.indexOf("Filter") < exIdx
-    println("FILTER-FIRST: filter appears above first exchange = " + filterAboveExchange)
-    println(plan.take(6000))
+    println(plan.take(8000))
+    val t0 = System.nanoTime()
+    println(s"rows = ${pairs.count()} in ${(System.nanoTime() - t0) / 1e9} s")
     spark.stop()
   }
 }

@@ -4,15 +4,15 @@ import graft.ml.AnnSearch
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Diagnostic: recall of the cell-blocked cosine near-pair search vs
-  * exact all-pairs ground truth, as a function of nprobe, over the
-  * CAPSTONE's embedding subset (embeddings joined to the curation
-  * survivors) at a given sf dir — the measurement behind the r9
-  * fraction fix for the capstone semantic-closure stage (the fixed
-  * nprobe=17 was exhaustive at sf0.01's handful of cells but a ~28%
-  * probe at sf0.1's ~60, where it missed true pairs and made the
-  * capstone oracles diverge). Run:
-  * `sbt "runMain graft.dev.RecallProbe /root/testdata/sf0.1"` */
+/** Diagnostic: EXACTNESS of the cell-pair-blocked cosine near-pair
+  * closure vs brute-force all-pairs ground truth, plus the triangle-
+  * inequality pruning stats. Historical note: in r9 this probe (then
+  * an nprobe sweep) found the fixed-nprobe recall bug (145/920 true
+  * pairs silently dropped at sf0.1); r10 replaced the probe heuristic
+  * with the exact triangle-inequality blocking, so the probe now
+  * verifies the zero-miss contract directly and reports how much the
+  * bound pruned. Run:
+  * `sbt "runMain graft.dev.RecallProbe /root/testdata/sf0.1 [full]"` */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -57,15 +57,17 @@ object RecallProbe {
     } yield (ids(i), ids(j))).toSet
     println(s"== ${truePairs.size} true tau>=0.4 pairs")
 
-    for (np <- Seq(17, (0.5 * nlist).ceil.toInt, (0.7 * nlist).ceil.toInt,
-                   (0.85 * nlist).ceil.toInt, (0.9 * nlist).ceil.toInt,
-                   (0.95 * nlist).ceil.toInt, nlist).distinct.sorted) {
-      val got = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4, nprobe = np)
-        .select("a", "b").as[(Long, Long)].collect().toSet
-      val missed = truePairs -- got
-      println(f"nprobe=$np%3d (${np.toDouble / nlist}%.2f of nlist): missed ${missed.size}%3d" +
-        (if (missed.nonEmpty && missed.size <= 5) s"  $missed" else ""))
-    }
+    val (kept, total) = AnnSearch.closureCellPairStats(emb, centroids, tau = 0.4)
+    println(f"== cell pairs kept by the triangle bound: $kept of $total (${kept.toDouble / total}%.3f)")
+
+    val t0 = System.nanoTime()
+    val got = AnnSearch.cosineNearPairs(emb, centroids, tau = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val sec = (System.nanoTime() - t0) / 1e9
+    val missed = truePairs -- got
+    val spurious = got -- truePairs
+    println(f"== closure: ${got.size} pairs in $sec%.2f s; missed ${missed.size}, spurious ${spurious.size}" +
+      (if (missed.nonEmpty && missed.size <= 5) s"  $missed" else ""))
     spark.stop()
   }
 }

@@ -182,64 +182,162 @@ object AnnSearch {
       .select("q_id", "rank", "n_id", "sim")
   }
 
-  /** All pairs (a < b) with cosine ≥ τ via cell-blocked comparison:
-    * vectors are compared only within a cell and between a cell and its
-    * probe-adjacent cells — never all-pairs. For exactness at small τ
-    * use more probes. */
-  def cosineNearPairs(corpus: DataFrame, centroids: DataFrame, tau: Double, nprobe: Int = 4): DataFrame = {
-    val cents = collectCentroids(centroids)
-    val assigned = ivfAssign(corpus, centroids)
-    // probe cells per vector: its nprobe nearest centroids — map-side
-    // top-k against the collected centroid array (zero shuffle), same
-    // kernel as the assignment pass
-    val probes = corpus
-      .select(col("id").as("p_id"), col("vec").as("p_vec"),
-        norm(col("vec")).as("p_norm"))
-      .withColumn("cell", explode(NearestCells.topCells(col("p_vec"), cents, nprobe)))
-      .select(col("p_id"), col("p_vec"), col("p_norm"), col("cell"))
-    // symmetric blocking: a pair qualifies when EITHER side's probe set
-    // reaches the other's home cell — doubles coverage for free.
-    // Per-side norms: one dot per candidate pair; the (a,b,sim) distinct
-    // still dedups because dot and the norm product are commutative
-    // bit-exact, so both orientations of a pair produce the same sim.
-    // Build-side choice, made with CORRECT sizes — the planner cannot:
-    // its estimate for the exploded probe side is the tiny pre-explode
-    // scan, so left alone it broadcast a corpus × nprobe probe table
-    // WITH VECTORS (multi-GB at the synth step — driver OOM under AQE
-    // stage materialization). Structurally the assigned side (one row
-    // per vector) is nprobe× smaller than the probe side, so it is the
-    // only candidate for broadcast: when its true size (corpus count ×
-    // vector bytes) fits the threshold, broadcasting it keeps the
-    // probe side entirely MAP-SIDE (zero shuffle — the fast path at
-    // fixture scales); past the threshold the join degrades to a
-    // shuffled hash join keyed by cell — each partition builds only
-    // its cells' assigned rows, the per-cell blocking the operator is
-    // named for, with the probe-table shuffle as its intrinsic cost.
-    // The size probe counts the MATERIALIZED assigned table (not the
-    // raw corpus — for the capstones `corpus` is itself a curation
-    // join, and counting it would re-execute that whole chain); the
-    // materialization is one corpus scan the join consumes anyway.
-    val dim = cents.vecs.headOption.map(_.length).getOrElse(0)
-    val assignedSel = assigned.select(
-        col("cell"), col("n_id").as("h_id"), col("n_vec").as("h_vec"),
-        norm(col("n_vec")).as("h_norm"))
+  /** Robust long conf read: malformed values fall back to the default
+    * instead of throwing NumberFormatException at plan construction. */
+  private def confLong(spark: org.apache.spark.sql.SparkSession, key: String, default: Long): Long =
+    spark.conf.getOption(key)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(default)
+
+  /** Internal: per-cell geometry of an assigned corpus — member count
+    * and ANGULAR RADIUS r_c = max over members of angle(member,
+    * centroid) — plus the candidate cell-pair list the spherical
+    * triangle inequality cannot exclude for a τ-closure. One aggregate
+    * over the assigned table (nlist output rows) + an O(nlist²)
+    * driver loop over the already-collected centroid set. */
+  private def closureGeometry(
+      assigned: DataFrame, centroids: DataFrame, cents: CentroidSet, tau: Double)
+      : (Map[Long, (Long, Double)], IndexedSeq[(Long, Long)]) = {
+    val centDf = broadcast(centroids.select(
+      col("c_id").cast("long").as("cell"), col("c_vec").cast("array<double>").as("c_vec")))
+    val geom = assigned
+      .join(centDf, Seq("cell"))
+      .select(col("cell"),
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          dot(col("n_vec"), col("c_vec")) / (col("n_nrm") * norm(col("c_vec")))))).as("ang"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("cnt"), max("ang").as("r"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val idx = cents.ids.zipWithIndex.toMap
+    def centAngle(ci: Long, cj: Long): Double = {
+      val a = cents.vecs(idx(ci)); val b = cents.vecs(idx(cj))
+      var s = 0.0; var t = 0
+      val d = math.min(a.length, b.length)
+      while (t < d) { s += a(t) * b(t); t += 1 }
+      math.acos(math.max(-1.0, math.min(1.0, s / (cents.norms(idx(ci)) * cents.norms(idx(cj))))))
+    }
+    val thetaTau = math.acos(math.max(-1.0, math.min(1.0, tau)))
+    // slack absorbs acos/aggregation float error; it can only ADD
+    // candidate pairs, never drop one — exactness is one-sided safe
+    val slack = 1e-6
+    val cells = geom.keys.toArray.sorted
+    val cand = for {
+      i <- cells.indices
+      j <- i until cells.length
+      ci = cells(i); cj = cells(j)
+      if centAngle(ci, cj) <= geom(ci)._2 + geom(cj)._2 + thetaTau + slack
+    } yield (ci, cj)
+    (geom, cand.toIndexedSeq)
+  }
+
+  /** The assigned-table projection the closure consumes: home cell
+    * (map-side argmax), the vector widened to double, and its norm —
+    * materialized once (localCheckpoint) because the geometry
+    * aggregate and the chunk grouping both read it. */
+  private def closureAssigned(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(corpus, centroids)
+      .select(col("cell"), col("n_id"),
+        col("n_vec").cast("array<double>").as("n_vec"),
+        norm(col("n_vec")).as("n_nrm"))
       .localCheckpoint(false)
-    val assignedBytes = assignedSel.count() * (8L * dim + 48L)
-    val bcMax = corpus.sparkSession.conf
-      .getOption("spark.graft.nearpairs.broadcastAssignedMaxBytes")
-      .map(_.toLong).getOrElse(64L << 20)
-    val buildSide =
-      if (assignedBytes <= bcMax) broadcast(assignedSel)
-      else assignedSel.hint("shuffle_hash")
-    val joined = probes
-      .join(buildSide, Seq("cell"))
-      .filter(col("p_id") =!= col("h_id"))
-      .select(
-        least(col("p_id"), col("h_id")).as("a"),
-        greatest(col("p_id"), col("h_id")).as("b"),
-        (dot(col("p_vec"), col("h_vec")) / (col("p_norm") * col("h_norm"))).as("sim")
-      )
-    joined.filter(col("sim") >= tau).distinct()
+
+  /** Pruning evidence for the τ-closure: (candidate cell pairs kept by
+    * the triangle-inequality bound, total cell pairs over non-empty
+    * cells). The scale specs pin the kept fraction on the clustered
+    * fixture — the measured form of the "on clustered corpora the
+    * blocking prunes hard" claim. */
+  def closureCellPairStats(corpus: DataFrame, centroids: DataFrame, tau: Double): (Long, Long) = {
+    val cents = collectCentroids(centroids)
+    val assigned = closureAssigned(corpus, centroids)
+    val (geom, cand) = closureGeometry(assigned, centroids, cents, tau)
+    val m = geom.size.toLong
+    (cand.length.toLong, m * (m + 1) / 2)
+  }
+
+  /** ALL pairs (a < b) with cosine ≥ τ — EXACT, via cell-pair blocking
+    * pruned by the spherical triangle inequality. No probe knob, no
+    * recall assumption: for a ∈ cell i, b ∈ cell j,
+    *   angle(cᵢ,cⱼ) ≤ angle(cᵢ,a) + angle(a,b) + angle(b,cⱼ)
+    *                ≤ rᵢ + angle(a,b) + rⱼ
+    * (rᵢ = cell i's angular radius), so any cell pair with
+    * angle(cᵢ,cⱼ) > rᵢ + rⱼ + arccos(τ) provably contains NO
+    * qualifying pair and is pruned. This replaces the r9 probe-count
+    * heuristic (nprobe = ceil(0.9·nlist)) that was both a latent
+    * recall bug at other fractions and ~90% of all-pairs at this one.
+    *
+    * Plan shape: ONE corpus scan assigns cells map-side
+    * ([[ivfAssign]]) and is materialized; one nlist-row aggregate
+    * measures cell radii; the driver keeps the cell pairs the bound
+    * cannot exclude and expands them to CHUNK pairs (cells split into
+    * ≤chunkTarget-member chunks — bounds the grouped row size at any
+    * corpus scale AND spreads a giant cell's intrinsic quadratic work
+    * across chunk-pair tasks instead of one hot partition). The
+    * chunk-pair table joins the grouped corpus twice (broadcast-sized
+    * keys only), and scoring runs as the compiled
+    * [[graft.functions.CellPairSims]] kernel — one row per chunk pair,
+    * not per candidate, with each unordered pair emitted exactly once
+    * (no distinct pass).
+    *
+    * Scale behavior is now a measured property of the DATA, not a
+    * tuned knob: on clustered corpora (tight cells, spread centroids)
+    * the bound prunes most cell pairs — [[closureCellPairStats]] is
+    * spec-pinned ≤ 0.2 kept on the clustered fixture — while on the
+    * adversarial near-isotropic fixture (true pairs AT τ, cell radii
+    * near 90°) NOTHING can prune without losing exactness, and the
+    * operator degrades gracefully to a fast compiled all-cell-pairs
+    * pass rather than silently dropping pairs. Use τ-closure on
+    * unclustered 100 TB corpora only with a sketch prefilter
+    * (MinHash/SimHash) — that trade-off is the consumer's, not a
+    * silent property of this operator.
+    *
+    * Build side: the grouped corpus broadcasts when its true byte size
+    * (known exactly from the geometry pass — the planner's estimate
+    * for a post-join corpus would be garbage) fits
+    * `spark.graft.nearpairs.broadcastAssignedMaxBytes` (default 64 MB);
+    * past that the pair join degrades to a shuffled hash join keyed by
+    * (cell, chunk). */
+  def cosineNearPairs(corpus: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids)
+    require(cents.ids.nonEmpty, "cosineNearPairs: empty centroid table")
+    val dim = cents.vecs.head.length
+    val assigned = closureAssigned(corpus, centroids)
+    val (geom, candCellPairs) = closureGeometry(assigned, centroids, cents, tau)
+    val n = geom.valuesIterator.map(_._1).sum
+    val chunkTarget = confLong(spark, "spark.graft.nearpairs.chunkTarget", 512L).max(1L)
+    val nch = geom.map { case (c, (cnt, _)) =>
+      c -> math.ceil(cnt.toDouble / chunkTarget).toInt.max(1)
+    }
+    val chunkPairs = candCellPairs.flatMap { case (ci, cj) =>
+      for {
+        a <- 0 until nch(ci)
+        b <- (if (ci == cj) a else 0) until nch(cj)
+      } yield (ci, a, cj, b)
+    }
+    val pairsDf = broadcast(chunkPairs.toDF("ca", "cha", "cb", "chb"))
+    val nchDf = broadcast(nch.toSeq.toDF("cell", "nch"))
+    val chunked = assigned
+      .join(nchDf, Seq("cell"))
+      .select(col("cell"), pmod(col("n_id"), col("nch").cast("long")).cast("int").as("chunk"),
+        struct(col("n_id").as("id"), col("n_vec").as("vec"), col("n_nrm").as("nrm")).as("m"))
+      .groupBy("cell", "chunk")
+      .agg(collect_list(col("m")).as("members"))
+      .localCheckpoint(false)
+    val left = chunked.select(col("cell").as("ca"), col("chunk").as("cha"), col("members").as("ma"))
+    val right0 = chunked.select(col("cell").as("cb"), col("chunk").as("chb"), col("members").as("mb"))
+    val bcMax = confLong(spark, "spark.graft.nearpairs.broadcastAssignedMaxBytes", 64L << 20)
+    val right =
+      if (n * (8L * dim + 48L) <= bcMax) broadcast(right0)
+      else right0.hint("shuffle_hash")
+    left.join(pairsDf, Seq("ca", "cha"))
+      .join(right, Seq("cb", "chb"))
+      .select(explode(graft.functions.CellPairSims.pairSims(
+        col("ma"), col("mb"),
+        col("ca") === col("cb") && col("cha") === col("chb"), tau)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.sim").as("sim"))
   }
 
   /** Deterministic PQ codebooks ([[graft.functions.PqBook]]): subspace
@@ -253,12 +351,18 @@ object AnnSearch {
     // production storage contract — and codeword scans stay O(256)
     // however big the corpus (the stride sample is id-sorted first, so
     // the cap keeps a deterministic prefix).
+    // the id-order + cap runs IN the engine (orderBy + limit), so the
+    // driver receives at most maxK rows — never the whole stride
+    // sample (at 100 TB corpus/stride rows of full vectors would OOM
+    // the driver; maxK × dim doubles is dim-table-sized)
     val rows = corpus
       .filter(pmod(col("id"), lit(stride)) === 0)
       .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .orderBy(col("id"))
+      .limit(maxK)
       .collect()
-      .sortBy(_.getLong(0))
-      .take(maxK)
+    require(rows.nonEmpty,
+      s"pqBook: stride-$stride sample of the corpus is empty — no codebook can be seeded")
     val dim = rows.head.getSeq[Double](1).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -285,6 +389,18 @@ object AnnSearch {
   def pqBookRefined(corpus: DataFrame, m: Int, stride: Int, iters: Int,
                     maxK: Int = 256): graft.functions.PqBook = {
     var book = pqBook(corpus, m, stride, maxK)
+    // the mean pass indexes subspaces as pos/dsub, which is only the
+    // PqCodes assignment kernel's convention when EVERY vector has
+    // exactly m·dsub components — a longer vector would index sub ≥ m
+    // (out-of-bounds element_at), a shorter one would silently omit
+    // the zero-padded dims the distance convention includes. Validate
+    // the whole corpus once (one cheap aggregate), not just the first
+    // sampled row.
+    val lens = corpus.agg(
+      min(size(col("vec"))).as("mn"), max(size(col("vec"))).as("mx")).head()
+    require(lens.getInt(0) == lens.getInt(1) && lens.getInt(0) == book.m * book.dsub,
+      s"pqBookRefined: corpus vector lengths [${lens.getInt(0)}, ${lens.getInt(1)}] " +
+        s"must all equal m*dsub = ${book.m * book.dsub}")
     for (_ <- 0 until iters) {
       val dsub = book.dsub
       val assigned = corpus.select(

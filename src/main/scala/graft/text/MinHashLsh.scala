@@ -169,8 +169,14 @@ object MinHashLsh {
     * embedding-dedup recall fix recovered the full sf0.1 pair set and
     * its largest component's label chain passed 2^10 reach. */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // materialize the INPUT once before the symmetric union: both
+    // union branches read the pair subtree, which for consumers like
+    // dedup_embedding is a whole cell-blocked closure — without the
+    // barrier it would be computed twice into the edge cache (measured
+    // ~5 s doubled at the synth step)
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(false)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -260,10 +266,13 @@ object MinHashLsh {
   }
 
   def componentsStar(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val nodes = pairs.select(col("a").as("id"))
-      .unionByName(pairs.select(col("b").as("id"))).distinct().cache()
+    // same input barrier as [[components]]: the node union and the
+    // canonical-orientation pass both read the pair subtree
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(false)
+    val nodes = p.select(col("a").as("id"))
+      .unionByName(p.select(col("b").as("id"))).distinct().cache()
     // canonical orientation: u > v (self-pairs dropped)
-    var edges = pairs
+    var edges = p
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()

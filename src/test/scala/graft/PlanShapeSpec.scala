@@ -77,17 +77,25 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("ShuffledHashJoin"), s"no equi-join on cell in IVF plan:\n$plan")
   }
 
-  test("embedding near-pairs plan has no cartesian over the corpus") {
+  test("embedding near-pairs: chunk-pair-keyed equi-joins, no cartesian, no distinct pass") {
     val corpus = embsDf
     val centroids = AnnSearch.strideCentroids(corpus, 25)
-    val pairs = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4, nprobe = 4)
+    val pairs = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4)
     val plan = physicalPlan(pairs)
     assert(!plan.contains("CartesianProduct"), s"cartesian in near-pairs plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"near-pairs probe selection regressed to a nested-loop join:\n$plan")
-    val equi = plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
-      plan.contains("ShuffledHashJoin")
+      s"near-pairs chunk-pair join regressed to a nested-loop join:\n$plan")
+    val equi = plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("SortMergeJoin")
     assert(equi, s"no equi-join in near-pairs plan:\n$plan")
+    // the compiled kernel emits each unordered pair exactly once, so
+    // the old candidate-dedup exchange must NOT reappear
+    assert(!plan.contains("HashAggregate(keys=[a"),
+      s"a distinct over emitted pairs crept back into the closure:\n$plan")
+    // and the scoring kernel itself must be in the plan (a refactor to
+    // a per-candidate row join would silently repay ~100ns/candidate)
+    assert(plan.contains("graft_cell_pair_sims"),
+      s"CellPairSims kernel missing — closure degraded to per-candidate rows:\n$plan")
   }
 
   test("k-means-refined IVF keeps equi-join shape and matches BF top-k recall bound") {

@@ -91,29 +91,24 @@ class RecallGuardSpec extends SparkSpec {
       if cos(vecs(ids(i)), vecs(ids(j))) >= 0.4
     } yield (ids(i), ids(j))).toSet
 
-    // recall >= the stride baseline, probe-for-probe: at every nprobe
-    // the refined cells must miss no more true pairs than the stride
-    // cells do (the refinement exists to CONCENTRATE neighbors)
+    // the exact closure must be centroid-INDEPENDENT: stride seeds and
+    // refined cells are just different blockings of the same provably
+    // complete triangle-inequality computation, so both must equal the
+    // all-pairs ground truth exactly (r10 — the probe-count sweep this
+    // replaces became meaningless once the closure stopped sampling)
     val stride = AnnSearch.strideCentroids(embs, 25)
     val refined = AnnSearch.kmeansCentroidsExact(embs, 25, iters = 2)
-    def missed(centroids: org.apache.spark.sql.DataFrame, nprobe: Int): Int = {
-      val got = AnnSearch.cosineNearPairs(embs, centroids, tau = 0.4, nprobe = nprobe)
+    def pairsOf(centroids: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      AnnSearch.cosineNearPairs(embs, centroids, tau = 0.4)
         .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      (truePairs -- got).size
-    }
-    for (nprobe <- Seq(8, 12, 15, 17)) {
-      val ms = missed(stride, nprobe)
-      val mk = missed(refined, nprobe)
-      assert(mk <= ms,
-        s"refined centroids LOST recall vs stride seeds at nprobe=$nprobe: missed $mk vs $ms")
-    }
-    // and at the conformance probe fraction the refined cells must be
-    // complete (the ann_topk_ivf_km row gates against the exact
-    // brute-force oracle)
-    assert(missed(refined, 17) == 0, "refined cells miss true pairs at the conformance nprobe")
+    assert(pairsOf(stride) == truePairs,
+      "closure over stride seeds diverged from all-pairs ground truth")
+    assert(pairsOf(refined) == truePairs,
+      "closure over refined centroids diverged from all-pairs ground truth — " +
+        "the triangle-inequality blocking must be exact for ANY centroid table")
   }
 
-  test("embedding guard: every true cosine>=0.4 pair is recovered by the IVF-blocked path, with probe margin") {
+  test("embedding guard: the cell-pair-blocked closure is EXACT — engine pairs equal all-pairs ground truth") {
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val vecs = embs.selectExpr("id", "cast(vec as array<double>) vec")
@@ -132,29 +127,25 @@ class RecallGuardSpec extends SparkSpec {
     } yield (ids(i), ids(j))).toSet
     assert(truePairs.nonEmpty, "fixture has no cosine>=0.4 pairs — the dedup_embedding row checks nothing")
 
-    // the dedup_embedding config: stride-25 centroids, tau=0.4, and
-    // the 0.9 probe FRACTION (r9 — the old fixed 17 was this fixture's
-    // 0.85; the guard history that bumped 15 → 17 found pairs
-    // (334,382)/(53,430) at probe rank 14/15). Derive nprobe exactly
-    // as the queries do so fixture regeneration re-derives both.
+    // r10: the closure is EXACT by construction (spherical
+    // triangle-inequality cell-pair pruning — no probe knob, no
+    // margin arithmetic). The guard is now an unconditional equality:
+    // the engine's pair SET must match brute force on any fixture, so
+    // fixture drift can never produce a recall-shaped conformance red.
     val centroids = AnnSearch.strideCentroids(embs, 25)
-    val nprobe = math.ceil(0.9 * centroids.count()).toInt
-    def recovered(np: Int): Set[(Long, Long)] =
-      AnnSearch.cosineNearPairs(embs, centroids, tau = 0.4, nprobe = np)
-        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val atConfig = recovered(nprobe)
-    assert((truePairs -- atConfig).isEmpty,
-      s"IVF cell-blocking missed true pairs at the configured nprobe=$nprobe: ${truePairs -- atConfig}")
+    val got = AnnSearch.cosineNearPairs(embs, centroids, tau = 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((truePairs -- got).isEmpty,
+      s"exact closure MISSED true pairs — the triangle-inequality bound is broken: ${truePairs -- got}")
+    assert((got -- truePairs).isEmpty,
+      s"exact closure emitted spurious pairs: ${got -- truePairs}")
 
-    // margin: full recall must survive TWO fewer probes, so a fixture
-    // drift that pushes a pair's partner cell to the last probe slot
-    // (one re-generation away from a spurious conformance red) trips
-    // this guard first.
-    val atMargin = recovered(nprobe - 2)
-    assert((truePairs -- atMargin).isEmpty,
-      s"recall margin exhausted: true pairs need probe ranks above nprobe-2=${nprobe - 2}: ${truePairs -- atMargin}. " +
-        "Oracle parity for dedup_embedding / corpus_pipeline_v3 is one fixture drift from a " +
-        "spurious red — raise the fraction or regenerate the fixture with tighter clusters.")
+    // and the no-duplicates contract that replaced the distinct()
+    // pass: each unordered pair must be emitted exactly once
+    val withDupes = AnnSearch.cosineNearPairs(embs, centroids, tau = 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(withDupes.length == withDupes.distinct.length,
+      "closure emitted duplicate pair rows — the chunk-pair expansion double-covers")
   }
 
   test("PQ guard: ADC shortlist covers the true top-10 with 2x margin, and codes are partitioning-stable") {
