@@ -124,8 +124,8 @@ object QueriesText {
     * sf0.01 this is ceil(0.85·20) = 17 — the driver-gate plan is
     * unchanged. Probe cells are picked map-side (same bit-exact
     * ordering as the old crossJoin+window: cosine desc, c_id asc). */
-  private def ivfTop10Of(corpus: DataFrame, centroids: DataFrame,
-                         frac: Double = 0.85): DataFrame = {
+  private[graft] def ivfTop10Of(corpus: DataFrame, centroids: DataFrame,
+                                frac: Double = 0.85): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val queries = corpus.filter(pmod(col("id"), lit(50)) === 0)
     val cents = AnnSearch.collectCentroids(centroids)
@@ -175,6 +175,57 @@ object QueriesText {
     // cells and cuts the needed fraction; this fixture is its worst
     // case and the stride query remains the 0.85 calibration point.
     ivfTop10Of(corpus, AnnSearch.kmeansCentroidsExact(corpus, 25, iters = 2), frac = 0.95)
+  }
+
+  /** CLUSTERED embedding corpus, derived deterministically from the
+    * fixture so the DuckDB oracle can reconstruct it in SQL: the first
+    * 20 vectors are cluster centers, and member `id` is
+    * `center(id % 20) + 0.15 · own_vec` (elementwise, double). The
+    * base fixture is near-isotropic, so the scaled residual makes
+    * tight, well-separated clusters — measured within-cluster cosine
+    * 0.969–0.992, cross-cluster ≤ 0.398 at sf0.01. This is the data
+    * shape REAL embedding corpora have (the base fixture is the
+    * deliberate worst case), and it is where the IVF probe fraction
+    * and the closure's triangle-inequality pruning stop being prose:
+    * `ann_topk_ivf_clu` retrieves exactly at a 0.2 probe fraction and
+    * RecallGuardSpec pins the closure's kept cell-pair fraction ≤ 0.2
+    * — the engine's measured 100 TB plan. */
+  private[graft] def clusteredEmbs(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val c = e.filter(col("id") < 20).select(col("id").as("cid"), col("vec").as("cv"))
+    e.join(broadcast(c), pmod(col("id"), lit(20)) === col("cid"))
+      .select(col("id"),
+        zip_with(col("cv").cast("array<double>"), col("vec").cast("array<double>"),
+          (cc, x) => cc + lit(0.15) * x).as("vec"))
+  }
+
+  /** IVF top-10 on the CLUSTERED corpus at a SMALL probe fraction
+    * (0.2 of the Lloyd-refined cells) — exact vs the brute-force
+    * oracle. The isotropic-fixture retrieval rows need 0.85–0.95
+    * probe fractions for exact recall (their documented worst case);
+    * this row demonstrates the actual scale plan: on clustered data
+    * refined cells align with clusters and a 5× smaller probe
+    * fraction retrieves exactly, with margin machine-checked by
+    * RecallGuardSpec. */
+  private def annTopKIvfClu(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = clusteredEmbs(spark, dir)
+    // stride 15 seeds ~1.4 cells per planted cluster (28 at sf0.01);
+    // measured by graft.dev.CluProbe: retrieval is exact down to frac
+    // 0.10 at the gate scale (2x margin below the 0.2 config) and the
+    // closure bound keeps only 9.9%/17.4% of cell pairs at sf0.01/0.1
+    ivfTop10Of(corpus, AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2), frac = 0.2)
+  }
+
+  /** Exact τ=0.8 cosine closure on the CLUSTERED corpus — the
+    * triangle-inequality pruning's demonstration row: tight cells +
+    * spread centroids let the bound exclude most cell pairs (kept
+    * fraction spec-pinned ≤ 0.2) while recall stays provably complete.
+    * Same all-pairs oracle shape as `emb_near_pairs`. */
+  private def embNearPairsClu(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = clusteredEmbs(spark, dir)
+    val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
+    AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.8)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
   }
 
   /** Embedding-cosine near-dup pairs — EXACT cell-pair-blocked closure
@@ -1541,7 +1592,9 @@ object QueriesText {
     "ann_topk_bf" -> (annTopKBf _),
     "ann_topk_ivf" -> (annTopKIvf _),
     "ann_topk_ivf_km" -> (annTopKIvfKm _),
+    "ann_topk_ivf_clu" -> (annTopKIvfClu _),
     "emb_near_pairs" -> (embNearPairs _),
+    "emb_near_pairs_clu" -> (embNearPairsClu _),
     "emb_quantize" -> (embQuantize _),
     "ann_topk_q8" -> (annTopKQ8 _),
     "ann_topk_ivf_q8" -> (annTopKIvfQ8 _),
@@ -2436,6 +2489,37 @@ object QueriesText {
         |  n_id, sim
         |FROM scored
         |QUALIFY rank <= 10""".stripMargin,
+    // clustered-corpus rows: the oracle re-derives the corpus exactly
+    // (first 20 vectors are centers; member = center(id%20) + 0.15*own,
+    // all-double arithmetic identical to the zip_with on the Spark side)
+    "ann_topk_ivf_clu" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+        |m AS (SELECT e.vec_id AS id,
+        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+        |      FROM e JOIN c ON c.cid = e.vec_id % 20),
+        |q AS (SELECT * FROM m WHERE id % 50 = 0),
+        |scored AS (
+        |  SELECT q.id AS q_id, m.id AS n_id,
+        |    round(list_inner_product(q.v, m.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(m.v, m.v))), 6) AS sim
+        |  FROM q JOIN m ON m.id <> q.id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
+    "emb_near_pairs_clu" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+        |m AS (SELECT e.vec_id AS id,
+        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+        |      FROM e JOIN c ON c.cid = e.vec_id % 20)
+        |SELECT a.id AS a, b.id AS b,
+        |  round(list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+        |FROM m a JOIN m b ON a.id < b.id
+        |WHERE list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.8""".stripMargin,
     "emb_near_pairs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
         |SELECT a.vec_id AS a, b.vec_id AS b,
