@@ -355,6 +355,46 @@ object QueriesCore {
     } finally q.stop()
   }
 
+  /** TTL-bounded streaming dedup parity ("exact within horizon"): the
+    * event stream arrives in (sec, event_id) order across three
+    * micro-batches and each (user_id, event_type) key emits an event
+    * iff no occurrence of that key arrived within the 4-hour horizon
+    * before it (sliding from the last occurrence). The oracle is the
+    * batch lag-window rule `keep iff gap > horizon` — equality holds
+    * wherever the micro-batch boundaries fall because the suppression
+    * decision compares EVENT TIMES held in state, never the watermark
+    * ([[graft.streaming.EventStreams.dedupFirstSeenTtl]]). Unlike the
+    * exact-forever first-seen paths, state here is one long per key
+    * and is evicted once the watermark passes last-seen + horizon —
+    * the state-plateau contract EventStreamsSpec pins with a RocksDB
+    * run. No sentinel needed: emission happens on arrival. */
+  private def streamDedupTtl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val horizonSec = 14400L
+    val rows = events(spark, dir)
+      .select(col("sec"), col("user_id"), col("event_type"), col("event_id"))
+      .orderBy("sec", "event_id")
+      .as[(Long, Long, String, Long)]
+      .collect()
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val queryName = "stream_ttl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.dedupFirstSeenTtl(spark, df, horizonSec)
+      .writeStream.format("memory").queryName(queryName).outputMode("append").start()
+    try {
+      val data = rows.map { case (sec, u, et, id) => (new java.sql.Timestamp(sec * 1000), u, et, id) }
+      val third = data.length / 3
+      mem.addData(data.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(data.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(data.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+      spark.table(queryName)
+        .select("event_id", "user_id", "event_type", "sec")
+        .localCheckpoint(eager = true)
+    } finally q.stop()
+  }
+
   /** Streaming windowed counts parity: the watermarked 5-minute
     * tumbling aggregation over the same MemoryStream feed, checked
     * against the batch GROUP BY floor(epoch/300). Sentinel 1 pushes
@@ -703,6 +743,7 @@ object QueriesCore {
     "salted_type_stats" -> (saltedTypeStats _),
     "sessionize" -> (sessionize _),
     "stream_sessionize" -> (streamSessionize _),
+    "stream_dedup_ttl" -> (streamDedupTtl _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_distinct_users" -> (streamDistinctUsers _),
     "stream_interval_join" -> (streamIntervalJoin _),
@@ -1069,6 +1110,14 @@ object QueriesCore {
       """SELECT (floor(floor(epoch(ts)) / 300) * 300)::BIGINT AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_dedup_ttl" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, event_type, floor(epoch(ts))::BIGINT AS sec,
+        |    floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY floor(epoch(ts)), event_id) AS gap
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, sec
+        |FROM g WHERE gap IS NULL OR gap > 14400""".stripMargin,
     "stream_sessionize" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -114,6 +114,170 @@ object EventStreams {
       )
   }
 
+  final case class ThrottleIn(ts: java.sql.Timestamp, user_id: Long, event_type: String, event_id: Long)
+  final case class ThrottleOut(event_id: Long, user_id: Long, event_type: String, sec: Long)
+
+  /** TTL-BOUNDED first-seen dedup over an event stream — the
+    * horizon-limited form of [[dedupFirstSeen]]'s exact-forever
+    * semantics, keyed by (user_id, event_type): an event is emitted
+    * iff NO occurrence of its key arrived within `horizonSec` of it
+    * (event time, sliding from the LAST occurrence); copies inside the
+    * horizon are suppressed, and a key going quiet for more than the
+    * horizon re-emits on return. This is "exact within horizon": the
+    * suppression decision compares EVENT TIMES held in state, never
+    * the watermark, so for an in-order feed the output equals the
+    * batch rule `keep iff gap to previous occurrence > horizon`
+    * (a lag window in SQL — the oracle) regardless of micro-batch
+    * boundaries.
+    *
+    * The 100 TB point vs the NoTimeout paths: state per key is ONE
+    * long (last-seen second) and is GARBAGE-COLLECTED by an
+    * event-time timeout once the watermark passes last-seen + horizon
+    * — total state is bounded by the number of keys ACTIVE within one
+    * horizon, not by lifetime key cardinality, so it plateaus on an
+    * unbounded stream (spec-pinned by EventStreamsSpec). GC never
+    * changes semantics: any row arriving after its key's state
+    * expired necessarily has an event-time gap > horizon (the
+    * watermark already passed last + horizon, and non-late rows sit
+    * at or above the watermark), so it would re-emit either way. */
+  def dedupFirstSeenTtl(spark: SparkSession, events: DataFrame, horizonSec: Long,
+                        watermark: String = "10 minutes"): Dataset[ThrottleOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("ts", "cast(user_id as long) user_id", "event_type", "cast(event_id as long) event_id")
+      .as[ThrottleIn]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (key: (Long, String), rows: Iterator[ThrottleIn], state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last: Option[Long] = state.getOption
+            val out = Vector.newBuilder[ThrottleOut]
+            // (sec, event_id) order = deterministic arrival order, the
+            // oracle's window ordering
+            for (r <- rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))) {
+              val sec = r.ts.getTime / 1000
+              if (last.forall(l => sec - l > horizonSec))
+                out += ThrottleOut(r.event_id, key._1, key._2, sec)
+              last = Some(last.fold(sec)(math.max(_, sec)))
+            }
+            state.update(last.get)
+            state.setTimeoutTimestamp(
+              math.max((last.get + horizonSec) * 1000 + 1, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+        }
+      )
+  }
+
+  final case class ParaTtlIn(ts: java.sql.Timestamp, doc_id: Long, pidx: Long, ph: Long, para: String)
+
+  /** TTL-bounded form of [[dedupParagraphFirstSeen]]: a paragraph hash
+    * suppresses copies only within `horizonSec` (event time, sliding
+    * from the last occurrence) — the re-crawl-window semantics a
+    * perpetual 100 TB crawl needs, where boilerplate must stay deduped
+    * while a paragraph genuinely re-entering the corpus after the
+    * horizon is fresh content. Same state/GC contract as
+    * [[dedupFirstSeenTtl]]: one long per hash, evicted once the
+    * watermark passes last-seen + horizon, so state plateaus at the
+    * horizon's distinct-paragraph cardinality instead of growing with
+    * the stream. Winner per emission is the (ts, doc_id, pidx)-least
+    * occurrence in its arrival batch. */
+  def dedupParagraphFirstSeenTtl(spark: SparkSession, paras: DataFrame, horizonSec: Long,
+                                 watermark: String = "10 minutes"): Dataset[ParaKeep] = {
+    import spark.implicits._
+    paras
+      .withWatermark("ts", watermark)
+      .selectExpr("ts", "cast(doc_id as long) doc_id", "cast(pidx as long) pidx",
+        "cast(ph as long) ph", "para")
+      .as[ParaTtlIn]
+      .groupByKey(_.ph)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (_: Long, rows: Iterator[ParaTtlIn], state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last: Option[Long] = state.getOption
+            val out = Vector.newBuilder[ParaKeep]
+            for (r <- rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id, r.pidx))) {
+              val sec = r.ts.getTime / 1000
+              if (last.forall(l => sec - l > horizonSec))
+                out += ParaKeep(r.doc_id, r.pidx, r.para)
+              last = Some(last.fold(sec)(math.max(_, sec)))
+            }
+            state.update(last.get)
+            state.setTimeoutTimestamp(
+              math.max((last.get + horizonSec) * 1000 + 1, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+        }
+      )
+  }
+
+  final case class BandTtlIn(ts: java.sql.Timestamp, doc_id: Long, band: Int, bucket: Long)
+
+  /** TTL-bounded form of [[lshCandidatesFirstSeen]]: a new arrival
+    * pairs only against bucket residents whose last occurrence is
+    * within `horizonSec` of it (event time) — the horizon-limited
+    * near-dedup a perpetual crawl runs, where a document only needs
+    * checking against the recent corpus. Residents carry their
+    * last-seen second; each call prunes residents older than the
+    * newest arrival's horizon, and the whole bucket's state is
+    * GC'd by event-time timeout once the watermark passes the
+    * newest resident + horizon — state is bounded by per-bucket
+    * occupancy WITHIN the horizon (further capped by `maxBucket`),
+    * the plateau EventStreamsSpec pins. A re-arriving resident
+    * refreshes its timestamp without re-pairing (it is not fresh
+    * content, the batch first-seen rule). */
+  def lshCandidatesFirstSeenTtl(spark: SparkSession, bandRows: DataFrame, horizonSec: Long,
+                                maxBucket: Int = 1000,
+                                watermark: String = "10 minutes"): Dataset[CandOut] = {
+    import spark.implicits._
+    bandRows
+      .withWatermark("ts", watermark)
+      .selectExpr("ts", "cast(doc_id as long) doc_id", "cast(band as int) band",
+        "cast(bucket as long) bucket")
+      .as[BandTtlIn]
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (_: (Int, Long), rows: Iterator[BandTtlIn], state: GroupState[List[(Long, Long)]]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var residents = state.getOption.getOrElse(Nil) // (doc_id, last-seen sec)
+            val out = Vector.newBuilder[CandOut]
+            for (r <- rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))) {
+              val sec = r.ts.getTime / 1000
+              residents = residents.filter(_._2 >= sec - horizonSec)
+              residents.find(_._1 == r.doc_id) match {
+                case Some(_) =>
+                  residents = residents.map(p => if (p._1 == r.doc_id) (p._1, sec) else p)
+                case None if residents.length < maxBucket =>
+                  for ((earlier, _) <- residents)
+                    out += (if (earlier < r.doc_id) CandOut(earlier, r.doc_id)
+                            else CandOut(r.doc_id, earlier))
+                  residents = (r.doc_id, sec) :: residents
+                case None => // capped: count-and-discard, the prospective maxBucket rule
+              }
+            }
+            if (residents.isEmpty) state.remove()
+            else {
+              state.update(residents)
+              state.setTimeoutTimestamp(math.max(
+                (residents.map(_._2).max + horizonSec) * 1000 + 1,
+                state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+        }
+      )
+  }
+
   final case class BandIn(doc_id: Long, band: Int, bucket: Long)
   final case class CandOut(a: Long, b: Long)
 

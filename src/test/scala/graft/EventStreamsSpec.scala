@@ -30,6 +30,101 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // offset well past epoch 0: a first-batch row AT the initial
+  // watermark (0) is dropped as late (the filter is strict), which is
+  // a feed artifact, not kernel semantics
+  private def sec(s: Long): java.sql.Timestamp =
+    new java.sql.Timestamp((1700000000L + s) * 1000L)
+
+  test("TTL dedup: sliding horizon suppresses within, re-emits beyond, across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val q = EventStreams.dedupFirstSeenTtl(spark, df, horizonSec = 100, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("ttl_sem").outputMode("append").start()
+    try {
+      // key (1, a): t=0 emits; t=50 suppressed (gap 50 <= 100)
+      mem.addData((sec(0), 1L, "a", 10L), (sec(50), 1L, "a", 11L))
+      q.processAllAvailable()
+      // t=120: gap from the LAST occurrence (50) is 70 <= 100 →
+      // suppressed — this pins the SLIDING horizon (a fixed-from-first
+      // rule would emit: 120 - 0 > 100). Cross-batch state.
+      mem.addData((sec(120), 1L, "a", 12L))
+      q.processAllAvailable()
+      // t=260: gap 140 > 100 → re-emits (exact-within-horizon, not
+      // exact-forever)
+      mem.addData((sec(260), 1L, "a", 13L))
+      q.processAllAvailable()
+      val got = spark.table("ttl_sem").select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(10L, 13L), s"TTL dedup emitted $got, want {10, 13}")
+    } finally q.stop()
+  }
+
+  test("TTL dedup: state is evicted by the event-time timeout — rows plateau instead of growing with the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val q = EventStreams.dedupFirstSeenTtl(spark, df, horizonSec = 100, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("ttl_plateau").outputMode("append").start()
+    try {
+      // 10 batches, 10 FRESH keys each, event time advancing 1000 s per
+      // batch (far past horizon + watermark): with NoTimeout semantics
+      // state would reach 100 rows; with eviction it plateaus at the
+      // keys of the last couple of batches (timeouts fire one batch
+      // after the watermark passes last-seen + horizon)
+      for (b <- 0 until 10) {
+        mem.addData((0 until 10).map(j => (sec(b * 1000L), b * 10L + j, "a", b * 10L + j)): _*)
+        q.processAllAvailable()
+      }
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 30,
+        s"TTL state grew to $stateRows rows over 100 keys — eviction not firing (plateau broken)")
+      // every event was a first occurrence of its key → all 100 emitted
+      assert(spark.table("ttl_plateau").count() == 100)
+    } finally q.stop()
+  }
+
+  test("TTL paragraph dedup: horizon-bounded suppression with re-emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "pidx", "ph", "para")
+    val q = EventStreams.dedupParagraphFirstSeenTtl(spark, df, horizonSec = 100, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("ttl_para").outputMode("append").start()
+    try {
+      mem.addData((sec(0), 1L, 0L, 77L, "p"), (sec(50), 2L, 1L, 77L, "p"))
+      q.processAllAvailable()
+      mem.addData((sec(200), 3L, 2L, 77L, "p")) // gap 150 > 100: fresh again
+      q.processAllAvailable()
+      val got = spark.table("ttl_para").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L), s"TTL paragraph dedup kept $got, want {1, 3}")
+    } finally q.stop()
+  }
+
+  test("TTL LSH candidates: a new arrival pairs only against residents within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Int, Long)]
+    val df = mem.toDF().toDF("ts", "doc_id", "band", "bucket")
+    val q = EventStreams.lshCandidatesFirstSeenTtl(spark, df, horizonSec = 100, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("ttl_lsh").outputMode("append").start()
+    try {
+      mem.addData((sec(0), 1L, 0, 9L), (sec(50), 2L, 0, 9L)) // pair (1,2)
+      q.processAllAvailable()
+      // doc 3 at t=200: residents 1 (t=0) and 2 (t=50) are both older
+      // than 200-100 → pruned, no pairs emitted
+      mem.addData((sec(200), 3L, 0, 9L))
+      q.processAllAvailable()
+      // doc 4 at t=250: only doc 3 is within the horizon → pair (3,4)
+      mem.addData((sec(250), 4L, 0, 9L))
+      q.processAllAvailable()
+      val got = spark.table("ttl_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L), (3L, 4L)), s"TTL LSH candidates $got, want {(1,2),(3,4)}")
+    } finally q.stop()
+  }
+
   test("streaming paragraph dedup reproduces the batch global-first-occurrence result on the fixture") {
     val batch = graft.text.ParagraphDedup
       .dedupByParagraph(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),

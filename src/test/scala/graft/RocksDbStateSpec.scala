@@ -63,6 +63,29 @@ class RocksDbStateSpec extends SparkSpec {
     }
   }
 
+  test("TTL dedup (event-time-timeout eviction) runs on the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    def at(s: Long) = new java.sql.Timestamp((1700000000L + s) * 1000L)
+    underRocksDb("ttl_dedup")(
+      EventStreams.dedupFirstSeenTtl(spark, df, horizonSec = 100, watermark = "10 seconds")
+        .writeStream.format("memory").queryName("rocks_ttl").outputMode("append").start()
+    ) { q =>
+      mem.addData((at(0), 1L, "a", 1L), (at(50), 1L, "a", 2L))
+      q.processAllAvailable()
+      mem.addData((at(5000), 2L, "a", 3L)) // advances watermark far past key 1's horizon
+      q.processAllAvailable()
+      mem.addData((at(6000), 3L, "a", 4L)) // the batch whose timeout sweep evicts key 1
+      q.processAllAvailable()
+      val kept = spark.table("rocks_ttl").select("event_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 4L), s"RocksDB TTL dedup emitted $kept")
+      assert(q.lastProgress.stateOperators.head.numRowsTotal <= 2,
+        "expired key's state row survived the RocksDB event-time timeout sweep")
+    }
+  }
+
   test("streaming paragraph dedup runs on the RocksDB state store provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
