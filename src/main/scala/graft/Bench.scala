@@ -184,7 +184,15 @@ object Bench {
       extRuns.filter { case (label, _) => only(label) }
         .map { case (label, runs) => "\"" + label + "\":" + fmt(pick(runs)) }
         .mkString("{", ",", "}")
-    val ext2 = extJson(_._2, cells2)
+    // stdout carries the extended STEADY cells for the DRIVER's dir and
+    // the synth up-step only: r10's two new cells (bpe_encode_ids_1k,
+    // corpus_pipeline_v6) push the full 3-dir block past the 1860-char
+    // guard, which would silently drop ALL extended data from the
+    // driver's tail — the sf0.01 down-step (least informative: cells
+    // are fixture-floor-dominated there) moves to bench_out.json only,
+    // where all three dirs always live in full.
+    val sfLabelMain = Paths.get(sfDir).getFileName.toString
+    val ext2 = extJson(_._2, cells2, only = l => l == sfLabelMain || l == "sf1_synth")
     val ext = extJson(_._2, cells)
     val extFirst = extJson(_._1, cells)
     // cal_drift = pre/post: ~1.0 means a stable host; ≫1 means the run
@@ -390,6 +398,11 @@ object Bench {
       // its vocabulary work is near-constant across the synth copy step
       // — the cell tracks the corpus encode sweep, expected ~linear
       "bpe_encode_1k",
+      // r10: the token-ID emission at the same 1,000-merge vocabulary —
+      // the id-array production kernel (counts-only bpe_encode_1k
+      // cannot see id-materialization cost); expected ~linear like the
+      // counts sweep
+      "bpe_encode_ids_1k",
       // r9: the composed IVFADC production retrieval. The PURE PQ cell
       // (ann_topk_pq) is deliberately absent for the same reason
       // ann_topk_q8 is: an un-probed ADC sweep is queries × corpus BY
@@ -399,9 +412,13 @@ object Bench {
       "ann_topk_ivfpq",
       "corpus_pipeline_v4",
       // v5 = v4 with packing budgeted in BPE subwords of the
-      // span-reduced text — since r8 the heaviest chain in the engine;
-      // its subword-budget packing stage is where a superlinear
-      // surprise would hide (r8 verdict item 2)
-      "corpus_pipeline_v5"
+      // span-reduced text — its subword-budget packing stage is where
+      // a superlinear surprise would hide (r8 verdict item 2)
+      "corpus_pipeline_v5",
+      // r10: v6 packs REAL token-id sequences (the heaviest chain since
+      // r9, previously unmeasured — the heaviest-chain-unbenched lesson's
+      // third occurrence per the r9 verdict); its id-array packing stage
+      // is the candidate superlinear stage to watch across the 10× step
+      "corpus_pipeline_v6"
     ).filter(catalog.contains)
 }

@@ -494,15 +494,11 @@ object QueriesText {
     * mismatch count is zero — text with newlines/quotes/unicode must
     * survive the JSON escape round trip exactly. */
   private def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    // corpus-sized export: sweep on JVM exit so conformance runs don't
-    // accumulate copies under /tmp (the reliable-checkpoint lesson)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      try Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () }; () })
-      catch { case _: Throwable => () }
-    }))
+    // corpus-sized export into ONE process-wide memoized dir (the
+    // write is Overwrite-mode): repeated conformance/bench passes in a
+    // single JVM re-use the same path instead of accumulating copies
+    // and per-call shutdown hooks under /tmp
+    val tmp = graft.util.TempDirs.memoized(s"jsonl:$dir", "graft_jsonl")
     val out = tmp.resolve("docs").toString
     val d = spark.read.parquet(s"$dir/documents.parquet")
     graft.io.Sinks.writeJsonl(d, out)
@@ -809,15 +805,9 @@ object QueriesText {
   private def packSequencesReliable(spark: SparkSession, dir: String): DataFrame = {
     val sc = spark.sparkContext
     if (sc.getCheckpointDir.isEmpty) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt")
-      sc.setCheckpointDir(tmp.toString)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        try Files.walk(tmp).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () }; () })
-        catch { case _: Throwable => () }
-      }))
+      // one shared sweep hook for the process (TempDirs), not a hook
+      // per construction
+      sc.setCheckpointDir(graft.util.TempDirs.scratch("graft_reliable_ckpt").toString)
     }
     val prev = spark.conf.getOption(Pin.ReliableConfKey)
     spark.conf.set(Pin.ReliableConfKey, "true")
@@ -1484,13 +1474,7 @@ object QueriesText {
       wc.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 12)
     val vocab = graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wc), merges)
 
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_artifact")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      try Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () }; () })
-      catch { case _: Throwable => () }
-    }))
+    val tmp = graft.util.TempDirs.memoized(s"bpe_artifact:$dir", "graft_bpe_artifact")
     graft.io.Sinks.writeJsonl(merges.toDF(), tmp.resolve("merges").toString)
     graft.io.Sinks.writeJsonl(vocab.toDF(), tmp.resolve("vocab").toString)
 
@@ -1533,6 +1517,29 @@ object QueriesText {
     graft.text.Bpe.encodeCountsOf(d, "doc_id", shingles, merges)
   }
 
+  /** The token-ID emission kernel at production vocabulary size: 1,000
+    * learned merges force the typed rank-cursor sweep
+    * ([[graft.text.Bpe.encodeIds]]'s expression chain caps at 64), and
+    * every doc's `[a-z]+` words encode to real ids under the
+    * dense-vocab layout — the id-emission analog of `bpe_encode_1k`
+    * (which measures only subword COUNTS) and the one tokenizer stage
+    * the r9 bench had no at-scale cell for. Rows-only by the same
+    * 1,000-stage-CTE argument; BpeSpec proves expr ≡ typed id equality
+    * at the 64-merge seam. Output is per-doc (n_ids, id checksum) so
+    * the cell measures the encode sweep, not result materialization. */
+  private def bpeEncodeIds1k(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val wc = graft.text.Bpe.wordCounts(d, "text")
+    val merges = graft.text.Bpe.learnMergesLocal(
+      wc.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 1000)
+    val vocab = graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wc), merges)
+    graft.text.Bpe.encodeIds(d, "doc_id",
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)), merges, vocab)
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+        expr("aggregate(ids, 0L, (a, x) -> a + cast(x AS bigint))").as("id_sum"))
+  }
+
   /** SCALE-CONTRAST cells: real engine paths (the production BPE heap
     * loop and the >64-merge typed encode) whose only honest oracle
     * would be a 1,000-stage chained CTE — not a DuckDB query. They are
@@ -1542,7 +1549,8 @@ object QueriesText {
     * typed equality engine-side. */
   val scaleOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train_1k" -> (bpeTrain1k _),
-    "bpe_encode_1k" -> (bpeEncode1k _)
+    "bpe_encode_1k" -> (bpeEncode1k _),
+    "bpe_encode_ids_1k" -> (bpeEncodeIds1k _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

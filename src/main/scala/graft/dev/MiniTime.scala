@@ -25,7 +25,7 @@ object MiniTime {
     var best = Double.MaxValue
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val n = graft.Bench.catalog(name)(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"MINITIME $name rep$r: $sec%.3f s, rows=$n")
       best = math.min(best, sec)
