@@ -1190,13 +1190,23 @@ object QueriesText {
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
       .filter(col("id") =!= col("keep"))
       .select(col("id").as("doc_id"))
-    kept1.join(drop, Seq("doc_id"), "left_anti")
+    // PIN the survivors: every capstone consumes this table through
+    // several independent joins (embedding subset, the anti-join, the
+    // packing slim join, the rollup), and without the barrier each
+    // consumer RE-EXECUTES the whole curation subtree — quality +
+    // rep-filter + exact dedup + LSH verify + components — per
+    // evaluation. The survivor table is corpus-subset-sized (docs that
+    // passed curation), the natural materialization point.
+    Pin(kept1.join(drop, Seq("doc_id"), "left_anti"))
   }
 
   /** Shared v2/v3 back half: 512-token sequence packing over the kept
     * docs + per-source shard stats (spanning-doc counts). */
   private def shardStats(spark: SparkSession, kept0: DataFrame): DataFrame = {
-    val kept = kept0.withColumn("n_toks", TextOps.tokenCount(col("text")))
+    // pinned: the token-counted table feeds the packing pass AND the
+    // span-count join — without the barrier the per-doc tokenization
+    // re-runs per consumer
+    val kept = Pin(kept0.withColumn("n_toks", TextOps.tokenCount(col("text"))))
     val parts = spark.sessionState.conf.numShufflePartitions
     val packed = Packing.packSequences(kept, "doc_id", "n_toks", budget = 512, parts = parts,
       reliable = Pin.reliableFromConf(spark))
@@ -1232,7 +1242,7 @@ object QueriesText {
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
       .filter(col("id") =!= col("keep"))
       .select(col("id").as("doc_id"))
-    shardStats(spark, kept.join(drop, Seq("doc_id"), "left_anti"))
+    shardStats(spark, Pin(kept.join(drop, Seq("doc_id"), "left_anti")))
   }
 
   /** CAPSTONE v4 — v3 plus the ExactSubstr SPAN-removal stage: after
@@ -1253,12 +1263,14 @@ object QueriesText {
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
       .filter(col("id") =!= col("keep"))
       .select(col("id").as("doc_id"))
-    val k2 = kept.join(drop, Seq("doc_id"), "left_anti")
+    val k2 = Pin(kept.join(drop, Seq("doc_id"), "left_anti"))
     val spanned = ExactSubstr.removeDuplicateSpans(k2, "doc_id", "text", k = 8,
       saltBuckets = ExactSubstr.saltBucketsFromConf(spark))
       .select(col("doc_id"), (col("n_tokens") - col("n_removed")).as("n_toks"))
     val parts = spark.sessionState.conf.numShufflePartitions
-    val slim = k2.select("doc_id", "source").join(spanned, Seq("doc_id"))
+    // pinned: spanned embeds the whole ExactSubstr chain and slim
+    // feeds both the packing pass and the rollup join (see packByCounts)
+    val slim = Pin(k2.select("doc_id", "source").join(spanned, Seq("doc_id")))
     val packed = Packing.packSequences(slim, "doc_id", "n_toks", budget = 512, parts = parts,
       reliable = Pin.reliableFromConf(spark))
     val spans = packed.groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_spans"))
@@ -1296,7 +1308,10 @@ object QueriesText {
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
       .filter(col("id") =!= col("keep"))
       .select(col("id").as("doc_id"))
-    val k2 = kept.join(drop, Seq("doc_id"), "left_anti")
+    // same rule as curationKept's pin: k2 feeds the span removal AND
+    // the packing slim join, and its `drop` subtree embeds the whole
+    // embedding closure — pin once, consume twice
+    val k2 = Pin(kept.join(drop, Seq("doc_id"), "left_anti"))
     val spanned = ExactSubstr.removeDuplicateSpans(k2, "doc_id", "text", k = 8,
       saltBuckets = ExactSubstr.saltBucketsFromConf(spark))
     (k2, spanned)
@@ -1318,7 +1333,11 @@ object QueriesText {
   private def packByCounts(spark: SparkSession, k2: DataFrame, enc: DataFrame,
                            extraAggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val parts = spark.sessionState.conf.numShufflePartitions
-    val slim = k2.select("doc_id", "source").join(enc, Seq("doc_id"))
+    // pinned: `enc` embeds the span-removal + tokenizer-encode subtree
+    // (the two heaviest capstone stages), and slim feeds both the
+    // packing pass and the rollup join — one materialization, two
+    // consumers
+    val slim = Pin(k2.select("doc_id", "source").join(enc, Seq("doc_id")))
     val packed = Packing.packSequences(slim, "doc_id", "n_subwords", budget = 512, parts = parts,
       reliable = Pin.reliableFromConf(spark))
     val spans = packed.groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_spans"))

@@ -311,6 +311,23 @@ object AnnSearch {
     val nch = geom.map { case (c, (cnt, _)) =>
       c -> math.ceil(cnt.toDouble / chunkTarget).toInt.max(1)
     }
+    // Defensive ceiling on the DRIVER-side chunk-pair table: on data
+    // where the triangle bound prunes nothing (isotropic at scale) the
+    // expansion is O((n/chunkTarget)²) tuples and would exhaust driver
+    // memory long after the job itself had become hopeless. Fail fast
+    // with the actionable choices instead of a driver OOM. 50M tuples
+    // ≈ 2 GB driver footprint — far beyond any sane closure, far below
+    // a silent death.
+    val maxChunkPairs = confLong(spark, "spark.graft.nearpairs.maxChunkPairs", 50000000L)
+    val plannedPairs = candCellPairs.iterator.map { case (ci, cj) =>
+      if (ci == cj) nch(ci).toLong * (nch(ci) + 1L) / 2L else nch(ci).toLong * nch(cj)
+    }.sum
+    require(plannedPairs <= maxChunkPairs,
+      s"cosineNearPairs: the triangle bound kept ${candCellPairs.length} cell pairs " +
+        s"expanding to $plannedPairs chunk pairs (> $maxChunkPairs). At this scale the " +
+        "closure is effectively all-pairs on this data — raise tau, pre-block with a " +
+        "sketch (MinHash/SimHash), use more/tighter centroids (k-means refinement), or " +
+        "raise spark.graft.nearpairs.{chunkTarget,maxChunkPairs} deliberately.")
     val chunkPairs = candCellPairs.flatMap { case (ci, cj) =>
       for {
         a <- 0 until nch(ci)
