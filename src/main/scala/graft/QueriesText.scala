@@ -1242,7 +1242,9 @@ object QueriesText {
       .join(comp.groupBy("component").agg(min("id").as("keep")), Seq("component"))
       .filter(col("id") =!= col("keep"))
       .select(col("id").as("doc_id"))
-    shardStats(spark, Pin(kept.join(drop, Seq("doc_id"), "left_anti")))
+    // no call-site pin: shardStats pins its token-counted input itself,
+    // and this subtree has exactly that one consumer
+    shardStats(spark, kept.join(drop, Seq("doc_id"), "left_anti"))
   }
 
   /** CAPSTONE v4 — v3 plus the ExactSubstr SPAN-removal stage: after

@@ -185,9 +185,16 @@ object AnnSearch {
   /** Robust long conf read: malformed values fall back to the default
     * instead of throwing NumberFormatException at plan construction. */
   private def confLong(spark: org.apache.spark.sql.SparkSession, key: String, default: Long): Long =
-    spark.conf.getOption(key)
-      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-      .getOrElse(default)
+    spark.conf.getOption(key) match {
+      case Some(v) => scala.util.Try(v.trim.toLong).toOption.getOrElse {
+        // don't silently mask a typo'd knob ("128m", "1e8"): fall back
+        // robustly but SAY so
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"ignoring malformed $key='$v' (not a long); using default $default")
+        default
+      }
+      case None => default
+    }
 
   /** Internal: per-cell geometry of an assigned corpus — member count
     * and ANGULAR RADIUS r_c = max over members of angle(member,
@@ -198,13 +205,16 @@ object AnnSearch {
   private def closureGeometry(
       assigned: DataFrame, centroids: DataFrame, cents: CentroidSet, tau: Double)
       : (Map[Long, (Long, Double)], IndexedSeq[(Long, Long)]) = {
+    // centroid norms computed ONCE on the broadcast side (the bfTopK
+    // per-side rule) — not re-derived per corpus row in the aggregate
     val centDf = broadcast(centroids.select(
-      col("c_id").cast("long").as("cell"), col("c_vec").cast("array<double>").as("c_vec")))
+      col("c_id").cast("long").as("cell"), col("c_vec").cast("array<double>").as("c_vec"))
+      .withColumn("c_nrm", norm(col("c_vec"))))
     val geom = assigned
       .join(centDf, Seq("cell"))
       .select(col("cell"),
         acos(least(lit(1.0), greatest(lit(-1.0),
-          dot(col("n_vec"), col("c_vec")) / (col("n_nrm") * norm(col("c_vec")))))).as("ang"))
+          dot(col("n_vec"), col("c_vec")) / (col("n_nrm") * col("c_nrm"))))).as("ang"))
       .groupBy("cell")
       .agg(count(lit(1)).as("cnt"), max("ang").as("r"))
       .collect()
@@ -219,9 +229,14 @@ object AnnSearch {
       math.acos(math.max(-1.0, math.min(1.0, s / (cents.norms(idx(ci)) * cents.norms(idx(cj))))))
     }
     val thetaTau = math.acos(math.max(-1.0, math.min(1.0, tau)))
-    // slack absorbs acos/aggregation float error; it can only ADD
-    // candidate pairs, never drop one — exactness is one-sided safe
-    val slack = 1e-6
+    // slack absorbs float error in the three measured angles; it can
+    // only ADD candidate pairs, never drop one — exactness is
+    // one-sided safe. Sized generously: acos has unbounded derivative
+    // at ±1, so a member sitting numerically AT its centroid direction
+    // (cos 1−1e-12 computed as 1.0) can understate a radius by ~1e-6
+    // alone; 1e-4 rad (0.006°) covers every such boundary with orders
+    // of margin while being far below the bound's useful granularity.
+    val slack = 1e-4
     val cells = geom.keys.toArray.sorted
     val cand = for {
       i <- cells.indices
@@ -338,7 +353,13 @@ object AnnSearch {
     val nchDf = broadcast(nch.toSeq.toDF("cell", "nch"))
     val chunked = assigned
       .join(nchDf, Seq("cell"))
-      .select(col("cell"), pmod(col("n_id"), col("nch").cast("long")).cast("int").as("chunk"),
+      // chunk key is a HASH of the id, not the id itself: periodic id
+      // allocations (all ids multiples of k) would otherwise collapse
+      // onto pmod's residue 0 and rebuild the one-giant-chunk row this
+      // chunking exists to prevent; any partition of a cell is valid
+      // (chunk pairs enumerate every member combination), so the choice
+      // cannot affect the emitted pair set
+      .select(col("cell"), pmod(xxhash64(col("n_id")), col("nch").cast("long")).cast("int").as("chunk"),
         struct(col("n_id").as("id"), col("n_vec").as("vec"), col("n_nrm").as("nrm")).as("m"))
       .groupBy("cell", "chunk")
       .agg(collect_list(col("m")).as("members"))

@@ -133,18 +133,17 @@ class RecallGuardSpec extends SparkSpec {
     // the engine's pair SET must match brute force on any fixture, so
     // fixture drift can never produce a recall-shaped conformance red.
     val centroids = AnnSearch.strideCentroids(embs, 25)
-    val got = AnnSearch.cosineNearPairs(embs, centroids, tau = 0.4)
-      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one closure run serves both checks (the construction is eager)
+    val emitted = AnnSearch.cosineNearPairs(embs, centroids, tau = 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = emitted.toSet
     assert((truePairs -- got).isEmpty,
       s"exact closure MISSED true pairs — the triangle-inequality bound is broken: ${truePairs -- got}")
     assert((got -- truePairs).isEmpty,
       s"exact closure emitted spurious pairs: ${got -- truePairs}")
-
-    // and the no-duplicates contract that replaced the distinct()
-    // pass: each unordered pair must be emitted exactly once
-    val withDupes = AnnSearch.cosineNearPairs(embs, centroids, tau = 0.4)
-      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(withDupes.length == withDupes.distinct.length,
+    // the no-duplicates contract that replaced the distinct() pass:
+    // each unordered pair must be emitted exactly once
+    assert(emitted.length == got.size,
       "closure emitted duplicate pair rows — the chunk-pair expansion double-covers")
   }
 
