@@ -216,6 +216,26 @@ object QueriesText {
     ivfTop10Of(corpus, AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2), frac = 0.2)
   }
 
+  /** The composed IVFADC production shape on the CLUSTERED corpus —
+    * the configuration a real 100 TB retrieval deployment runs, now
+    * driver-gated: 0.2 probe fraction over Lloyd-refined cells AND a
+    * FIXED 50-candidate shortlist (vs the isotropic rows' 0.16·n
+    * FRACTION — their documented worst case). Both knobs are measured,
+    * not asserted: graft.dev.CluProbe pins the worst true-top-10
+    * neighbor's ADC rank within the probed cells at 10 (i.e. the ADC
+    * ordering is exact here) at BOTH fixture scales, so 50 carries 5×
+    * margin, and the exact re-rank returns the brute-force answer —
+    * same oracle as `ann_topk_ivf_clu`. */
+  private def annTopKIvfPqClu(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = clusteredEmbs(spark, dir)
+    val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
+    val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
+    val nprobe = math.ceil(0.2 * centroids.count()).toInt
+    AnnSearch.ivfPqTopK(
+      corpus.filter(pmod(col("id"), lit(50)) === 0), corpus, centroids, book,
+      k = 10, nprobe = nprobe, shortlist = 50)
+  }
+
   /** Exact τ=0.8 cosine closure on the CLUSTERED corpus — the
     * triangle-inequality pruning's demonstration row: tight cells +
     * spread centroids let the bound exclude most cell pairs (kept
@@ -1622,6 +1642,7 @@ object QueriesText {
     "ann_topk_ivf" -> (annTopKIvf _),
     "ann_topk_ivf_km" -> (annTopKIvfKm _),
     "ann_topk_ivf_clu" -> (annTopKIvfClu _),
+    "ann_topk_ivfpq_clu" -> (annTopKIvfPqClu _),
     "emb_near_pairs" -> (embNearPairs _),
     "emb_near_pairs_clu" -> (embNearPairsClu _),
     "emb_quantize" -> (embQuantize _),
@@ -2522,6 +2543,24 @@ object QueriesText {
     // (first 20 vectors are centers; member = center(id%20) + 0.15*own,
     // all-double arithmetic identical to the zip_with on the Spark side)
     "ann_topk_ivf_clu" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+        |m AS (SELECT e.vec_id AS id,
+        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+        |      FROM e JOIN c ON c.cid = e.vec_id % 20),
+        |q AS (SELECT * FROM m WHERE id % 50 = 0),
+        |scored AS (
+        |  SELECT q.id AS q_id, m.id AS n_id,
+        |    round(list_inner_product(q.v, m.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(m.v, m.v))), 6) AS sim
+        |  FROM q JOIN m ON m.id <> q.id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
+    // same brute-force contract as ann_topk_ivf_clu: probed cells cover
+    // the true top-10 and the exact re-rank makes the output exact
+    "ann_topk_ivfpq_clu" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
         |m AS (SELECT e.vec_id AS id,

@@ -44,6 +44,36 @@ object CluProbe {
         .map(o => (o, math.rint(cos(v(q), v(o)) * 1e6) / 1e6))
         .sortBy { case (o, s) => (-s, o) }.take(10).map(_._1).toSet
     }.toMap
+    // IVFADC coverage: within the frac-0.2 probed cells, what ADC
+    // shortlist fraction covers every true top-10 neighbor?
+    locally {
+      val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
+      val cents = AnnSearch.collectCentroids(refined)
+      val nprobe = math.ceil(0.2 * nlist).toInt
+      val probes = corpus.filter(pmod(col("id"), lit(50)) === 0)
+        .select(col("id").as("q_id"), col("vec").as("q_vec"), AnnSearch.norm(col("vec")).as("q_norm"))
+        .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("q_vec"), cents, nprobe)))
+      val encodedCells = corpus.select(
+        graft.functions.NearestCells.topCells(col("vec"), cents, 1).getItem(0).as("cell"),
+        col("id").as("n_id"),
+        graft.functions.PqOps.codes(col("vec"), book).as("codes"),
+        AnnSearch.norm(col("vec")).as("n_norm")).localCheckpoint(false)
+      import org.apache.spark.sql.expressions.Window
+      val ranked = probes.join(encodedCells, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (graft.functions.PqOps.adc(col("q_vec"), col("codes"), book) / (col("q_norm") * col("n_norm"))).as("adc"))
+        .withColumn("arank", row_number().over(Window.partitionBy("q_id").orderBy(desc("adc"), col("n_id"))))
+        .select("q_id", "n_id", "arank").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(r => r.getLong(1) -> r.getInt(2)).toMap }
+      var worst = 0
+      var missing = 0
+      for (q <- queries; t <- trueTop(q)) ranked.get(q).flatMap(_.get(t)) match {
+        case Some(r) => worst = math.max(worst, r)
+        case None => missing += 1
+      }
+      println(f"== IVFADC at frac 0.2: worst true-neighbor ADC rank $worst of $n (${worst.toDouble / n.toDouble}%.4f), missing-from-probe $missing")
+    }
     for (frac <- Seq(0.05, 0.1, 0.15, 0.2)) {
       val got = graft.QueriesText.ivfTop10Of(corpus, refined, frac)
         .select("q_id", "n_id").collect()

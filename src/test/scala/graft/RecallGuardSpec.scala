@@ -194,6 +194,42 @@ class RecallGuardSpec extends SparkSpec {
             s"fraction $frac (config 0.2) — margin exhausted, re-probe with graft.dev.CluProbe")
       }
     }
+
+    // the composed IVFADC row (ann_topk_ivfpq_clu) runs a FIXED
+    // 50-candidate shortlist — the production setting the isotropic
+    // rows' 0.16·n fraction cannot afford. Its premise, pinned here at
+    // a 2.5× margin: within the 0.2-fraction probed cells the ADC
+    // ordering puts every true top-10 neighbor inside the top 20
+    // (CluProbe measures worst rank 10 — ADC is exact on clusters).
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
+      val cents = AnnSearch.collectCentroids(refined)
+      val nprobe = math.ceil(0.2 * cents.ids.length).toInt
+      val encodedCells = corpus.select(
+        graft.functions.NearestCells.topCells(col("vec"), cents, 1).getItem(0).as("cell"),
+        col("id").as("n_id"),
+        graft.functions.PqOps.codes(col("vec"), book).as("codes"),
+        AnnSearch.norm(col("vec")).as("n_norm")).localCheckpoint(false)
+      val shortlisted = corpus.filter(pmod(col("id"), lit(50)) === 0)
+        .select(col("id").as("q_id"), col("vec").as("q_vec"), AnnSearch.norm(col("vec")).as("q_norm"))
+        .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("q_vec"), cents, nprobe)))
+        .join(encodedCells, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (graft.functions.PqOps.adc(col("q_vec"), col("codes"), book)
+            / (col("q_norm") * col("n_norm"))).as("adc"))
+        .withColumn("arank", row_number().over(Window.partitionBy("q_id").orderBy(desc("adc"), col("n_id"))))
+        .filter(col("arank") <= 20)
+        .select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+      for (q <- queries) {
+        val missing = trueTop(q) -- shortlisted.getOrElse(q, Set.empty)
+        assert(missing.isEmpty,
+          s"clustered IVFADC margin exhausted for query $q: true neighbors $missing sit past " +
+            "ADC rank 20 within the probed cells (config shortlist 50) — re-probe with graft.dev.CluProbe")
+      }
+    }
   }
 
   test("PQ guard: ADC shortlist covers the true top-10 with 2x margin, and codes are partitioning-stable") {
