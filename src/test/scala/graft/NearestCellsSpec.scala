@@ -72,4 +72,48 @@ class NearestCellsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(assigned == windowed)
   }
+
+  test("exact closure edge cases: brute-force parity on random data, forced multi-chunk, empty and all-pairs tau") {
+    // random corpus, NO fixture: the closure must equal driver-side
+    // brute force for any data and any centroid table
+    val corpus = randomCorpus(300, 16, seed = 7).cache()
+    val centroids = AnnSearch.strideCentroids(corpus, 20)
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val ids = vecs.keys.toArray.sorted
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def truth(tau: Double): Set[(Long, Long)] = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      if cos(vecs(ids(i)), vecs(ids(j))) >= tau
+    } yield (ids(i), ids(j))).toSet
+    def engine(tau: Double): Seq[(Long, Long)] =
+      AnnSearch.cosineNearPairs(corpus, centroids, tau)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val atQuarter = engine(0.25)
+    assert(atQuarter.toSet == truth(0.25), "closure != brute force at tau=0.25 on random data")
+    assert(atQuarter.length == atQuarter.distinct.length, "duplicate pair emissions")
+
+    // forced multi-chunk: chunkTarget=7 splits every cell into many
+    // chunks — the chunk-pair expansion and the same-chunk/cross-chunk
+    // emission rules must still produce the identical set, exactly once
+    spark.conf.set("spark.graft.nearpairs.chunkTarget", "7")
+    try {
+      val chunked = engine(0.25)
+      assert(chunked.toSet == truth(0.25), "multi-chunk closure diverged")
+      assert(chunked.length == chunked.distinct.length, "multi-chunk closure double-emitted pairs")
+    } finally spark.conf.unset("spark.graft.nearpairs.chunkTarget")
+
+    // tau above every cosine: empty, not an error
+    assert(engine(0.999999).isEmpty, "impossible tau should produce an empty result")
+    // tau = -1: every unordered pair exactly once (the all-pairs limit)
+    val all = engine(-1.0)
+    assert(all.length == ids.length * (ids.length - 1) / 2,
+      s"tau=-1 should emit every unordered pair once, got ${all.length}")
+    corpus.unpersist()
+  }
 }

@@ -98,6 +98,29 @@ class PlanShapeSpec extends SparkSpec {
       s"CellPairSims kernel missing — closure degraded to per-candidate rows:\n$plan")
   }
 
+  test("near-pairs degrade path: past the broadcast threshold the pair join shuffle-hashes by chunk key, same result") {
+    // fixtures always fit the 64 MB default, so the degrade branch
+    // would otherwise ship untested; force it and pin BOTH the plan
+    // (hash join on the (cell, chunk) keys, nothing nested-loop) and
+    // exact result equality with the broadcast path.
+    val corpus = embsDf
+    val centroids = AnnSearch.strideCentroids(corpus, 25)
+    val key = "spark.graft.nearpairs.broadcastAssignedMaxBytes"
+    val fast = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    spark.conf.set(key, "1")
+    try {
+      val degraded = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4)
+      val plan = physicalPlan(degraded)
+      assert(plan.contains("ShuffledHashJoin"),
+        s"degrade path did not plan a shuffled hash join:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"degrade path degenerated to a nested loop:\n$plan")
+      val slow = degraded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(slow == fast, "shuffle-hash degrade path diverged from the broadcast path")
+    } finally spark.conf.unset(key)
+  }
+
   test("k-means-refined IVF keeps equi-join shape and matches BF top-k recall bound") {
     val corpus = embsDf
     val centroids = AnnSearch.kmeansCentroids(corpus, stride = 20, iters = 2)
