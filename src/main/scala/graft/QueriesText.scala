@@ -236,6 +236,24 @@ object QueriesText {
       k = 10, nprobe = nprobe, shortlist = 50)
   }
 
+  /** SemDeDup on the CLUSTERED corpus — components over the exact
+    * τ=0.8 closure, one row per duplicate cluster (kept min id +
+    * size). Completes the clustered family's 1:1 mirror of the
+    * isotropic rows (near-pairs / dedup / IVF / IVFADC), with the
+    * closure pruning ≥80% of cell pairs here (the measured scale
+    * plan) instead of degrading to all-cell-pairs. By construction
+    * the components are exactly the 20 planted clusters. Oracle: the
+    * all-pairs recursive-CTE closure over the derived corpus. */
+  private def dedupEmbeddingClu(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = clusteredEmbs(spark, dir)
+    val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
+    val pairs = AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.8)
+    MinHashLsh.componentsStar(pairs.select("a", "b"))
+      .groupBy("component")
+      .agg(min("id").as("keep_id"), count(lit(1)).as("cluster_size"))
+      .select("keep_id", "cluster_size")
+  }
+
   /** Exact τ=0.8 cosine closure on the CLUSTERED corpus — the
     * triangle-inequality pruning's demonstration row: tight cells +
     * spread centroids let the bound exclude most cell pairs (kept
@@ -1643,6 +1661,7 @@ object QueriesText {
     "ann_topk_ivf_km" -> (annTopKIvfKm _),
     "ann_topk_ivf_clu" -> (annTopKIvfClu _),
     "ann_topk_ivfpq_clu" -> (annTopKIvfPqClu _),
+    "dedup_embedding_clu" -> (dedupEmbeddingClu _),
     "emb_near_pairs" -> (embNearPairs _),
     "emb_near_pairs_clu" -> (embNearPairsClu _),
     "emb_quantize" -> (embQuantize _),
@@ -2558,6 +2577,28 @@ object QueriesText {
         |  n_id, sim
         |FROM scored
         |QUALIFY rank <= 10""".stripMargin,
+    "dedup_embedding_clu" ->
+      """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < 20),
+        |m AS (SELECT e0.vec_id AS id,
+        |        list_transform(generate_series(1, len(e0.v)), i -> c0.cv[i] + 0.15 * e0.v[i]) AS v
+        |      FROM e0 JOIN c0 ON c0.cid = e0.vec_id % 20),
+        |vp AS (
+        |  SELECT a.id AS a, b.id AS b
+        |  FROM m a JOIN m b ON a.id < b.id
+        |  WHERE list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.8),
+        |e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+        |cl AS (
+        |  WITH RECURSIVE closure(src, dst) AS (
+        |    SELECT a AS src, b AS dst FROM e
+        |    UNION
+        |    SELECT closure.src, e.b AS dst FROM closure JOIN e ON e.a = closure.dst
+        |      WHERE e.b <> closure.src
+        |  ) SELECT * FROM closure)
+        |SELECT comp AS keep_id, count(*) AS cluster_size FROM (
+        |  SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src)
+        |GROUP BY comp""".stripMargin,
     // same brute-force contract as ann_topk_ivf_clu: probed cells cover
     // the true top-10 and the exact re-rank makes the output exact
     "ann_topk_ivfpq_clu" ->

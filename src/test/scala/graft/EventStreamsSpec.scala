@@ -190,6 +190,47 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HLL distinct users: constant-size sketch state, <5% error at 5k users, batch-boundary-independent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def run(splits: Int): (Long, Long) = {
+      val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+      val df = mem.toDF().toDF("ts", "user_id", "event_type")
+      val name = "hll_" + splits
+      val q = EventStreams.distinctUsersApprox(spark, df, windowSec = 300)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        // 5,000 distinct users (each appearing twice) inside ONE
+        // 5-minute window, fed in `splits` micro-batches. The sec()
+        // base is not 300-aligned, so anchor on the next window start
+        // to keep every event in a single tumbling window.
+        val base = ((1700000000L / 300) + 1) * 300 - 1700000000L
+        val rows = (0 until 5000).flatMap(u => Seq(
+          (sec(base + 60 + u % 200), u.toLong, "click"),
+          (sec(base + 61 + u % 200), u.toLong, "click")))
+        val per = math.max(1, rows.length / splits)
+        rows.grouped(per).foreach { g => mem.addData(g); q.processAllAvailable() }
+        // advance the watermark past the window end, twice (advance,
+        // then the batch that fires the timeout)
+        mem.addData((sec(base + 5000), -1L, "s")); q.processAllAvailable()
+        mem.addData((sec(base + 9000), -1L, "s")); q.processAllAvailable()
+        val est = spark.table(name).filter(col("event_type") === "click")
+          .select("n_users").collect().map(_.getLong(0))
+        assert(est.length == 1, s"expected one finalized window, got ${est.length}")
+        val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+        (est.head, stateRows)
+      } finally q.stop()
+    }
+    val (e1, _) = run(1)
+    val (e3, _) = run(3)
+    // register merges are associative: identical estimate however the
+    // feed is micro-batched
+    assert(e1 == e3, s"HLL estimate depends on micro-batch boundaries: $e1 vs $e3")
+    // p=12 → ~1.6% standard error; 5% is a >3σ bound
+    assert(math.abs(e1 - 5000.0) / 5000.0 < 0.05,
+      s"HLL estimate $e1 is more than 5% off the exact 5000")
+  }
+
   test("stream-stream interval join matches pairs across micro-batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
