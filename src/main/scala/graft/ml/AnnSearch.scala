@@ -196,38 +196,53 @@ object AnnSearch {
       case None => default
     }
 
-  /** Internal: per-cell geometry of an assigned corpus — member count
-    * and ANGULAR RADIUS r_c = max over members of angle(member,
-    * centroid) — plus the candidate cell-pair list the spherical
-    * triangle inequality cannot exclude for a τ-closure. One aggregate
-    * over the assigned table (nlist output rows) + an O(nlist²)
-    * driver loop over the already-collected centroid set. */
-  private def closureGeometry(
-      assigned: DataFrame, centroids: DataFrame, cents: CentroidSet, tau: Double)
-      : (Map[Long, (Long, Double)], IndexedSeq[(Long, Long)]) = {
+  /** Internal: per-cell geometry TABLE of an assigned corpus — cell id,
+    * member count, chunk count (ceil(cnt / chunkTarget)), ANGULAR
+    * RADIUS r_c = max over members of angle(member, centroid), and the
+    * centroid vector + norm re-attached for the candidate self-join.
+    * One aggregate over the assigned table, nlist output rows,
+    * materialized (both the candidate join and the chunk grouping read
+    * it). The engine-side least/greatest clamp maps a NaN cosine
+    * (zero-norm member or centroid) to angle 0 — safe, because a
+    * zero-norm vector's sim with ANYTHING is NaN and fails the `≥ τ`
+    * kernel test, so it can never be part of a qualifying pair. */
+  private[graft] def closureGeomDf(
+      assigned: DataFrame, centroids: DataFrame, chunkTarget: Long): DataFrame = {
     // centroid norms computed ONCE on the broadcast side (the bfTopK
     // per-side rule) — not re-derived per corpus row in the aggregate
     val centDf = broadcast(centroids.select(
       col("c_id").cast("long").as("cell"), col("c_vec").cast("array<double>").as("c_vec"))
       .withColumn("c_nrm", norm(col("c_vec"))))
-    val geom = assigned
+    assigned
       .join(centDf, Seq("cell"))
       .select(col("cell"),
         acos(least(lit(1.0), greatest(lit(-1.0),
           dot(col("n_vec"), col("c_vec")) / (col("n_nrm") * col("c_nrm"))))).as("ang"))
       .groupBy("cell")
       .agg(count(lit(1)).as("cnt"), max("ang").as("r"))
-      .collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
-      .toMap
-    val idx = cents.ids.zipWithIndex.toMap
-    def centAngle(ci: Long, cj: Long): Double = {
-      val a = cents.vecs(idx(ci)); val b = cents.vecs(idx(cj))
-      var s = 0.0; var t = 0
-      val d = math.min(a.length, b.length)
-      while (t < d) { s += a(t) * b(t); t += 1 }
-      math.acos(math.max(-1.0, math.min(1.0, s / (cents.norms(idx(ci)) * cents.norms(idx(cj))))))
-    }
+      .withColumn("nch",
+        greatest(lit(1), ceil(col("cnt").cast("double") / chunkTarget).cast("int")))
+      .join(centDf, Seq("cell"))
+      .localCheckpoint(false)
+  }
+
+  /** Internal: the candidate cell pairs the spherical triangle
+    * inequality cannot exclude for a τ-closure — as an ENGINE-SIDE
+    * broadcast self-join of the nlist-row geometry table on the bound
+    * predicate `angle(cᵢ,cⱼ) ≤ rᵢ + rⱼ + θτ + slack`, replacing the
+    * r10 driver for-comprehension (O(nlist²·dim) single-threaded work
+    * and an O(nlist²) driver allocation BEFORE any guard could fire —
+    * at a production nlist of 10⁵ that loop is 5×10⁹ driver-side dot
+    * products and a multi-GB candidate list; here the same comparisons
+    * fan out as a broadcast nested-loop join over nlist broadcast rows
+    * and the driver holds nothing per-pair). Angles are bit-identical
+    * to the old driver loop: [[graft.functions.DotProduct]] accumulates
+    * left-to-right exactly as the driver while-loop did, and
+    * `least/greatest` clamp NaN (zero-norm centroid) to cos 1 → angle
+    * 0 → pair KEPT — the one-sided-safe resolution (the old driver
+    * `math.min/max` clamp propagated NaN and silently PRUNED every
+    * pair touching a degenerate cell, an exactness hole). */
+  private[graft] def closureCandidates(geom: DataFrame, tau: Double): DataFrame = {
     val thetaTau = math.acos(math.max(-1.0, math.min(1.0, tau)))
     // slack absorbs float error in the three measured angles; it can
     // only ADD candidate pairs, never drop one — exactness is
@@ -237,15 +252,28 @@ object AnnSearch {
     // alone; 1e-4 rad (0.006°) covers every such boundary with orders
     // of margin while being far below the bound's useful granularity.
     val slack = 1e-4
-    val cells = geom.keys.toArray.sorted
-    val cand = for {
-      i <- cells.indices
-      j <- i until cells.length
-      ci = cells(i); cj = cells(j)
-      if centAngle(ci, cj) <= geom(ci)._2 + geom(cj)._2 + thetaTau + slack
-    } yield (ci, cj)
-    (geom, cand.toIndexedSeq)
+    val li = geom.select(col("cell").as("ca"), col("r").as("ra"),
+      col("nch").as("ncha"), col("c_vec").as("cva"), col("c_nrm").as("cna"))
+    val rj = geom.select(col("cell").as("cb"), col("r").as("rb"),
+      col("nch").as("nchb"), col("c_vec").as("cvb"), col("c_nrm").as("cnb"))
+    li.join(broadcast(rj),
+        col("ca") <= col("cb") &&
+          acos(least(lit(1.0), greatest(lit(-1.0),
+            dot(col("cva"), col("cvb")) / (col("cna") * col("cnb")))))
+            <= col("ra") + col("rb") + lit(thetaTau + slack))
+      .select(col("ca"), col("cb"), col("ncha"), col("nchb"))
   }
+
+  /** Internal: expand candidate cell pairs to CHUNK pairs via
+    * `explode(sequence(...))` — each unordered chunk pair exactly once
+    * (same-cell pairs enumerate only chb ≥ cha). Engine-side; the
+    * driver never holds a per-pair tuple. */
+  private[graft] def closureChunkPairs(cand: DataFrame): DataFrame =
+    cand
+      .withColumn("cha", explode(sequence(lit(0), col("ncha") - 1)))
+      .withColumn("chb", explode(sequence(
+        when(col("ca") === col("cb"), col("cha")).otherwise(lit(0)), col("nchb") - 1)))
+      .select("ca", "cha", "cb", "chb")
 
   /** The assigned-table projection the closure consumes: home cell
     * (map-side argmax), the vector widened to double, and its norm —
@@ -264,11 +292,11 @@ object AnnSearch {
     * fixture — the measured form of the "on clustered corpora the
     * blocking prunes hard" claim. */
   def closureCellPairStats(corpus: DataFrame, centroids: DataFrame, tau: Double): (Long, Long) = {
-    val cents = collectCentroids(centroids)
+    val chunkTarget = confLong(corpus.sparkSession, "spark.graft.nearpairs.chunkTarget", 512L).max(1L)
     val assigned = closureAssigned(corpus, centroids)
-    val (geom, cand) = closureGeometry(assigned, centroids, cents, tau)
-    val m = geom.size.toLong
-    (cand.length.toLong, m * (m + 1) / 2)
+    val geom = closureGeomDf(assigned, centroids, chunkTarget)
+    val m = geom.count()
+    (closureCandidates(geom, tau).count(), m * (m + 1) / 2)
   }
 
   /** ALL pairs (a < b) with cosine ≥ τ — EXACT, via cell-pair blocking
@@ -284,16 +312,20 @@ object AnnSearch {
     *
     * Plan shape: ONE corpus scan assigns cells map-side
     * ([[ivfAssign]]) and is materialized; one nlist-row aggregate
-    * measures cell radii; the driver keeps the cell pairs the bound
-    * cannot exclude and expands them to CHUNK pairs (cells split into
-    * ≤chunkTarget-member chunks — bounds the grouped row size at any
-    * corpus scale AND spreads a giant cell's intrinsic quadratic work
-    * across chunk-pair tasks instead of one hot partition). The
-    * chunk-pair table joins the grouped corpus twice (broadcast-sized
-    * keys only), and scoring runs as the compiled
-    * [[graft.functions.CellPairSims]] kernel — one row per chunk pair,
-    * not per candidate, with each unordered pair emitted exactly once
-    * (no distinct pass).
+    * measures cell radii; candidate cell pairs come from an
+    * ENGINE-SIDE broadcast self-join of that nlist-row geometry table
+    * on the bound predicate ([[closureCandidates]] — the driver holds
+    * no per-pair state at any nlist); ONE aggregate over that join
+    * enforces `maxChunkPairs` BEFORE anything is expanded or
+    * materialized; then the survivors expand to CHUNK pairs via
+    * `explode(sequence(...))` (cells split into ≤chunkTarget-member
+    * chunks — bounds the grouped row size at any corpus scale AND
+    * spreads a giant cell's intrinsic quadratic work across chunk-pair
+    * tasks instead of one hot partition). The chunk-pair table joins
+    * the grouped corpus twice (broadcast-sized keys only), and scoring
+    * runs as the compiled [[graft.functions.CellPairSims]] kernel —
+    * one row per chunk pair, not per candidate, with each unordered
+    * pair emitted exactly once (no distinct pass).
     *
     * Scale behavior is now a measured property of the DATA, not a
     * tuned knob: on clustered corpora (tight cells, spread centroids)
@@ -315,42 +347,52 @@ object AnnSearch {
     * (cell, chunk). */
   def cosineNearPairs(corpus: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val cents = collectCentroids(centroids)
     require(cents.ids.nonEmpty, "cosineNearPairs: empty centroid table")
     val dim = cents.vecs.head.length
     val assigned = closureAssigned(corpus, centroids)
-    val (geom, candCellPairs) = closureGeometry(assigned, centroids, cents, tau)
-    val n = geom.valuesIterator.map(_._1).sum
     val chunkTarget = confLong(spark, "spark.graft.nearpairs.chunkTarget", 512L).max(1L)
-    val nch = geom.map { case (c, (cnt, _)) =>
-      c -> math.ceil(cnt.toDouble / chunkTarget).toInt.max(1)
-    }
-    // Defensive ceiling on the DRIVER-side chunk-pair table: on data
-    // where the triangle bound prunes nothing (isotropic at scale) the
-    // expansion is O((n/chunkTarget)²) tuples and would exhaust driver
-    // memory long after the job itself had become hopeless. Fail fast
-    // with the actionable choices instead of a driver OOM. 50M tuples
-    // ≈ 2 GB driver footprint — far beyond any sane closure, far below
-    // a silent death.
+    val geom = closureGeomDf(assigned, centroids, chunkTarget)
+    val cand = closureCandidates(geom, tau)
+    // Defensive ceiling on the chunk-pair table: on data where the
+    // triangle bound prunes nothing (isotropic at scale) the expansion
+    // is O((n/chunkTarget)²) tuples — hopeless work that would only
+    // fail later and slower. The guard is ONE aggregate streamed over
+    // the candidate join — nothing is expanded, collected, or
+    // checkpointed before this check passes, at ANY nlist (the r10
+    // form materialized an O(nlist²) driver IndexedSeq before its
+    // guard could say anything). 50M tuples ≈ 2 GB materialized —
+    // far beyond any sane closure, far below a silent death.
     val maxChunkPairs = confLong(spark, "spark.graft.nearpairs.maxChunkPairs", 50000000L)
-    val plannedPairs = candCellPairs.iterator.map { case (ci, cj) =>
-      if (ci == cj) nch(ci).toLong * (nch(ci) + 1L) / 2L else nch(ci).toLong * nch(cj)
-    }.sum
+    val guard = cand.agg(
+      count(lit(1)).as("pairs"),
+      // nch·(nch+1)/2 via shiftright — Spark's `/` is DOUBLE division
+      // even on longs; the product is always even so the shift is exact
+      coalesce(sum(when(col("ca") === col("cb"),
+          shiftright(col("ncha").cast("long") * (col("ncha").cast("long") + 1L), 1))
+        .otherwise(col("ncha").cast("long") * col("nchb").cast("long"))), lit(0L)).as("planned"))
+      .head()
+    val nCandPairs = guard.getLong(0)
+    val plannedPairs = guard.getLong(1)
     require(plannedPairs <= maxChunkPairs,
-      s"cosineNearPairs: the triangle bound kept ${candCellPairs.length} cell pairs " +
+      s"cosineNearPairs: the triangle bound kept $nCandPairs cell pairs " +
         s"expanding to $plannedPairs chunk pairs (> $maxChunkPairs). At this scale the " +
         "closure is effectively all-pairs on this data — raise tau, pre-block with a " +
         "sketch (MinHash/SimHash), use more/tighter centroids (k-means refinement), or " +
         "raise spark.graft.nearpairs.{chunkTarget,maxChunkPairs} deliberately.")
-    val chunkPairs = candCellPairs.flatMap { case (ci, cj) =>
-      for {
-        a <- 0 until nch(ci)
-        b <- (if (ci == cj) a else 0) until nch(cj)
-      } yield (ci, a, cj, b)
-    }
-    val pairsDf = broadcast(chunkPairs.toDF("ca", "cha", "cb", "chb"))
-    val nchDf = broadcast(nch.toSeq.toDF("cell", "nch"))
+    val n = geom.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    // materialize the (guard-bounded) chunk-pair table so the scoring
+    // join reads a compact checkpointed table instead of replaying the
+    // candidate nested-loop join per downstream stage
+    val chunkPairs = closureChunkPairs(cand).localCheckpoint(false)
+    // the chunk-pair table broadcasts while small (the common, pruned
+    // case); near the maxChunkPairs ceiling it degrades to a shuffled
+    // hash join on the chunk keys rather than shipping ~GB broadcasts
+    val bcPairsMax = confLong(spark, "spark.graft.nearpairs.broadcastPairsMaxBytes", 64L << 20)
+    val pairsDf =
+      if (plannedPairs * 40L <= bcPairsMax) broadcast(chunkPairs)
+      else chunkPairs.hint("shuffle_hash")
+    val nchDf = broadcast(geom.select(col("cell"), col("nch")))
     val chunked = assigned
       .join(nchDf, Seq("cell"))
       // chunk key is a HASH of the id, not the id itself: periodic id

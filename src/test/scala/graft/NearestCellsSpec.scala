@@ -116,4 +116,35 @@ class NearestCellsSpec extends SparkSpec {
       s"tau=-1 should emit every unordered pair once, got ${all.length}")
     corpus.unpersist()
   }
+
+  test("exact closure at nlist >= 1000: brute-force parity where the old driver pair loop would bind") {
+    // 4000 vectors / stride 4 -> 1000 centroid cells: the scale step
+    // where the retired r10 driver candidate loop (nlist^2/2 = 500k
+    // driver-side dot products + an O(nlist^2) IndexedSeq) starts to
+    // bind. The engine-side candidate join must stay exact here with
+    // the DEFAULT knobs (no chunkTarget override), and the guard
+    // aggregate must pass without expanding anything first.
+    val corpus = randomCorpus(4000, 8, seed = 31).cache()
+    val centroids = AnnSearch.strideCentroids(corpus, 4)
+    assert(AnnSearch.collectCentroids(centroids).ids.length == 1000)
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val ids = vecs.keys.toArray.sorted
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val tau = 0.9
+    val truth = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      if cos(vecs(ids(i)), vecs(ids(j))) >= tau
+    } yield (ids(i), ids(j))).toSet
+    val got = AnnSearch.cosineNearPairs(corpus, centroids, tau)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(truth.nonEmpty, "degenerate fixture: no true pairs at tau=0.9")
+    assert(got.toSet == truth, s"closure != brute force at nlist=1000 (got ${got.length}, want ${truth.size})")
+    assert(got.length == got.distinct.length, "duplicate pair emissions at nlist=1000")
+    corpus.unpersist()
+  }
 }

@@ -98,6 +98,37 @@ class PlanShapeSpec extends SparkSpec {
       s"CellPairSims kernel missing — closure degraded to per-candidate rows:\n$plan")
   }
 
+  test("closure candidate generation is an ENGINE join over the geometry table, expanded by explode(sequence)") {
+    // r10's one perf weak: candidate cell pairs were a driver
+    // for-comprehension (O(nlist²·dim) single-threaded, materialized
+    // before the maxChunkPairs guard). The r11 form must plan as a
+    // broadcast nested-loop join of the nlist-row geometry table on
+    // the triangle-bound predicate, with the chunk-pair expansion a
+    // Generate (explode of sequence) — the driver holds no per-pair
+    // state at any nlist. This pins the pre-checkpoint subplan the
+    // final (equi-join-only) scoring plan no longer shows.
+    val corpus = embsDf
+    val centroids = AnnSearch.strideCentroids(corpus, 25)
+    val assigned = AnnSearch.ivfAssign(corpus, centroids)
+      .select(col("cell"), col("n_id"),
+        col("n_vec").cast("array<double>").as("n_vec"),
+        AnnSearch.norm(col("n_vec")).as("n_nrm"))
+    val geom = AnnSearch.closureGeomDf(assigned, centroids, chunkTarget = 512L)
+    val cand = AnnSearch.closureCandidates(geom, tau = 0.4)
+    val candPlan = physicalPlan(cand)
+    assert(candPlan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation is not an engine-side nested-loop join over the geometry table:\n$candPlan")
+    assert(!candPlan.contains("CartesianProduct"),
+      s"candidate join degenerated to an unbroadcast cartesian:\n$candPlan")
+    val chunkPlan = physicalPlan(AnnSearch.closureChunkPairs(cand))
+    assert(chunkPlan.contains("Generate"),
+      s"chunk-pair expansion is not an engine-side explode:\n$chunkPlan")
+    // and the geometry side the join broadcasts is the nlist-row
+    // aggregate, not the corpus (one HashAggregate keyed by cell)
+    assert(physicalPlan(geom).contains("LocalTableScan") || physicalPlan(geom).contains("Scan ExistingRDD"),
+      s"geometry table is not materialized ahead of the candidate join:\n${physicalPlan(geom)}")
+  }
+
   test("near-pairs degrade path: past the broadcast threshold the pair join shuffle-hashes by chunk key, same result") {
     // fixtures always fit the 64 MB default, so the degrade branch
     // would otherwise ship untested; force it and pin BOTH the plan
