@@ -473,6 +473,65 @@ object QueriesCore {
     } finally q.stop()
   }
 
+  /** HLL-sketch streaming COUNT(DISTINCT) with a DRIVER-GATED error
+    * contract: the same feed as `stream_distinct_users` runs through
+    * [[graft.streaming.EventStreams.distinctUsersApprox]] (p=12
+    * HyperLogLog registers in state — constant 4 KB per key vs the
+    * exact set's O(cardinality)), then joins the batch-exact counts
+    * and emits (window_start, event_type, n_users = EXACT,
+    * err_ok = |approx − exact| ≤ max(0.05·exact, 1)). The tolerance is
+    * 5% relative with a ±1 absolute floor: tiny windows (2–20 users)
+    * sit in the linear-counting regime where a single register
+    * collision shifts the estimate by exactly 1 — measured worst case
+    * across all three fixtures (graft.dev.HllProbe: worstAbs = 1 at
+    * every sf; the worst RELATIVE error is that ±1 on a 2-user
+    * window). The DuckDB oracle recomputes the exact counts and
+    * asserts err_ok literally TRUE — so the hash-match gates the
+    * sketch's error bound, not just its plumbing (the sketch is
+    * deterministic: XXH64 seed 42, so the bound either always holds
+    * on this fixture or never does). */
+  private def streamDistinctHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = events(spark, dir)
+      .select(col("user_id"), col("sec"), col("event_type"))
+      .orderBy("sec", "user_id")
+      .as[(Long, Long, String)]
+      .collect()
+    val maxSec = rows.iterator.map(_._2).max
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type")
+    val queryName = "stream_hll_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.distinctUsersApprox(spark, df)
+      .writeStream.format("memory").queryName(queryName).outputMode("append").start()
+    val approx =
+      try {
+        val data = rows.map { case (u, sec, et) => (new java.sql.Timestamp(sec * 1000), u, et) }
+        val (h1, h2) = data.splitAt(data.length / 2)
+        mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+        mem.addData(Seq((new java.sql.Timestamp((maxSec + 1200) * 1000), -1L, "s")))
+        q.processAllAvailable()
+        mem.addData(Seq((new java.sql.Timestamp((maxSec + 3000) * 1000), -1L, "s")))
+        q.processAllAvailable()
+        spark.table(queryName)
+          .filter(col("window_start") <= maxSec)
+          .select(col("window_start"), col("event_type"), col("n_users").as("n_approx"))
+          .localCheckpoint(eager = true)
+      } finally q.stop()
+    val exact = events(spark, dir)
+      .groupBy((floor(col("sec") / 300) * 300).cast("long").as("window_start"), col("event_type"))
+      .agg(countDistinct("user_id").as("n_users"))
+    exact
+      .join(approx, Seq("window_start", "event_type"), "left")
+      .select(col("window_start"), col("event_type"), col("n_users"),
+        coalesce(
+          abs(col("n_approx").cast("double") - col("n_users").cast("double"))
+            <= greatest(lit(0.05) * col("n_users").cast("double"), lit(1.0)),
+          lit(false)).as("err_ok"))
+  }
+
   /** Skew-safe aggregation over a LOW-cardinality key: per-event-type
     * count + exact integer cents sum through [[graft.ops.SaltedAgg]]'s
     * two-phase salted plan (wide exchange on (type, salt), tiny final
@@ -746,6 +805,7 @@ object QueriesCore {
     "stream_dedup_ttl" -> (streamDedupTtl _),
     "stream_windowed_counts" -> (streamWindowedCounts _),
     "stream_distinct_users" -> (streamDistinctUsers _),
+    "stream_distinct_hll" -> (streamDistinctHll _),
     "stream_interval_join" -> (streamIntervalJoin _),
     "stream_asof_join" -> (streamAsofJoin _),
     "u1_union" -> (u1Union _),
@@ -810,6 +870,10 @@ object QueriesCore {
     "stream_distinct_users" ->
       """SELECT (floor(epoch(ts))::BIGINT // 300) * 300 AS window_start, event_type,
         |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_distinct_hll" ->
+      """SELECT (floor(epoch(ts))::BIGINT // 300) * 300 AS window_start, event_type,
+        |  count(DISTINCT user_id)::BIGINT AS n_users, TRUE AS err_ok
         |FROM events GROUP BY 1, 2""".stripMargin,
     "percentiles_price" ->
       """WITH s AS (

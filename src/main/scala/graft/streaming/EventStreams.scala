@@ -131,15 +131,22 @@ object EventStreams {
     * boundaries.
     *
     * The 100 TB point vs the NoTimeout paths: state per key is ONE
-    * long (last-seen second) and is GARBAGE-COLLECTED by an
-    * event-time timeout once the watermark passes last-seen + horizon
-    * — total state is bounded by the number of keys ACTIVE within one
-    * horizon, not by lifetime key cardinality, so it plateaus on an
-    * unbounded stream (spec-pinned by EventStreamsSpec). GC never
-    * changes semantics: any row arriving after its key's state
-    * expired necessarily has an event-time gap > horizon (the
-    * watermark already passed last + horizon, and non-late rows sit
-    * at or above the watermark), so it would re-emit either way. */
+    * long (last-seen MILLISECOND — suppression, eviction, and late-row
+    * filtering all operate at the same ms granularity, so "GC never
+    * changes semantics" holds for sub-second timestamps too: the r10
+    * form floored state to seconds, and a survivor with tsMs in
+    * ((last+horizon)·1000, (last+horizon)·1000+999] had integer-second
+    * gap == horizon — suppressed by the batch lag oracle but re-emitted
+    * by the stream once eviction had dropped the state) and is
+    * GARBAGE-COLLECTED by an event-time timeout once the watermark
+    * passes last-seen + horizon — total state is bounded by the number
+    * of keys ACTIVE within one horizon, not by lifetime key
+    * cardinality, so it plateaus on an unbounded stream (spec-pinned
+    * by EventStreamsSpec). GC never changes semantics: any row
+    * arriving after its key's state expired necessarily has an
+    * event-time gap > horizon (the watermark already passed
+    * lastMs + horizon·1000, and non-late rows sit at or above the
+    * watermark), so it would re-emit either way. */
   def dedupFirstSeenTtl(spark: SparkSession, events: DataFrame, horizonSec: Long,
                         watermark: String = "10 minutes"): Dataset[ThrottleOut] = {
     import spark.implicits._
@@ -154,19 +161,19 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else {
-            var last: Option[Long] = state.getOption
+            var last: Option[Long] = state.getOption // last-seen ms
             val out = Vector.newBuilder[ThrottleOut]
-            // (sec, event_id) order = deterministic arrival order, the
+            // (ts, event_id) order = deterministic arrival order, the
             // oracle's window ordering
             for (r <- rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))) {
-              val sec = r.ts.getTime / 1000
-              if (last.forall(l => sec - l > horizonSec))
-                out += ThrottleOut(r.event_id, key._1, key._2, sec)
-              last = Some(last.fold(sec)(math.max(_, sec)))
+              val ms = r.ts.getTime
+              if (last.forall(l => ms - l > horizonSec * 1000))
+                out += ThrottleOut(r.event_id, key._1, key._2, ms / 1000)
+              last = Some(last.fold(ms)(math.max(_, ms)))
             }
             state.update(last.get)
             state.setTimeoutTimestamp(
-              math.max((last.get + horizonSec) * 1000 + 1, state.getCurrentWatermarkMs + 1))
+              math.max(last.get + horizonSec * 1000 + 1, state.getCurrentWatermarkMs + 1))
             out.result().iterator
           }
         }
@@ -201,17 +208,17 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else {
-            var last: Option[Long] = state.getOption
+            var last: Option[Long] = state.getOption // last-seen ms (see dedupFirstSeenTtl)
             val out = Vector.newBuilder[ParaKeep]
             for (r <- rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id, r.pidx))) {
-              val sec = r.ts.getTime / 1000
-              if (last.forall(l => sec - l > horizonSec))
+              val ms = r.ts.getTime
+              if (last.forall(l => ms - l > horizonSec * 1000))
                 out += ParaKeep(r.doc_id, r.pidx, r.para)
-              last = Some(last.fold(sec)(math.max(_, sec)))
+              last = Some(last.fold(ms)(math.max(_, ms)))
             }
             state.update(last.get)
             state.setTimeoutTimestamp(
-              math.max((last.get + horizonSec) * 1000 + 1, state.getCurrentWatermarkMs + 1))
+              math.max(last.get + horizonSec * 1000 + 1, state.getCurrentWatermarkMs + 1))
             out.result().iterator
           }
         }
@@ -225,7 +232,8 @@ object EventStreams {
     * within `horizonSec` of it (event time) — the horizon-limited
     * near-dedup a perpetual crawl runs, where a document only needs
     * checking against the recent corpus. Residents carry their
-    * last-seen second; each call prunes residents older than the
+    * last-seen MILLISECOND (the [[dedupFirstSeenTtl]] granularity
+    * rule); each call prunes residents older than the
     * newest arrival's horizon, and the whole bucket's state is
     * GC'd by event-time timeout once the watermark passes the
     * newest resident + horizon — state is bounded by per-bucket
@@ -249,19 +257,19 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else {
-            var residents = state.getOption.getOrElse(Nil) // (doc_id, last-seen sec)
+            var residents = state.getOption.getOrElse(Nil) // (doc_id, last-seen ms)
             val out = Vector.newBuilder[CandOut]
             for (r <- rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))) {
-              val sec = r.ts.getTime / 1000
-              residents = residents.filter(_._2 >= sec - horizonSec)
+              val ms = r.ts.getTime
+              residents = residents.filter(_._2 >= ms - horizonSec * 1000)
               residents.find(_._1 == r.doc_id) match {
                 case Some(_) =>
-                  residents = residents.map(p => if (p._1 == r.doc_id) (p._1, sec) else p)
+                  residents = residents.map(p => if (p._1 == r.doc_id) (p._1, ms) else p)
                 case None if residents.length < maxBucket =>
                   for ((earlier, _) <- residents)
                     out += (if (earlier < r.doc_id) CandOut(earlier, r.doc_id)
                             else CandOut(r.doc_id, earlier))
-                  residents = (r.doc_id, sec) :: residents
+                  residents = (r.doc_id, ms) :: residents
                 case None => // capped: count-and-discard, the prospective maxBucket rule
               }
             }
@@ -269,7 +277,7 @@ object EventStreams {
             else {
               state.update(residents)
               state.setTimeoutTimestamp(math.max(
-                (residents.map(_._2).max + horizonSec) * 1000 + 1,
+                residents.map(_._2).max + horizonSec * 1000 + 1,
                 state.getCurrentWatermarkMs + 1))
             }
             out.result().iterator

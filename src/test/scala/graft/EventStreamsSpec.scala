@@ -61,6 +61,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL dedup: sub-second timestamps compare at millisecond granularity (suppression == eviction bound)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    def ms(m: Long): java.sql.Timestamp = new java.sql.Timestamp(1700000000000L + m)
+    val q = EventStreams.dedupFirstSeenTtl(spark, df, horizonSec = 100, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("ttl_ms").outputMode("append").start()
+    try {
+      // t=0.500s emits; t=100.400s has ms-gap 99_900 <= 100_000 →
+      // suppressed. The r10 floor-seconds state compared integer-second
+      // gap 100 <= 100 → also suppressed, BUT only while state
+      // survived: after eviction the two granularities disagreed for
+      // gaps in (horizon·1000, horizon·1000+999]. Pin the ms rule
+      // directly: t=100.400 suppressed, t=200.600 (gap 100_200 ms from
+      // 100.4 s) > 100_000 → re-emits even though its integer-second
+      // gap (200-100=100) would NOT re-emit under the old second rule.
+      mem.addData((ms(500), 1L, "a", 20L), (ms(100400), 1L, "a", 21L))
+      q.processAllAvailable()
+      mem.addData((ms(200600), 1L, "a", 22L))
+      q.processAllAvailable()
+      val got = spark.table("ttl_ms").select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(20L, 22L), s"ms-granularity TTL emitted $got, want {20, 22}")
+    } finally q.stop()
+  }
+
   test("TTL dedup: state is evicted by the event-time timeout — rows plateau instead of growing with the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
