@@ -151,7 +151,11 @@ object Bench {
       // steady time is 11 s) and "first pass" stops meaning "cold
       // query cost".
       System.gc()
-      val both = Bench.extendedFamily.map { name =>
+      // events-table cells only run where the dir HAS an events table
+      // (the synth up-step regenerates documents/embeddings only)
+      val cells = Bench.extendedFamily.filter(n =>
+        !Bench.eventsCells(n) || Files.exists(Paths.get(s"$dir/events.parquet")))
+      val both = cells.map { name =>
         val fn = Bench.catalog(name)
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -165,11 +169,28 @@ object Bench {
       }
       (both.map(_._1), both.map(_._2))
     }
+    // r11 (third round of bench-vs-host adjudication): a fixed-work
+    // calibration reading taken immediately BEFORE each scale step's
+    // family, so every extended cell has a same-minute host-speed
+    // anchor — a cell that regresses while its step calibration
+    // matches history is code; a cell that regresses WITH its step
+    // calibration is host. Raw per-step readings go on stdout
+    // (ext_cal); host-normalized steady cells (cell · calRef/calStep)
+    // go to bench_out.json as extended_norm.
+    val calRef = 0.70 // the round-8 reference host reading the series is anchored to
     val extRuns = extDirs.map { dir =>
       val label = Paths.get(dir).getFileName.toString
         .replace("graft_sf1_synth", "sf1_synth")
-      label -> extPass(dir)
+      val calStep = calibration(spark)
+      (label, calStep, extPass(dir))
     }
+    val extCal = extRuns.map { case (label, c, _) => "\"" + label + "\":" + f"$c%.2f" }
+      .mkString("{", ",", "}")
+    val extNorm = extRuns.map { case (label, c, (_, steady)) =>
+      "\"" + label + "\":" + steady.map { case (k, v) =>
+        "\"" + k + "\":" + f"${v * calRef / c}%.3f"
+      }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     // post-run calibration: together with calPre this brackets host
     // drift DURING the run — a slow round with pre≈post≈historical
     // calibration is a code regression; pre/post ≫ historical is host.
@@ -181,8 +202,8 @@ object Bench {
     def extJson(pick: ((Seq[(String, Double)], Seq[(String, Double)])) => Seq[(String, Double)],
                 fmt: Seq[(String, Double)] => String,
                 only: String => Boolean = _ => true): String =
-      extRuns.filter { case (label, _) => only(label) }
-        .map { case (label, runs) => "\"" + label + "\":" + fmt(pick(runs)) }
+      extRuns.filter { case (label, _, _) => only(label) }
+        .map { case (label, _, runs) => "\"" + label + "\":" + fmt(pick(runs)) }
         .mkString("{", ",", "}")
     // stdout carries the extended STEADY cells for the DRIVER's dir and
     // the synth up-step only: r10's two new cells (bpe_encode_ids_1k,
@@ -208,7 +229,7 @@ object Bench {
         if (slim) ""
         else s""""first_pass_total":${f"$firstTotal%.3f"},"tiled_first_cold":${f"$tiledFirstCold%.3f"},"""
       val sfLabel = if (slim) Paths.get(sfDir).getFileName.toString else sfDir
-      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$debt"tiled_first":${f"$tiledFirst%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"},"cal_drift":${f"$calDrift%.2f"}$extPart,"sf":"$sfLabel""""
+      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$debt"tiled_first":${f"$tiledFirst%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"},"cal_drift":${f"$calDrift%.2f"},"ext_cal":$extCal$extPart,"sf":"$sfLabel""""
     }
     // stdout line: must fit the driver's 2000-char stdout tail window
     // (with the trailing ~75-char sbt status line) or the round's bench
@@ -224,7 +245,7 @@ object Bench {
     val stdoutJson = if (withExt.length <= 1860) withExt else "{" + core("", slim = true) + "}"
     // full detail (per-query first passes) → bench_out.json
     val fullJson = "{" + core(s""","extended":$ext""", slim = false) +
-      s""","first_pass":$first,"extended_first_pass":$extFirst}"""
+      s""","first_pass":$first,"extended_first_pass":$extFirst,"extended_norm":$extNorm}"""
     try Files.writeString(Paths.get("bench_out.json"), fullJson) catch { case _: Throwable => () }
     // All results are computed and mirrored at this point. Teardown of a
     // session that ran streaming queries can race a late task-end
@@ -419,6 +440,17 @@ object Bench {
       // r9, previously unmeasured — the heaviest-chain-unbenched lesson's
       // third occurrence per the r9 verdict); its id-array packing stage
       // is the candidate superlinear stage to watch across the 10× step
-      "corpus_pipeline_v6"
+      "corpus_pipeline_v6",
+      // r11: the HLL-sketch streaming COUNT(DISTINCT) — like
+      // stream_dedup_exact, the cell's floor is the streaming-query
+      // machinery until feeds are ≫100k rows; what the chain tracks is
+      // that the CONSTANT-size register state (4 KB/key) keeps the
+      // stateful hop flat while the exact-set form's state grows with
+      // cardinality. Skipped in dirs without an events table.
+      "stream_distinct_hll"
     ).filter(catalog.contains)
+
+  /** Extended cells that read the events table — skipped on scale
+    * steps that only regenerate documents/embeddings (sf1_synth). */
+  val eventsCells: Set[String] = Set("stream_distinct_hll")
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ml.{AnnSearch, Multimodal}
-import graft.text.{ExactSubstr, MinHashLsh, Packing, ParagraphDedup, PiiRedact, SimHash, TextOps}
+import graft.text.{ExactSubstr, IncrementalDedup, MinHashLsh, Packing, ParagraphDedup, PiiRedact, SimHash, TextOps}
 import graft.util.Pin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -199,6 +199,61 @@ object QueriesText {
           (cc, x) => cc + lit(0.15) * x).as("vec"))
   }
 
+  /** WIDE (256-dim) clustered embedding corpus — the realistic-width
+    * re-gate of the ANN/closure family (r10 verdict Missing #2: every
+    * row ran at the fixture's 64 dims, while real embedding corpora
+    * are 256–1024-dim and chunk-row bytes, `collect_list` row sizes,
+    * PQ subspace divisibility, and kernel throughput are all
+    * dim-sensitive). Derived deterministically from [[clusteredEmbs]]
+    * so the DuckDB oracle reconstructs it in SQL: component
+    * `j ∈ [0, 256)` of the wide vector is base component
+    * `(j%64 + 7·(j div 64)) % 64` scaled by
+    * `1 + 0.25·((31·(j%64) + 17·(j div 64)) % 5)` — a per-block
+    * cyclic shift + deterministic scale (integer arithmetic + ONE
+    * double multiply per component, bit-identical across engines).
+    * The map is linear and well-conditioned (scales in [1, 2]), so
+    * the planted cluster structure survives: measured within-cluster
+    * cosine 0.965–0.992, cross ≤ 0.398 at sf0.01 — the same τ=0.8
+    * separation as the 64-dim clustered fixture. */
+  private[graft] def wideEmbs(spark: SparkSession, dir: String): DataFrame =
+    clusteredEmbs(spark, dir).select(col("id"),
+      expr("""transform(sequence(0, 255), j ->
+             |  element_at(vec, cast(((j % 64 + 7 * (j div 64)) % 64) + 1 AS int))
+             |    * (1.0d + 0.25d * cast((31 * (j % 64) + 17 * (j div 64)) % 5 AS double)))""".stripMargin)
+        .as("vec"))
+
+  /** IVF top-10 at 256 dims, production knobs (0.2 probe fraction over
+    * Lloyd-refined cells) — exact vs the brute-force oracle, with the
+    * margin machine-checked by RecallGuardSpec at THIS width. */
+  private def annTopKIvfWide(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = wideEmbs(spark, dir)
+    ivfTop10Of(corpus, AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2), frac = 0.2)
+  }
+
+  /** The composed IVFADC production shape at 256 dims: m=32 subspaces
+    * now carry dsub=8 (the realistic-width codebook geometry — at 64
+    * dims the same m left dsub=2, a near-degenerate subspace), 0.2
+    * probe fraction, fixed 50 shortlist — exact vs brute force. */
+  private def annTopKIvfPqWide(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = wideEmbs(spark, dir)
+    val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
+    val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
+    val nprobe = math.ceil(0.2 * centroids.count()).toInt
+    AnnSearch.ivfPqTopK(
+      corpus.filter(pmod(col("id"), lit(50)) === 0), corpus, centroids, book,
+      k = 10, nprobe = nprobe, shortlist = 50)
+  }
+
+  /** Exact τ=0.8 cosine closure at 256 dims — chunk-row bytes and the
+    * compiled kernel's per-pair cost at realistic width, same all-pairs
+    * oracle shape as `emb_near_pairs_clu`. */
+  private def embNearPairsWide(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = wideEmbs(spark, dir)
+    val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
+    AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.8)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF top-10 on the CLUSTERED corpus at a SMALL probe fraction
     * (0.2 of the Lloyd-refined cells) — exact vs the brute-force
     * oracle. The isotropic-fixture retrieval rows need 0.85–0.95
@@ -280,6 +335,27 @@ object QueriesText {
     val centroids = AnnSearch.strideCentroids(corpus, 25)
     AnnSearch.cosineNearPairs(corpus, centroids, tau = 0.4)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** INCREMENTAL dedup — new shard (doc_id % 4 == 0) against a
+    * PERSISTED index built from the rest of the corpus
+    * ([[graft.text.IncrementalDedup]]): the index round-trips through
+    * parquet before the shard is processed (the `bpe_save_load`
+    * persistence discipline — any information the index tables fail to
+    * carry breaks the hash), then the shard is checked exact
+    * (hash anti-join) and near (LSH candidates vs index + earlier
+    * shard docs, exact-Jaccard verified at τ=0.8, the batch family's
+    * config — banded recall completeness is RecallGuardSpec-pinned).
+    * Oracle: DuckDB re-derives the two-generation decision from
+    * scratch (normalized-text equality + all-pairs shingle Jaccard). */
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val idxDir = graft.util.TempDirs.memoized(s"incr_idx:$dir", "graft_incr_idx").toString
+    IncrementalDedup.buildIndex(old, "doc_id", "text", idxDir)
+    IncrementalDedup.processShard(spark, idxDir, shard, "doc_id", "text", tau = 0.8)
+      .select(col("id").as("doc_id"), col("dup_exact"), col("dup_near"), col("kept"))
   }
 
   /** Streaming exact-dedup parity: the first-seen-wins stateful dedup
@@ -1650,6 +1726,7 @@ object QueriesText {
     "stream_dedup_paragraph" -> (streamDedupParagraph _),
     "stream_dedup_minhash" -> (streamDedupMinhash _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "text_stats" -> (textStats _),
@@ -1660,6 +1737,9 @@ object QueriesText {
     "ann_topk_ivf" -> (annTopKIvf _),
     "ann_topk_ivf_km" -> (annTopKIvfKm _),
     "ann_topk_ivf_clu" -> (annTopKIvfClu _),
+    "ann_topk_ivf_wide" -> (annTopKIvfWide _),
+    "ann_topk_ivfpq_wide" -> (annTopKIvfPqWide _),
+    "emb_near_pairs_wide" -> (embNearPairsWide _),
     "ann_topk_ivfpq_clu" -> (annTopKIvfPqClu _),
     "dedup_embedding_clu" -> (dedupEmbeddingClu _),
     "emb_near_pairs" -> (embNearPairs _),
@@ -2447,6 +2527,22 @@ object QueriesText {
       """SELECT min(doc_id) AS doc_id
         |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents)
         |GROUP BY t""".stripMargin,
+    "dedup_incremental" ->
+      (shingleCte + """,
+        |nt AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |ex AS (
+        |  SELECT n.doc_id FROM nt n WHERE n.doc_id % 4 = 0 AND EXISTS (
+        |    SELECT 1 FROM nt o WHERE o.t = n.t AND (o.doc_id % 4 <> 0 OR o.doc_id < n.doc_id))),
+        |nr AS (
+        |  SELECT DISTINCT b.doc_id FROM sh b JOIN sh a
+        |    ON b.doc_id % 4 = 0
+        |   AND (a.doc_id % 4 <> 0 OR a.doc_id < b.doc_id)
+        |   AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+        |SELECT d.doc_id,
+        |  (d.doc_id IN (SELECT doc_id FROM ex)) AS dup_exact,
+        |  (d.doc_id IN (SELECT doc_id FROM nr)) AS dup_near,
+        |  (d.doc_id NOT IN (SELECT doc_id FROM ex)) AND (d.doc_id NOT IN (SELECT doc_id FROM nr)) AS kept
+        |FROM documents d WHERE d.doc_id % 4 = 0""".stripMargin),
     "dedup_minhash_lsh" ->
       (shingleCte +
         """
@@ -2561,6 +2657,65 @@ object QueriesText {
     // clustered-corpus rows: the oracle re-derives the corpus exactly
     // (first 20 vectors are centers; member = center(id%20) + 0.15*own,
     // all-double arithmetic identical to the zip_with on the Spark side)
+    // wide (256-dim) rows: same contracts as the _clu family, with the
+    // oracle re-deriving the widened corpus (cyclic-shift + scale per
+    // block — integer arithmetic + one double multiply, bit-identical)
+    "ann_topk_ivf_wide" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+        |b AS (SELECT e.vec_id AS id,
+        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+        |      FROM e JOIN c ON c.cid = e.vec_id % 20),
+        |m AS (SELECT id, list_transform(generate_series(0, 255), j ->
+        |        v[((j % 64 + 7 * (j // 64)) % 64) + 1]
+        |          * (1.0 + 0.25 * ((31 * (j % 64) + 17 * (j // 64)) % 5))) AS v
+        |      FROM b),
+        |q AS (SELECT * FROM m WHERE id % 50 = 0),
+        |scored AS (
+        |  SELECT q.id AS q_id, m.id AS n_id,
+        |    round(list_inner_product(q.v, m.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(m.v, m.v))), 6) AS sim
+        |  FROM q JOIN m ON m.id <> q.id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
+    "ann_topk_ivfpq_wide" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+        |b AS (SELECT e.vec_id AS id,
+        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+        |      FROM e JOIN c ON c.cid = e.vec_id % 20),
+        |m AS (SELECT id, list_transform(generate_series(0, 255), j ->
+        |        v[((j % 64 + 7 * (j // 64)) % 64) + 1]
+        |          * (1.0 + 0.25 * ((31 * (j % 64) + 17 * (j // 64)) % 5))) AS v
+        |      FROM b),
+        |q AS (SELECT * FROM m WHERE id % 50 = 0),
+        |scored AS (
+        |  SELECT q.id AS q_id, m.id AS n_id,
+        |    round(list_inner_product(q.v, m.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(m.v, m.v))), 6) AS sim
+        |  FROM q JOIN m ON m.id <> q.id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
+    "emb_near_pairs_wide" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+        |b AS (SELECT e.vec_id AS id,
+        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+        |      FROM e JOIN c ON c.cid = e.vec_id % 20),
+        |m AS (SELECT id, list_transform(generate_series(0, 255), j ->
+        |        v[((j % 64 + 7 * (j // 64)) % 64) + 1]
+        |          * (1.0 + 0.25 * ((31 * (j % 64) + 17 * (j // 64)) % 5))) AS v
+        |      FROM b)
+        |SELECT a.id AS a, b.id AS b,
+        |  round(list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+        |FROM m a JOIN m b ON a.id < b.id
+        |WHERE list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.8""".stripMargin,
     "ann_topk_ivf_clu" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),

@@ -1,0 +1,149 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental (append-mode) dedup: dedup a NEW SHARD against an
+  * already-indexed corpus without re-processing the corpus — the form
+  * real pretraining pipelines run (a fresh crawl generation arrives; it
+  * must be checked against everything already kept), vs the
+  * corpus-at-once `dedup_exact`/`dedup_minhash_lsh` batch family.
+  *
+  * The persisted index is three parquet tables under one directory:
+  *  - `hashes`   (id, h): `xxhash64` of the normalized text — the
+  *    exact-dedup key ([[TextOps.normText]] — the engine's standard),
+  *  - `sigs`     (id, sig: array<long>): MinHash signatures
+  *    ([[MinHashLsh.signaturesFromSets]], same k as the batch family),
+  *  - `shingles` (id, shh: array<long>): the distinct word-3-gram set,
+  *    HASHED to 8-byte longs — exact-Jaccard verification reads these
+  *    instead of re-tokenizing stored text. Jaccard over distinct
+  *    shingle hashes equals Jaccard over the shingle strings absent an
+  *    xxhash64 collision inside one compared pair (probability
+  *    ~|union|²/2⁶⁵ — negligible at any real shingle-set size, and a
+  *    collision would surface as an oracle hash mismatch, not silence).
+  *
+  * Shard semantics (the pairwise batch rule, made incremental): a new
+  * document is REJECTED iff
+  *  - exact: its content hash appears in the index, or an earlier
+  *    (smaller-id) shard document has the same hash;
+  *  - near: some index document, or some earlier (smaller-id) shard
+  *    document, has verified word-shingle Jaccard ≥ τ with it —
+  *    the orientation-(a<b) rule of [[MinHashLsh.verifiedPairs]] with
+  *    "index doc" counting as earlier than every shard doc.
+  * Index and shard ids must be disjoint (generations partition the id
+  * space in any real pipeline).
+  *
+  * Scale shape (100 TB corpus, 1 TB shard): the corpus is touched only
+  * through its INDEX — a parquet scan of (id, hash/sig/shingle-hash)
+  * rows, never the text. Exact dedup is one hash equi-join (left-semi)
+  * on `h`; LSH candidates come from the same (band, bucket) equi-join
+  * as the batch path with the same `maxBucket` skew cap, except one
+  * side is the shard's band rows (tiny); verification joins shingle
+  * sets BY ID for candidates only. Nothing is quadratic in the corpus;
+  * the shard-sized side drives every join. The index itself is
+  * append-only — [[updateIndex]] adds the survivors' rows, and the
+  * result is bit-identical to re-indexing the union from scratch
+  * (spec-pinned), which is what makes the incremental loop sound:
+  * generation N's output state == the state a from-scratch rebuild
+  * would produce.
+  */
+object IncrementalDedup {
+
+  /** Write the three index tables for a corpus generation. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String, outDir: String,
+                 k: Int = 32, n: Int = 3): Unit = {
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
+    base.select(col("id"), xxhash64(TextOps.normText(col("text"))).as("h"))
+      .write.mode("overwrite").parquet(s"$outDir/hashes.parquet")
+    // one shingling pass feeds both the signature aggregate and the
+    // stored verification sets (the verifiedPairs discipline)
+    val sets = MinHashLsh.shingleSets(base, "id", "text", n).localCheckpoint(false)
+    MinHashLsh.signaturesFromSets(sets, "id", k)
+      .write.mode("overwrite").parquet(s"$outDir/sigs.parquet")
+    sets.select(col("id"), expr("transform(sh, s -> xxhash64(s))").as("shh"))
+      .write.mode("overwrite").parquet(s"$outDir/shingles.parquet")
+  }
+
+  /** Append a processed shard's SURVIVORS to an index: reads `indexDir`,
+    * writes `outDir` = old index rows ∪ the survivors' index rows.
+    * Bit-identical to `buildIndex` over (old corpus ∪ survivors) —
+    * IncrementalDedupSpec pins the equality, the persistence discipline
+    * that keeps generation state replayable. */
+  def updateIndex(spark: SparkSession, indexDir: String, survivors: DataFrame,
+                  idCol: String, textCol: String, outDir: String,
+                  k: Int = 32, n: Int = 3): Unit = {
+    val base = survivors.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
+    spark.read.parquet(s"$indexDir/hashes.parquet")
+      .unionByName(base.select(col("id"), xxhash64(TextOps.normText(col("text"))).as("h")))
+      .write.mode("overwrite").parquet(s"$outDir/hashes.parquet")
+    val sets = MinHashLsh.shingleSets(base, "id", "text", n).localCheckpoint(false)
+    spark.read.parquet(s"$indexDir/sigs.parquet")
+      .unionByName(MinHashLsh.signaturesFromSets(sets, "id", k))
+      .write.mode("overwrite").parquet(s"$outDir/sigs.parquet")
+    spark.read.parquet(s"$indexDir/shingles.parquet")
+      .unionByName(sets.select(col("id"), expr("transform(sh, s -> xxhash64(s))").as("shh")))
+      .write.mode("overwrite").parquet(s"$outDir/shingles.parquet")
+  }
+
+  /** Dedup `shard` against the persisted index at `indexDir`. Returns
+    * one row per shard document: (id, dup_exact, dup_near, kept). */
+  def processShard(spark: SparkSession, indexDir: String, shard: DataFrame,
+                   idCol: String, textCol: String, tau: Double,
+                   k: Int = 32, bands: Int = 8, n: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
+    val idxHashes = spark.read.parquet(s"$indexDir/hashes.parquet")
+    val idxSigs = spark.read.parquet(s"$indexDir/sigs.parquet")
+    val idxShingles = spark.read.parquet(s"$indexDir/shingles.parquet")
+    val newDocs = shard
+      .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
+    val newHashed = newDocs
+      .select(col("id"), xxhash64(TextOps.normText(col("text"))).as("h"))
+      .localCheckpoint(false)
+
+    // exact: hash semi-join vs the index + earliest-wins inside the shard
+    val dupExact = newHashed.join(idxHashes.select("h"), Seq("h"), "left_semi").select("id")
+      .unionByName(newHashed
+        .withColumn("mn", min("id").over(Window.partitionBy("h")))
+        .filter(col("id") > col("mn"))
+        .select("id"))
+      .distinct()
+
+    // near: LSH candidates (shard band rows vs index ∪ earlier-shard
+    // band rows, same maxBucket cap as the batch family), verified
+    // with exact Jaccard over the stored shingle-hash sets
+    val newSets = MinHashLsh.shingleSets(newDocs, "id", "text", n).localCheckpoint(false)
+    val newSigs = MinHashLsh.signaturesFromSets(newSets, "id", k)
+    val newShh = newSets.select(col("id"), expr("transform(sh, s -> xxhash64(s))").as("shh"))
+    val allBands = MinHashLsh.bandBuckets(idxSigs, "id", bands).withColumn("is_new", lit(false))
+      .unionByName(MinHashLsh.bandBuckets(newSigs, "id", bands).withColumn("is_new", lit(true)))
+    val capped = allBands
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bn") <= maxBucket)
+    val newSide = capped.filter(col("is_new"))
+      .select(col("id").as("b"), col("band"), col("bucket"))
+    val otherSide = capped
+      .select(col("id").as("a"), col("band"), col("bucket"), col("is_new").as("a_new"))
+    val cand = otherSide.join(newSide, Seq("band", "bucket"))
+      .filter(!col("a_new") || col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    val aShh = idxShingles.unionByName(newShh)
+      .select(col("id").as("a"), col("shh").as("sha"))
+    val dupNear = cand
+      .join(aShh, Seq("a"))
+      .join(newShh.select(col("id").as("b"), col("shh").as("shb")), Seq("b"))
+      .filter(size(array_intersect(col("sha"), col("shb"))).cast("double")
+        / size(array_union(col("sha"), col("shb"))) >= tau)
+      .select(col("b").as("id"))
+      .distinct()
+
+    newDocs.select("id")
+      .join(dupExact.withColumn("de", lit(true)), Seq("id"), "left")
+      .join(dupNear.withColumn("dn", lit(true)), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("de"), lit(false)).as("dup_exact"),
+        coalesce(col("dn"), lit(false)).as("dup_near"))
+      .withColumn("kept", !col("dup_exact") && !col("dup_near"))
+  }
+}

@@ -232,6 +232,83 @@ class RecallGuardSpec extends SparkSpec {
     }
   }
 
+  test("wide-dim (256) guard: clustered margins hold at realistic embedding width") {
+    // r10 verdict Missing #2: every ANN/closure row ran at the
+    // fixture's 64 dims. The *_wide rows re-gate the family at 256
+    // dims (dsub=8 PQ subspaces, 4x chunk-row bytes); this guard pins
+    // the same three margins the clustered test pins, AT WIDTH — so a
+    // width-sensitive regression (kernel, codebook geometry,
+    // collect_list row size) trips a spec before a conformance red.
+    val corpus = QueriesText.wideEmbs(spark, dir).cache()
+    val refined = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2).cache()
+
+    // closure pruning: the bound must keep pruning >= 80% at width
+    val (kept, total) = AnnSearch.closureCellPairStats(corpus, refined, tau = 0.8)
+    assert(kept.toDouble / total <= 0.2,
+      f"triangle bound stopped pruning on the wide fixture: kept $kept of $total " +
+        f"(${kept.toDouble / total}%.3f > 0.2)")
+
+    val vecs = corpus.selectExpr("id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(vecs.valuesIterator.next().length == 256, "wide fixture is not 256-dim")
+    val ids = vecs.keys.toArray.sorted
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = ids.filter(_ % 50 == 0)
+    val trueTop = queries.map { q =>
+      q -> ids.filter(_ != q)
+        .map(o => (o, math.rint(cos(vecs(q), vecs(o)) * 1e6) / 1e6))
+        .sortBy { case (o, s) => (-s, o) }.take(10).map(_._1).toSet
+    }.toMap
+    // IVF: exact at the config fraction 0.2 AND at half of it (2x margin)
+    for (frac <- Seq(0.2, 0.1)) {
+      val got = QueriesText.ivfTop10Of(corpus, refined, frac)
+        .select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+      for (q <- queries) {
+        val missing = trueTop(q) -- got.getOrElse(q, Set.empty)
+        assert(missing.isEmpty,
+          s"wide IVF missed true neighbors $missing for query $q at probe fraction $frac")
+      }
+    }
+    // IVFADC premise at width: within the 0.2-fraction probed cells,
+    // every true top-10 neighbor sits inside ADC rank 20 (config
+    // shortlist 50 -> 2.5x margin) with the dsub=8 codebooks
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
+      assert(book.dsub == 8, s"wide PQ geometry wrong: dsub=${book.dsub}, want 8")
+      val cents = AnnSearch.collectCentroids(refined)
+      val nprobe = math.ceil(0.2 * cents.ids.length).toInt
+      val encodedCells = corpus.select(
+        graft.functions.NearestCells.topCells(col("vec"), cents, 1).getItem(0).as("cell"),
+        col("id").as("n_id"),
+        graft.functions.PqOps.codes(col("vec"), book).as("codes"),
+        AnnSearch.norm(col("vec")).as("n_norm")).localCheckpoint(false)
+      val shortlisted = corpus.filter(pmod(col("id"), lit(50)) === 0)
+        .select(col("id").as("q_id"), col("vec").as("q_vec"), AnnSearch.norm(col("vec")).as("q_norm"))
+        .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("q_vec"), cents, nprobe)))
+        .join(encodedCells, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (graft.functions.PqOps.adc(col("q_vec"), col("codes"), book)
+            / (col("q_norm") * col("n_norm"))).as("adc"))
+        .withColumn("arank", row_number().over(Window.partitionBy("q_id").orderBy(desc("adc"), col("n_id"))))
+        .filter(col("arank") <= 20)
+        .select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+      for (q <- queries) {
+        val missing = trueTop(q) -- shortlisted.getOrElse(q, Set.empty)
+        assert(missing.isEmpty,
+          s"wide IVFADC margin exhausted for query $q: true neighbors $missing past ADC rank 20")
+      }
+    }
+    corpus.unpersist(); refined.unpersist()
+  }
+
   test("PQ guard: ADC shortlist covers the true top-10 with 2x margin, and codes are partitioning-stable") {
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
