@@ -441,6 +441,12 @@ object Bench {
       // third occurrence per the r9 verdict); its id-array packing stage
       // is the candidate superlinear stage to watch across the 10× step
       "corpus_pipeline_v6",
+      // r11: curation + the LEARNED quality gate. Weights are memoized
+      // per dir (training is bit-deterministic, so sharing is sound):
+      // the FIRST pass pays the 16-iteration distributed training, the
+      // steady cells measure map-side scoring + rollup — the
+      // train-once / score-many split a production session actually has
+      "corpus_pipeline_v7",
       // r11: the HLL-sketch streaming COUNT(DISTINCT) — like
       // stream_dedup_exact, the cell's floor is the streaming-query
       // machinery until feeds are ≫100k rows; what the chain tracks is

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ml.{AnnSearch, Multimodal}
-import graft.text.{ExactSubstr, IncrementalDedup, MinHashLsh, Packing, ParagraphDedup, PiiRedact, SimHash, TextOps}
+import graft.text.{ExactSubstr, IncrementalDedup, MinHashLsh, Packing, ParagraphDedup, PiiRedact, QualityClassifier, SimHash, TextOps}
 import graft.util.Pin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -356,6 +356,168 @@ object QueriesText {
     IncrementalDedup.buildIndex(old, "doc_id", "text", idxDir)
     IncrementalDedup.processShard(spark, idxDir, shard, "doc_id", "text", tau = 0.8)
       .select(col("id").as("doc_id"), col("dup_exact"), col("dup_near"), col("kept"))
+  }
+
+  /** Learned quality classifier — TRAIN: distill the heuristic quality
+    * gate (`TextOps.withQuality` ≥ 0.5) into a hashed-unigram linear
+    * model by exact integer LMS ([[graft.text.QualityClassifier]]).
+    * The oracle replays all 16 training iterations as an unrolled CTE
+    * chain (the BPE-chain discipline) and must match the weight vector
+    * BIT-EXACTLY — integer gradients are order-independent and the
+    * truncating division is identical in both engines. */
+  private def qualityClfTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = qualityClfWeights(spark, dir)
+    w.toIndexedSeq.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toDF("j", "w")
+  }
+
+  /** Learned quality classifier — SCORE: map-side scoring of every
+    * document with the trained weights; kept = score > 0.5 (micro).
+    * Same oracle chain as the train row plus the scoring join. */
+  private def qualityClfScore(spark: SparkSession, dir: String): DataFrame = {
+    val feats = QualityClassifier.features(docs(spark, dir), "doc_id", "text")
+    QualityClassifier.score(feats, qualityClfWeights(spark, dir))
+      .select(col("id").as("doc_id"), col("score"),
+        (col("score") > 500000L).as("kept"))
+  }
+
+  /** Shared train path for the classifier rows (memoized per sf dir —
+    * both conformance rows and the capstone consume the same weights,
+    * and training is 16 small jobs). */
+  private val clfWeightsCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private def qualityClfWeights(spark: SparkSession, dir: String): Array[Long] =
+    clfWeightsCache.computeIfAbsent(dir, { _ =>
+      val d = docs(spark, dir)
+      val feats = QualityClassifier.features(d, "doc_id", "text")
+      val labels = TextOps.withQuality(d.select(col("doc_id"), col("text")), col("text"))
+        .select(col("doc_id").cast("long").as("id"),
+          when(col("quality") >= 0.5, lit(1000000L)).otherwise(lit(0L)).as("y"))
+      QualityClassifier.train(feats, labels, iters = 16, lrDen = 100L)
+    })
+
+  /** The curation chain (quality/lang/length gate -> rep filter ->
+    * exact dedup -> LSH components -> survivors `k`) as an oracle CTE
+    * body — the exact text the v2–v6 capstone oracles embed, extracted
+    * for composition with the classifier chain in capstone v7. */
+  private val curationOracleCte: String =
+    """t AS (
+        |  SELECT doc_id, source, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, text, norm, w, len(w) AS n_tokens,
+        |    length(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::DOUBLE / length(norm) AS punct_ratio,
+        |    len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE / len(w) AS stop_ratio,
+        |    list_distinct(w) AS dw
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, source, norm, w, n_tokens
+        |  FROM s
+        |  WHERE round(0.5 * least(stop_ratio * 3, 1.0) + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+        |          + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) > 0.5
+        |    AND n_tokens >= 30
+        |    AND NOT regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) > 0
+        |    AND len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])) >=
+        |        greatest(
+        |          len(list_intersect(dw, ['the','a','and','of','to','in','is','it','that','for'])),
+        |          len(list_intersect(dw, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])),
+        |          len(list_intersect(dw, ['le','la','les','et','est','pas','pour','dans','un','une'])),
+        |          len(list_intersect(dw, ['el','la','los','y','es','no','por','para','un','una'])))),
+        |bg AS (
+        |  SELECT doc_id, max(c) AS mx, sum(c) AS nb FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |      FROM f) GROUP BY 1, 2) GROUP BY 1),
+        |f2 AS (SELECT f.* FROM f JOIN bg USING (doc_id) WHERE mx * 50 <= nb * 3),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM f2 GROUP BY norm),
+        |k1 AS MATERIALIZED (SELECT f2.* FROM f2 JOIN ex USING (doc_id)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |      ELSE [] END AS sgl
+        |  FROM k1),
+        |vp AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sgl, b.sgl))::DOUBLE / len(list_distinct(list_concat(a.sgl, b.sgl))) >= 0.8),
+        |e AS (SELECT a, b FROM vp UNION ALL SELECT b AS a, a AS b FROM vp),
+        |cl AS (
+        |  WITH RECURSIVE closure(src, dst) AS (
+        |    SELECT a AS src, b AS dst FROM e
+        |    UNION
+        |    SELECT closure.src, e.b AS dst FROM closure JOIN e ON e.a = closure.dst
+        |      WHERE e.b <> closure.src
+        |  ) SELECT * FROM closure),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS comp FROM cl GROUP BY src),
+        |k AS MATERIALIZED (
+        |  SELECT * FROM k1
+        |  WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> comp))""".stripMargin
+
+  /** DuckDB replay of the classifier training: features, teacher
+    * labels, and `iters` unrolled integer-LMS stages. `tail` selects
+    * from the final `w{iters}` CTE. */
+  private def clfChainSql(iters: Int, tail: String): String =
+    "WITH " + clfChainBody(iters) + "\n" + tail
+
+  /** The classifier chain's CTE body (no WITH) — composable after
+    * other CTE chains (capstone v7 appends it to the curation chain). */
+  private def clfChainBody(iters: Int): String = {
+    val head =
+      """ct AS (
+        |  SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |cf AS MATERIALIZED (
+        |  SELECT id, (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024) AS j, count(*)::BIGINT AS x
+        |  FROM (SELECT id, unnest(w) AS tok FROM ct) GROUP BY 1, 2
+        |  UNION ALL SELECT id, 1024::BIGINT AS j, 1::BIGINT AS x FROM ct),
+        |cq AS MATERIALIZED (
+        |  SELECT id, CASE WHEN round(0.5 * least(stop_ratio * 3, 1.0)
+        |      + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+        |      + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) >= 0.5
+        |    THEN 1000000::BIGINT ELSE 0::BIGINT END AS y
+        |  FROM (SELECT id, len(w) AS n_tokens,
+        |          length(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::DOUBLE / length(norm) AS punct_ratio,
+        |          len(list_filter(w, t -> list_contains(['the','a','and','of','to','in','is','it','that','for'], t)))::DOUBLE / len(w) AS stop_ratio
+        |        FROM ct)),
+        |cn AS (SELECT count(*)::BIGINT AS n FROM ct),
+        |w0 AS (SELECT unnest(range(0, 1025))::BIGINT AS j, 0::BIGINT AS wt)""".stripMargin
+    val stages = (1 to iters).map { i =>
+      s""",
+         |p$i AS MATERIALIZED (
+         |  SELECT cf.id, sum(w${i - 1}.wt * cf.x)::BIGINT AS p
+         |  FROM cf JOIN w${i - 1} ON w${i - 1}.j = cf.j GROUP BY cf.id),
+         |g$i AS MATERIALIZED (
+         |  SELECT cf.j, sum((p$i.p - cq.y) * cf.x)::BIGINT AS g
+         |  FROM cf JOIN p$i ON p$i.id = cf.id JOIN cq ON cq.id = cf.id GROUP BY cf.j),
+         |w$i AS MATERIALIZED (
+         |  SELECT w${i - 1}.j,
+         |    w${i - 1}.wt - coalesce(g$i.g, 0) // ((SELECT n FROM cn) * 100) AS wt
+         |  FROM w${i - 1} LEFT JOIN g$i ON g$i.j = w${i - 1}.j)""".stripMargin
+    }.mkString
+    head + stages
+  }
+
+  /** Capstone v7: the curation chain gated by the LEARNED quality
+    * classifier — train on the full corpus (the quality_clf_train
+    * weights, memoized), score the curation survivors map-side, roll
+    * up per source (survivor count, classifier-kept count, exact
+    * micro-score sum). The composed form a production pipeline runs:
+    * heuristic gates first (cheap, high recall), learned gate second
+    * (the distilled model), both engine-side. */
+  private def corpusPipelineV7(spark: SparkSession, dir: String): DataFrame = {
+    val kept = curationKept(spark, dir)
+    val w = qualityClfWeights(spark, dir)
+    val scores = QualityClassifier.score(
+      QualityClassifier.features(kept, "doc_id", "text"), w)
+    kept.select(col("doc_id"), col("source"))
+      .join(scores.select(col("id").as("doc_id"), col("score")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 500000L, 1L).otherwise(0L)).as("n_clf_kept"),
+        sum(col("score")).as("score_sum"))
   }
 
   /** Streaming exact-dedup parity: the first-seen-wins stateful dedup
@@ -1727,6 +1889,9 @@ object QueriesText {
     "stream_dedup_minhash" -> (streamDedupMinhash _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_incremental" -> (dedupIncremental _),
+    "quality_clf_train" -> (qualityClfTrain _),
+    "corpus_pipeline_v7" -> (corpusPipelineV7 _),
+    "quality_clf_score" -> (qualityClfScore _),
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
     "text_stats" -> (textStats _),
@@ -2527,6 +2692,24 @@ object QueriesText {
       """SELECT min(doc_id) AS doc_id
         |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents)
         |GROUP BY t""".stripMargin,
+    "corpus_pipeline_v7" ->
+      ("WITH " + curationOracleCte + ",\n" + clfChainBody(16) + "," +
+        """
+          |ks AS (
+          |  SELECT k.doc_id, k.source, sum(w16.wt * cf.x)::BIGINT AS score
+          |  FROM k JOIN cf ON cf.id = k.doc_id JOIN w16 ON w16.j = cf.j
+          |  GROUP BY k.doc_id, k.source)
+          |SELECT source, count(*)::BIGINT AS n_docs,
+          |  sum(CASE WHEN score > 500000 THEN 1 ELSE 0 END)::BIGINT AS n_clf_kept,
+          |  sum(score)::BIGINT AS score_sum
+          |FROM ks GROUP BY source""".stripMargin),
+    "quality_clf_train" ->
+      clfChainSql(16, "SELECT j, wt AS w FROM w16"),
+    "quality_clf_score" ->
+      clfChainSql(16,
+        """SELECT cf.id AS doc_id, sum(w16.wt * cf.x)::BIGINT AS score,
+          |  (sum(w16.wt * cf.x) > 500000) AS kept
+          |FROM cf JOIN w16 ON w16.j = cf.j GROUP BY cf.id""".stripMargin),
     "dedup_incremental" ->
       (shingleCte + """,
         |nt AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
