@@ -431,6 +431,13 @@ object Bench {
       // pathology) — the bench measures the probe-restricted shape a
       // pipeline runs; both stay in the correctness gate
       "ann_topk_ivfpq",
+      // r11: IVFADC against the PERSISTED index (parquet, partitioned
+      // by cell). The index build is memoized per dir, so the FIRST
+      // pass pays encode+write once and the steady cells measure what
+      // a production query session runs: probed-cells-only partition-
+      // pruned code scan + exact re-rank — the build-once / search-many
+      // split, same contract as corpus_pipeline_v7's train/score split
+      "ann_topk_ivfpq_idx",
       "corpus_pipeline_v4",
       // v5 = v4 with packing budgeted in BPE subwords of the
       // span-reduced text — its subword-budget packing stage is where

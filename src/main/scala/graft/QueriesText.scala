@@ -291,6 +291,31 @@ object QueriesText {
       k = 10, nprobe = nprobe, shortlist = 50)
   }
 
+  /** IVFADC against the PERSISTED index ([[graft.ml.IvfIndex]]): the
+    * clustered-corpus production knobs (0.2 probe fraction, fixed 50
+    * shortlist) with the index round-tripped through parquet before
+    * any query probes it — cells, codes, codebook, and norms must all
+    * survive persistence or the exact re-rank diverges from the
+    * brute-force oracle (the `bpe_save_load` discipline for the ANN
+    * family). Same oracle as `ann_topk_ivfpq_clu`. */
+  private def annTopKIvfPqIdx(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = clusteredEmbs(spark, dir)
+    val idxDir = graft.util.TempDirs.memoized(s"ivf_idx:$dir", "graft_ivf_idx").toString
+    // build ONCE per (JVM, dir) — training is bit-deterministic, so a
+    // later invocation reading the persisted index sees identical
+    // tables; the steady bench passes then measure what a query
+    // session runs (pruned probe + re-rank), not the build
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxDir/encoded.parquet"))) {
+      val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
+      val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
+      graft.ml.IvfIndex.build(corpus, centroids, book, idxDir)
+    }
+    val nprobe = math.ceil(
+      0.2 * spark.read.parquet(s"$idxDir/centroids.parquet").count()).toInt
+    graft.ml.IvfIndex.search(spark, idxDir, corpus,
+      corpus.filter(pmod(col("id"), lit(50)) === 0), k = 10, nprobe = nprobe, shortlist = 50)
+  }
+
   /** SemDeDup on the CLUSTERED corpus — components over the exact
     * τ=0.8 closure, one row per duplicate cluster (kept min id +
     * size). Completes the clustered family's 1:1 mirror of the
@@ -1906,6 +1931,7 @@ object QueriesText {
     "ann_topk_ivfpq_wide" -> (annTopKIvfPqWide _),
     "emb_near_pairs_wide" -> (embNearPairsWide _),
     "ann_topk_ivfpq_clu" -> (annTopKIvfPqClu _),
+    "ann_topk_ivfpq_idx" -> (annTopKIvfPqIdx _),
     "dedup_embedding_clu" -> (dedupEmbeddingClu _),
     "emb_near_pairs" -> (embNearPairs _),
     "emb_near_pairs_clu" -> (embNearPairsClu _),
@@ -2939,6 +2965,24 @@ object QueriesText {
         |GROUP BY comp""".stripMargin,
     // same brute-force contract as ann_topk_ivf_clu: probed cells cover
     // the true top-10 and the exact re-rank makes the output exact
+    "ann_topk_ivfpq_idx" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+        |m AS (SELECT e.vec_id AS id,
+        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+        |      FROM e JOIN c ON c.cid = e.vec_id % 20),
+        |q AS (SELECT * FROM m WHERE id % 50 = 0),
+        |scored AS (
+        |  SELECT q.id AS q_id, m.id AS n_id,
+        |    round(list_inner_product(q.v, m.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(m.v, m.v))), 6) AS sim
+        |  FROM q JOIN m ON m.id <> q.id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
+    // persisted-index row: the index accelerates, the corpus is the
+    // exactness source — identical brute-force contract
     "ann_topk_ivfpq_clu" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),

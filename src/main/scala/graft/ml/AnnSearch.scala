@@ -136,6 +136,8 @@ object AnnSearch {
       .select(col("c_id").cast("long"), col("c_vec").cast("array<double>"))
       .collect()
       .sortBy(_.getLong(0))
+    require(rows.nonEmpty,
+      "empty centroid table — seeding selected no rows (check the stride against the corpus id space)")
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[Double](1).toArray)
     val norms = vecs.map { v =>

@@ -1,0 +1,173 @@
+package graft.ml
+
+import graft.functions.PqBook
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED IVF+PQ retrieval index — the "encode once, materialize,
+  * reuse per query batch" contract of [[AnnSearch.ivfPqTopK]] turned
+  * into an on-disk artifact, mirroring
+  * [[graft.text.IncrementalDedup]]'s persistence discipline for the
+  * ANN family: at 100 TB nobody re-encodes the corpus per session —
+  * the index is built once, APPENDED to as new vectors arrive, and
+  * every query session reads only the probed cells' code rows.
+  *
+  * Three parquet tables under one directory:
+  *  - `centroids` (c_id, c_vec): the (possibly Lloyd-refined) cell
+  *    table — dim-table-sized,
+  *  - `book` (sub, code, cw): the PQ codebook, one row per
+  *    (subspace, codeword) with the dsub-dim codeword vector,
+  *  - `encoded` (cell, n_id, codes, n_norm): the corpus encoding —
+  *    m bytes of codes + one norm per vector, the ONLY corpus-sized
+  *    table, ~32× smaller than the float vectors it indexes, written
+  *    PARTITIONED BY cell so a query session's scan touches only the
+  *    probed cells' files (partition pruning, verified on scan
+  *    metrics by IvfIndexSpec — at nprobe/nlist = 0.2 a probe reads
+  *    ~20% of the code rows and none of the float corpus until the
+  *    shortlist re-rank).
+  *
+  * [[append]] encodes new vectors with the PERSISTED centroids and
+  * codebook (never re-seeding — re-seeding would silently re-key every
+  * existing code) and unions the encoded rows; IvfIndexSpec pins
+  * append ≡ rebuild-from-union bit-exactly, the same generation-loop
+  * soundness property as `IncrementalDedup.updateIndex`.
+  *
+  * [[search]] probes the persisted index (nprobe cells per query, ADC
+  * cosine ranking over code rows only) and re-ranks the shortlist
+  * EXACTLY by joining the float vectors back from the CORPUS table by
+  * id — the corpus remains the source of truth for exact scores; the
+  * index only accelerates candidate selection. Ids must be unique
+  * across the indexed corpus (generations partition the id space).
+  */
+object IvfIndex {
+
+  /** Write the three index tables for a corpus. `centroids`:
+    * (c_id, c_vec); `book`: the PQ codebook to persist. */
+  def build(corpus: DataFrame, centroids: DataFrame, book: PqBook, outDir: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.select(col("c_id").cast("long"), col("c_vec").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$outDir/centroids.parquet")
+    book.books.zipWithIndex.flatMap { case (codewords, sub) =>
+      codewords.zipWithIndex.map { case (cw, code) => (sub, code, cw.toSeq) }
+    }.toSeq.toDF("sub", "code", "cw")
+      .write.mode("overwrite").parquet(s"$outDir/book.parquet")
+    encode(corpus, centroids, book)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
+  }
+
+  /** One map-side scan: cell assignment + PQ codes + exact norm (the
+    * [[AnnSearch.ivfPqTopK]] projection, headed for parquet). */
+  private def encode(corpus: DataFrame, centroids: DataFrame, book: PqBook): DataFrame = {
+    val cents = AnnSearch.collectCentroids(centroids)
+    corpus.select(
+      graft.functions.NearestCells.topCells(col("vec"), cents, 1).getItem(0).as("cell"),
+      col("id").as("n_id"),
+      graft.functions.PqOps.codes(col("vec"), book).as("codes"),
+      AnnSearch.norm(col("vec")).as("n_norm"))
+  }
+
+  /** Reload the persisted codebook. */
+  def loadBook(spark: SparkSession, indexDir: String): PqBook = {
+    val rows = spark.read.parquet(s"$indexDir/book.parquet")
+      .select(col("sub").cast("int"), col("code").cast("int"), col("cw").cast("array<double>"))
+      .collect()
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    val ksub = rows.iterator.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    PqBook(m, books(0)(0).length, books.map(_.toArray))
+  }
+
+  /** Append new vectors: encode with the PERSISTED centroids/codebook,
+    * union the encoded rows; centroid and book tables carry over
+    * unchanged. Bit-identical to rebuilding over (old ∪ new) because
+    * assignment and codes are pure map-side functions of (vector,
+    * persisted dim tables). */
+  def append(spark: SparkSession, indexDir: String, newVectors: DataFrame, outDir: String): Unit = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val book = loadBook(spark, indexDir)
+    spark.read.parquet(s"$indexDir/centroids.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/centroids.parquet")
+    spark.read.parquet(s"$indexDir/book.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/book.parquet")
+    loadEncoded(spark, indexDir)
+      .unionByName(encode(newVectors, centroids, book))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
+  }
+
+  /** Rewrite the encoded table with one file per cell partition.
+    * Every [[append]] adds a file wave under each touched cell
+    * directory; after many generations a probe opens
+    * O(generations) small files per probed cell, and at production
+    * shard cadence (hourly appends for months) the file count — not
+    * the byte count — becomes the scan's cost. Compaction is a pure
+    * layout rewrite: IvfIndexSpec pins rows bit-identical before/after
+    * and a strictly smaller file count. Centroids and book are copied
+    * through untouched (they are single-write dim tables). */
+  def compact(spark: SparkSession, indexDir: String, outDir: String): Unit = {
+    spark.read.parquet(s"$indexDir/centroids.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/centroids.parquet")
+    spark.read.parquet(s"$indexDir/book.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/book.parquet")
+    loadEncoded(spark, indexDir)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
+  }
+
+  /** The encoded table, cell normalized back to long (partition-column
+    * type inference narrows small directory keys to int). */
+  private[graft] def loadEncoded(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/encoded.parquet")
+      .withColumn("cell", col("cell").cast("long"))
+
+  /** The encoded rows of ONE probe set — `cells` is driver-side small
+    * (≤ nlist, the dim-table bound: distinct probed cells, not per-
+    * query pairs) and lands in the scan as a partition `IN` filter, so
+    * parquet prunes unprobed cells' files before reading a byte.
+    * Factored out so the spec can pin the pruning on scan metrics. */
+  private[graft] def probedEncoded(spark: SparkSession, indexDir: String, cells: Seq[Long]): DataFrame =
+    loadEncoded(spark, indexDir).filter(col("cell").isInCollection(cells))
+
+  /** IVFADC top-k against the persisted index: probe `nprobe` cells,
+    * ADC-rank their CODE rows, exact-re-rank the `shortlist` against
+    * the float corpus by id. Plan shape identical to
+    * [[AnnSearch.ivfPqTopK]] except the encoded table is a parquet
+    * scan (partition-prunable by cell at scale) instead of an
+    * in-session materialization. */
+  def search(spark: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
+             k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val book = loadBook(spark, indexDir)
+    val cents = AnnSearch.collectCentroids(centroids)
+    val probes = queries
+      .select(col("id").as("q_id"), col("vec").as("q_vec"), AnnSearch.norm(col("vec")).as("q_norm"))
+      .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("q_vec"), cents, nprobe)))
+      .localCheckpoint(false)
+    // distinct probed cells, collected: ≤ nlist values (dim-table
+    // bound), turned into a partition filter so the encoded scan never
+    // opens an unprobed cell's files
+    val probedCells = probes.select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    val shortIds = probes
+      .join(probedEncoded(spark, indexDir, probedCells), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (graft.functions.PqOps.adc(col("q_vec"), col("codes"), book)
+          / (col("q_norm") * col("n_norm"))).as("adc"))
+      .withColumn("arank", row_number().over(Window.partitionBy("q_id").orderBy(desc("adc"), col("n_id"))))
+      .filter(col("arank") <= shortlist)
+      .select("q_id", "n_id")
+    val q = broadcast(queries.select(
+      col("id").as("q_id"), col("vec").as("q_vec"), AnnSearch.norm(col("vec")).as("q_norm")))
+    broadcast(shortIds)
+      .join(corpus.select(col("id").as("n_id"), col("vec").as("n_vec")), Seq("n_id"))
+      .join(q, Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(AnnSearch.dot(col("q_vec"), col("n_vec"))
+          / (col("q_norm") * AnnSearch.norm(col("n_vec"))), 6).as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id").orderBy(desc("sim"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "sim")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.ml.{AnnSearch, IvfIndex}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF+PQ index: search parity with the in-session operator
+  * and append ≡ rebuild — the generation-loop soundness property. */
+class IvfIndexSpec extends SparkSpec {
+
+  private def embsDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id").as("id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+
+  test("search against the persisted index equals the in-session ivfPqTopK") {
+    val corpus = embsDf
+    val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
+    val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
+    val idx = graft.util.TempDirs.scratch("ivf_idx_spec").toString
+    IvfIndex.build(corpus, centroids, book, idx)
+    val queries = corpus.filter(pmod(col("id"), lit(50)) === 0)
+    val nprobe = math.ceil(0.5 * centroids.count()).toInt
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val direct = rowsOf(AnnSearch.ivfPqTopK(queries, corpus, centroids, book,
+      k = 5, nprobe = nprobe, shortlist = 40))
+    val viaIndex = rowsOf(IvfIndex.search(spark, idx, corpus, queries,
+      k = 5, nprobe = nprobe, shortlist = 40))
+    assert(viaIndex == direct,
+      "persisted-index search diverged from the in-session operator — persistence lost information")
+  }
+
+  test("append(new vectors) is bit-identical to rebuilding the index over the union") {
+    val all = embsDf
+    // split modulus coprime with the seeding stride (15), so the old
+    // generation still contains seed ids
+    val old = all.filter(pmod(col("id"), lit(7)) =!= 0)
+    val fresh = all.filter(pmod(col("id"), lit(7)) === 0)
+    // seed centroids/book from the OLD generation only — append must
+    // reuse them, never re-seed (re-seeding re-keys every code)
+    val centroids = AnnSearch.kmeansCentroidsExact(old, 15, iters = 2)
+    val book = AnnSearch.pqBook(old, m = 32, stride = 10)
+    val gen1 = graft.util.TempDirs.scratch("ivf_gen1").toString
+    IvfIndex.build(old, centroids, book, gen1)
+    val gen2 = graft.util.TempDirs.scratch("ivf_gen2").toString
+    IvfIndex.append(spark, gen1, fresh, gen2)
+    val rebuilt = graft.util.TempDirs.scratch("ivf_rebuilt").toString
+    IvfIndex.build(old.unionByName(fresh), centroids, book, rebuilt)
+    def tableSorted(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    for (t <- Seq("centroids", "book", "encoded")) {
+      assert(tableSorted(s"$gen2/$t.parquet") == tableSorted(s"$rebuilt/$t.parquet"),
+        s"appended index table $t diverged from the from-scratch rebuild")
+    }
+    assert(fresh.count() > 0 && old.count() > 0)
+
+    // compaction: pure layout rewrite — bit-identical rows, strictly
+    // fewer data files (gen2 holds two file waves per touched cell)
+    def dataFiles(path: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+    }
+    val compacted = graft.util.TempDirs.scratch("ivf_compacted").toString
+    IvfIndex.compact(spark, gen2, compacted)
+    assert(tableSorted(s"$compacted/encoded.parquet") == tableSorted(s"$gen2/encoded.parquet"),
+      "compaction changed the encoded rows")
+    assert(dataFiles(s"$compacted/encoded.parquet") < dataFiles(s"$gen2/encoded.parquet"),
+      s"compaction did not reduce the file count " +
+        s"(${dataFiles(s"$compacted/encoded.parquet")} vs ${dataFiles(s"$gen2/encoded.parquet")})")
+  }
+
+  test("a probe's encoded scan is partition-pruned to the probed cells") {
+    val corpus = embsDf
+    val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
+    val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
+    val idx = graft.util.TempDirs.scratch("ivf_prune_spec").toString
+    IvfIndex.build(corpus, centroids, book, idx)
+    val perCell = IvfIndex.loadEncoded(spark, idx)
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perCell.size >= 4, s"fixture produced too few cells (${perCell.size}) to prove pruning")
+    val probed = perCell.keys.toSeq.sorted.take(2)
+    val df = IvfIndex.probedEncoded(spark, idx, probed)
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: FileSourceScanExec    => Seq(s)
+      case other                    => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan)
+    assert(scan.nonEmpty, s"no parquet scan in:\n${df.queryExecution.executedPlan}")
+    // the cell filter must land as a PARTITION filter (directory-level
+    // pruning), not a post-read data filter
+    assert(scan.head.metadata.getOrElse("PartitionFilters", "").contains("cell"),
+      s"cell filter not applied at partition level: ${scan.head.metadata}")
+    val read = scan.map(_.metrics("numOutputRows").value).sum
+    val want = probed.map(perCell).sum
+    val total = perCell.values.sum
+    assert(read === want,
+      s"scan materialized $read rows; probed cells hold $want of $total — pruning failed")
+    assert(want < total, "probe set unexpectedly covers the whole corpus")
+  }
+}
