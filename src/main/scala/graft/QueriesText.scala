@@ -316,6 +316,37 @@ object QueriesText {
       corpus.filter(pmod(col("id"), lit(50)) === 0), k = 10, nprobe = nprobe, shortlist = 50)
   }
 
+  /** The index-maintenance half of a dedup/takedown decision, driver-
+    * gated: delete every id ≡ 0 (mod 3) from the persisted index, then
+    * probe — the oracle is brute force over the REMAINING corpus, so a
+    * deleted vector resurfacing anywhere (code rows, shortlist, exact
+    * re-rank) mismatches. The remaining corpus is also what `search`
+    * re-ranks against: the index and the float source of truth must
+    * shrink TOGETHER, which is the operational contract (a takedown
+    * that trims the index but not the corpus, or vice versa, is a
+    * compliance bug; IvfIndexSpec separately pins delete ≡
+    * rebuild-over-remaining bit-exactly). Queries keep ids ≡ 0 (mod
+    * 50) INCLUDING deleted ones — a query vector need not be indexed. */
+  private def annTopKIdxDelete(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = clusteredEmbs(spark, dir)
+    val fullIdx = graft.util.TempDirs.memoized(s"ivf_idx:$dir", "graft_ivf_idx").toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$fullIdx/encoded.parquet"))) {
+      val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
+      val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
+      graft.ml.IvfIndex.build(corpus, centroids, book, fullIdx)
+    }
+    val delIdx = graft.util.TempDirs.memoized(s"ivf_idx_del:$dir", "graft_ivf_idx_del").toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$delIdx/encoded.parquet"))) {
+      graft.ml.IvfIndex.delete(spark, fullIdx,
+        corpus.filter(pmod(col("id"), lit(3)) === 0).select("id"), delIdx)
+    }
+    val remaining = corpus.filter(pmod(col("id"), lit(3)) =!= 0)
+    val nprobe = math.ceil(
+      0.2 * spark.read.parquet(s"$delIdx/centroids.parquet").count()).toInt
+    graft.ml.IvfIndex.search(spark, delIdx, remaining,
+      corpus.filter(pmod(col("id"), lit(50)) === 0), k = 10, nprobe = nprobe, shortlist = 50)
+  }
+
   /** SemDeDup on the CLUSTERED corpus — components over the exact
     * τ=0.8 closure, one row per duplicate cluster (kept min id +
     * size). Completes the clustered family's 1:1 mirror of the
@@ -1932,6 +1963,7 @@ object QueriesText {
     "emb_near_pairs_wide" -> (embNearPairsWide _),
     "ann_topk_ivfpq_clu" -> (annTopKIvfPqClu _),
     "ann_topk_ivfpq_idx" -> (annTopKIvfPqIdx _),
+    "ann_topk_idx_delete" -> (annTopKIdxDelete _),
     "dedup_embedding_clu" -> (dedupEmbeddingClu _),
     "emb_near_pairs" -> (embNearPairs _),
     "emb_near_pairs_clu" -> (embNearPairsClu _),
@@ -2977,6 +3009,25 @@ object QueriesText {
         |    round(list_inner_product(q.v, m.v) /
         |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(m.v, m.v))), 6) AS sim
         |  FROM q JOIN m ON m.id <> q.id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+        |  n_id, sim
+        |FROM scored
+        |QUALIFY rank <= 10""".stripMargin,
+    // post-delete probe: brute force over the REMAINING corpus — a
+    // deleted vector resurfacing anywhere in the index path mismatches
+    "ann_topk_idx_delete" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+        |m AS (SELECT e.vec_id AS id,
+        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+        |      FROM e JOIN c ON c.cid = e.vec_id % 20),
+        |q AS (SELECT * FROM m WHERE id % 50 = 0),
+        |rem AS (SELECT * FROM m WHERE id % 3 <> 0),
+        |scored AS (
+        |  SELECT q.id AS q_id, rem.id AS n_id,
+        |    round(list_inner_product(q.v, rem.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(rem.v, rem.v))), 6) AS sim
+        |  FROM q JOIN rem ON rem.id <> q.id)
         |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
         |  n_id, sim
         |FROM scored

@@ -96,6 +96,27 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
   }
 
+  /** Remove vectors by id — the index-maintenance half of a dedup or
+    * takedown decision: once a pipeline drops documents, their vectors
+    * must leave the index or every later probe re-surfaces them. A
+    * pure anti-join on the ONLY corpus-sized table (`encoded`);
+    * centroids and codebook are unaffected by removals (they are
+    * trained artifacts, not per-row state), so deletion never re-keys
+    * surviving codes. `ids` is a DataFrame — deletion lists at corpus
+    * scale are themselves table-sized (a dedup pass can drop half the
+    * corpus), so the filter must be a join, not a collected literal;
+    * AQE picks broadcast when the list is small. IvfIndexSpec pins
+    * delete ≡ rebuild-over-remaining bit-exactly. */
+  def delete(spark: SparkSession, indexDir: String, ids: DataFrame, outDir: String): Unit = {
+    spark.read.parquet(s"$indexDir/centroids.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/centroids.parquet")
+    spark.read.parquet(s"$indexDir/book.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/book.parquet")
+    loadEncoded(spark, indexDir)
+      .join(ids.select(col("id").cast("long").as("n_id")), Seq("n_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
+  }
+
   /** Rewrite the encoded table with one file per cell partition.
     * Every [[append]] adds a file wave under each touched cell
     * directory; after many generations a probe opens

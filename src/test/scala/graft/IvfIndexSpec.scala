@@ -70,6 +70,33 @@ class IvfIndexSpec extends SparkSpec {
         s"(${dataFiles(s"$compacted/encoded.parquet")} vs ${dataFiles(s"$gen2/encoded.parquet")})")
   }
 
+  test("delete(ids) is bit-identical to rebuilding over the remaining corpus") {
+    val all = embsDf
+    val centroids = AnnSearch.kmeansCentroidsExact(all, 15, iters = 2)
+    val book = AnnSearch.pqBook(all, m = 32, stride = 10)
+    val full = graft.util.TempDirs.scratch("ivf_del_full").toString
+    IvfIndex.build(all, centroids, book, full)
+    val dropped = all.filter(pmod(col("id"), lit(3)) === 0).select("id")
+    val afterDel = graft.util.TempDirs.scratch("ivf_del_out").toString
+    IvfIndex.delete(spark, full, dropped, afterDel)
+    val rebuilt = graft.util.TempDirs.scratch("ivf_del_rebuilt").toString
+    IvfIndex.build(all.filter(pmod(col("id"), lit(3)) =!= 0), centroids, book, rebuilt)
+    def tableSorted(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    for (t <- Seq("centroids", "book", "encoded")) {
+      assert(tableSorted(s"$afterDel/$t.parquet") == tableSorted(s"$rebuilt/$t.parquet"),
+        s"post-delete index table $t diverged from the from-scratch rebuild")
+    }
+    // a probe of the post-delete index never surfaces a deleted id
+    val deletedIds = dropped.collect().map(_.getLong(0)).toSet
+    val queries = all.filter(pmod(col("id"), lit(50)) === 1)
+    val hits = IvfIndex.search(spark, afterDel, all, queries,
+      k = 5, nprobe = 8, shortlist = 40)
+      .select("n_id").collect().map(_.getLong(0))
+    assert(hits.nonEmpty && hits.forall(id => !deletedIds.contains(id)),
+      "post-delete probe re-surfaced a deleted vector")
+  }
+
   test("a probe's encoded scan is partition-pruned to the probed cells") {
     val corpus = embsDf
     val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
