@@ -96,6 +96,46 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
   }
 
+  /** The O(new-shard) append: encode the new vectors with the
+    * persisted dim tables and add their files UNDER the existing
+    * cell partitions (parquet append mode) — the existing encoded
+    * rows are never read or rewritten, so a shard lands in time
+    * proportional to the SHARD, not the corpus ([[append]]'s
+    * generation-copy form rewrites everything it carries over, which
+    * at 100 TB prices every hourly shard at the full index; this form
+    * is the production shard-cadence path and the reason [[compact]]
+    * exists — each call adds one file wave per touched cell).
+    * Row-content contract identical to [[append]]: IvfIndexSpec pins
+    * rows ≡ rebuild-over-union (layout differs, rows don't). */
+  def appendInPlace(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val book = loadBook(spark, indexDir)
+    encode(newVectors, centroids, book)
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/encoded.parquet")
+  }
+
+  /** Continuous ingestion: each arriving micro-batch of (id, vec)
+    * rows appends in place via [[appendInPlace]] — `foreachBatch` is
+    * the idiomatic bridge from a stream to a non-streaming artifact,
+    * and because the per-batch work is a pure function of (batch
+    * rows, persisted dim tables), the resulting index is independent
+    * of where micro-batch boundaries fall (spec-pinned: a 3-batch
+    * feed produces row-for-row the same encoded table as one batch
+    * build over the union). The checkpoint dir gives exactly-once
+    * batch tracking across restarts; parquet-append within a batch is
+    * atomic per file, so a replayed batch after a mid-write crash can
+    * duplicate rows — production would dedup by (n_id) at compact
+    * time or write batch-id-named files; documented, not hidden. */
+  def ingestStream(indexDir: String, vectors: DataFrame, checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) appendInPlace(batch.sparkSession, indexDir, batch.toDF())
+      }
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Remove vectors by id — the index-maintenance half of a dedup or
     * takedown decision: once a pipeline drops documents, their vectors
     * must leave the index or every later probe re-surfaces them. A

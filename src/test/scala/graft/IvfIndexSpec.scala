@@ -70,6 +70,63 @@ class IvfIndexSpec extends SparkSpec {
         s"(${dataFiles(s"$compacted/encoded.parquet")} vs ${dataFiles(s"$gen2/encoded.parquet")})")
   }
 
+  test("appendInPlace adds the shard's rows without touching existing files") {
+    val all = embsDf
+    val old = all.filter(pmod(col("id"), lit(7)) =!= 0)
+    val fresh = all.filter(pmod(col("id"), lit(7)) === 0)
+    val centroids = AnnSearch.kmeansCentroidsExact(old, 15, iters = 2)
+    val book = AnnSearch.pqBook(old, m = 32, stride = 10)
+    val idx = graft.util.TempDirs.scratch("ivf_inplace").toString
+    IvfIndex.build(old, centroids, book, idx)
+    def dataFiles(path: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath + ":" + f.lastModified() + ":" + f.length()).toSet
+    }
+    val before = dataFiles(s"$idx/encoded.parquet")
+    IvfIndex.appendInPlace(spark, idx, fresh)
+    // O(new-shard) contract: every pre-append file survives byte-for-byte
+    assert(before.subsetOf(dataFiles(s"$idx/encoded.parquet")),
+      "appendInPlace rewrote or removed existing encoded files")
+    val rebuilt = graft.util.TempDirs.scratch("ivf_inplace_rebuilt").toString
+    IvfIndex.build(old.unionByName(fresh), centroids, book, rebuilt)
+    def tableSorted(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    assert(tableSorted(s"$idx/encoded.parquet") == tableSorted(s"$rebuilt/encoded.parquet"),
+      "in-place append rows diverged from the from-scratch rebuild")
+  }
+
+  test("ingestStream: a 3-batch feed builds the same index rows as one batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = embsDf
+    val seedCorpus = all.filter(pmod(col("id"), lit(4)) === 0)
+    val arriving = all.filter(pmod(col("id"), lit(4)) =!= 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centroids = AnnSearch.kmeansCentroidsExact(seedCorpus, 15, iters = 2)
+    val book = AnnSearch.pqBook(seedCorpus, m = 32, stride = 4)
+    val idx = graft.util.TempDirs.scratch("ivf_stream").toString
+    IvfIndex.build(seedCorpus, centroids, book, idx)
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = IvfIndex.ingestStream(idx, mem.toDF().toDF("id", "vec"),
+      graft.util.TempDirs.scratch("ivf_stream_ckpt").toString)
+    try {
+      arriving.grouped(math.max(1, arriving.length / 3 + 1)).foreach { batch =>
+        mem.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rebuilt = graft.util.TempDirs.scratch("ivf_stream_rebuilt").toString
+    IvfIndex.build(seedCorpus.unionByName(all.filter(pmod(col("id"), lit(4)) =!= 0)),
+      centroids, book, rebuilt)
+    def tableSorted(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    assert(tableSorted(s"$idx/encoded.parquet") == tableSorted(s"$rebuilt/encoded.parquet"),
+      "streamed index rows depend on micro-batch boundaries or lost a batch")
+  }
+
   test("delete(ids) is bit-identical to rebuilding over the remaining corpus") {
     val all = embsDf
     val centroids = AnnSearch.kmeansCentroidsExact(all, 15, iters = 2)
