@@ -460,7 +460,18 @@ object Bench {
       // that the CONSTANT-size register state (4 KB/key) keeps the
       // stateful hop flat while the exact-set form's state grows with
       // cardinality. Skipped in dirs without an events table.
-      "stream_distinct_hll"
+      "stream_distinct_hll",
+      // r11: the generation loop — persisted-index shard dedup + the
+      // gen-1-trained learned gate + rollup. First pass pays index
+      // build + training (both memoized per dir); steady cells measure
+      // the per-shard cadence cost a production pipeline re-pays
+      "corpus_pipeline_v8",
+      // r11: Count-Min heavy hitters — exact top-20 verification side
+      // (one token groupBy, TakeOrdered) plus the depth×width sketch
+      // (one partial-aggregated exchange into ≤4096 rows). The cell
+      // should scale like one corpus token scan; the sketch side's
+      // output is constant-size by construction
+      "heavy_hitters_cms"
     ).filter(catalog.contains)
 
   /** Extended cells that read the events table — skipped on scale

@@ -89,6 +89,31 @@ object QueriesText {
   private def fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
 
+  /** Count-Min heavy hitters: the exact top-20 tokens with their
+    * sketch estimates side by side — the driver gate for
+    * [[graft.ops.CountMin]] (deterministic sum-of-counts cells + the
+    * portable md5 row hashes), so DuckDB replays the ENTIRE sketch,
+    * not just the exact side. `overcount_ok` pins est ≥ exact (the
+    * deterministic half of the CMS guarantee) as a data column. Exact
+    * ranking is orderBy+limit (TakeOrdered — no global sort) before
+    * the 20-row rank window; at 100 TB the exact side is the
+    * verification harness, the sketch (depth·width counters, one
+    * partial-aggregated exchange) is the product. */
+  private def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val depth = 4; val width = 1024
+    val toks = docs(spark, dir).select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val sk = graft.ops.CountMin.sketch(toks, "tok", depth, width)
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), col("tok")).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("exact_cnt"), col("tok"))).cast("long"))
+    val est = graft.ops.CountMin.estimate(sk, top, "tok", depth, width)
+    top.join(est.select(col("item").as("tok"), col("est").as("est_cnt")), Seq("tok"))
+      .select(col("rank"), col("tok").as("token"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") >= col("exact_cnt")).as("overcount_ok"))
+  }
+
   /** Brute-force cosine top-10 for every 50th vector. Rank on the
     * 6-dp-rounded similarity (deterministic across engines). */
   private def annTopKBf(spark: SparkSession, dir: String): DataFrame = {
@@ -347,6 +372,33 @@ object QueriesText {
       corpus.filter(pmod(col("id"), lit(50)) === 0), k = 10, nprobe = nprobe, shortlist = 50)
   }
 
+  /** The TOMBSTONE delete through the driver gate: same final search
+    * as [[annTopKIdxDelete]] (the oracle re-derives the post-delete
+    * top-k from scratch) but the deletion is
+    * [[graft.ml.IvfIndex.deleteInPlace]] — an O(delete-list) tombstone
+    * append applied merge-on-read at the probed scan, the path a
+    * takedown or dedup decision takes at 100 TB where [[IvfIndex
+    * .delete]]'s generation rewrite prices a 10-row removal at the
+    * full index. IvfIndexSpec pins files-untouched and compact-folds;
+    * this row pins the USER-VISIBLE contract (search results) against
+    * an independent engine. */
+  private def annTopKIdxTomb(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = clusteredEmbs(spark, dir)
+    val tombIdx = graft.util.TempDirs.memoized(s"ivf_idx_tomb:$dir", "graft_ivf_idx_tomb").toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tombIdx/encoded.parquet"))) {
+      val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
+      val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
+      graft.ml.IvfIndex.build(corpus, centroids, book, tombIdx)
+      graft.ml.IvfIndex.deleteInPlace(spark, tombIdx,
+        corpus.filter(pmod(col("id"), lit(3)) === 0).select("id"))
+    }
+    val remaining = corpus.filter(pmod(col("id"), lit(3)) =!= 0)
+    val nprobe = math.ceil(
+      0.2 * spark.read.parquet(s"$tombIdx/centroids.parquet").count()).toInt
+    graft.ml.IvfIndex.search(spark, tombIdx, remaining,
+      corpus.filter(pmod(col("id"), lit(50)) === 0), k = 10, nprobe = nprobe, shortlist = 50)
+  }
+
   /** SemDeDup on the CLUSTERED corpus — components over the exact
     * τ=0.8 closure, one row per duplicate cluster (kept min id +
     * size). Completes the clustered family's 1:1 mirror of the
@@ -451,6 +503,20 @@ object QueriesText {
       QualityClassifier.train(feats, labels, iters = 16, lrDen = 100L)
     })
 
+  /** Capstone v8's gate: trained on the GEN-1 generation only
+    * (doc_id % 4 != 0) — the production split where the model was fit
+    * before the shard existed. Separate memo key from the full-corpus
+    * weights. */
+  private def qualityClfWeightsGen1(spark: SparkSession, dir: String): Array[Long] =
+    clfWeightsCache.computeIfAbsent(s"gen1:$dir", { _ =>
+      val d = docs(spark, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val feats = QualityClassifier.features(d, "doc_id", "text")
+      val labels = TextOps.withQuality(d.select(col("doc_id"), col("text")), col("text"))
+        .select(col("doc_id").cast("long").as("id"),
+          when(col("quality") >= 0.5, lit(1000000L)).otherwise(lit(0L)).as("y"))
+      QualityClassifier.train(feats, labels, iters = 16, lrDen = 100L)
+    })
+
   /** The curation chain (quality/lang/length gate -> rep filter ->
     * exact dedup -> LSH components -> survivors `k`) as an oracle CTE
     * body — the exact text the v2–v6 capstone oracles embed, extracted
@@ -518,13 +584,15 @@ object QueriesText {
     "WITH " + clfChainBody(iters) + "\n" + tail
 
   /** The classifier chain's CTE body (no WITH) — composable after
-    * other CTE chains (capstone v7 appends it to the curation chain). */
-  private def clfChainBody(iters: Int): String = {
+    * other CTE chains (capstone v7 appends it to the curation chain).
+    * `where` scopes the TRAINING corpus (capstone v8 trains on the
+    * gen-1 generation only). */
+  private def clfChainBody(iters: Int, where: String = ""): String = {
     val head =
-      """ct AS (
-        |  SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-        |  FROM documents),
+      s"""ct AS (
+        |  SELECT doc_id AS id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents $where),
         |cf AS MATERIALIZED (
         |  SELECT id, (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024) AS j, count(*)::BIGINT AS x
         |  FROM (SELECT id, unnest(w) AS tok FROM ct) GROUP BY 1, 2
@@ -574,6 +642,42 @@ object QueriesText {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("score") > 500000L, 1L).otherwise(0L)).as("n_clf_kept"),
         sum(col("score")).as("score_sum"))
+  }
+
+  /** Capstone v8 — the GENERATION LOOP, end to end: a new shard
+    * (doc_id % 4 == 0) arrives against the gen-1 corpus, is deduped
+    * against the PERSISTED incremental index (exact hash semi-join +
+    * LSH candidates + τ=0.8 verify — [[graft.text.IncrementalDedup]],
+    * the same memoized index `dedup_incremental` gates), and the
+    * survivors pass through the LEARNED quality gate trained on GEN-1
+    * ONLY (no peeking at the shard — the honest production split;
+    * bit-exact integer LMS so the oracle replays the training). Rollup
+    * per source: survivor count, classifier-kept count, and the id_sum
+    * checksum proving which documents flowed through. This is the
+    * cadence a 100 TB pipeline actually runs — index read O(scan),
+    * shard-driven joins, train-once/score-many — with every stage
+    * already individually driver-gated (`dedup_incremental`,
+    * `quality_clf_*`) and here composed under ONE from-scratch oracle.
+    * The write-back half (updateIndex with the final survivors) is
+    * spec-pinned bit-identical to re-indexing, so the loop closes. */
+  private def corpusPipelineV8(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val idxDir = graft.util.TempDirs.memoized(s"incr_idx:$dir", "graft_incr_idx").toString
+    IncrementalDedup.buildIndex(old, "doc_id", "text", idxDir)
+    val keptIds = IncrementalDedup.processShard(spark, idxDir, shard, "doc_id", "text", tau = 0.8)
+      .filter(col("kept")).select(col("id").as("doc_id"))
+    val survivors = shard.join(keptIds, Seq("doc_id")).localCheckpoint(false)
+    val w = qualityClfWeightsGen1(spark, dir)
+    val scores = QualityClassifier.score(
+      QualityClassifier.features(survivors, "doc_id", "text"), w)
+    survivors.select(col("doc_id"), col("source"))
+      .join(scores.select(col("id").as("doc_id"), col("score")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 500000L, 1L).otherwise(0L)).as("n_clf_kept"),
+        sum(col("doc_id")).as("id_sum"))
   }
 
   /** Streaming exact-dedup parity: the first-seen-wins stateful dedup
@@ -1947,6 +2051,7 @@ object QueriesText {
     "dedup_incremental" -> (dedupIncremental _),
     "quality_clf_train" -> (qualityClfTrain _),
     "corpus_pipeline_v7" -> (corpusPipelineV7 _),
+    "corpus_pipeline_v8" -> (corpusPipelineV8 _),
     "quality_clf_score" -> (qualityClfScore _),
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
@@ -1954,6 +2059,7 @@ object QueriesText {
     "lang_id" -> (langId _),
     "token_counts" -> (tokenCounts _),
     "fingerprint" -> (fingerprint _),
+    "heavy_hitters_cms" -> (heavyHittersCms _),
     "ann_topk_bf" -> (annTopKBf _),
     "ann_topk_ivf" -> (annTopKIvf _),
     "ann_topk_ivf_km" -> (annTopKIvfKm _),
@@ -1964,6 +2070,7 @@ object QueriesText {
     "ann_topk_ivfpq_clu" -> (annTopKIvfPqClu _),
     "ann_topk_ivfpq_idx" -> (annTopKIvfPqIdx _),
     "ann_topk_idx_delete" -> (annTopKIdxDelete _),
+    "ann_topk_idx_tomb" -> (annTopKIdxTomb _),
     "dedup_embedding_clu" -> (dedupEmbeddingClu _),
     "emb_near_pairs" -> (embNearPairs _),
     "emb_near_pairs_clu" -> (embNearPairsClu _),
@@ -2220,6 +2327,27 @@ object QueriesText {
         |  SELECT DISTINCT doc_id, i + unnest(range(0, 8)) AS pos
         |  FROM win WHERE cnt >= 2 AND NOT is_first),
         |nr AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY 1)""".stripMargin
+
+  /** Post-delete top-k from scratch over the derived clustered corpus —
+    * shared by the rewrite-delete and tombstone-delete rows (one
+    * contract, two deletion mechanics). */
+  private val idxDeleteOracle: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+      |m AS (SELECT e.vec_id AS id,
+      |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+      |      FROM e JOIN c ON c.cid = e.vec_id % 20),
+      |q AS (SELECT * FROM m WHERE id % 50 = 0),
+      |rem AS (SELECT * FROM m WHERE id % 3 <> 0),
+      |scored AS (
+      |  SELECT q.id AS q_id, rem.id AS n_id,
+      |    round(list_inner_product(q.v, rem.v) /
+      |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(rem.v, rem.v))), 6) AS sim
+      |  FROM q JOIN rem ON rem.id <> q.id)
+      |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
+      |  n_id, sim
+      |FROM scored
+      |QUALIFY rank <= 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeOracleSql(12),
@@ -2784,6 +2912,38 @@ object QueriesText {
         |  (d.doc_id IN (SELECT doc_id FROM nr)) AS dup_near,
         |  (d.doc_id NOT IN (SELECT doc_id FROM ex)) AND (d.doc_id NOT IN (SELECT doc_id FROM nr)) AS kept
         |FROM documents d WHERE d.doc_id % 4 = 0""".stripMargin),
+    // v8 = the dedup_incremental decision chain + the classifier chain
+    // trained on gen-1 only (WHERE on ct) + shard-survivor scoring +
+    // the per-source rollup — one from-scratch replay of the whole
+    // generation loop
+    "corpus_pipeline_v8" ->
+      (shingleCte + """,
+        |nt AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+        |ex AS (
+        |  SELECT n.doc_id FROM nt n WHERE n.doc_id % 4 = 0 AND EXISTS (
+        |    SELECT 1 FROM nt o WHERE o.t = n.t AND (o.doc_id % 4 <> 0 OR o.doc_id < n.doc_id))),
+        |nr AS (
+        |  SELECT DISTINCT b.doc_id FROM sh b JOIN sh a
+        |    ON b.doc_id % 4 = 0
+        |   AND (a.doc_id % 4 <> 0 OR a.doc_id < b.doc_id)
+        |   AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |""".stripMargin + clfChainBody(16, "WHERE doc_id % 4 <> 0") + """,
+        |sf AS (
+        |  SELECT id, (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024) AS j, count(*)::BIGINT AS x
+        |  FROM (SELECT doc_id AS id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |        FROM documents WHERE doc_id % 4 = 0) GROUP BY 1, 2
+        |  UNION ALL SELECT doc_id AS id, 1024::BIGINT AS j, 1::BIGINT AS x FROM documents WHERE doc_id % 4 = 0),
+        |sc AS (SELECT sf.id, sum(w16.wt * sf.x)::BIGINT AS score FROM sf JOIN w16 ON w16.j = sf.j GROUP BY sf.id),
+        |surv AS (
+        |  SELECT d.doc_id, d.source FROM documents d
+        |  WHERE d.doc_id % 4 = 0
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM ex)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM nr))
+        |SELECT surv.source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN sc.score > 500000 THEN 1 ELSE 0 END)::BIGINT AS n_clf_kept,
+        |  sum(surv.doc_id)::BIGINT AS id_sum
+        |FROM surv JOIN sc ON sc.id = surv.doc_id
+        |GROUP BY surv.source""".stripMargin),
     "dedup_minhash_lsh" ->
       (shingleCte +
         """
@@ -2856,6 +3016,33 @@ object QueriesText {
         |SELECT doc_id,
         |  md5(substr(norm, 1, 100) || '|' || length(norm)::VARCHAR || '|' || substr(reverse(norm), 1, 50)) AS fp
         |FROM t""".stripMargin,
+    // the CMS oracle replays the sketch itself — cells, estimates and
+    // ranks — because every counter is an order-independent SUM and the
+    // row hash is the portable md5 form (the quality-classifier bucket
+    // discipline applied to a sketch)
+    "heavy_hitters_cms" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |ex AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM t GROUP BY tok),
+        |top AS (
+        |  SELECT tok, exact_cnt,
+        |    CAST(row_number() OVER (ORDER BY exact_cnt DESC, tok) AS BIGINT) AS rank
+        |  FROM ex QUALIFY rank <= 20),
+        |rr AS (SELECT unnest(range(0, 4)) AS r),
+        |cells AS (
+        |  SELECT rr.r, ('0x' || substr(md5(rr.r::VARCHAR || '_' || t.tok), 1, 15))::BIGINT % 1024 AS cell,
+        |    count(*)::BIGINT AS c
+        |  FROM t CROSS JOIN rr GROUP BY 1, 2),
+        |est AS (
+        |  SELECT top.tok, min(coalesce(cells.c, 0))::BIGINT AS est_cnt
+        |  FROM top CROSS JOIN rr
+        |  LEFT JOIN cells ON cells.r = rr.r
+        |   AND cells.cell = ('0x' || substr(md5(rr.r::VARCHAR || '_' || top.tok), 1, 15))::BIGINT % 1024
+        |  GROUP BY top.tok)
+        |SELECT top.rank, top.tok AS token, top.exact_cnt, est.est_cnt,
+        |  est.est_cnt >= top.exact_cnt AS overcount_ok
+        |FROM top JOIN est ON est.tok = top.tok""".stripMargin,
     "ann_topk_bf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
@@ -3015,23 +3202,10 @@ object QueriesText {
         |QUALIFY rank <= 10""".stripMargin,
     // post-delete probe: brute force over the REMAINING corpus — a
     // deleted vector resurfacing anywhere in the index path mismatches
-    "ann_topk_idx_delete" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
-        |m AS (SELECT e.vec_id AS id,
-        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
-        |      FROM e JOIN c ON c.cid = e.vec_id % 20),
-        |q AS (SELECT * FROM m WHERE id % 50 = 0),
-        |rem AS (SELECT * FROM m WHERE id % 3 <> 0),
-        |scored AS (
-        |  SELECT q.id AS q_id, rem.id AS n_id,
-        |    round(list_inner_product(q.v, rem.v) /
-        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(rem.v, rem.v))), 6) AS sim
-        |  FROM q JOIN rem ON rem.id <> q.id)
-        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rank,
-        |  n_id, sim
-        |FROM scored
-        |QUALIFY rank <= 10""".stripMargin,
+    "ann_topk_idx_delete" -> idxDeleteOracle,
+    // the tombstone delete's USER-VISIBLE contract is the same
+    // post-delete top-k — byte-identical oracle, different delete path
+    "ann_topk_idx_tomb" -> idxDeleteOracle,
     // persisted-index row: the index accelerates, the corpus is the
     // exactness source — identical brute-force contract
     "ann_topk_ivfpq_clu" ->

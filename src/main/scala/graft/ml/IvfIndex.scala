@@ -157,6 +157,31 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
   }
 
+  /** The O(delete-list) delete: append the ids to a TOMBSTONE table
+    * instead of rewriting the corpus-sized encoded table ([[delete]]'s
+    * generation-copy form prices a 10-row takedown at the full index —
+    * the write-side analog of [[appendInPlace]] vs [[append]]). Every
+    * read path ([[loadEncoded]], and therefore [[search]]'s probed
+    * scan, [[append]], [[compact]]) applies the tombstones as an
+    * anti-join — merge-on-read; AQE broadcasts the list while it is
+    * small, and [[compact]] is the fold point that rewrites the
+    * encoded table without the dead rows and drops the tombstone
+    * table. IvfIndexSpec pins: search ≡ the rewrite-delete's search,
+    * encoded files untouched by the delete itself, and compaction
+    * folds to exactly the rebuild-over-remaining rows. Constraint: a
+    * tombstoned id must never be re-appended before a compact (the
+    * tombstone would suppress the new row too) — consistent with the
+    * index-wide rule that generations partition the id space. */
+  def deleteInPlace(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    ids.select(col("id").cast("long").as("n_id"))
+      .write.mode("append").parquet(s"$indexDir/tombstones.parquet")
+
+  private def tombstones(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) Some(spark.read.parquet(path.toString)) else None
+  }
+
   /** Rewrite the encoded table with one file per cell partition.
     * Every [[append]] adds a file wave under each touched cell
     * directory; after many generations a probe opens
@@ -176,11 +201,17 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
   }
 
-  /** The encoded table, cell normalized back to long (partition-column
-    * type inference narrows small directory keys to int). */
-  private[graft] def loadEncoded(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/encoded.parquet")
+  /** The LIVE encoded table: cell normalized back to long (partition-
+    * column type inference narrows small directory keys to int), and
+    * [[deleteInPlace]] tombstones applied as an anti-join (merge-on-
+    * read) — the cell partition filter a caller stacks on top still
+    * pushes through the join to the parquet scan. */
+  private[graft] def loadEncoded(spark: SparkSession, indexDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$indexDir/encoded.parquet")
       .withColumn("cell", col("cell").cast("long"))
+    tombstones(spark, indexDir)
+      .fold(raw)(t => raw.join(t.select("n_id").distinct(), Seq("n_id"), "left_anti"))
+  }
 
   /** The encoded rows of ONE probe set — `cells` is driver-side small
     * (≤ nlist, the dim-table bound: distinct probed cells, not per-

@@ -39,7 +39,10 @@ import org.apache.spark.sql.functions._
   * rows, never the text. Exact dedup is one hash equi-join (left-semi)
   * on `h`; LSH candidates come from the same (band, bucket) equi-join
   * as the batch path with the same `maxBucket` skew cap, except one
-  * side is the shard's band rows (tiny); verification joins shingle
+  * side is the shard's band rows (tiny) and the index's band rows are
+  * map-side filtered to shard-touched buckets (broadcast semi-join on
+  * the shard's distinct bucket keys) BEFORE any exchange — the
+  * corpus-sized scan never shuffles; verification joins shingle
   * sets BY ID for candidates only. Nothing is quadratic in the corpus;
   * the shard-sized side drives every join. The index itself is
   * append-only — [[updateIndex]] adds the survivors' rows, and the
@@ -111,12 +114,27 @@ object IncrementalDedup {
 
     // near: LSH candidates (shard band rows vs index ∪ earlier-shard
     // band rows, same maxBucket cap as the batch family), verified
-    // with exact Jaccard over the stored shingle-hash sets
+    // with exact Jaccard over the stored shingle-hash sets.
+    // The index side is reduced to SHARD-TOUCHED buckets FIRST via a
+    // broadcast semi-join on the shard's distinct (band, bucket) keys —
+    // a map-side filter on the one corpus-sized scan — and only then
+    // does the bucket-size cap run its (band, bucket) exchange over the
+    // survivors. Untouched buckets can produce no candidate by
+    // construction, and for touched buckets every member (index and
+    // shard) survives the semi-join, so `bn` — and therefore the capped
+    // candidate set — is identical to counting over ALL band rows. The
+    // alternative (window-count the full union) shuffles the entire
+    // index's band rows on every shard arrival: O(corpus) exchange per
+    // shard instead of O(shard × touched-bucket membership).
     val newSets = MinHashLsh.shingleSets(newDocs, "id", "text", n).localCheckpoint(false)
     val newSigs = MinHashLsh.signaturesFromSets(newSets, "id", k)
     val newShh = newSets.select(col("id"), expr("transform(sh, s -> xxhash64(s))").as("shh"))
-    val allBands = MinHashLsh.bandBuckets(idxSigs, "id", bands).withColumn("is_new", lit(false))
-      .unionByName(MinHashLsh.bandBuckets(newSigs, "id", bands).withColumn("is_new", lit(true)))
+    val newBands = MinHashLsh.bandBuckets(newSigs, "id", bands).localCheckpoint(false)
+    val touched = broadcast(newBands.select("band", "bucket").distinct())
+    val allBands = MinHashLsh.bandBuckets(idxSigs, "id", bands)
+      .join(touched, Seq("band", "bucket"), "left_semi")
+      .withColumn("is_new", lit(false))
+      .unionByName(newBands.withColumn("is_new", lit(true)))
     val capped = allBands
       .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("bn") <= maxBucket)

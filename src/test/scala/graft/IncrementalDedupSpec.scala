@@ -53,6 +53,66 @@ class IncrementalDedupSpec extends SparkSpec {
       s"108's near-dup decision ${got(108L)._2} disagrees with exact Jaccard $j vs tau 0.8")
   }
 
+  test("shard-touched bucket filter: decisions match the full-union window cap, index side never shuffles") {
+    import spark.implicits._
+    import graft.text.MinHashLsh
+    import org.apache.spark.sql.expressions.Window
+    // a duplicate clique big enough to trip an itty-small maxBucket cap,
+    // plus genuine near-dups that must still be caught
+    val mk = (i: Long, t: String) => (i, t)
+    val old = (1L to 6L).map(i => mk(i, "common boilerplate header repeated across the whole corpus body"))
+      .toDF("doc_id", "text")
+    val shard = Seq(
+      mk(100L, "common boilerplate header repeated across the whole corpus body"),
+      mk(101L, "common boilerplate header repeated across the whole corpus form"),
+      mk(102L, "a genuinely fresh document with no relative anywhere in sight")
+    ).toDF("doc_id", "text")
+    val idx = graft.util.TempDirs.scratch("incr_spec_cap").toString
+    IncrementalDedup.buildIndex(old, "doc_id", "text", idx)
+    val got = IncrementalDedup.processShard(spark, idx, shard, "doc_id", "text",
+      tau = 0.8, maxBucket = 4)
+    // REFERENCE derivation: the cap counted over ALL band rows (the
+    // pre-r11 full-window form). Touched-bucket filtering must not
+    // change any decision, because untouched buckets produce no
+    // candidates and touched buckets keep every member.
+    val newDocs = shard.select(col("doc_id").as("id"), col("text"))
+    val idxSigs = spark.read.parquet(s"$idx/sigs.parquet")
+    val newSets = MinHashLsh.shingleSets(newDocs, "id", "text", 3)
+    val newSigs = MinHashLsh.signaturesFromSets(newSets, "id", 32)
+    val allBands = MinHashLsh.bandBuckets(idxSigs, "id", 8).withColumn("is_new", lit(false))
+      .unionByName(MinHashLsh.bandBuckets(newSigs, "id", 8).withColumn("is_new", lit(true)))
+    val capped = allBands
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bn") <= 4)
+    val refCand = capped.select(col("id").as("a"), col("band"), col("bucket"), col("is_new").as("a_new"))
+      .join(capped.filter(col("is_new")).select(col("id").as("b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(!col("a_new") || col("a") < col("b"))
+      .select("a", "b").distinct()
+    val refNearIds = refCand
+      .join(newSets.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .join(old.select(col("doc_id").as("id"), col("text"))
+        .unionByName(newDocs).transform(d => MinHashLsh.shingleSets(d, "id", "text", 3))
+        .select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .filter(size(array_intersect(col("sha"), col("shb"))).cast("double")
+        / size(array_union(col("sha"), col("shb"))) >= 0.8)
+      .select("b").distinct().as[Long].collect().toSet
+    val gotNear = got.filter(col("dup_near")).select("id").as[Long].collect().toSet
+    assert(gotNear == refNearIds,
+      s"touched-bucket cap diverged from the full-window reference: $gotNear vs $refNearIds")
+    // the clique exceeds the cap, so its bucket must have been dropped
+    // (101 survives the near check); the fresh doc is kept
+    val kept = got.filter(col("kept")).select("id").as[Long].collect().toSet
+    assert(kept.contains(102L), "fresh doc must be kept")
+
+    // plan shape: the ONLY corpus-sized input (index band rows) reaches
+    // the cap through a broadcast LEFT SEMI join on the shard's bucket
+    // keys — a map-side filter — so no full-index exchange exists.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi, BuildRight") || plan.contains("BuildRight, LeftSemi"),
+      s"index band rows lost the broadcast semi filter:\n$plan")
+  }
+
   test("updateIndex(survivors) is bit-identical to rebuilding the index from the union") {
     val d = docsDf
     val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)

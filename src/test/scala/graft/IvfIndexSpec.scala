@@ -154,6 +154,49 @@ class IvfIndexSpec extends SparkSpec {
       "post-delete probe re-surfaced a deleted vector")
   }
 
+  test("deleteInPlace: same search as the rewrite delete, zero encoded files touched, compact folds the tombstones") {
+    val all = embsDf
+    val centroids = AnnSearch.kmeansCentroidsExact(all, 15, iters = 2)
+    val book = AnnSearch.pqBook(all, m = 32, stride = 10)
+    val idx = graft.util.TempDirs.scratch("ivf_tomb").toString
+    IvfIndex.build(all, centroids, book, idx)
+    val dropped = all.filter(pmod(col("id"), lit(3)) === 0).select("id")
+    def dataFiles(path: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath + ":" + f.lastModified() + ":" + f.length()).toSet
+    }
+    val before = dataFiles(s"$idx/encoded.parquet")
+    IvfIndex.deleteInPlace(spark, idx, dropped)
+    // O(delete-list) contract: the corpus-sized table is untouched
+    assert(dataFiles(s"$idx/encoded.parquet") == before,
+      "deleteInPlace rewrote the encoded table")
+    // merge-on-read: search through the tombstones equals search after
+    // the full rewrite delete
+    val rewritten = graft.util.TempDirs.scratch("ivf_tomb_rewrite").toString
+    IvfIndex.delete(spark, idx, dropped, rewritten)
+    val queries = all.filter(pmod(col("id"), lit(50)) === 1)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(
+      rowsOf(IvfIndex.search(spark, idx, all, queries, k = 5, nprobe = 8, shortlist = 40)) ==
+      rowsOf(IvfIndex.search(spark, rewritten, all, queries, k = 5, nprobe = 8, shortlist = 40)),
+      "tombstoned search diverged from the rewrite-delete search")
+    // compaction is the fold point: encoded rows == rebuild-over-
+    // remaining, and the tombstone table does not carry over
+    val folded = graft.util.TempDirs.scratch("ivf_tomb_folded").toString
+    IvfIndex.compact(spark, idx, folded)
+    val rebuilt = graft.util.TempDirs.scratch("ivf_tomb_rebuilt").toString
+    IvfIndex.build(all.filter(pmod(col("id"), lit(3)) =!= 0), centroids, book, rebuilt)
+    def tableSorted(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    assert(tableSorted(s"$folded/encoded.parquet") == tableSorted(s"$rebuilt/encoded.parquet"),
+      "compaction did not fold the tombstones into the encoded rows")
+    assert(!new java.io.File(s"$folded/tombstones.parquet").exists(),
+      "compaction carried the tombstone table into the new generation")
+  }
+
   test("a probe's encoded scan is partition-pruned to the probed cells") {
     val corpus = embsDf
     val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
