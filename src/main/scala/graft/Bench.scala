@@ -471,7 +471,12 @@ object Bench {
       // (one partial-aggregated exchange into ≤4096 rows). The cell
       // should scale like one corpus token scan; the sketch side's
       // output is constant-size by construction
-      "heavy_hitters_cms"
+      "heavy_hitters_cms",
+      // r11: DSIR importance selection — two corpus feature scans (the
+      // Pin'd (id, j, x) table feeds target/raw models and the weigh
+      // join), both models ≤1024 rows; the cell should track the
+      // token-scan family, not the dedup family
+      "dsir_select"
     ).filter(catalog.contains)
 
   /** Extended cells that read the events table — skipped on scale

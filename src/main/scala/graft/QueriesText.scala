@@ -100,18 +100,60 @@ object QueriesText {
     * verification harness, the sketch (depth·width counters, one
     * partial-aggregated exchange) is the product. */
   private def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val depth = 4; val width = 1024
     val toks = docs(spark, dir).select(explode(TextOps.tokens(col("text"))).as("tok"))
-    val sk = graft.ops.CountMin.sketch(toks, "tok", depth, width)
+    cmsTopTable(spark, dir, graft.ops.CountMin.sketch(toks, "tok", CmsDepth, CmsWidth))
+  }
+
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  /** The heavy-hitter gate table over a (possibly streamed) sketch:
+    * exact top-20 tokens (TakeOrdered) with their sketch estimates and
+    * the est ≥ exact overcount bit. Shared by the batch and streaming
+    * CMS rows — mergeable order-independent counters mean both sketches
+    * are bit-identical, so both rows share one oracle. */
+  private def cmsTopTable(spark: SparkSession, dir: String, sk: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, dir).select(explode(TextOps.tokens(col("text"))).as("tok"))
     val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(desc("exact_cnt"), col("tok")).limit(20)
       .withColumn("rank",
         row_number().over(Window.orderBy(desc("exact_cnt"), col("tok"))).cast("long"))
-    val est = graft.ops.CountMin.estimate(sk, top, "tok", depth, width)
+    val est = graft.ops.CountMin.estimate(sk, top, "tok", CmsDepth, CmsWidth)
     top.join(est.select(col("item").as("tok"), col("est").as("est_cnt")), Seq("tok"))
       .select(col("rank"), col("tok").as("token"), col("exact_cnt"), col("est_cnt"),
         (col("est_cnt") >= col("exact_cnt")).as("overcount_ok"))
+  }
+
+  /** The CMS built as a STREAMING aggregate: the token feed arrives in
+    * two micro-batches and the sketch accumulates as stateful (r, cell)
+    * counters — state is the depth×width grid (32 KB), CONSTANT in both
+    * stream length and vocabulary size, the streaming story HLL tells
+    * for COUNT(DISTINCT) told for frequencies. Because the counters are
+    * order-independent sums, the streamed grid is bit-identical to the
+    * batch sketch wherever the batch boundary falls — so this row's
+    * gate is the SAME from-scratch oracle as `heavy_hitters_cms`, the
+    * strongest parity statement available (not a tolerance: equality). */
+  private def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .orderBy("doc_id", "tok")
+      .select("tok").as[String].collect()
+    val mem = MemoryStream[String]
+    val queryName = "stream_cms_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.ops.CountMin.sketch(mem.toDF().toDF("tok"), "tok", CmsDepth, CmsWidth)
+      .writeStream.format("memory").queryName(queryName).outputMode("complete").start()
+    val cells =
+      try {
+        val (h1, h2) = toks.splitAt(toks.length / 2)
+        mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+        mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+        spark.table(queryName).localCheckpoint(eager = true)
+      } finally q.stop()
+    cmsTopTable(spark, dir, cells)
   }
 
   /** Brute-force cosine top-10 for every 50th vector. Rank on the
@@ -1444,6 +1486,30 @@ object QueriesText {
         floor(-col("lp_sum").cast("double") / col("n_toks") / 1e6).cast("long").as("ppl_bucket"))
   }
 
+  /** DSIR data selection ([[graft.text.Dsir]]): hashed unigram+bigram
+    * multinomials over the heuristic-quality exemplar set (target) vs
+    * the whole pool (raw), per-bucket log ratios rounded ONCE to
+    * micro-longs (the `perplexity_filter` float rule), per-doc weights
+    * as exact integer sums, top-100 by (weight, id) — fully replayed by
+    * the oracle including both smoothed models. The label-free learned
+    * curation stage between the heuristic gates and the trained
+    * classifier: it needs only an exemplar corpus. */
+  private def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val feats = graft.util.Pin(graft.text.Dsir.features(d, "doc_id", "text"))
+    val targetIds = TextOps.withQuality(d.select(col("doc_id"), col("text")), col("text"))
+      .filter(col("quality") >= 0.5)
+      .select(col("doc_id").cast("long").as("id"))
+    val targetFeats = feats.join(targetIds, Seq("id"), "left_semi")
+    val lr = graft.text.Dsir.logRatioMicro(targetFeats, feats)
+    graft.text.Dsir.weigh(feats, lr)
+      .orderBy(desc("w_micro"), col("id")).limit(100)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("w_micro"), col("id"))).cast("long"))
+      .select(col("rank"), col("id").as("doc_id"), col("w_micro").as("dsir_w"))
+  }
+
   /** Cross-document shared-substring statistics (ExactSubstr-style
     * dedup diagnostics, Lee et al. 2022 "Deduplicating Training Data
     * Makes Language Models Better" — the lighter per-doc form): for
@@ -2024,6 +2090,7 @@ object QueriesText {
     "corpus_pipeline_v5" -> (corpusPipelineV5 _),
     "dedup_spans" -> (dedupSpans _),
     "perplexity_filter" -> (perplexityFilter _),
+    "dsir_select" -> (dsirSelect _),
     "shared_substrings" -> (sharedSubstrings _),
     "pii_redact" -> (piiRedact _),
     "dedup_paragraph" -> (dedupParagraph _),
@@ -2060,6 +2127,7 @@ object QueriesText {
     "token_counts" -> (tokenCounts _),
     "fingerprint" -> (fingerprint _),
     "heavy_hitters_cms" -> (heavyHittersCms _),
+    "stream_heavy_hitters" -> (streamHeavyHitters _),
     "ann_topk_bf" -> (annTopKBf _),
     "ann_topk_ivf" -> (annTopKIvf _),
     "ann_topk_ivf_km" -> (annTopKIvfKm _),
@@ -2348,6 +2416,33 @@ object QueriesText {
       |  n_id, sim
       |FROM scored
       |QUALIFY rank <= 10""".stripMargin
+
+  /** The CMS gate's from-scratch replay: exact top-20 counts AND the
+    * full depth×width sketch (cells, estimates, overcount bit) — shared
+    * by the batch and streaming rows. */
+  private val cmsOracle: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |ex AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM t GROUP BY tok),
+      |top AS (
+      |  SELECT tok, exact_cnt,
+      |    CAST(row_number() OVER (ORDER BY exact_cnt DESC, tok) AS BIGINT) AS rank
+      |  FROM ex QUALIFY rank <= 20),
+      |rr AS (SELECT unnest(range(0, 4)) AS r),
+      |cells AS (
+      |  SELECT rr.r, ('0x' || substr(md5(rr.r::VARCHAR || '_' || t.tok), 1, 15))::BIGINT % 1024 AS cell,
+      |    count(*)::BIGINT AS c
+      |  FROM t CROSS JOIN rr GROUP BY 1, 2),
+      |est AS (
+      |  SELECT top.tok, min(coalesce(cells.c, 0))::BIGINT AS est_cnt
+      |  FROM top CROSS JOIN rr
+      |  LEFT JOIN cells ON cells.r = rr.r
+      |   AND cells.cell = ('0x' || substr(md5(rr.r::VARCHAR || '_' || top.tok), 1, 15))::BIGINT % 1024
+      |  GROUP BY top.tok)
+      |SELECT top.rank, top.tok AS token, top.exact_cnt, est.est_cnt,
+      |  est.est_cnt >= top.exact_cnt AS overcount_ok
+      |FROM top JOIN est ON est.tok = top.tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeOracleSql(12),
@@ -3020,29 +3115,10 @@ object QueriesText {
     // ranks — because every counter is an order-independent SUM and the
     // row hash is the portable md5 form (the quality-classifier bucket
     // discipline applied to a sketch)
-    "heavy_hitters_cms" ->
-      """WITH t AS (
-        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
-        |  FROM documents),
-        |ex AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM t GROUP BY tok),
-        |top AS (
-        |  SELECT tok, exact_cnt,
-        |    CAST(row_number() OVER (ORDER BY exact_cnt DESC, tok) AS BIGINT) AS rank
-        |  FROM ex QUALIFY rank <= 20),
-        |rr AS (SELECT unnest(range(0, 4)) AS r),
-        |cells AS (
-        |  SELECT rr.r, ('0x' || substr(md5(rr.r::VARCHAR || '_' || t.tok), 1, 15))::BIGINT % 1024 AS cell,
-        |    count(*)::BIGINT AS c
-        |  FROM t CROSS JOIN rr GROUP BY 1, 2),
-        |est AS (
-        |  SELECT top.tok, min(coalesce(cells.c, 0))::BIGINT AS est_cnt
-        |  FROM top CROSS JOIN rr
-        |  LEFT JOIN cells ON cells.r = rr.r
-        |   AND cells.cell = ('0x' || substr(md5(rr.r::VARCHAR || '_' || top.tok), 1, 15))::BIGINT % 1024
-        |  GROUP BY top.tok)
-        |SELECT top.rank, top.tok AS token, top.exact_cnt, est.est_cnt,
-        |  est.est_cnt >= top.exact_cnt AS overcount_ok
-        |FROM top JOIN est ON est.tok = top.tok""".stripMargin,
+    "heavy_hitters_cms" -> cmsOracle,
+    // the streamed sketch is bit-identical to the batch sketch
+    // (order-independent mergeable counters) — same from-scratch oracle
+    "stream_heavy_hitters" -> cmsOracle,
     "ann_topk_bf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
@@ -3432,6 +3508,48 @@ object QueriesText {
         |SELECT doc_id, n_toks, round(-lp_sum::DOUBLE / n_toks / 1e6, 6) AS xent,
         |  floor(-lp_sum::DOUBLE / n_toks / 1e6)::BIGINT AS ppl_bucket
         |FROM per""".stripMargin,
+    // DSIR: both smoothed hashed-n-gram models replayed from scratch;
+    // the single rounding point (per-bucket micro log-ratio) mirrors
+    // the perplexity model's nlp_micro discipline, so weights and
+    // ranks compare as exact integers
+    "dsir_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_concat(w,
+        |    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+        |         ELSE [] END)) AS gram
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, (('0x' || substr(md5(gram), 1, 15))::BIGINT % 1024) AS j, count(*)::BIGINT AS x
+        |  FROM g GROUP BY 1, 2),
+        |q AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, len(w) AS n_tokens,
+        |      length(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::DOUBLE / length(norm) AS punct_ratio,
+        |      len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x)))::DOUBLE / len(w) AS stop_ratio
+        |    FROM t)
+        |  WHERE round(0.5 * least(stop_ratio * 3, 1.0)
+        |      + 0.3 * (1.0 - least(punct_ratio * 10, 1.0))
+        |      + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0), 6) >= 0.5),
+        |ct AS (SELECT j, sum(x)::BIGINT AS ct FROM f WHERE doc_id IN (SELECT doc_id FROM q) GROUP BY j),
+        |cr AS (SELECT j, sum(x)::BIGINT AS cr FROM f GROUP BY j),
+        |b AS (SELECT unnest(range(0, 1024)) AS j),
+        |m AS (
+        |  SELECT b.j, coalesce(ct.ct, 0)::BIGINT AS ct, coalesce(cr.cr, 0)::BIGINT AS cr
+        |  FROM b LEFT JOIN ct ON ct.j = b.j LEFT JOIN cr ON cr.j = b.j),
+        |tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM m),
+        |lr AS (
+        |  SELECT m.j,
+        |    round((ln(m.ct + 1.0) - ln(tot.tt + 1024.0) - ln(m.cr + 1.0) + ln(tot.tr + 1024.0)) * 1e6)::BIGINT AS lr_micro
+        |  FROM m, tot),
+        |wgt AS (
+        |  SELECT f.doc_id, sum(f.x * lr.lr_micro)::BIGINT AS dsir_w
+        |  FROM f JOIN lr ON lr.j = f.j GROUP BY f.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY dsir_w DESC, doc_id) AS BIGINT) AS rank, doc_id, dsir_w
+        |FROM wgt QUALIFY rank <= 100""".stripMargin,
     "shared_substrings" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
