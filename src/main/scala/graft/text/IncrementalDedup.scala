@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * must be checked against everything already kept), vs the
   * corpus-at-once `dedup_exact`/`dedup_minhash_lsh` batch family.
   *
-  * The persisted index is three parquet tables under one directory:
+  * The persisted index is four parquet tables under one directory:
   *  - `hashes`   (id, h): `xxhash64` of the normalized text — the
   *    exact-dedup key ([[TextOps.normText]] — the engine's standard),
   *  - `sigs`     (id, sig: array<long>): MinHash signatures
   *    ([[MinHashLsh.signaturesFromSets]], same k as the batch family),
+  *  - `bands`    (id, band, bucket), PARTITIONED BY bucket mod
+  *    [[BandParts]]: the LSH band rows, pre-derived so probes read
+  *    them instead of re-banding every signature, and partition-
+  *    prunable for small (membership-check) shards,
   *  - `shingles` (id, shh: array<long>): the distinct word-3-gram set,
   *    HASHED to 8-byte longs — exact-Jaccard verification reads these
   *    instead of re-tokenizing stored text. Jaccard over distinct
@@ -53,20 +57,38 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  /** Write the three index tables for a corpus generation. */
+  /** The band table's partition fan-out: band rows are stored
+    * PARTITIONED BY `bp = bucket mod BandParts`, so a shard's probe
+    * scans only the partitions its own buckets hash into. A bulk shard
+    * touches all of them (every partition filter degenerates to
+    * all-partitions at some selectivity), but the MEMBERSHIP-CHECK
+    * shard — one document, `bands` buckets — reads ≤ bands/BandParts
+    * of the band files, which is what makes the online "is this doc
+    * already indexed" form cheap. */
+  val BandParts = 64
+
+  /** Write the four index tables for a corpus generation. `bands` is
+    * baked into the persisted band table — queries reuse it; they do
+    * not re-choose banding per probe. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String, outDir: String,
-                 k: Int = 32, n: Int = 3): Unit = {
+                 k: Int = 32, n: Int = 3, bands: Int = 8): Unit = {
     val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
     base.select(col("id"), xxhash64(TextOps.normText(col("text"))).as("h"))
       .write.mode("overwrite").parquet(s"$outDir/hashes.parquet")
     // one shingling pass feeds both the signature aggregate and the
     // stored verification sets (the verifiedPairs discipline)
     val sets = MinHashLsh.shingleSets(base, "id", "text", n).localCheckpoint(false)
-    MinHashLsh.signaturesFromSets(sets, "id", k)
-      .write.mode("overwrite").parquet(s"$outDir/sigs.parquet")
+    val sigs = MinHashLsh.signaturesFromSets(sets, "id", k).localCheckpoint(false)
+    sigs.write.mode("overwrite").parquet(s"$outDir/sigs.parquet")
+    writeBands(sigs, bands, s"$outDir/bands.parquet")
     sets.select(col("id"), expr("transform(sh, s -> xxhash64(s))").as("shh"))
       .write.mode("overwrite").parquet(s"$outDir/shingles.parquet")
   }
+
+  private def writeBands(sigs: DataFrame, bands: Int, path: String): Unit =
+    MinHashLsh.bandBuckets(sigs, "id", bands)
+      .withColumn("bp", pmod(col("bucket"), lit(BandParts.toLong)))
+      .write.mode("overwrite").partitionBy("bp").parquet(path)
 
   /** Append a processed shard's SURVIVORS to an index: reads `indexDir`,
     * writes `outDir` = old index rows ∪ the survivors' index rows.
@@ -75,15 +97,17 @@ object IncrementalDedup {
     * that keeps generation state replayable. */
   def updateIndex(spark: SparkSession, indexDir: String, survivors: DataFrame,
                   idCol: String, textCol: String, outDir: String,
-                  k: Int = 32, n: Int = 3): Unit = {
+                  k: Int = 32, n: Int = 3, bands: Int = 8): Unit = {
     val base = survivors.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
     spark.read.parquet(s"$indexDir/hashes.parquet")
       .unionByName(base.select(col("id"), xxhash64(TextOps.normText(col("text"))).as("h")))
       .write.mode("overwrite").parquet(s"$outDir/hashes.parquet")
     val sets = MinHashLsh.shingleSets(base, "id", "text", n).localCheckpoint(false)
-    spark.read.parquet(s"$indexDir/sigs.parquet")
+    val allSigs = spark.read.parquet(s"$indexDir/sigs.parquet")
       .unionByName(MinHashLsh.signaturesFromSets(sets, "id", k))
-      .write.mode("overwrite").parquet(s"$outDir/sigs.parquet")
+      .localCheckpoint(false)
+    allSigs.write.mode("overwrite").parquet(s"$outDir/sigs.parquet")
+    writeBands(allSigs, bands, s"$outDir/bands.parquet")
     spark.read.parquet(s"$indexDir/shingles.parquet")
       .unionByName(sets.select(col("id"), expr("transform(sh, s -> xxhash64(s))").as("shh")))
       .write.mode("overwrite").parquet(s"$outDir/shingles.parquet")
@@ -131,7 +155,29 @@ object IncrementalDedup {
     val newShh = newSets.select(col("id"), expr("transform(sh, s -> xxhash64(s))").as("shh"))
     val newBands = MinHashLsh.bandBuckets(newSigs, "id", bands).localCheckpoint(false)
     val touched = broadcast(newBands.select("band", "bucket").distinct())
-    val allBands = MinHashLsh.bandBuckets(idxSigs, "id", bands)
+    // the index's band rows come from the PERSISTED bucket-partitioned
+    // band table when the index carries one: the shard's touched
+    // bucket-partitions (≤ BandParts values, collected — a bounded dim
+    // list) land as a partition filter, so a membership-check shard
+    // (one doc, `bands` buckets) opens ≤ bands of the BandParts
+    // partition directories instead of scanning every signature. Bulk
+    // shards touch all partitions and pay the same one scan as the
+    // derive-from-sigs form (pruning can only help). Indexes from
+    // before the band table persisted fall back to deriving the rows.
+    val idxBandRows = {
+      val path = new org.apache.hadoop.fs.Path(s"$indexDir/bands.parquet")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) {
+        val touchedParts = newBands
+          .select(pmod(col("bucket"), lit(BandParts.toLong)).as("bp"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        spark.read.parquet(path.toString)
+          .withColumn("bp", col("bp").cast("long"))
+          .filter(col("bp").isInCollection(touchedParts))
+          .select("id", "band", "bucket")
+      } else MinHashLsh.bandBuckets(idxSigs, "id", bands)
+    }
+    val allBands = idxBandRows
       .join(touched, Seq("band", "bucket"), "left_semi")
       .withColumn("is_new", lit(false))
       .unionByName(newBands.withColumn("is_new", lit(true)))

@@ -113,6 +113,41 @@ class IncrementalDedupSpec extends SparkSpec {
       s"index band rows lost the broadcast semi filter:\n$plan")
   }
 
+  test("membership-check shard: band scan is partition-pruned to the shard's bucket partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    val d = docsDf
+    val idx = graft.util.TempDirs.scratch("incr_prune").toString
+    IncrementalDedup.buildIndex(d, "doc_id", "text", idx)
+    // one-document shard — the online "is this already indexed" probe;
+    // its `bands` buckets hash into ≤ bands of the BandParts partitions
+    val one = d.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val got = IncrementalDedup.processShard(spark, idx, one, "doc_id", "text", tau = 0.8)
+    got.collect()
+    assert(got.count() == 1)
+    // descend through AQE stage wrappers (leaf nodes holding a plan)
+    // and reused exchanges — the band scan sits under the semi-join's
+    // broadcast/shuffle stages
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case s: FileSourceScanExec    => Seq(s)
+      case other                    => other.children.flatMap(scans)
+    }
+    val bandScans = scans(got.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("bands.parquet"))
+    assert(bandScans.nonEmpty, "probe no longer reads the persisted band table")
+    assert(bandScans.forall(_.metadata.getOrElse("PartitionFilters", "").contains("bp")),
+      s"band scan lost its partition filter: ${bandScans.map(_.metadata)}")
+    val readRows = bandScans.map(_.metrics("numOutputRows").value).sum
+    val totalRows = spark.read.parquet(s"$idx/bands.parquet").count()
+    assert(readRows < totalRows,
+      s"membership probe read the whole band table ($readRows of $totalRows rows)")
+  }
+
   test("updateIndex(survivors) is bit-identical to rebuilding the index from the union") {
     val d = docsDf
     val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
@@ -126,7 +161,7 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.updateIndex(spark, gen1, survivors, "doc_id", "text", gen2)
     val rebuilt = graft.util.TempDirs.scratch("incr_rebuilt").toString
     IncrementalDedup.buildIndex(old.unionByName(survivors), "doc_id", "text", rebuilt)
-    for (t <- Seq("hashes", "sigs", "shingles")) {
+    for (t <- Seq("hashes", "sigs", "bands", "shingles")) {
       assert(tableSorted(s"$gen2/$t.parquet") == tableSorted(s"$rebuilt/$t.parquet"),
         s"updated index table $t diverged from the from-scratch rebuild")
     }
