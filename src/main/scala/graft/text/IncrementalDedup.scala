@@ -113,6 +113,71 @@ object IncrementalDedup {
       .write.mode("overwrite").parquet(s"$outDir/shingles.parquet")
   }
 
+  /** The O(shard) index append: the survivors' rows are written as new
+    * files UNDER the existing four tables (parquet append; band rows
+    * land under their bucket partitions) — existing files are never
+    * read or rewritten, so a generation lands in time proportional to
+    * the SHARD ([[updateIndex]]'s generation-copy form rewrites the
+    * carried-over corpus — at 100 TB that prices every shard at the
+    * full index). Row contract identical to [[updateIndex]]:
+    * spec-pinned rows ≡ rebuild-over-union with pre-append files
+    * byte-untouched, the [[graft.ml.IvfIndex.appendInPlace]]
+    * discipline. */
+  def updateIndexInPlace(spark: SparkSession, indexDir: String, survivors: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 32, n: Int = 3, bands: Int = 8): Unit = {
+    val base = survivors.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
+    base.select(col("id"), xxhash64(TextOps.normText(col("text"))).as("h"))
+      .write.mode("append").parquet(s"$indexDir/hashes.parquet")
+    val sets = MinHashLsh.shingleSets(base, "id", "text", n).localCheckpoint(false)
+    val sigs = MinHashLsh.signaturesFromSets(sets, "id", k).localCheckpoint(false)
+    sigs.write.mode("append").parquet(s"$indexDir/sigs.parquet")
+    MinHashLsh.bandBuckets(sigs, "id", bands)
+      .withColumn("bp", pmod(col("bucket"), lit(BandParts.toLong)))
+      .write.mode("append").partitionBy("bp").parquet(s"$indexDir/bands.parquet")
+    sets.select(col("id"), expr("transform(sh, s -> xxhash64(s))").as("shh"))
+      .write.mode("append").parquet(s"$indexDir/shingles.parquet")
+  }
+
+  /** ONLINE dedup: each arriving micro-batch of documents is deduped
+    * against the CURRENT index ([[processShard]]) and its survivors
+    * are appended in place ([[updateIndexInPlace]]) before the next
+    * batch runs — the foreachBatch bridge, [[graft.ml.IvfIndex
+    * .ingestStream]]'s discipline applied to the dedup index. Each
+    * batch's decisions append to `decisionsDir` so the caller owns a
+    * complete audit log.
+    *
+    * Semantics, stated precisely: a document is rejected iff it
+    * duplicates an INDEXED document or an earlier document OF ITS OWN
+    * BATCH (the [[processShard]] rule). Near-duplicate (τ) relations
+    * are not transitive, so a REJECTED earlier document rejects
+    * same-batch successors but not later-batch ones (it never enters
+    * the index) — micro-batch boundaries are observable exactly on
+    * such τ-chains and nowhere else. The spec pins the stream equal to
+    * the manual processShard-then-append loop over the same batches
+    * (the harness adds nothing), and the final index equal to a
+    * from-scratch rebuild over (initial ∪ all stream survivors). */
+  def dedupStream(indexDir: String, docsStream: DataFrame, idCol: String, textCol: String,
+                  decisionsDir: String, checkpointDir: String, tau: Double,
+                  k: Int = 32, bands: Int = 8, n: Int = 3, maxBucket: Int = 1000)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val b = batch.toDF().localCheckpoint(true)
+          val decisions = processShard(spark, indexDir, b, idCol, textCol, tau,
+            k, bands, n, maxBucket).localCheckpoint(true)
+          decisions.write.mode("append").parquet(decisionsDir)
+          val survivors = b.join(
+            decisions.filter(col("kept")).select(col("id").as(idCol)), Seq(idCol))
+          updateIndexInPlace(spark, indexDir, survivors, idCol, textCol, k, n, bands)
+        }
+      }
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Dedup `shard` against the persisted index at `indexDir`. Returns
     * one row per shard document: (id, dup_exact, dup_near, kept). */
   def processShard(spark: SparkSession, indexDir: String, shard: DataFrame,

@@ -148,6 +148,82 @@ class IncrementalDedupSpec extends SparkSpec {
       s"membership probe read the whole band table ($readRows of $totalRows rows)")
   }
 
+  test("updateIndexInPlace: pre-append files byte-untouched, rows identical to the generation rebuild") {
+    val d = docsDf
+    val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val idx = graft.util.TempDirs.scratch("incr_inplace").toString
+    IncrementalDedup.buildIndex(old, "doc_id", "text", idx)
+    def dataFiles(path: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath + ":" + f.lastModified() + ":" + f.length()).toSet
+    }
+    val before = dataFiles(idx)
+    IncrementalDedup.updateIndexInPlace(spark, idx, shard, "doc_id", "text")
+    assert(before.subsetOf(dataFiles(idx)),
+      "updateIndexInPlace rewrote or removed existing index files")
+    val rebuilt = graft.util.TempDirs.scratch("incr_inplace_rebuilt").toString
+    IncrementalDedup.buildIndex(old.unionByName(shard), "doc_id", "text", rebuilt)
+    for (t <- Seq("hashes", "sigs", "bands", "shingles")) {
+      assert(tableSorted(s"$idx/$t.parquet") == tableSorted(s"$rebuilt/$t.parquet"),
+        s"in-place-appended table $t diverged from the from-scratch rebuild")
+    }
+  }
+
+  test("dedupStream equals the manual shard loop; final index equals a rebuild over the survivors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = docsDf
+    val initial = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val arriving = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, String)].collect()
+    val idxStream = graft.util.TempDirs.scratch("incr_stream_idx").toString
+    val idxManual = graft.util.TempDirs.scratch("incr_manual_idx").toString
+    IncrementalDedup.buildIndex(initial, "doc_id", "text", idxStream)
+    IncrementalDedup.buildIndex(initial, "doc_id", "text", idxManual)
+    val batches = arriving.grouped(math.max(1, arriving.length / 3 + 1)).toSeq
+    // stream side
+    val mem = MemoryStream[(Long, String)]
+    val decDir = graft.util.TempDirs.scratch("incr_stream_dec").toString
+    val q = IncrementalDedup.dedupStream(idxStream, mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", decDir, graft.util.TempDirs.scratch("incr_stream_ckpt").toString, tau = 0.8)
+    try {
+      batches.foreach { b => mem.addData(b.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // manual loop over the SAME batches
+    val manualDecisions = batches.map { b =>
+      val batchDf = b.toIndexedSeq.toDF("doc_id", "text")
+      val dec = IncrementalDedup.processShard(spark, idxManual, batchDf, "doc_id", "text", tau = 0.8)
+        .localCheckpoint(true)
+      val survivors = batchDf.join(dec.filter(col("kept")).select(col("id").as("doc_id")), Seq("doc_id"))
+      IncrementalDedup.updateIndexInPlace(spark, idxManual, survivors, "doc_id", "text")
+      dec
+    }.reduce(_ unionByName _)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(spark.read.parquet(decDir)) == rows(manualDecisions),
+      "streamed decisions diverged from the manual shard loop")
+    for (t <- Seq("hashes", "sigs", "bands", "shingles")) {
+      assert(tableSorted(s"$idxStream/$t.parquet") == tableSorted(s"$idxManual/$t.parquet"),
+        s"streamed index table $t diverged from the manual loop")
+    }
+    // and the loop's output state is replayable from scratch
+    val survivorIds = spark.read.parquet(decDir).filter(col("kept")).select(col("id").as("doc_id"))
+    val survivors = arriving.toIndexedSeq.toDF("doc_id", "text").join(survivorIds, Seq("doc_id"))
+    val rebuilt = graft.util.TempDirs.scratch("incr_stream_rebuilt").toString
+    IncrementalDedup.buildIndex(
+      initial.select(col("doc_id"), col("text")).unionByName(survivors), "doc_id", "text", rebuilt)
+    for (t <- Seq("hashes", "sigs", "bands", "shingles")) {
+      assert(tableSorted(s"$idxStream/$t.parquet") == tableSorted(s"$rebuilt/$t.parquet"),
+        s"streamed index table $t is not replayable from scratch")
+    }
+  }
+
   test("updateIndex(survivors) is bit-identical to rebuilding the index from the union") {
     val d = docsDf
     val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
