@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   *    [[BandParts]]: the LSH band rows, pre-derived so probes read
   *    them instead of re-banding every signature, and partition-
   *    prunable for small (membership-check) shards,
+  *  - `tombstones` (id), OPTIONAL: [[deleteInPlace]] removals, applied
+  *    merge-on-read to every table until [[compactIndex]] folds them,
   *  - `shingles` (id, shh: array<long>): the distinct word-3-gram set,
   *    HASHED to 8-byte longs — exact-Jaccard verification reads these
   *    instead of re-tokenizing stored text. Jaccard over distinct
@@ -178,15 +180,56 @@ object IncrementalDedup {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** The O(delete-list) takedown: append the ids to a TOMBSTONE table
+    * — a removed document must stop rejecting future shards (its hash,
+    * signature, band rows and shingle set all become invisible to
+    * [[processShard]]) without rewriting the four corpus-sized tables.
+    * Merge-on-read via [[liveTable]]; [[compactIndex]] is the fold
+    * point. Same constraint as [[graft.ml.IvfIndex.deleteInPlace]]:
+    * a tombstoned id must not be re-appended before a compact. */
+  def deleteInPlace(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    ids.select(col("id").cast("long").as("id"))
+      .write.mode("append").parquet(s"$indexDir/tombstones.parquet")
+
+  private def tombstones(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) Some(spark.read.parquet(path.toString)) else None
+  }
+
+  /** A stored index table with [[deleteInPlace]] tombstones applied
+    * (anti-join by id — AQE broadcasts small deletion lists; partition
+    * filters stacked on top still push to the scan). */
+  private def liveTable(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
+    tombstones(spark, indexDir)
+      .fold(df)(t => df.join(t.select("id").distinct(), Seq("id"), "left_anti"))
+
+  /** Fold point: rewrite the four tables without the tombstoned rows —
+    * one file per table (band table: one per bucket partition) — and
+    * drop the tombstone table. Spec-pinned ≡ rebuild-over-remaining. */
+  def compactIndex(spark: SparkSession, indexDir: String, outDir: String): Unit = {
+    for (t <- Seq("hashes", "sigs", "shingles")) {
+      liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/$t.parquet"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/bands.parquet")
+        .withColumn("bp", col("bp").cast("long")))
+      .repartition(col("bp"))
+      .write.mode("overwrite").partitionBy("bp").parquet(s"$outDir/bands.parquet")
+  }
+
   /** Dedup `shard` against the persisted index at `indexDir`. Returns
     * one row per shard document: (id, dup_exact, dup_near, kept). */
   def processShard(spark: SparkSession, indexDir: String, shard: DataFrame,
                    idCol: String, textCol: String, tau: Double,
                    k: Int = 32, bands: Int = 8, n: Int = 3,
                    maxBucket: Int = 1000): DataFrame = {
-    val idxHashes = spark.read.parquet(s"$indexDir/hashes.parquet")
-    val idxSigs = spark.read.parquet(s"$indexDir/sigs.parquet")
-    val idxShingles = spark.read.parquet(s"$indexDir/shingles.parquet")
+    // every index read goes through the tombstone anti-join — a
+    // deleted document must neither hash-reject nor near-reject
+    val idxHashes = liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/hashes.parquet"))
+    val idxSigs = liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/sigs.parquet"))
+    val idxShingles = liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/shingles.parquet"))
     val newDocs = shard
       .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
     val newHashed = newDocs
@@ -236,9 +279,9 @@ object IncrementalDedup {
         val touchedParts = newBands
           .select(pmod(col("bucket"), lit(BandParts.toLong)).as("bp"))
           .distinct().collect().map(_.getLong(0)).toSeq
-        spark.read.parquet(path.toString)
+        liveTable(spark, indexDir, spark.read.parquet(path.toString)
           .withColumn("bp", col("bp").cast("long"))
-          .filter(col("bp").isInCollection(touchedParts))
+          .filter(col("bp").isInCollection(touchedParts)))
           .select("id", "band", "bucket")
       } else MinHashLsh.bandBuckets(idxSigs, "id", bands)
     }

@@ -148,6 +148,54 @@ class IncrementalDedupSpec extends SparkSpec {
       s"membership probe read the whole band table ($readRows of $totalRows rows)")
   }
 
+  test("deleteInPlace: a removed document stops rejecting, files untouched, compactIndex folds the tombstones") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark query planning internals"),
+      (3L, "yet another unrelated document regarding histogram binning rules")
+    ).toDF("doc_id", "text")
+    val idx = graft.util.TempDirs.scratch("incr_tomb").toString
+    IncrementalDedup.buildIndex(old, "doc_id", "text", idx)
+    def dataFiles(path: String, but: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+        .filterNot(_.getPath.contains(but))
+        .map(f => f.getPath + ":" + f.lastModified() + ":" + f.length()).toSet
+    }
+    val before = dataFiles(idx, but = "tombstones")
+    IncrementalDedup.deleteInPlace(spark, idx, Seq(1L).toDF("id"))
+    assert(dataFiles(idx, but = "tombstones") == before,
+      "deleteInPlace rewrote the index tables")
+    // an exact duplicate of the DELETED doc must now be KEPT; a near
+    // duplicate of it must also be kept (its rows are invisible)
+    val shard = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely different content about spark query planning internals")
+    ).toDF("doc_id", "text")
+    val got = IncrementalDedup.processShard(spark, idx, shard, "doc_id", "text", tau = 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got(100L)._3, s"dup of the deleted doc must be kept after the takedown: ${got(100L)}")
+    assert(got(101L)._1, "dup of a live doc must still be rejected")
+    // decisions equal a from-scratch rebuild over the remaining docs
+    val rebuilt = graft.util.TempDirs.scratch("incr_tomb_rebuilt").toString
+    IncrementalDedup.buildIndex(old.filter(col("doc_id") =!= 1L), "doc_id", "text", rebuilt)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(IncrementalDedup.processShard(spark, idx, shard, "doc_id", "text", tau = 0.8)) ==
+      rows(IncrementalDedup.processShard(spark, rebuilt, shard, "doc_id", "text", tau = 0.8)),
+      "tombstoned decisions diverged from the rebuilt-over-remaining index")
+    // compaction folds: tables == rebuild-over-remaining, no tombstone carry-over
+    val folded = graft.util.TempDirs.scratch("incr_tomb_folded").toString
+    IncrementalDedup.compactIndex(spark, idx, folded)
+    for (t <- Seq("hashes", "sigs", "bands", "shingles")) {
+      assert(tableSorted(s"$folded/$t.parquet") == tableSorted(s"$rebuilt/$t.parquet"),
+        s"compacted table $t diverged from the rebuild over remaining docs")
+    }
+    assert(!new java.io.File(s"$folded/tombstones.parquet").exists(),
+      "compaction carried the tombstone table over")
+  }
+
   test("updateIndexInPlace: pre-append files byte-untouched, rows identical to the generation rebuild") {
     val d = docsDf
     val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
