@@ -204,10 +204,12 @@ object AnnSearch {
     * centroid vector + norm re-attached for the candidate self-join.
     * One aggregate over the assigned table, nlist output rows,
     * materialized (both the candidate join and the chunk grouping read
-    * it). The engine-side least/greatest clamp maps a NaN cosine
-    * (zero-norm member or centroid) to angle 0 — safe, because a
-    * zero-norm vector's sim with ANYTHING is NaN and fails the `≥ τ`
-    * kernel test, so it can never be part of a qualifying pair. */
+    * it). Zero-norm members/centroids map to angle 0 via
+    * try_divide + coalesce-to-1 (under ANSI a plain double `/` throws
+    * DIVIDE_BY_ZERO rather than yielding the NaN the clamp would
+    * absorb) — safe, because a zero-norm vector's sim with ANYTHING is
+    * NaN in the scoring kernel and fails the `≥ τ` test, so it can
+    * never be part of a qualifying pair. */
   private[graft] def closureGeomDf(
       assigned: DataFrame, centroids: DataFrame, chunkTarget: Long): DataFrame = {
     // centroid norms computed ONCE on the broadcast side (the bfTopK
@@ -217,9 +219,16 @@ object AnnSearch {
       .withColumn("c_nrm", norm(col("c_vec"))))
     assigned
       .join(centDf, Seq("cell"))
+      // try_divide + coalesce-to-1: a zero-norm member or centroid
+      // yields cos 1 → angle 0 (kept / radius-neutral) instead of the
+      // ANSI DIVIDE_BY_ZERO a plain `/` throws on double zero divisors
+      // — the one-sided-safe resolution the NaN-clamp rule promises,
+      // now actually reachable (found by RandomizedPropertySpec's
+      // zero-norm case; the fixtures never exercised it)
       .select(col("cell"),
         acos(least(lit(1.0), greatest(lit(-1.0),
-          dot(col("n_vec"), col("c_vec")) / (col("n_nrm") * col("c_nrm"))))).as("ang"))
+          coalesce(try_divide(dot(col("n_vec"), col("c_vec")),
+            col("n_nrm") * col("c_nrm")), lit(1.0))))).as("ang"))
       .groupBy("cell")
       .agg(count(lit(1)).as("cnt"), max("ang").as("r"))
       .withColumn("nch",
@@ -239,11 +248,13 @@ object AnnSearch {
     * fan out as a broadcast nested-loop join over nlist broadcast rows
     * and the driver holds nothing per-pair). Angles are bit-identical
     * to the old driver loop: [[graft.functions.DotProduct]] accumulates
-    * left-to-right exactly as the driver while-loop did, and
-    * `least/greatest` clamp NaN (zero-norm centroid) to cos 1 → angle
-    * 0 → pair KEPT — the one-sided-safe resolution (the old driver
-    * `math.min/max` clamp propagated NaN and silently PRUNED every
-    * pair touching a degenerate cell, an exactness hole). */
+    * left-to-right exactly as the driver while-loop did, and a
+    * zero-norm centroid resolves to cos 1 → angle 0 → pair KEPT via
+    * try_divide + coalesce — the one-sided-safe resolution (the old
+    * driver `math.min/max` clamp propagated NaN and silently PRUNED
+    * every pair touching a degenerate cell, an exactness hole; an
+    * engine-side plain `/` would instead throw DIVIDE_BY_ZERO under
+    * ANSI — RandomizedPropertySpec pins the degenerate case). */
   private[graft] def closureCandidates(geom: DataFrame, tau: Double): DataFrame = {
     val thetaTau = math.acos(math.max(-1.0, math.min(1.0, tau)))
     // slack absorbs float error in the three measured angles; it can
@@ -260,8 +271,12 @@ object AnnSearch {
       col("nch").as("nchb"), col("c_vec").as("cvb"), col("c_nrm").as("cnb"))
     li.join(broadcast(rj),
         col("ca") <= col("cb") &&
+          // try_divide + coalesce-to-1: zero-norm centroid → angle 0 →
+          // pair KEPT (one-sided safe; plain `/` would throw
+          // DIVIDE_BY_ZERO under ANSI before the clamp could see a NaN)
           acos(least(lit(1.0), greatest(lit(-1.0),
-            dot(col("cva"), col("cvb")) / (col("cna") * col("cnb")))))
+            coalesce(try_divide(dot(col("cva"), col("cvb")),
+              col("cna") * col("cnb")), lit(1.0)))))
             <= col("ra") + col("rb") + lit(thetaTau + slack))
       .select(col("ca"), col("cb"), col("ncha"), col("nchb"))
   }
