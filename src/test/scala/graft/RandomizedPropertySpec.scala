@@ -39,6 +39,84 @@ class RandomizedPropertySpec extends SparkSpec {
     }
   }
 
+  test("LSH verifiedPairs: sound on random corpora, complete at J=1 (4 seeded cases)") {
+    import spark.implicits._
+    import graft.text.MinHashLsh
+    val word = Gen.oneOf((1 to 25).map(i => s"w$i"))
+    val docGen = Gen.chooseNum(5, 14).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    for (seed <- 1L to 4L) {
+      val base = (0 until 25).map(i => (i.toLong, sample(docGen, seed * 100 + i)))
+      // plant exact duplicates — J=1 pairs match in EVERY band, so
+      // banding can never lose them (the completeness floor LSH owes)
+      val docs = (base ++ Seq((100L, base(3)._2), (101L, base(8)._2))).toDF("doc_id", "text")
+      val tau = 0.5
+      val got = MinHashLsh.verifiedPairs(docs, "doc_id", "text", tau)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def shingles(t: String) = t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+        .sliding(3).map(_.mkString(" ")).toSet
+      val all = (base ++ Seq((100L, base(3)._2), (101L, base(8)._2)))
+        .filter(_._2.split(" ").length >= 3)
+      val truth = (for {
+        (ia, ta) <- all; (ib, tb) <- all if ia < ib
+        (sa, sb) = (shingles(ta), shingles(tb))
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= tau
+      } yield (ia, ib)).toSet
+      // soundness: exact verification admits no false positive
+      assert(got.subsetOf(truth), s"seed $seed: false positives ${got -- truth}")
+      // completeness at J=1: planted duplicates must always surface
+      assert(got.contains((3L, 100L)) && got.contains((8L, 101L)),
+        s"seed $seed: banded LSH lost an exact duplicate pair: $got")
+    }
+  }
+
+  test("as-of join == naive per-row scan on random event streams (4 seeded cases)") {
+    import spark.implicits._
+    import graft.ops.AsOfJoin
+    val keyGen = Gen.oneOf("a", "b", "c")
+    val tsGen = Gen.chooseNum(0L, 50L)
+    for (seed <- 1L to 4L) {
+      val leftRows = (0 until 30).map(i =>
+        (sample(keyGen, seed * 7000 + i), sample(tsGen, seed * 7100 + i), i.toLong))
+      // unique (key, ts) on the right — the operator's documented precondition
+      val rightRows = (0 until 30).map(i =>
+        (sample(keyGen, seed * 9000 + i), sample(tsGen, seed * 9100 + i), (1000 + i).toLong))
+        .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val got = AsOfJoin.lastPrior(
+          leftRows.toDF("key", "ts", "id"), rightRows.toDF("key", "ts", "id"), "key", "ts", "id")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4))))).toMap
+      for ((k, t, id) <- leftRows) {
+        val want = rightRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(r => (r._3, r._2))
+        assert(got(id) == want, s"seed $seed: asof mismatch for left id $id: ${got(id)} vs $want")
+      }
+    }
+  }
+
+  test("packing: budget respected, every token placed exactly once, offsets contiguous (4 seeded cases)") {
+    import spark.implicits._
+    import graft.text.Packing
+    val tokGen = Gen.chooseNum(0L, 40L)
+    for (seed <- 1L to 4L) {
+      val budget = 64
+      val docs = (0 until 60).map(i => (i.toLong, sample(tokGen, seed * 500 + i)))
+      val out = Packing.packSequences(docs.toDF("doc_id", "n"), "doc_id", "n",
+          budget = budget, parts = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // every positive-count doc's tokens all land somewhere, once
+      val placed = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      for ((id, n) <- docs if n > 0)
+        assert(placed.getOrElse(id, 0L) == n, s"seed $seed: doc $id placed ${placed.get(id)} of $n")
+      assert(!placed.keySet.exists(id => docs(id.toInt)._2 == 0L), "zero-token doc occupied a span")
+      // no sequence over budget; all sequences except the last are FULL
+      val bySeq = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val maxSeq = bySeq.keys.max
+      assert(bySeq.values.forall(_ <= budget), s"seed $seed: a sequence exceeds the budget")
+      for ((s, tot) <- bySeq if s != maxSeq)
+        assert(tot == budget, s"seed $seed: non-final sequence $s holds $tot of $budget tokens")
+    }
+  }
+
   test("closure: cosineNearPairs == brute-force all-pairs on random corpora (4 seeded cases)") {
     import spark.implicits._
     val vecGen = Gen.listOfN(6, Gen.chooseNum(-1.0, 1.0))
