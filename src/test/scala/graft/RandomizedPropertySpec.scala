@@ -117,6 +117,79 @@ class RandomizedPropertySpec extends SparkSpec {
     }
   }
 
+  test("interval join == naive nested scan on random points/intervals (4 seeded cases)") {
+    import spark.implicits._
+    import graft.ops.IntervalJoin
+    val keyGen = Gen.oneOf("x", "y")
+    // negative timestamps on purpose: the bucket floor must stay a true
+    // floor below zero or points near bucket edges silently vanish
+    val tGen = Gen.chooseNum(-40L, 40L)
+    for (seed <- 1L to 4L) {
+      val points = (0 until 40).map(i =>
+        (sample(keyGen, seed * 11000 + i), sample(tGen, seed * 11100 + i), i.toLong))
+      val intervals = (0 until 15).map { i =>
+        val a = sample(tGen, seed * 12000 + i); val b = sample(tGen, seed * 12100 + i)
+        (sample(keyGen, seed * 12200 + i), math.min(a, b), math.max(a, b), (500 + i).toLong)
+      }
+      val got = IntervalJoin.pointInInterval(
+          points.toDF("k", "t", "id"), intervals.toDF("k", "lo", "hi", "id"), "k", bucket = 8L)
+        .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pk, t, pid) <- points; (ik, lo, hi, iid) <- intervals
+        if pk == ik && t >= lo && t <= hi
+      } yield (pid, iid)).toSet
+      assert(got == want,
+        s"seed $seed: interval join diverged (missing ${want -- got}, extra ${got -- want})")
+    }
+  }
+
+  test("simhash near-pairs: every reported pair within maxDist; identical docs always pair (4 seeded cases)") {
+    import spark.implicits._
+    import graft.text.SimHash
+    val word = Gen.oneOf((1 to 30).map(i => s"t$i"))
+    val docGen = Gen.chooseNum(4, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    for (seed <- 1L to 4L) {
+      val base = (0 until 20).map(i => (i.toLong, sample(docGen, seed * 300 + i)))
+      val docs = (base :+ (200L, base(5)._2)).toDF("doc_id", "text")
+      val sigs = SimHash.signatures(docs, "doc_id", "text").localCheckpoint(true)
+      val sigMap = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = SimHash.nearPairs(sigs, "doc_id", maxDist = 3)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // soundness: the emitted pairs respect the Hamming threshold
+      for ((a, b) <- got)
+        assert(java.lang.Long.bitCount(sigMap(a) ^ sigMap(b)) <= 3,
+          s"seed $seed: pair ($a,$b) exceeds maxDist")
+      // completeness floor: an identical doc shares every block
+      assert(got.contains((5L, 200L)), s"seed $seed: identical doc pair lost: $got")
+      // pigeonhole completeness: EVERY within-distance pair must
+      // surface (some block is untouched by <= 3 differing bits)
+      val want = (for {
+        (ia, _) <- base :+ (200L, base(5)._2); (ib, _) <- base :+ (200L, base(5)._2)
+        if ia < ib && java.lang.Long.bitCount(sigMap(ia) ^ sigMap(ib)) <= 3
+      } yield (ia, ib)).toSet
+      assert(got == want, s"seed $seed: pigeonhole missed pairs ${want -- got}")
+    }
+  }
+
+  test("hist1d == naive binning on random doubles incl. boundary values (4 seeded cases)") {
+    import spark.implicits._
+    import graft.ops.HistogramOps
+    import graft.ops.HistogramOps.BinSpec
+    val vGen = Gen.chooseNum(-2.0, 12.0)
+    for (seed <- 1L to 4L) {
+      val s = BinSpec(7, 0.0, 10.0)
+      // inject exact edges: lo (in), hi (out), an interior bin edge
+      val vals = (0 until 120).map(i => sample(vGen, seed * 800 + i)) ++
+        Seq(0.0, 10.0, s.lo + 3 * s.width)
+      val got = HistogramOps.hist1d(vals.toDF("v"), col("v"), s)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = vals.filter(v => v >= s.lo && v < s.hi)
+        .groupBy(v => math.min(((v - s.lo) / s.width).toInt.toLong, (s.n - 1).toLong))
+        .view.mapValues(_.length.toLong).toMap
+      assert(got == want, s"seed $seed: hist1d diverged: $got vs $want")
+    }
+  }
+
   test("closure: cosineNearPairs == brute-force all-pairs on random corpora (4 seeded cases)") {
     import spark.implicits._
     val vecGen = Gen.listOfN(6, Gen.chooseNum(-1.0, 1.0))
