@@ -472,6 +472,14 @@ object Bench {
       // should scale like one corpus token scan; the sketch side's
       // output is constant-size by construction
       "heavy_hitters_cms",
+      // r11 closing wave: exact shard-vs-index embedding dedup through
+      // the persisted geometry/encoded tables — candidate cells from
+      // the triangle bound, partition-pruned membership, exact scoring.
+      // First pass pays the memoized gen-1 index build; steady cells
+      // measure the per-shard probe (absent from BENCH_LOCAL_r11,
+      // which predates the cell — first numbers land in the r11/r12
+      // driver runs)
+      "dedup_incremental_emb",
       // r11: DSIR importance selection — two corpus feature scans (the
       // Pin'd (id, j, x) table feeds target/raw models and the weigh
       // join), both models ≤1024 rows; the cell should track the

@@ -441,6 +441,33 @@ object QueriesText {
       corpus.filter(pmod(col("id"), lit(50)) === 0), k = 10, nprobe = nprobe, shortlist = 50)
   }
 
+  /** Incremental EMBEDDING dedup — the [[dedupIncremental]] story for
+    * vectors: a new shard (id % 4 == 0) checked for exact τ=0.8 cosine
+    * near-dups against the gen-1 corpus THROUGH the persisted IVF
+    * index ([[graft.ml.IvfIndex.nearDupsExact]] — stored per-cell
+    * radii + the triangle bound select candidate cells, the encoded
+    * table's partition pruning limits the membership scan, the float
+    * corpus joins back only for candidate scoring). No recall
+    * assumption anywhere; the oracle is the brute-force cross-pair
+    * set over the derived clustered corpus. */
+  private def dedupIncrementalEmb(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = clusteredEmbs(spark, dir)
+    // split modulus COPRIME with the 20-cluster fixture period: a %4
+    // split hands whole clusters to the shard (4 | 20) and the cross
+    // pair set is vacuously empty
+    val old = corpus.filter(pmod(col("id"), lit(3)) =!= 0)
+    val shard = corpus.filter(pmod(col("id"), lit(3)) === 0)
+    val idxDir = graft.util.TempDirs.memoized(s"ivf_idx_gen1:$dir", "graft_ivf_gen1").toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxDir/encoded.parquet"))) {
+      // seeding stride must be coprime with the %3 split (15 is not:
+      // every 15th id is a multiple of 3 and absent from gen-1)
+      val centroids = AnnSearch.kmeansCentroidsExact(old, 14, iters = 2)
+      val book = AnnSearch.pqBook(old, m = 32, stride = 10)
+      graft.ml.IvfIndex.build(old, centroids, book, idxDir)
+    }
+    graft.ml.IvfIndex.nearDupsExact(spark, idxDir, old, shard, tau = 0.8)
+  }
+
   /** SemDeDup on the CLUSTERED corpus — components over the exact
     * τ=0.8 closure, one row per duplicate cluster (kept min id +
     * size). Completes the clustered family's 1:1 mirror of the
@@ -2141,6 +2168,7 @@ object QueriesText {
     "ann_topk_ivfpq_idx" -> (annTopKIvfPqIdx _),
     "ann_topk_idx_delete" -> (annTopKIdxDelete _),
     "ann_topk_idx_tomb" -> (annTopKIdxTomb _),
+    "dedup_incremental_emb" -> (dedupIncrementalEmb _),
     "dedup_embedding_clu" -> (dedupEmbeddingClu _),
     "emb_near_pairs" -> (embNearPairs _),
     "emb_near_pairs_clu" -> (embNearPairsClu _),
@@ -3284,6 +3312,22 @@ object QueriesText {
     // the tombstone delete's USER-VISIBLE contract is the same
     // post-delete top-k — byte-identical oracle, different delete path
     "ann_topk_idx_tomb" -> idxDeleteOracle,
+    // incremental embedding dedup: brute-force cross pairs (new shard
+    // × gen-1) over the derived clustered corpus — the index is an
+    // accelerator with an EXACTNESS contract, so the oracle ignores it
+    "dedup_incremental_emb" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+        |m AS (SELECT e.vec_id AS id,
+        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+        |      FROM e JOIN c ON c.cid = e.vec_id % 20),
+        |q AS (SELECT * FROM m WHERE id % 3 = 0),
+        |o AS (SELECT * FROM m WHERE id % 3 <> 0)
+        |SELECT q.id AS q_id, o.id AS n_id,
+        |  round(list_inner_product(q.v, o.v) /
+        |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(o.v, o.v))), 6) AS sim
+        |FROM q JOIN o ON list_inner_product(q.v, o.v) /
+        |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(o.v, o.v))) >= 0.8""".stripMargin,
     // persisted-index row: the index accelerates, the corpus is the
     // exactness source — identical brute-force contract
     "ann_topk_ivfpq_clu" ->

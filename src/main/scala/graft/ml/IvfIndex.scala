@@ -41,8 +41,14 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Write the three index tables for a corpus. `centroids`:
-    * (c_id, c_vec); `book`: the PQ codebook to persist. */
+  /** Write the four index tables for a corpus. `centroids`:
+    * (c_id, c_vec); `book`: the PQ codebook to persist; `geometry`:
+    * (cell, r) — each cell's ANGULAR RADIUS (max member-to-centroid
+    * angle), the triangle-bound state [[nearDupsExact]] probes with.
+    * Radii are UPPER BOUNDS by maintenance contract: appends max new
+    * members in ([[appendInPlace]] appends per-shard maxes; readers
+    * take max over rows), deletions leave them stale-but-larger —
+    * one-sided safe, candidates can only widen, never drop. */
   def build(corpus: DataFrame, centroids: DataFrame, book: PqBook, outDir: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -54,6 +60,28 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$outDir/book.parquet")
     encode(corpus, centroids, book)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
+    cellRadii(corpus, centroids)
+      .write.mode("overwrite").parquet(s"$outDir/geometry.parquet")
+  }
+
+  /** Per-cell angular radius over `vectors`: (cell, r) — one aggregate,
+    * nlist output rows. Zero-norm vectors resolve to angle 0
+    * (try_divide + coalesce, the closure's one-sided-safe rule). */
+  private def cellRadii(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = AnnSearch.collectCentroids(centroids)
+    val centDf = broadcast(centroids.select(
+        col("c_id").cast("long").as("cell"), col("c_vec").cast("array<double>").as("c_vec"))
+      .withColumn("c_nrm", AnnSearch.norm(col("c_vec"))))
+    vectors.select(
+        graft.functions.NearestCells.topCells(col("vec"), cents, 1).getItem(0).as("cell"),
+        col("vec").cast("array<double>").as("n_vec"),
+        AnnSearch.norm(col("vec")).as("n_nrm"))
+      .join(centDf, Seq("cell"))
+      .select(col("cell"),
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          coalesce(try_divide(AnnSearch.dot(col("n_vec"), col("c_vec")),
+            col("n_nrm") * col("c_nrm")), lit(1.0))))).as("ang"))
+      .groupBy("cell").agg(max("ang").as("r"))
   }
 
   /** One map-side scan: cell assignment + PQ codes + exact norm (the
@@ -94,6 +122,11 @@ object IvfIndex {
     loadEncoded(spark, indexDir)
       .unionByName(encode(newVectors, centroids, book))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
+    // max of maxes == rebuild's max over all members (bit-identical)
+    spark.read.parquet(s"$indexDir/geometry.parquet")
+      .unionByName(cellRadii(newVectors, centroids))
+      .groupBy("cell").agg(max("r").as("r"))
+      .write.mode("overwrite").parquet(s"$outDir/geometry.parquet")
   }
 
   /** The O(new-shard) append: encode the new vectors with the
@@ -112,6 +145,9 @@ object IvfIndex {
     val book = loadBook(spark, indexDir)
     encode(newVectors, centroids, book)
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/encoded.parquet")
+    // per-shard maxes appended; readers normalize with a max over rows
+    cellRadii(newVectors, centroids)
+      .write.mode("append").parquet(s"$indexDir/geometry.parquet")
   }
 
   /** Continuous ingestion: each arriving micro-batch of (id, vec)
@@ -155,6 +191,11 @@ object IvfIndex {
     loadEncoded(spark, indexDir)
       .join(ids.select(col("id").cast("long").as("n_id")), Seq("n_id"), "left_anti")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
+    // radii carry over STALE (an upper bound after removals) —
+    // one-sided safe for the triangle probe, documented in [[build]]
+    spark.read.parquet(s"$indexDir/geometry.parquet")
+      .groupBy("cell").agg(max("r").as("r"))
+      .write.mode("overwrite").parquet(s"$outDir/geometry.parquet")
   }
 
   /** The O(delete-list) delete: append the ids to a TOMBSTONE table
@@ -199,6 +240,9 @@ object IvfIndex {
     loadEncoded(spark, indexDir)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
+    spark.read.parquet(s"$indexDir/geometry.parquet")
+      .groupBy("cell").agg(max("r").as("r"))
+      .write.mode("overwrite").parquet(s"$outDir/geometry.parquet")
   }
 
   /** The LIVE encoded table: cell normalized back to long (partition-
@@ -220,6 +264,65 @@ object IvfIndex {
     * Factored out so the spec can pin the pruning on scan metrics. */
   private[graft] def probedEncoded(spark: SparkSession, indexDir: String, cells: Seq[Long]): DataFrame =
     loadEncoded(spark, indexDir).filter(col("cell").isInCollection(cells))
+
+  /** EXACT incremental embedding dedup: every (new vector, indexed
+    * vector) pair with cosine ≥ τ — the embedding analog of
+    * [[graft.text.IncrementalDedup.processShard]]'s near check,
+    * answered from the PERSISTED index with NO recall assumption.
+    *
+    * Exactness (the [[AnnSearch.cosineNearPairs]] triangle argument,
+    * one-sided): for an indexed member m of cell c,
+    * angle(q,m) ≤ angle(q,c) + r_c; so if sim(q,m) ≥ τ then
+    * angle(q,c) ≤ r_c + θτ — cells failing that bound provably hold
+    * no qualifying member and are skipped. The stored radii are upper
+    * bounds by maintenance contract ([[build]]), so staleness widens
+    * candidates, never drops one.
+    *
+    * Plan shape: query × broadcast(geometry ⋈ centroids) bound filter
+    * (map-side, nlist rows per query evaluated in the join predicate),
+    * candidate (query, cell) pairs join the encoded table — partition-
+    * pruned to the DISTINCT candidate cells (≤ nlist values collected,
+    * the [[probedEncoded]] discipline) — then the float corpus joins
+    * by id for the exact score; only candidate-cell members are ever
+    * scored. Within-shard pairs are out of scope (run
+    * [[AnnSearch.cosineNearPairs]] on the shard itself; generations
+    * partition the id space so the two pair sets are disjoint). */
+  def nearDupsExact(spark: SparkSession, indexDir: String, corpus: DataFrame,
+                    newVecs: DataFrame, tau: Double): DataFrame = {
+    val thetaTau = math.acos(math.max(-1.0, math.min(1.0, tau)))
+    val slack = 1e-4
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val geom = broadcast(
+      spark.read.parquet(s"$indexDir/geometry.parquet")
+        .groupBy("cell").agg(max("r").as("r"))
+        .join(centroids.select(col("c_id").cast("long").as("cell"),
+          col("c_vec").cast("array<double>").as("c_vec")), Seq("cell"))
+        .withColumn("c_nrm", AnnSearch.norm(col("c_vec"))))
+    val q = newVecs.select(col("id").as("q_id"),
+        col("vec").cast("array<double>").as("q_vec"))
+      .withColumn("q_nrm", AnnSearch.norm(col("q_vec")))
+    val cand = q.join(geom,
+      acos(least(lit(1.0), greatest(lit(-1.0),
+        coalesce(try_divide(AnnSearch.dot(col("q_vec"), col("c_vec")),
+          col("q_nrm") * col("c_nrm")), lit(1.0)))))
+        <= col("r") + lit(thetaTau + slack))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+      .localCheckpoint(false)
+    val candCells = cand.select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    val members = probedEncoded(spark, indexDir, candCells).select("cell", "n_id")
+    cand.join(members, Seq("cell"))
+      .join(corpus.select(col("id").as("n_id"), col("vec").cast("array<double>").as("n_vec")),
+        Seq("n_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      // try_divide, no coalesce: a zero-norm side yields null sim,
+      // which fails ≥ τ — a zero vector pairs with nothing (and a
+      // plain `/` would throw under ANSI)
+      .select(col("q_id"), col("n_id"),
+        try_divide(AnnSearch.dot(col("q_vec"), col("n_vec")),
+          col("q_nrm") * AnnSearch.norm(col("n_vec"))).as("sim"))
+      .filter(col("sim") >= tau)
+      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"))
+  }
 
   /** IVFADC top-k against the persisted index: probe `nprobe` cells,
     * ADC-rank their CODE rows, exact-re-rank the `shortlist` against

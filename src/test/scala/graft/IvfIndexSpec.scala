@@ -197,6 +197,53 @@ class IvfIndexSpec extends SparkSpec {
       "compaction carried the tombstone table into the new generation")
   }
 
+  test("nearDupsExact == brute force, through in-place append and after a tombstone delete") {
+    import spark.implicits._
+    // clustered derivation (the QueriesText fixture rule): guaranteed
+    // tau=0.8 cross pairs under any coprime split
+    val raw = embsDf.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val centers = (0L until 20L).map(k => raw(k))
+    val derived = raw.toSeq.sortBy(_._1).map { case (id, v) =>
+      (id, v.indices.map(i => centers((id % 20).toInt)(i) + 0.15 * v(i)).toArray)
+    }
+    val all = derived.toDF("id", "vec")
+    val genA = all.filter(pmod(col("id"), lit(3)) === 1)
+    val genB = all.filter(pmod(col("id"), lit(3)) === 2)
+    val shard = all.filter(pmod(col("id"), lit(3)) === 0)
+    val idx = graft.util.TempDirs.scratch("ivf_neardup").toString
+    val centroids = AnnSearch.kmeansCentroidsExact(genA, 14, iters = 2)
+    val book = AnnSearch.pqBook(genA, m = 32, stride = 10)
+    graft.ml.IvfIndex.build(genA, centroids, book, idx)
+    IvfIndex.appendInPlace(spark, idx, genB) // appended geometry rows in play
+    val indexed = genA.unionByName(genB)
+    def brute(vs: Map[Long, Array[Double]], qs: Seq[(Long, Array[Double])], tau: Double) =
+      (for {
+        (qid, qv) <- qs; (nid, nv) <- vs if qid != nid
+        d = qv.indices.map(i => qv(i) * nv(i)).sum
+        s = d / (math.sqrt(qv.map(x => x * x).sum) * math.sqrt(nv.map(x => x * x).sum))
+        if s >= tau
+      } yield (qid, nid)).toSet
+    val idxVecs = indexed.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val shardVecs = shard.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+    val want = brute(idxVecs, shardVecs, 0.8)
+    assert(want.nonEmpty, "degenerate fixture: no cross pairs to find")
+    def got() = IvfIndex.nearDupsExact(spark, idx, indexed, shard, tau = 0.8)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got() == want, "nearDupsExact diverged from brute force after append")
+    // tombstone delete: radii go stale (upper bounds) — results must
+    // still be EXACT against the remaining corpus
+    val dropped = indexed.filter(pmod(col("id"), lit(5)) === 0).select("id")
+    IvfIndex.deleteInPlace(spark, idx, dropped)
+    val remainingVecs = idxVecs.view.filterKeys(_ % 5 != 0).toMap
+    val wantAfter = brute(remainingVecs, shardVecs, 0.8)
+    val gotAfter = IvfIndex.nearDupsExact(spark, idx,
+        indexed.filter(pmod(col("id"), lit(5)) =!= 0), shard, tau = 0.8)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotAfter == wantAfter,
+      "nearDupsExact lost exactness under stale post-delete radii")
+    assert(wantAfter != want, "delete removed no relevant pair — the staleness case is untested")
+  }
+
   test("a probe's encoded scan is partition-pruned to the probed cells") {
     val corpus = embsDf
     val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
