@@ -476,9 +476,10 @@ object Bench {
       // the persisted geometry/encoded tables — candidate cells from
       // the triangle bound, partition-pruned membership, exact scoring.
       // First pass pays the memoized gen-1 index build; steady cells
-      // measure the per-shard probe (absent from BENCH_LOCAL_r11,
-      // which predates the cell — first numbers land in the r11/r12
-      // driver runs)
+      // measure the per-shard probe (0.79→0.88→5.32 s across the 100×
+      // chain in BENCH_LOCAL_r11 — the synth step's amplified
+      // duplicate population grows candidate membership, the
+      // output-bound shape the closure family shares)
       "dedup_incremental_emb",
       // r11: DSIR importance selection — two corpus feature scans (the
       // Pin'd (id, j, x) table feeds target/raw models and the weigh
