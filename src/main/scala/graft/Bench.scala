@@ -40,6 +40,31 @@ object Bench {
     once()
     (1 to 3).map(_ => once()).min
   }
+
+  /** Single-THREAD driver-speed calibration: a fixed 400M-iteration
+    * integer mixing loop on the driver thread, no Spark involvement.
+    * The r11 adjudication gap this closes: three sf1_synth cells
+    * (pack_sequences, bpe_train_1k, bpe_encode_ids_1k) ran 1.7–2×
+    * slower on the driver host than locally while the 32-way executor
+    * calibration read IDENTICAL (0.32 vs 0.32) — those cells are
+    * dominated by single-thread driver work (the BPE pair-heap loop,
+    * merge-table construction, per-cell job planning), which scales
+    * with single-CORE speed, invisible to a 32-partition throughput
+    * cell. drv_cal is the missing axis: cell ratios that track
+    * drv_cal ratios are host, not code. */
+  def driverCalibration(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 400000000L) { h ^= i; h *= 0xC2B2AE3D27D4EB4FL; h ^= h >>> 31; i += 1 }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (h == 42L) Console.err.println(h) // keep the loop live past JIT DCE
+      sec
+    }
+    once()
+    (1 to 3).map(_ => once()).min
+  }
   def main(args: Array[String]): Unit = {
     // Route stderr to bench_spark.log BEFORE anything touches Spark:
     // log4j2's console appender targets SYSTEM_ERR and latches the
@@ -90,6 +115,7 @@ object Bench {
     try { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
     catch { case _: Throwable => () }
     val calPre = calibration(spark)
+    val drvCal = driverCalibration()
     def timeQuery(name: String, repeats: Int, dir: String = sfDir): Double = {
       val fn = Bench.catalog(name)
       (1 to repeats).map { _ =>
@@ -229,7 +255,7 @@ object Bench {
         if (slim) ""
         else s""""first_pass_total":${f"$firstTotal%.3f"},"tiled_first_cold":${f"$tiledFirstCold%.3f"},"""
       val sfLabel = if (slim) Paths.get(sfDir).getFileName.toString else sfDir
-      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$debt"tiled_first":${f"$tiledFirst%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"},"cal_drift":${f"$calDrift%.2f"},"ext_cal":$extCal$extPart,"sf":"$sfLabel""""
+      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$debt"tiled_first":${f"$tiledFirst%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"},"cal_drift":${f"$calDrift%.2f"},"drv_cal":${f"$drvCal%.3f"},"ext_cal":$extCal$extPart,"sf":"$sfLabel""""
     }
     // stdout line: must fit the driver's 2000-char stdout tail window
     // (with the trailing ~75-char sbt status line) or the round's bench

@@ -372,7 +372,7 @@ object QueriesText {
     // later invocation reading the persisted index sees identical
     // tables; the steady bench passes then measure what a query
     // session runs (pruned probe + re-rank), not the build
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxDir/encoded.parquet"))) {
+    if (!graft.util.TableIndex.anyCommitted(spark, idxDir)) {
       val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
       val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
       graft.ml.IvfIndex.build(corpus, centroids, book, idxDir)
@@ -397,13 +397,13 @@ object QueriesText {
   private def annTopKIdxDelete(spark: SparkSession, dir: String): DataFrame = {
     val corpus = clusteredEmbs(spark, dir)
     val fullIdx = graft.util.TempDirs.memoized(s"ivf_idx:$dir", "graft_ivf_idx").toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$fullIdx/encoded.parquet"))) {
+    if (!graft.util.TableIndex.anyCommitted(spark, fullIdx)) {
       val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
       val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
       graft.ml.IvfIndex.build(corpus, centroids, book, fullIdx)
     }
     val delIdx = graft.util.TempDirs.memoized(s"ivf_idx_del:$dir", "graft_ivf_idx_del").toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$delIdx/encoded.parquet"))) {
+    if (!graft.util.TableIndex.anyCommitted(spark, delIdx)) {
       graft.ml.IvfIndex.delete(spark, fullIdx,
         corpus.filter(pmod(col("id"), lit(3)) === 0).select("id"), delIdx)
     }
@@ -427,7 +427,7 @@ object QueriesText {
   private def annTopKIdxTomb(spark: SparkSession, dir: String): DataFrame = {
     val corpus = clusteredEmbs(spark, dir)
     val tombIdx = graft.util.TempDirs.memoized(s"ivf_idx_tomb:$dir", "graft_ivf_idx_tomb").toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tombIdx/encoded.parquet"))) {
+    if (!graft.util.TableIndex.anyCommitted(spark, tombIdx)) {
       val centroids = AnnSearch.kmeansCentroidsExact(corpus, 15, iters = 2)
       val book = AnnSearch.pqBook(corpus, m = 32, stride = 10)
       graft.ml.IvfIndex.build(corpus, centroids, book, tombIdx)
@@ -458,7 +458,7 @@ object QueriesText {
     val old = corpus.filter(pmod(col("id"), lit(3)) =!= 0)
     val shard = corpus.filter(pmod(col("id"), lit(3)) === 0)
     val idxDir = graft.util.TempDirs.memoized(s"ivf_idx_gen1:$dir", "graft_ivf_gen1").toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxDir/encoded.parquet"))) {
+    if (!graft.util.TableIndex.anyCommitted(spark, idxDir)) {
       // seeding stride must be coprime with the %3 split (15 is not:
       // every 15th id is a multiple of 3 and absent from gen-1)
       val centroids = AnnSearch.kmeansCentroidsExact(old, 14, iters = 2)
@@ -530,7 +530,7 @@ object QueriesText {
     val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
     val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
     val idxDir = graft.util.TempDirs.memoized(s"incr_idx:$dir", "graft_incr_idx").toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxDir/hashes.parquet")))
+    if (!graft.util.TableIndex.anyCommitted(spark, idxDir))
       IncrementalDedup.buildIndex(old, "doc_id", "text", idxDir)
     IncrementalDedup.processShard(spark, idxDir, shard, "doc_id", "text", tau = 0.8)
       .select(col("id").as("doc_id"), col("dup_exact"), col("dup_near"), col("kept"))
@@ -664,8 +664,10 @@ object QueriesText {
         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
         |  FROM documents $where),
         |cf AS MATERIALIZED (
-        |  SELECT id, (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024) AS j, count(*)::BIGINT AS x
-        |  FROM (SELECT id, unnest(w) AS tok FROM ct) GROUP BY 1, 2
+        |  SELECT id, (('0x' || substr(md5(g), 1, 15))::BIGINT % 1024) AS j, count(*)::BIGINT AS x
+        |  FROM (SELECT id, unnest(list_concat(w,
+        |          list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1]))) AS g
+        |        FROM ct) GROUP BY 1, 2
         |  UNION ALL SELECT id, 1024::BIGINT AS j, 1::BIGINT AS x FROM ct),
         |cq AS MATERIALIZED (
         |  SELECT id, CASE WHEN round(0.5 * least(stop_ratio * 3, 1.0)
@@ -735,7 +737,7 @@ object QueriesText {
     val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
     val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
     val idxDir = graft.util.TempDirs.memoized(s"incr_idx:$dir", "graft_incr_idx").toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxDir/hashes.parquet")))
+    if (!graft.util.TableIndex.anyCommitted(spark, idxDir))
       IncrementalDedup.buildIndex(old, "doc_id", "text", idxDir)
     val keptIds = IncrementalDedup.processShard(spark, idxDir, shard, "doc_id", "text", tau = 0.8)
       .filter(col("kept")).select(col("id").as("doc_id"))
@@ -3054,9 +3056,11 @@ object QueriesText {
         |   AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
         |""".stripMargin + clfChainBody(16, "WHERE doc_id % 4 <> 0") + """,
         |sf AS (
-        |  SELECT id, (('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024) AS j, count(*)::BIGINT AS x
-        |  FROM (SELECT doc_id AS id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
-        |        FROM documents WHERE doc_id % 4 = 0) GROUP BY 1, 2
+        |  SELECT id, (('0x' || substr(md5(g), 1, 15))::BIGINT % 1024) AS j, count(*)::BIGINT AS x
+        |  FROM (SELECT id, unnest(list_concat(w,
+        |          list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1]))) AS g
+        |        FROM (SELECT doc_id AS id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |              FROM documents WHERE doc_id % 4 = 0)) GROUP BY 1, 2
         |  UNION ALL SELECT doc_id AS id, 1024::BIGINT AS j, 1::BIGINT AS x FROM documents WHERE doc_id % 4 = 0),
         |sc AS (SELECT sf.id, sum(w16.wt * sf.x)::BIGINT AS score FROM sf JOIN w16 ON w16.j = sf.j GROUP BY sf.id),
         |surv AS (

@@ -17,9 +17,18 @@ object WideKernelProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // dim-1024 corpus: the wideEmbs shift+scale map with 16 blocks
+    // instead of 4 — same linear well-conditioned structure, so the
+    // planted clusters (and the tau=0.8 closure semantics) survive
+    val wide1024 = graft.QueriesText.clusteredEmbs(spark, dir).select(col("id"),
+      expr("""transform(sequence(0, 1023), j ->
+             |  element_at(vec, cast(((j % 64 + 7 * (j div 64)) % 64) + 1 AS int))
+             |    * (1.0d + 0.25d * cast((31 * (j % 64) + 17 * (j div 64)) % 5 AS double)))""".stripMargin)
+        .as("vec"))
     for ((label, corpus) <- Seq(
       "clu64" -> graft.QueriesText.clusteredEmbs(spark, dir),
-      "wide256" -> graft.QueriesText.wideEmbs(spark, dir))) {
+      "wide256" -> graft.QueriesText.wideEmbs(spark, dir),
+      "wide1024" -> wide1024)) {
       val c = corpus.cache(); c.count()
       val centroids = AnnSearch.kmeansCentroidsExact(c, 15, iters = 2)
       val dim = c.selectExpr("size(vec)").head().getInt(0)

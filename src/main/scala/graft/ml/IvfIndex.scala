@@ -1,6 +1,7 @@
 package graft.ml
 
 import graft.functions.PqBook
+import graft.util.TableIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,7 +13,7 @@ import org.apache.spark.sql.functions._
   * the index is built once, APPENDED to as new vectors arrive, and
   * every query session reads only the probed cells' code rows.
   *
-  * Three parquet tables under one directory:
+  * Four parquet tables under one directory:
   *  - `centroids` (c_id, c_vec): the (possibly Lloyd-refined) cell
   *    table — dim-table-sized,
   *  - `book` (sub, code, cw): the PQ codebook, one row per
@@ -24,7 +25,24 @@ import org.apache.spark.sql.functions._
   *    probed cells' files (partition pruning, verified on scan
   *    metrics by IvfIndexSpec — at nprobe/nlist = 0.2 a probe reads
   *    ~20% of the code rows and none of the float corpus until the
-  *    shortlist re-rank).
+  *    shortlist re-rank),
+  *  - `geometry` (cell, r): per-cell angular radii, the triangle-bound
+  *    state [[nearDupsExact]] prunes with. The geometry table is a
+  *    pure ACCELERATOR: readers take the max radius over rows and
+  *    treat a cell with no row as r = π (always a candidate), so any
+  *    missing/stale/partial geometry state — pre-geometry legacy
+  *    indexes, a crash mid-[[refreshGeometry]] — degrades to
+  *    correct-but-less-pruned, never to a missed pair.
+  *
+  * Durability ([[graft.util.TableIndex]], shared with the dedup
+  * index): [[build]] and every in-place mutation commit their tables
+  * as ONE staged batch behind an atomic marker, so a crash between
+  * table writes cannot tear the index (encoded rows present, geometry
+  * rows absent — which WOULD be unsound, since a new vector may lie
+  * outside its cell's recorded radius), and a replayed streaming
+  * micro-batch resolves to its committed batch id and is skipped
+  * (exactly-once ingestion, closing [[ingestStream]]'s documented
+  * duplicate-on-replay window).
   *
   * [[append]] encodes new vectors with the PERSISTED centroids and
   * codebook (never re-seeding — re-seeding would silently re-key every
@@ -41,27 +59,32 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Write the four index tables for a corpus. `centroids`:
-    * (c_id, c_vec); `book`: the PQ codebook to persist; `geometry`:
-    * (cell, r) — each cell's ANGULAR RADIUS (max member-to-centroid
-    * angle), the triangle-bound state [[nearDupsExact]] probes with.
-    * Radii are UPPER BOUNDS by maintenance contract: appends max new
-    * members in ([[appendInPlace]] appends per-shard maxes; readers
-    * take max over rows), deletions leave them stale-but-larger —
-    * one-sided safe, candidates can only widen, never drop. */
+  /** Write the four index tables for a corpus as one committed batch.
+    * `centroids`: (c_id, c_vec); `book`: the PQ codebook to persist;
+    * `geometry`: (cell, r) — each cell's ANGULAR RADIUS (max
+    * member-to-centroid angle). Radii are UPPER BOUNDS by maintenance
+    * contract: appends max new members in ([[appendInPlace]] appends
+    * per-shard maxes; readers take max over rows), deletions leave
+    * them stale-but-larger — one-sided safe, candidates can only
+    * widen, never drop; [[refreshGeometry]] re-tightens them. */
   def build(corpus: DataFrame, centroids: DataFrame, book: PqBook, outDir: String): Unit = {
     val spark = corpus.sparkSession
+    TableIndex.wipe(spark, outDir)
+    TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("base"), Seq(
+      ("centroids.parquet",
+        centroids.select(col("c_id").cast("long"), col("c_vec").cast("array<double>")),
+        Seq.empty),
+      ("book.parquet", bookRows(spark, book), Seq.empty),
+      ("encoded.parquet", encode(corpus, centroids, book), Seq("cell")),
+      ("geometry.parquet", cellRadii(corpus, centroids), Seq.empty)))
+    ()
+  }
+
+  private def bookRows(spark: SparkSession, book: PqBook): DataFrame = {
     import spark.implicits._
-    centroids.select(col("c_id").cast("long"), col("c_vec").cast("array<double>"))
-      .write.mode("overwrite").parquet(s"$outDir/centroids.parquet")
     book.books.zipWithIndex.flatMap { case (codewords, sub) =>
       codewords.zipWithIndex.map { case (cw, code) => (sub, code, cw.toSeq) }
     }.toSeq.toDF("sub", "code", "cw")
-      .write.mode("overwrite").parquet(s"$outDir/book.parquet")
-    encode(corpus, centroids, book)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
-    cellRadii(corpus, centroids)
-      .write.mode("overwrite").parquet(s"$outDir/geometry.parquet")
   }
 
   /** Per-cell angular radius over `vectors`: (cell, r) — one aggregate,
@@ -97,6 +120,7 @@ object IvfIndex {
 
   /** Reload the persisted codebook. */
   def loadBook(spark: SparkSession, indexDir: String): PqBook = {
+    TableIndex.repair(spark, indexDir)
     val rows = spark.read.parquet(s"$indexDir/book.parquet")
       .select(col("sub").cast("int"), col("code").cast("int"), col("cw").cast("array<double>"))
       .collect()
@@ -111,43 +135,58 @@ object IvfIndex {
     * union the encoded rows; centroid and book tables carry over
     * unchanged. Bit-identical to rebuilding over (old ∪ new) because
     * assignment and codes are pure map-side functions of (vector,
-    * persisted dim tables). */
+    * persisted dim tables). A pre-geometry legacy index carries no
+    * radii forward — the new generation gets the shard's radii only,
+    * and readers π-default the rest (correct, unpruned). */
   def append(spark: SparkSession, indexDir: String, newVectors: DataFrame, outDir: String): Unit = {
+    TableIndex.repair(spark, indexDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val book = loadBook(spark, indexDir)
-    spark.read.parquet(s"$indexDir/centroids.parquet")
-      .write.mode("overwrite").parquet(s"$outDir/centroids.parquet")
-    spark.read.parquet(s"$indexDir/book.parquet")
-      .write.mode("overwrite").parquet(s"$outDir/book.parquet")
-    loadEncoded(spark, indexDir)
-      .unionByName(encode(newVectors, centroids, book))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
+    val freshRadii = cellRadii(newVectors, centroids)
     // max of maxes == rebuild's max over all members (bit-identical)
-    spark.read.parquet(s"$indexDir/geometry.parquet")
-      .unionByName(cellRadii(newVectors, centroids))
+    val geometry = TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")
+      .fold(freshRadii)(old => old.unionByName(freshRadii))
       .groupBy("cell").agg(max("r").as("r"))
-      .write.mode("overwrite").parquet(s"$outDir/geometry.parquet")
+    TableIndex.wipe(spark, outDir)
+    TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("gen"), Seq(
+      ("centroids.parquet", spark.read.parquet(s"$indexDir/centroids.parquet"), Seq.empty),
+      ("book.parquet", spark.read.parquet(s"$indexDir/book.parquet"), Seq.empty),
+      ("encoded.parquet",
+        loadEncoded(spark, indexDir).unionByName(encode(newVectors, centroids, book)),
+        Seq("cell")),
+      ("geometry.parquet", geometry, Seq.empty)))
+    ()
   }
 
   /** The O(new-shard) append: encode the new vectors with the
     * persisted dim tables and add their files UNDER the existing
-    * cell partitions (parquet append mode) — the existing encoded
-    * rows are never read or rewritten, so a shard lands in time
-    * proportional to the SHARD, not the corpus ([[append]]'s
-    * generation-copy form rewrites everything it carries over, which
-    * at 100 TB prices every hourly shard at the full index; this form
-    * is the production shard-cadence path and the reason [[compact]]
-    * exists — each call adds one file wave per touched cell).
+    * cell partitions — the existing encoded rows are never read or
+    * rewritten, so a shard lands in time proportional to the SHARD,
+    * not the corpus ([[append]]'s generation-copy form rewrites
+    * everything it carries over, which at 100 TB prices every hourly
+    * shard at the full index; this form is the production
+    * shard-cadence path and the reason [[compact]] exists — each call
+    * adds one file wave per touched cell). Encoded rows and the
+    * shard's per-cell radii commit under ONE atomic marker (see the
+    * class doc: a torn encoded-without-geometry state would be
+    * UNSOUND, unlike every other partial-geometry state); a replayed
+    * `batchId` is skipped, and re-appending a tombstoned id throws.
     * Row-content contract identical to [[append]]: IvfIndexSpec pins
     * rows ≡ rebuild-over-union (layout differs, rows don't). */
-  def appendInPlace(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
+  def appendInPlace(spark: SparkSession, indexDir: String, newVectors: DataFrame,
+                    batchId: Option[String] = None): Unit = {
+    val bid = batchId.getOrElse(TableIndex.newBatchId())
+    if (TableIndex.isCommitted(spark, indexDir, bid)) return // replayed batch
+    TableIndex.repair(spark, indexDir)
+    TableIndex.assertNotTombstoned(spark, indexDir,
+      newVectors.select(col("id").cast("long").as("n_id")), "n_id")
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val book = loadBook(spark, indexDir)
-    encode(newVectors, centroids, book)
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/encoded.parquet")
     // per-shard maxes appended; readers normalize with a max over rows
-    cellRadii(newVectors, centroids)
-      .write.mode("append").parquet(s"$indexDir/geometry.parquet")
+    TableIndex.commitBatch(spark, indexDir, bid, Seq(
+      ("encoded.parquet", encode(newVectors, centroids, book), Seq("cell")),
+      ("geometry.parquet", cellRadii(newVectors, centroids), Seq.empty)))
+    ()
   }
 
   /** Continuous ingestion: each arriving micro-batch of (id, vec)
@@ -158,19 +197,24 @@ object IvfIndex {
     * of where micro-batch boundaries fall (spec-pinned: a 3-batch
     * feed produces row-for-row the same encoded table as one batch
     * build over the union). The checkpoint dir gives exactly-once
-    * batch tracking across restarts; parquet-append within a batch is
-    * atomic per file, so a replayed batch after a mid-write crash can
-    * duplicate rows — production would dedup by (n_id) at compact
-    * time or write batch-id-named files; documented, not hidden. */
+    * batch tracking across restarts, and the checkpoint-salted batch
+    * id closes the replay window: a micro-batch redelivered after a
+    * mid-write crash rolls back its torn files (repair) and a
+    * redelivered COMMITTED batch is skipped — rows land exactly
+    * once. */
   def ingestStream(indexDir: String, vectors: DataFrame, checkpointDir: String)
-  : org.apache.spark.sql.streaming.StreamingQuery =
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val salt = Integer.toHexString(checkpointDir.hashCode)
     vectors.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) appendInPlace(batch.sparkSession, indexDir, batch.toDF())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          appendInPlace(batch.sparkSession, indexDir, batch.toDF(),
+            batchId = Some(f"s${salt}_$batchId%010d"))
       }
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 
   /** Remove vectors by id — the index-maintenance half of a dedup or
     * takedown decision: once a pipeline drops documents, their vectors
@@ -184,18 +228,21 @@ object IvfIndex {
     * AQE picks broadcast when the list is small. IvfIndexSpec pins
     * delete ≡ rebuild-over-remaining bit-exactly. */
   def delete(spark: SparkSession, indexDir: String, ids: DataFrame, outDir: String): Unit = {
-    spark.read.parquet(s"$indexDir/centroids.parquet")
-      .write.mode("overwrite").parquet(s"$outDir/centroids.parquet")
-    spark.read.parquet(s"$indexDir/book.parquet")
-      .write.mode("overwrite").parquet(s"$outDir/book.parquet")
-    loadEncoded(spark, indexDir)
-      .join(ids.select(col("id").cast("long").as("n_id")), Seq("n_id"), "left_anti")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
+    TableIndex.repair(spark, indexDir)
     // radii carry over STALE (an upper bound after removals) —
-    // one-sided safe for the triangle probe, documented in [[build]]
-    spark.read.parquet(s"$indexDir/geometry.parquet")
-      .groupBy("cell").agg(max("r").as("r"))
-      .write.mode("overwrite").parquet(s"$outDir/geometry.parquet")
+    // one-sided safe; [[refreshGeometry]] re-tightens. A pre-geometry
+    // legacy index simply carries none (readers π-default).
+    val geometry = TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")
+      .map(g => ("geometry.parquet", g.groupBy("cell").agg(max("r").as("r")), Seq.empty[String]))
+    TableIndex.wipe(spark, outDir)
+    TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("del"), Seq(
+      ("centroids.parquet", spark.read.parquet(s"$indexDir/centroids.parquet"), Seq.empty),
+      ("book.parquet", spark.read.parquet(s"$indexDir/book.parquet"), Seq.empty),
+      ("encoded.parquet",
+        loadEncoded(spark, indexDir)
+          .join(ids.select(col("id").cast("long").as("n_id")), Seq("n_id"), "left_anti"),
+        Seq("cell"))) ++ geometry)
+    ()
   }
 
   /** The O(delete-list) delete: append the ids to a TOMBSTONE table
@@ -209,40 +256,63 @@ object IvfIndex {
     * encoded table without the dead rows and drops the tombstone
     * table. IvfIndexSpec pins: search ≡ the rewrite-delete's search,
     * encoded files untouched by the delete itself, and compaction
-    * folds to exactly the rebuild-over-remaining rows. Constraint: a
-    * tombstoned id must never be re-appended before a compact (the
-    * tombstone would suppress the new row too) — consistent with the
-    * index-wide rule that generations partition the id space. */
-  def deleteInPlace(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
-    ids.select(col("id").cast("long").as("n_id"))
-      .write.mode("append").parquet(s"$indexDir/tombstones.parquet")
-
-  private def tombstones(spark: SparkSession, indexDir: String): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones.parquet")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) Some(spark.read.parquet(path.toString)) else None
+    * folds to exactly the rebuild-over-remaining rows. Re-appending a
+    * tombstoned id before a compact THROWS in [[appendInPlace]] (the
+    * tombstone would suppress the new row too) — enforced, not
+    * comment-only. */
+  def deleteInPlace(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+    TableIndex.commitBatch(spark, indexDir, TableIndex.newBatchId("del"),
+      Seq(("tombstones.parquet", ids.select(col("id").cast("long").as("n_id")), Seq.empty)))
+    ()
   }
 
-  /** Rewrite the encoded table with one file per cell partition.
+  /** Rewrite the encoded table with one file wave per cell partition.
     * Every [[append]] adds a file wave under each touched cell
     * directory; after many generations a probe opens
     * O(generations) small files per probed cell, and at production
     * shard cadence (hourly appends for months) the file count — not
-    * the byte count — becomes the scan's cost. Compaction is a pure
-    * layout rewrite: IvfIndexSpec pins rows bit-identical before/after
-    * and a strictly smaller file count. Centroids and book are copied
-    * through untouched (they are single-write dim tables). */
+    * the byte count — becomes the scan's cost. Compaction folds the
+    * tombstones and collapses the geometry rows to one per cell (still
+    * the stale upper bounds — run [[refreshGeometry]] on the new
+    * generation to re-tighten them from the float corpus). IvfIndexSpec
+    * pins rows bit-identical before/after and a strictly smaller file
+    * count. Centroids and book are copied through untouched (they are
+    * single-write dim tables). */
   def compact(spark: SparkSession, indexDir: String, outDir: String): Unit = {
-    spark.read.parquet(s"$indexDir/centroids.parquet")
-      .write.mode("overwrite").parquet(s"$outDir/centroids.parquet")
-    spark.read.parquet(s"$indexDir/book.parquet")
-      .write.mode("overwrite").parquet(s"$outDir/book.parquet")
-    loadEncoded(spark, indexDir)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/encoded.parquet")
-    spark.read.parquet(s"$indexDir/geometry.parquet")
-      .groupBy("cell").agg(max("r").as("r"))
-      .write.mode("overwrite").parquet(s"$outDir/geometry.parquet")
+    TableIndex.repair(spark, indexDir)
+    val geometry = TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")
+      .map(g => ("geometry.parquet", g.groupBy("cell").agg(max("r").as("r")), Seq.empty[String]))
+    TableIndex.wipe(spark, outDir)
+    TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("compact"), Seq(
+      ("centroids.parquet", spark.read.parquet(s"$indexDir/centroids.parquet"), Seq.empty),
+      ("book.parquet", spark.read.parquet(s"$indexDir/book.parquet"), Seq.empty),
+      ("encoded.parquet", loadEncoded(spark, indexDir).repartition(col("cell")), Seq("cell"))
+    ) ++ geometry)
+    ()
+  }
+
+  /** Re-tighten the cell radii from the LIVE float corpus — the
+    * maintenance op that stops post-delete staleness from
+    * monotonically eroding the triangle bound's pruning (radii only
+    * ever grow under append/delete/compact; after months of churn the
+    * bound degrades toward all-cells). One aggregate over the corpus
+    * (the [[build]]-time `cellRadii` shape) restricted to ids still
+    * live in the index (semi-join against the tombstone-filtered
+    * encoded ids — the caller's corpus may be a superset). The rewrite
+    * is [[graft.util.TableIndex.replaceTable]]: not atomic end-to-end,
+    * but every partial state is a subset of old ∪ new radii per cell,
+    * and readers π-default a cell with no row — any crash degrades to
+    * correct-but-unpruned, never to a missed pair. Spec-pinned:
+    * refreshed radii ≤ stale radii, [[nearDupsExact]]'s candidate cell
+    * set shrinks, results stay equal to brute force. */
+  def refreshGeometry(spark: SparkSession, indexDir: String, corpus: DataFrame): Unit = {
+    TableIndex.repair(spark, indexDir)
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+    val live = corpus.join(
+      loadEncoded(spark, indexDir).select(col("n_id").as("id")), Seq("id"), "left_semi")
+    TableIndex.replaceTable(spark, indexDir, TableIndex.newBatchId("geo"),
+      "geometry.parquet", cellRadii(live, centroids))
+    ()
   }
 
   /** The LIVE encoded table: cell normalized back to long (partition-
@@ -251,10 +321,10 @@ object IvfIndex {
     * read) — the cell partition filter a caller stacks on top still
     * pushes through the join to the parquet scan. */
   private[graft] def loadEncoded(spark: SparkSession, indexDir: String): DataFrame = {
+    TableIndex.repair(spark, indexDir)
     val raw = spark.read.parquet(s"$indexDir/encoded.parquet")
       .withColumn("cell", col("cell").cast("long"))
-    tombstones(spark, indexDir)
-      .fold(raw)(t => raw.join(t.select("n_id").distinct(), Seq("n_id"), "left_anti"))
+    TableIndex.liveTable(spark, indexDir, raw, "n_id")
   }
 
   /** The encoded rows of ONE probe set — `cells` is driver-side small
@@ -264,6 +334,44 @@ object IvfIndex {
     * Factored out so the spec can pin the pruning on scan metrics. */
   private[graft] def probedEncoded(spark: SparkSession, indexDir: String, cells: Seq[Long]): DataFrame =
     loadEncoded(spark, indexDir).filter(col("cell").isInCollection(cells))
+
+  /** The broadcast (cell, c_vec, c_nrm, r) table [[nearDupsExact]]
+    * bound-filters against: every centroid, LEFT-joined with the max
+    * stored radius and π-defaulted when absent — geometry can
+    * accelerate but never exclude a cell it knows nothing about
+    * (legacy pre-geometry indexes, the [[refreshGeometry]] crash
+    * window). */
+  private[graft] def cellGeometry(spark: SparkSession, indexDir: String): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+      .select(col("c_id").cast("long").as("cell"),
+        col("c_vec").cast("array<double>").as("c_vec"))
+      .withColumn("c_nrm", AnnSearch.norm(col("c_vec")))
+    val radii = TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")
+      .map(_.groupBy("cell").agg(max("r").as("r")))
+    radii.fold(centroids.withColumn("r", lit(math.Pi)))(rad =>
+      centroids.join(rad, Seq("cell"), "left")
+        .withColumn("r", coalesce(col("r"), lit(math.Pi))))
+  }
+
+  /** The candidate (q_id, cell) pairs of one [[nearDupsExact]] probe:
+    * query × broadcast cell-geometry bound filter (map-side, nlist
+    * rows per query evaluated in the join predicate). Factored out so
+    * the refresh spec can measure the candidate-cell shrink. */
+  private[graft] def candidateCells(spark: SparkSession, indexDir: String,
+                                    newVecs: DataFrame, tau: Double): DataFrame = {
+    val thetaTau = math.acos(math.max(-1.0, math.min(1.0, tau)))
+    val slack = 1e-4
+    val geom = broadcast(cellGeometry(spark, indexDir))
+    newVecs.select(col("id").as("q_id"),
+        col("vec").cast("array<double>").as("q_vec"))
+      .withColumn("q_nrm", AnnSearch.norm(col("q_vec")))
+      .join(geom,
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          coalesce(try_divide(AnnSearch.dot(col("q_vec"), col("c_vec")),
+            col("q_nrm") * col("c_nrm")), lit(1.0)))))
+          <= col("r") + lit(thetaTau + slack))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+  }
 
   /** EXACT incremental embedding dedup: every (new vector, indexed
     * vector) pair with cosine ≥ τ — the embedding analog of
@@ -276,38 +384,21 @@ object IvfIndex {
     * angle(q,c) ≤ r_c + θτ — cells failing that bound provably hold
     * no qualifying member and are skipped. The stored radii are upper
     * bounds by maintenance contract ([[build]]), so staleness widens
-    * candidates, never drops one.
+    * candidates, never drops one — and [[refreshGeometry]] re-tightens
+    * them after churn.
     *
-    * Plan shape: query × broadcast(geometry ⋈ centroids) bound filter
-    * (map-side, nlist rows per query evaluated in the join predicate),
-    * candidate (query, cell) pairs join the encoded table — partition-
-    * pruned to the DISTINCT candidate cells (≤ nlist values collected,
-    * the [[probedEncoded]] discipline) — then the float corpus joins
-    * by id for the exact score; only candidate-cell members are ever
-    * scored. Within-shard pairs are out of scope (run
+    * Plan shape: [[candidateCells]] bound filter, then the candidate
+    * (query, cell) pairs join the encoded table — partition-pruned to
+    * the DISTINCT candidate cells (≤ nlist values collected, the
+    * [[probedEncoded]] discipline) — then the float corpus joins by id
+    * for the exact score; only candidate-cell members are ever scored.
+    * Within-shard pairs are out of scope (run
     * [[AnnSearch.cosineNearPairs]] on the shard itself; generations
     * partition the id space so the two pair sets are disjoint). */
   def nearDupsExact(spark: SparkSession, indexDir: String, corpus: DataFrame,
                     newVecs: DataFrame, tau: Double): DataFrame = {
-    val thetaTau = math.acos(math.max(-1.0, math.min(1.0, tau)))
-    val slack = 1e-4
-    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
-    val geom = broadcast(
-      spark.read.parquet(s"$indexDir/geometry.parquet")
-        .groupBy("cell").agg(max("r").as("r"))
-        .join(centroids.select(col("c_id").cast("long").as("cell"),
-          col("c_vec").cast("array<double>").as("c_vec")), Seq("cell"))
-        .withColumn("c_nrm", AnnSearch.norm(col("c_vec"))))
-    val q = newVecs.select(col("id").as("q_id"),
-        col("vec").cast("array<double>").as("q_vec"))
-      .withColumn("q_nrm", AnnSearch.norm(col("q_vec")))
-    val cand = q.join(geom,
-      acos(least(lit(1.0), greatest(lit(-1.0),
-        coalesce(try_divide(AnnSearch.dot(col("q_vec"), col("c_vec")),
-          col("q_nrm") * col("c_nrm")), lit(1.0)))))
-        <= col("r") + lit(thetaTau + slack))
-      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
-      .localCheckpoint(false)
+    TableIndex.repair(spark, indexDir)
+    val cand = candidateCells(spark, indexDir, newVecs, tau).localCheckpoint(false)
     val candCells = cand.select("cell").distinct().collect().map(_.getLong(0)).toSeq
     val members = probedEncoded(spark, indexDir, candCells).select("cell", "n_id")
     cand.join(members, Seq("cell"))
@@ -333,6 +424,7 @@ object IvfIndex {
   def search(spark: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
              k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    TableIndex.repair(spark, indexDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val book = loadBook(spark, indexDir)
     val cents = AnnSearch.collectCentroids(centroids)

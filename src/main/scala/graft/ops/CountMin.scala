@@ -40,6 +40,31 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
+  /** Standard (ε, δ) → grid sizing (Cormode & Muthukrishnan 2005,
+    * §4.1): `width = ⌈e/ε⌉` makes each row's expected collision mass
+    * ≤ (ε/e)·N, so by Markov a single row overcounts x by more than
+    * ε·N with probability ≤ 1/e; `depth = ⌈ln(1/δ)⌉` independent rows
+    * drive the min's failure probability to ≤ (1/e)^depth ≤ δ. The
+    * resulting contract, self-serve: true(x) ≤ est(x) ≤ true(x) + ε·N
+    * with probability ≥ 1 − δ per item, in `depth · width` longs of
+    * state. Heavy-hitter use: a threshold-φN report from this grid
+    * has NO false negatives (deterministic overcount) and any false
+    * positive's true count exceeds (φ − ε)·N w.p. ≥ 1 − δ — pick
+    * ε ≤ φ/2 to make impostors at least half-heavy. */
+  def dims(eps: Double, delta: Double): (Int, Int) = {
+    require(eps > 0 && eps < 1, s"CountMin.dims: eps must be in (0,1), got $eps")
+    require(delta > 0 && delta < 1, s"CountMin.dims: delta must be in (0,1), got $delta")
+    (math.max(1, math.ceil(math.log(1.0 / delta)).toInt),
+      math.ceil(math.E / eps).toInt)
+  }
+
+  /** [[sketch]] sized from an accuracy contract instead of raw grid
+    * dims — the self-serve constructor. */
+  def sketchBounded(items: DataFrame, itemCol: String, eps: Double, delta: Double): DataFrame = {
+    val (depth, width) = dims(eps, delta)
+    sketch(items, itemCol, depth, width)
+  }
+
   /** Row-r cell of an item: portable 60-bit md5 hash of "r_item" mod
     * width — replayable in ANSI SQL as
     * `('0x' || substr(md5(r || '_' || item), 1, 15))::BIGINT % width`. */

@@ -39,18 +39,13 @@ object Dsir {
 
   val Buckets = 1024
 
-  /** Hashed unigram+bigram count features: (id, j, x), j ∈ [0, Buckets). */
+  /** Hashed unigram+bigram count features: (id, j, x), j ∈ [0, Buckets).
+    * Gram surface: [[TextOps.grams12]], shared with
+    * [[QualityClassifier.features]]. */
   def features(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("id"),
       TextOps.tokens(col(textCol)).as("w"))
-    // the size guard keeps 1-token docs off sequence(0, -1), which
-    // would enumerate DESCENDING (the bpe_encode_1k seam rule)
-    val grams = base.select(col("id"), explode(expr(
-      """concat(w, CASE WHEN size(w) >= 2
-        |THEN transform(sequence(0, size(w) - 2),
-        |  i -> concat(element_at(w, i + 1), '_', element_at(w, i + 2)))
-        |ELSE cast(array() AS array<string>) END)""".stripMargin
-    )).as("g"))
+    val grams = base.select(col("id"), explode(TextOps.grams12(col("w"))).as("g"))
     grams
       .select(col("id"), pmod(SimHash.tokenHash(col("g")), lit(Buckets.toLong)).as("j"))
       .groupBy("id", "j").agg(count(lit(1)).as("x"))

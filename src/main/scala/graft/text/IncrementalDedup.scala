@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.util.TableIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,6 +29,17 @@ import org.apache.spark.sql.functions._
   *    xxhash64 collision inside one compared pair (probability
   *    ~|union|²/2⁶⁵ — negligible at any real shingle-set size, and a
   *    collision would surface as an oracle hash mismatch, not silence).
+  *
+  * Durability ([[graft.util.TableIndex]], shared with
+  * [[graft.ml.IvfIndex]]): every multi-table write is a staged
+  * batch-id-named file set committed by ONE atomic marker — a crash
+  * between table writes can no longer tear the index (hashes updated,
+  * bands not), and a replayed streaming micro-batch resolves to its
+  * already-committed batch id and is skipped, so replay cannot
+  * duplicate rows. Build parameters (k, n, bands) persist in index
+  * metadata and every probe/append resolves them FROM THE INDEX — a
+  * caller passing a different banding than the build can no longer
+  * silently mis-key the (band, bucket) join.
   *
   * Shard semantics (the pairwise batch rule, made incremental): a new
   * document is REJECTED iff
@@ -69,28 +81,51 @@ object IncrementalDedup {
     * already indexed" form cheap. */
   val BandParts = 64
 
-  /** Write the four index tables for a corpus generation. `bands` is
-    * baked into the persisted band table — queries reuse it; they do
-    * not re-choose banding per probe. */
-  def buildIndex(docs: DataFrame, idCol: String, textCol: String, outDir: String,
-                 k: Int = 32, n: Int = 3, bands: Int = 8): Unit = {
-    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
-    base.select(col("id"), xxhash64(TextOps.normText(col("text"))).as("h"))
-      .write.mode("overwrite").parquet(s"$outDir/hashes.parquet")
+  /** Build parameters resolved FROM THE INDEX when it carries metadata
+    * (every index built since the meta landed does): the probe MUST
+    * shingle/sign/band with the build's parameters or the (band,
+    * bucket) keys silently mismatch and near-dup candidates are lost.
+    * Legacy indexes without metadata fall back to the caller's args. */
+  private def params(spark: SparkSession, indexDir: String,
+                     k: Int, n: Int, bands: Int): (Int, Int, Int) = {
+    val m = TableIndex.readMeta(spark, indexDir)
+    (m.get("k").map(_.toInt).getOrElse(k),
+      m.get("n").map(_.toInt).getOrElse(n),
+      m.get("bands").map(_.toInt).getOrElse(bands))
+  }
+
+  private def indexRows(base: DataFrame, k: Int, n: Int, bands: Int)
+  : Seq[(String, DataFrame, Seq[String])] = {
+    val hashes = base.select(col("id"), xxhash64(TextOps.normText(col("text"))).as("h"))
     // one shingling pass feeds both the signature aggregate and the
     // stored verification sets (the verifiedPairs discipline)
     val sets = MinHashLsh.shingleSets(base, "id", "text", n).localCheckpoint(false)
     val sigs = MinHashLsh.signaturesFromSets(sets, "id", k).localCheckpoint(false)
-    sigs.write.mode("overwrite").parquet(s"$outDir/sigs.parquet")
-    writeBands(sigs, bands, s"$outDir/bands.parquet")
-    sets.select(col("id"), expr("transform(sh, s -> xxhash64(s))").as("shh"))
-      .write.mode("overwrite").parquet(s"$outDir/shingles.parquet")
+    val bandRows = MinHashLsh.bandBuckets(sigs, "id", bands)
+      .withColumn("bp", pmod(col("bucket"), lit(BandParts.toLong)))
+    val shingles = sets.select(col("id"), expr("transform(sh, s -> xxhash64(s))").as("shh"))
+    Seq(
+      ("hashes.parquet", hashes, Seq.empty),
+      ("sigs.parquet", sigs, Seq.empty),
+      ("bands.parquet", bandRows, Seq("bp")),
+      ("shingles.parquet", shingles, Seq.empty))
   }
 
-  private def writeBands(sigs: DataFrame, bands: Int, path: String): Unit =
-    MinHashLsh.bandBuckets(sigs, "id", bands)
-      .withColumn("bp", pmod(col("bucket"), lit(BandParts.toLong)))
-      .write.mode("overwrite").partitionBy("bp").parquet(path)
+  /** Write the four index tables for a corpus generation, plus the
+    * (k, n, bands) metadata every later probe/append resolves its
+    * parameters from. One protocol batch — a torn build leaves no
+    * commit marker, so memoization guards re-run it. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String, outDir: String,
+                 k: Int = 32, n: Int = 3, bands: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    TableIndex.wipe(spark, outDir)
+    TableIndex.writeMeta(spark, outDir,
+      Map("k" -> k.toString, "n" -> n.toString, "bands" -> bands.toString))
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
+    TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("base"),
+      indexRows(base, k, n, bands))
+    ()
+  }
 
   /** Append a processed shard's SURVIVORS to an index: reads `indexDir`,
     * writes `outDir` = old index rows ∪ the survivors' index rows.
@@ -100,45 +135,55 @@ object IncrementalDedup {
   def updateIndex(spark: SparkSession, indexDir: String, survivors: DataFrame,
                   idCol: String, textCol: String, outDir: String,
                   k: Int = 32, n: Int = 3, bands: Int = 8): Unit = {
+    TableIndex.repair(spark, indexDir)
+    val (kk, nn, bb) = params(spark, indexDir, k, n, bands)
     val base = survivors.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
-    spark.read.parquet(s"$indexDir/hashes.parquet")
-      .unionByName(base.select(col("id"), xxhash64(TextOps.normText(col("text"))).as("h")))
-      .write.mode("overwrite").parquet(s"$outDir/hashes.parquet")
-    val sets = MinHashLsh.shingleSets(base, "id", "text", n).localCheckpoint(false)
-    val allSigs = spark.read.parquet(s"$indexDir/sigs.parquet")
-      .unionByName(MinHashLsh.signaturesFromSets(sets, "id", k))
-      .localCheckpoint(false)
-    allSigs.write.mode("overwrite").parquet(s"$outDir/sigs.parquet")
-    writeBands(allSigs, bands, s"$outDir/bands.parquet")
-    spark.read.parquet(s"$indexDir/shingles.parquet")
-      .unionByName(sets.select(col("id"), expr("transform(sh, s -> xxhash64(s))").as("shh")))
-      .write.mode("overwrite").parquet(s"$outDir/shingles.parquet")
+    val fresh = indexRows(base, kk, nn, bb).map(t => t._1 -> t._2).toMap
+    TableIndex.wipe(spark, outDir)
+    TableIndex.writeMeta(spark, outDir,
+      Map("k" -> kk.toString, "n" -> nn.toString, "bands" -> bb.toString))
+    TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("gen"), Seq(
+      ("hashes.parquet",
+        spark.read.parquet(s"$indexDir/hashes.parquet").unionByName(fresh("hashes.parquet")),
+        Seq.empty),
+      ("sigs.parquet",
+        spark.read.parquet(s"$indexDir/sigs.parquet").unionByName(fresh("sigs.parquet")),
+        Seq.empty),
+      ("bands.parquet",
+        spark.read.parquet(s"$indexDir/bands.parquet").withColumn("bp", col("bp").cast("long"))
+          .unionByName(fresh("bands.parquet")),
+        Seq("bp")),
+      ("shingles.parquet",
+        spark.read.parquet(s"$indexDir/shingles.parquet").unionByName(fresh("shingles.parquet")),
+        Seq.empty)))
+    ()
   }
 
-  /** The O(shard) index append: the survivors' rows are written as new
-    * files UNDER the existing four tables (parquet append; band rows
-    * land under their bucket partitions) — existing files are never
-    * read or rewritten, so a generation lands in time proportional to
-    * the SHARD ([[updateIndex]]'s generation-copy form rewrites the
-    * carried-over corpus — at 100 TB that prices every shard at the
-    * full index). Row contract identical to [[updateIndex]]:
-    * spec-pinned rows ≡ rebuild-over-union with pre-append files
-    * byte-untouched, the [[graft.ml.IvfIndex.appendInPlace]]
-    * discipline. */
+  /** The O(shard) index append: the survivors' rows land as new
+    * batch-id-named files UNDER the existing four tables — existing
+    * files are never read or rewritten, so a generation lands in time
+    * proportional to the SHARD ([[updateIndex]]'s generation-copy form
+    * rewrites the carried-over corpus — at 100 TB that prices every
+    * shard at the full index). All four tables commit under ONE atomic
+    * marker; a crash mid-append rolls back on the next open, and a
+    * replayed `batchId` is skipped (exactly-once). Re-appending a
+    * tombstoned id throws (the stale tombstone would silently suppress
+    * the new rows) — compact first. Row contract identical to
+    * [[updateIndex]]: spec-pinned rows ≡ rebuild-over-union with
+    * pre-append files byte-untouched, the
+    * [[graft.ml.IvfIndex.appendInPlace]] discipline. */
   def updateIndexInPlace(spark: SparkSession, indexDir: String, survivors: DataFrame,
                          idCol: String, textCol: String,
-                         k: Int = 32, n: Int = 3, bands: Int = 8): Unit = {
+                         k: Int = 32, n: Int = 3, bands: Int = 8,
+                         batchId: Option[String] = None): Unit = {
+    val bid = batchId.getOrElse(TableIndex.newBatchId())
+    if (TableIndex.isCommitted(spark, indexDir, bid)) return // replayed batch
+    TableIndex.repair(spark, indexDir)
+    val (kk, nn, bb) = params(spark, indexDir, k, n, bands)
     val base = survivors.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
-    base.select(col("id"), xxhash64(TextOps.normText(col("text"))).as("h"))
-      .write.mode("append").parquet(s"$indexDir/hashes.parquet")
-    val sets = MinHashLsh.shingleSets(base, "id", "text", n).localCheckpoint(false)
-    val sigs = MinHashLsh.signaturesFromSets(sets, "id", k).localCheckpoint(false)
-    sigs.write.mode("append").parquet(s"$indexDir/sigs.parquet")
-    MinHashLsh.bandBuckets(sigs, "id", bands)
-      .withColumn("bp", pmod(col("bucket"), lit(BandParts.toLong)))
-      .write.mode("append").partitionBy("bp").parquet(s"$indexDir/bands.parquet")
-    sets.select(col("id"), expr("transform(sh, s -> xxhash64(s))").as("shh"))
-      .write.mode("append").parquet(s"$indexDir/shingles.parquet")
+    TableIndex.assertNotTombstoned(spark, indexDir, base.select("id"), "id")
+    TableIndex.commitBatch(spark, indexDir, bid, indexRows(base, kk, nn, bb))
+    ()
   }
 
   /** ONLINE dedup: each arriving micro-batch of documents is deduped
@@ -146,8 +191,13 @@ object IncrementalDedup {
     * are appended in place ([[updateIndexInPlace]]) before the next
     * batch runs — the foreachBatch bridge, [[graft.ml.IvfIndex
     * .ingestStream]]'s discipline applied to the dedup index. Each
-    * batch's decisions append to `decisionsDir` so the caller owns a
-    * complete audit log.
+    * batch's decisions land in `decisionsDir/decisions.parquet` so the
+    * caller owns a complete audit log; decisions and index rows each
+    * commit under a checkpoint-salted batch id, so a micro-batch
+    * replayed after a crash duplicates NEITHER (the id resolves to the
+    * committed marker and the write is skipped), and a crash between
+    * the two commits replays into one skip + one redo — the end state
+    * is exactly the clean run's.
     *
     * Semantics, stated precisely: a document is rejected iff it
     * duplicates an INDEXED document or an earlier document OF ITS OWN
@@ -162,69 +212,88 @@ object IncrementalDedup {
   def dedupStream(indexDir: String, docsStream: DataFrame, idCol: String, textCol: String,
                   decisionsDir: String, checkpointDir: String, tau: Double,
                   k: Int = 32, bands: Int = 8, n: Int = 3, maxBucket: Int = 1000)
-  : org.apache.spark.sql.streaming.StreamingQuery =
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    // salt with the checkpoint so two streams (distinct checkpoints)
+    // into one index can never collide on micro-batch numbers
+    val salt = Integer.toHexString(checkpointDir.hashCode)
     docsStream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val bid = f"s${salt}_$batchId%010d"
           val b = batch.toDF().localCheckpoint(true)
           val decisions = processShard(spark, indexDir, b, idCol, textCol, tau,
             k, bands, n, maxBucket).localCheckpoint(true)
-          decisions.write.mode("append").parquet(decisionsDir)
+          TableIndex.commitBatch(spark, decisionsDir, bid,
+            Seq(("decisions.parquet", decisions, Seq.empty)))
           val survivors = b.join(
             decisions.filter(col("kept")).select(col("id").as(idCol)), Seq(idCol))
-          updateIndexInPlace(spark, indexDir, survivors, idCol, textCol, k, n, bands)
+          updateIndexInPlace(spark, indexDir, survivors, idCol, textCol, k, n, bands,
+            batchId = Some(bid))
         }
       }
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .start()
+  }
 
   /** The O(delete-list) takedown: append the ids to a TOMBSTONE table
     * — a removed document must stop rejecting future shards (its hash,
     * signature, band rows and shingle set all become invisible to
     * [[processShard]]) without rewriting the four corpus-sized tables.
-    * Merge-on-read via [[liveTable]]; [[compactIndex]] is the fold
-    * point. Same constraint as [[graft.ml.IvfIndex.deleteInPlace]]:
-    * a tombstoned id must not be re-appended before a compact. */
-  def deleteInPlace(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
-    ids.select(col("id").cast("long").as("id"))
-      .write.mode("append").parquet(s"$indexDir/tombstones.parquet")
-
-  private def tombstones(spark: SparkSession, indexDir: String): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones.parquet")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) Some(spark.read.parquet(path.toString)) else None
+    * Merge-on-read via [[graft.util.TableIndex.liveTable]];
+    * [[compactIndex]] is the fold point. Re-appending a tombstoned id
+    * before a compact throws ([[graft.util.TableIndex
+    * .assertNotTombstoned]]). */
+  def deleteInPlace(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
+    TableIndex.commitBatch(spark, indexDir, TableIndex.newBatchId("del"),
+      Seq(("tombstones.parquet", ids.select(col("id").cast("long").as("id")), Seq.empty)))
+    ()
   }
 
-  /** A stored index table with [[deleteInPlace]] tombstones applied
-    * (anti-join by id — AQE broadcasts small deletion lists; partition
-    * filters stacked on top still push to the scan). */
   private def liveTable(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
-    tombstones(spark, indexDir)
-      .fold(df)(t => df.join(t.select("id").distinct(), Seq("id"), "left_anti"))
+    TableIndex.liveTable(spark, indexDir, df, "id")
 
-  /** Fold point: rewrite the four tables without the tombstoned rows —
-    * one file per table (band table: one per bucket partition) — and
-    * drop the tombstone table. Spec-pinned ≡ rebuild-over-remaining. */
+  /** Fold point: rewrite the four tables without the tombstoned rows
+    * and drop the tombstone table. The three row-per-document tables
+    * rewrite through a SIZE-TARGETED repartition
+    * ([[graft.util.TableIndex.compactionPartitions]]: ~128 MiB files,
+    * floored at the cluster parallelism) — at 100 TB they carry
+    * billions of rows, and a single-task funnel (the pre-r12
+    * `coalesce(1)`) could never complete; the band table keeps its
+    * bucket-partition discipline. Spec-pinned ≡ rebuild-over-remaining,
+    * with >1 output files per table on a multi-partition index. */
   def compactIndex(spark: SparkSession, indexDir: String, outDir: String): Unit = {
-    for (t <- Seq("hashes", "sigs", "shingles")) {
-      liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/$t.parquet"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    TableIndex.repair(spark, indexDir)
+    TableIndex.wipe(spark, outDir)
+    val meta = TableIndex.readMeta(spark, indexDir)
+    if (meta.nonEmpty) TableIndex.writeMeta(spark, outDir, meta)
+    val flat = for (t <- Seq("hashes", "sigs", "shingles")) yield {
+      val n = TableIndex.compactionPartitions(spark, indexDir, s"$t.parquet")
+      (s"$t.parquet",
+        liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/$t.parquet")).repartition(n),
+        Seq.empty[String])
     }
-    liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/bands.parquet")
-        .withColumn("bp", col("bp").cast("long")))
-      .repartition(col("bp"))
-      .write.mode("overwrite").partitionBy("bp").parquet(s"$outDir/bands.parquet")
+    val bands = ("bands.parquet",
+      liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/bands.parquet")
+          .withColumn("bp", col("bp").cast("long")))
+        .repartition(col("bp")),
+      Seq("bp"))
+    TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("compact"), flat :+ bands)
+    ()
   }
 
   /** Dedup `shard` against the persisted index at `indexDir`. Returns
-    * one row per shard document: (id, dup_exact, dup_near, kept). */
+    * one row per shard document: (id, dup_exact, dup_near, kept).
+    * Shingling/signature/banding parameters come from the INDEX
+    * metadata when present (see [[params]]) — the caller's values are
+    * a fallback for legacy indexes only. */
   def processShard(spark: SparkSession, indexDir: String, shard: DataFrame,
                    idCol: String, textCol: String, tau: Double,
                    k: Int = 32, bands: Int = 8, n: Int = 3,
                    maxBucket: Int = 1000): DataFrame = {
+    TableIndex.repair(spark, indexDir)
+    val (kk, nn, bb) = params(spark, indexDir, k, n, bands)
     // every index read goes through the tombstone anti-join — a
     // deleted document must neither hash-reject nor near-reject
     val idxHashes = liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/hashes.parquet"))
@@ -258,10 +327,10 @@ object IncrementalDedup {
     // alternative (window-count the full union) shuffles the entire
     // index's band rows on every shard arrival: O(corpus) exchange per
     // shard instead of O(shard × touched-bucket membership).
-    val newSets = MinHashLsh.shingleSets(newDocs, "id", "text", n).localCheckpoint(false)
-    val newSigs = MinHashLsh.signaturesFromSets(newSets, "id", k)
+    val newSets = MinHashLsh.shingleSets(newDocs, "id", "text", nn).localCheckpoint(false)
+    val newSigs = MinHashLsh.signaturesFromSets(newSets, "id", kk)
     val newShh = newSets.select(col("id"), expr("transform(sh, s -> xxhash64(s))").as("shh"))
-    val newBands = MinHashLsh.bandBuckets(newSigs, "id", bands).localCheckpoint(false)
+    val newBands = MinHashLsh.bandBuckets(newSigs, "id", bb).localCheckpoint(false)
     val touched = broadcast(newBands.select("band", "bucket").distinct())
     // the index's band rows come from the PERSISTED bucket-partitioned
     // band table when the index carries one: the shard's touched
@@ -283,7 +352,7 @@ object IncrementalDedup {
           .withColumn("bp", col("bp").cast("long"))
           .filter(col("bp").isInCollection(touchedParts)))
           .select("id", "band", "bucket")
-      } else MinHashLsh.bandBuckets(idxSigs, "id", bands)
+      } else MinHashLsh.bandBuckets(idxSigs, "id", bb)
     }
     val allBands = idxBandRows
       .join(touched, Seq("band", "bucket"), "left_semi")

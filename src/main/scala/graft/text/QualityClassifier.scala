@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   * BIT-EXACTLY. (Float GD could not make this claim: per-row sigmoid/
   * rounding differences would compound across iterations.)
   *
-  * Features: md5-hashed unigram counts into [[Buckets]] buckets (the
-  * [[SimHash.tokenHash]] portable 60-bit hash, so the oracle computes
-  * the same buckets) plus a constant bias feature at index `Buckets`.
+  * Features: md5-hashed unigram + bigram counts into [[Buckets]]
+  * buckets (the [[SimHash.tokenHash]] portable 60-bit hash, so the
+  * oracle computes the same buckets; the [[TextOps.grams12]] gram
+  * surface shared with [[Dsir.features]] — fastText's discriminative
+  * power is largely bigrams) plus a constant bias feature at index
+  * `Buckets`.
   * Labels are supplied by the caller in micro-units {0, 1_000_000} —
   * the conformance query distills the engine's heuristic quality gate
   * (`TextOps.withQuality`, quality ≥ 0.5); any (id, y) teacher works.
@@ -37,9 +40,12 @@ import org.apache.spark.sql.functions._
   * per-doc sum. At 100 TB both stages are standard partial-aggregated
   * shuffles; nothing is quadratic and no text leaves the feature pass.
   *
-  * Measured on the sf0.01 fixture: 16 iterations at lr 1/100 reach
-  * ~81% agreement with the heuristic teacher (spec-pinned ≥ 0.78) —
-  * the ratio-based teacher is not exactly linear in count features, so
+  * Measured on the sf0.01 fixture (ClfAgreeProbe): 16 iterations at
+  * lr 1/100 reach 0.818 teacher agreement with the unigram+bigram
+  * surface (unigram-only was 0.814; 32 iterations reach 0.872 — the
+  * oracle unrolls one CTE stage per iteration, so the default stays
+  * at 16 and the knob is the caller's). Spec-pinned ≥ 0.78 — the
+  * ratio-based teacher is not exactly linear in count features, so
   * perfect agreement is not expected; the driver-gated contract is the
   * bit-exact training replay, not the ceiling of a tiny fixture.
   */
@@ -47,13 +53,13 @@ object QualityClassifier {
 
   val Buckets = 1024
 
-  /** Hashed-unigram count features + bias: (id, j, x) with j ∈
-    * [0, Buckets] and x the token multiplicity (bias x = 1). */
+  /** Hashed unigram+bigram count features + bias: (id, j, x) with
+    * j ∈ [0, Buckets] and x the gram multiplicity (bias x = 1). */
   def features(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("id"),
-      TextOps.tokens(col(textCol)).as("toks"))
-    base.select(col("id"), explode(col("toks")).as("tok"))
-      .select(col("id"), pmod(SimHash.tokenHash(col("tok")), lit(Buckets.toLong)).as("j"))
+      TextOps.tokens(col(textCol)).as("w"))
+    base.select(col("id"), explode(TextOps.grams12(col("w"))).as("g"))
+      .select(col("id"), pmod(SimHash.tokenHash(col("g")), lit(Buckets.toLong)).as("j"))
       .groupBy("id", "j").agg(count(lit(1)).as("x"))
       .unionByName(base.select(col("id"), lit(Buckets.toLong).as("j"), lit(1L).as("x")))
   }

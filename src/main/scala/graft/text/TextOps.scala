@@ -24,6 +24,21 @@ object TextOps {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normText(text), " ")
 
+  /** Unigrams ++ '_'-joined bigrams of a token-array column — the
+    * shared hashed-feature gram surface of [[Dsir.features]] and
+    * [[QualityClassifier.features]] (fastText's discriminative power
+    * is largely bigrams; unigrams alone can't see word order). The
+    * size guard keeps 1-token docs off an empty-slice zip (and
+    * mirrors the `sequence(0, -1)` descending-enumeration seam the
+    * expr-based form guarded). Pure column expression: codegens, and
+    * the DuckDB oracle replays it as
+    * `list_concat(w, list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1]))`. */
+  def grams12(w: Column): Column =
+    concat(w, when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit("_"), b)))
+      .otherwise(array().cast("array<string>")))
+
   /** Distinct word n-gram shingles from a MATERIALIZED token-array
     * column. Callers must project `tokens(text)` into a column first —
     * referencing the split expression directly would re-evaluate the

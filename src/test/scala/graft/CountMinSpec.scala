@@ -38,6 +38,34 @@ class CountMinSpec extends SparkSpec {
       s"observed overcount left the eps*N envelope for ${over.length} tokens")
   }
 
+  test("(eps, delta) constructor: grid dims match the CM05 formulas and the envelope holds at the chosen eps") {
+    // the formula mapping itself, pinned at a few canonical contracts
+    assert(CountMin.dims(0.01, 0.01) == (5, 272))   // ceil(ln 100)=5, ceil(e/0.01)=272
+    assert(CountMin.dims(0.001, 0.05) == (3, 2719))
+    assert(CountMin.dims(0.5, 0.9) == (1, 6))       // depth floors at 1
+    intercept[IllegalArgumentException](CountMin.dims(0.0, 0.1))
+    intercept[IllegalArgumentException](CountMin.dims(0.1, 1.0))
+    // and the sized sketch honors the contract it was sized FOR: the
+    // existing envelope assertion, parameterized by the caller's eps
+    // instead of a hand-picked grid
+    val (eps, delta) = (0.01, 0.01)
+    val (depth, width) = CountMin.dims(eps, delta)
+    val sk = CountMin.sketchBounded(toks, "tok", eps, delta)
+    assert(sk.count() <= depth.toLong * width)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val joined = CountMin.estimate(sk, exact, "tok", depth, width)
+      .join(exact.select(col("tok").as("item"), col("cnt")), Seq("item"))
+      .select(col("est"), col("cnt")).collect()
+    val n = toks.count()
+    val breaches = joined.count(r => (r.getLong(0) - r.getLong(1)) > eps * n)
+    // delta bounds the PER-ITEM failure probability; with ~thousands of
+    // distinct tokens a handful of breaches is within contract — pin
+    // the observed rate under delta with slack
+    assert(breaches.toDouble / joined.length <= delta,
+      s"observed eps*N breach rate ${breaches.toDouble / joined.length} exceeds delta=$delta")
+    assert(joined.forall(r => r.getLong(0) >= r.getLong(1)), "deterministic lower bound violated")
+  }
+
   test("shard sketches merge by cell-wise sum to exactly the whole-corpus sketch") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = d.filter(pmod(col("doc_id"), lit(2)) === 0)

@@ -254,14 +254,14 @@ class IncrementalDedupSpec extends SparkSpec {
     }.reduce(_ unionByName _)
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
-    assert(rows(spark.read.parquet(decDir)) == rows(manualDecisions),
+    assert(rows(spark.read.parquet(s"$decDir/decisions.parquet")) == rows(manualDecisions),
       "streamed decisions diverged from the manual shard loop")
     for (t <- Seq("hashes", "sigs", "bands", "shingles")) {
       assert(tableSorted(s"$idxStream/$t.parquet") == tableSorted(s"$idxManual/$t.parquet"),
         s"streamed index table $t diverged from the manual loop")
     }
     // and the loop's output state is replayable from scratch
-    val survivorIds = spark.read.parquet(decDir).filter(col("kept")).select(col("id").as("doc_id"))
+    val survivorIds = spark.read.parquet(s"$decDir/decisions.parquet").filter(col("kept")).select(col("id").as("doc_id"))
     val survivors = arriving.toIndexedSeq.toDF("doc_id", "text").join(survivorIds, Seq("doc_id"))
     val rebuilt = graft.util.TempDirs.scratch("incr_stream_rebuilt").toString
     IncrementalDedup.buildIndex(

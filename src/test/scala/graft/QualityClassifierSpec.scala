@@ -35,9 +35,10 @@ class QualityClassifierSpec extends SparkSpec {
       .join(labels, Seq("id"))
       .select(((col("score") > 500000L) === (col("y") === 1000000L)).cast("long").as("ok"))
       .agg(avg("ok")).head().getDouble(0)
-    // measured 0.814 at sf0.01; the ratio-based teacher is not exactly
-    // linear in count features, so the pin is a floor with margin, not
-    // an exactness claim — the bit-exact contract is the DuckDB replay
+    // measured 0.818 at sf0.01 with the unigram+bigram surface (0.814
+    // unigram-only); the ratio-based teacher is not exactly linear in
+    // count features, so the pin is a floor with margin, not an
+    // exactness claim — the bit-exact contract is the DuckDB replay
     assert(agree >= 0.78, f"teacher agreement $agree%.3f fell below the 0.78 floor")
   }
 }

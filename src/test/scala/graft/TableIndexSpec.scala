@@ -1,0 +1,291 @@
+package graft
+
+import graft.ml.{AnnSearch, IvfIndex}
+import graft.text.IncrementalDedup
+import graft.util.TableIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted indexes' durability contracts: crash-consistent
+  * multi-table commits (kill-replay ≡ clean run), idempotent batch
+  * replay, the enforced tombstone re-append guard, distributed
+  * compaction, geometry refresh after churn, and the legacy/partial-
+  * geometry π fallback. */
+class TableIndexSpec extends SparkSpec {
+
+  private def docsDf: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def tableRows(path: String): Seq[String] =
+    spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+
+  private def parquetFiles(path: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val root = new java.io.File(path)
+    if (!root.exists()) Seq.empty else walk(root).filter(_.getName.endsWith(".parquet"))
+  }
+
+  /** Simulate a mid-append crash: some of the batch's files already
+    * moved live (bid-prefixed), the staging record present, NO commit
+    * marker — the exact on-disk state a kill between table writes
+    * leaves behind. */
+  private def tearBatch(indexDir: String, bid: String, table: String, rows: DataFrame): Unit = {
+    val tmp = graft.util.TempDirs.scratch("torn_rows").toString + "/t"
+    rows.write.mode("overwrite").parquet(tmp)
+    new java.io.File(s"$indexDir/_staging/$bid").mkdirs()
+    val part = parquetFiles(tmp).head
+    val dst = new java.io.File(s"$indexDir/$table/b_${bid}__${part.getName}")
+    dst.getParentFile.mkdirs()
+    assert(part.renameTo(dst), "test setup: could not plant the torn file")
+  }
+
+  test("dedup index kill-replay: a torn append rolls back and the redo equals the clean run") {
+    val d = docsDf
+    val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val clean = graft.util.TempDirs.scratch("ti_clean").toString
+    val torn = graft.util.TempDirs.scratch("ti_torn").toString
+    IncrementalDedup.buildIndex(old, "doc_id", "text", clean)
+    IncrementalDedup.buildIndex(old, "doc_id", "text", torn)
+    val bid = "s_killreplay_0001"
+    IncrementalDedup.updateIndexInPlace(spark, clean, shard, "doc_id", "text", batchId = Some(bid))
+    // crash mid-append on the torn index: hashes moved live, the other
+    // three tables never written, no marker
+    // only a SLICE of the shard's hash rows landed before the kill —
+    // the torn raw state must differ from BOTH the pre-append and the
+    // clean post-append tables
+    tearBatch(torn, bid,
+      "hashes.parquet",
+      shard.limit(7).select(col("doc_id").cast("long").as("id"),
+        xxhash64(graft.text.TextOps.normText(col("text"))).as("h")))
+    // the torn rows are visible to a RAW read but must never reach a
+    // protocol reader: processShard repairs first
+    assert(tableRows(s"$torn/hashes.parquet") != tableRows(s"$clean/hashes.parquet"),
+      "test setup: the tear left no observable partial state")
+    // replay the batch (what a restarted stream does)
+    IncrementalDedup.updateIndexInPlace(spark, torn, shard, "doc_id", "text", batchId = Some(bid))
+    for (t <- Seq("hashes", "sigs", "bands", "shingles")) {
+      assert(tableRows(s"$torn/$t.parquet") == tableRows(s"$clean/$t.parquet"),
+        s"table $t after kill-replay diverged from the clean run")
+    }
+  }
+
+  test("dedup index replayed batch id is skipped: double append adds nothing") {
+    val d = docsDf
+    val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val idx = graft.util.TempDirs.scratch("ti_replay").toString
+    IncrementalDedup.buildIndex(old, "doc_id", "text", idx)
+    val bid = "s_replay_0001"
+    IncrementalDedup.updateIndexInPlace(spark, idx, shard, "doc_id", "text", batchId = Some(bid))
+    val after = tableRows(s"$idx/hashes.parquet")
+    IncrementalDedup.updateIndexInPlace(spark, idx, shard, "doc_id", "text", batchId = Some(bid))
+    assert(tableRows(s"$idx/hashes.parquet") == after,
+      "a replayed committed batch duplicated index rows")
+  }
+
+  private def embsDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id").as("id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+
+  test("ivf index kill-replay: torn encoded-only append rolls back; redo equals clean; replay skipped") {
+    val all = embsDf
+    val old = all.filter(pmod(col("id"), lit(7)) =!= 0)
+    val fresh = all.filter(pmod(col("id"), lit(7)) === 0)
+    val centroids = AnnSearch.kmeansCentroidsExact(old, 15, iters = 2)
+    val book = AnnSearch.pqBook(old, m = 32, stride = 10)
+    val clean = graft.util.TempDirs.scratch("ti_ivf_clean").toString
+    val torn = graft.util.TempDirs.scratch("ti_ivf_torn").toString
+    IvfIndex.build(old, centroids, book, clean)
+    IvfIndex.build(old, centroids, book, torn)
+    val bid = "s_ivf_kill_0001"
+    IvfIndex.appendInPlace(spark, clean, fresh, batchId = Some(bid))
+    // crash state: a slice of the shard's encoded rows moved live
+    // (under one cell dir), geometry rows absent, no marker — exactly
+    // the tear that would break the triangle bound if it were visible
+    tearBatch(torn, bid, "encoded.parquet/cell=0",
+      fresh.limit(3).select(col("id").as("n_id"), lit(Array[Byte](0, 0)).as("codes"),
+        lit(1.0).as("n_norm")))
+    IvfIndex.appendInPlace(spark, torn, fresh, batchId = Some(bid))
+    def norm(p: String) = tableRows(p)
+    assert(norm(s"$torn/encoded.parquet") == norm(s"$clean/encoded.parquet"),
+      "encoded rows after kill-replay diverged from the clean run")
+    assert(norm(s"$torn/geometry.parquet") == norm(s"$clean/geometry.parquet"),
+      "geometry rows after kill-replay diverged from the clean run")
+    // replaying the committed id is a no-op
+    IvfIndex.appendInPlace(spark, torn, fresh, batchId = Some(bid))
+    assert(norm(s"$torn/encoded.parquet") == norm(s"$clean/encoded.parquet"),
+      "a replayed committed batch duplicated encoded rows")
+  }
+
+  test("re-appending a tombstoned id throws until the index is compacted (both indexes)") {
+    import spark.implicits._
+    val old = Seq((1L, "some document body kept in the index for a while"),
+      (2L, "another unrelated body of text entirely")).toDF("doc_id", "text")
+    val idx = graft.util.TempDirs.scratch("ti_tomb_guard").toString
+    IncrementalDedup.buildIndex(old, "doc_id", "text", idx)
+    IncrementalDedup.deleteInPlace(spark, idx, Seq(1L).toDF("id"))
+    val again = Seq((1L, "a new life for a previously deleted id")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.updateIndexInPlace(spark, idx, again, "doc_id", "text")
+    }
+    // after the compact fold the id space is free again
+    val folded = graft.util.TempDirs.scratch("ti_tomb_guard_folded").toString
+    IncrementalDedup.compactIndex(spark, idx, folded)
+    IncrementalDedup.updateIndexInPlace(spark, folded, again, "doc_id", "text")
+    assert(spark.read.parquet(s"$folded/hashes.parquet").filter(col("id") === 1L).count() == 1)
+
+    val vecs = embsDf.limit(40)
+    val centroids = AnnSearch.kmeansCentroidsExact(vecs, 5, iters = 1)
+    val book = AnnSearch.pqBook(vecs, m = 32, stride = 3)
+    val ivf = graft.util.TempDirs.scratch("ti_tomb_guard_ivf").toString
+    IvfIndex.build(vecs, centroids, book, ivf)
+    IvfIndex.deleteInPlace(spark, ivf, vecs.limit(2).select("id"))
+    intercept[IllegalArgumentException] {
+      IvfIndex.appendInPlace(spark, ivf, vecs.limit(1))
+    }
+  }
+
+  test("compactIndex rewrites the corpus tables distributed: >1 files and >1 write tasks per table") {
+    val d = docsDf
+    val idx = graft.util.TempDirs.scratch("ti_compact").toString
+    IncrementalDedup.buildIndex(d, "doc_id", "text", idx)
+    import spark.implicits._
+    IncrementalDedup.deleteInPlace(spark, idx,
+      d.select(col("doc_id").cast("long").as("id")).limit(5))
+    val out = graft.util.TempDirs.scratch("ti_compact_out").toString
+    IncrementalDedup.compactIndex(spark, idx, out)
+    for (t <- Seq("hashes", "sigs", "shingles")) {
+      val files = parquetFiles(s"$out/$t.parquet")
+      // a single-task funnel (the pre-r12 coalesce(1)) produces exactly
+      // one file; the size-targeted repartition writes one per
+      // non-empty shuffle partition — the 100 TB-survivable shape
+      assert(files.size > 1,
+        s"compacted $t.parquet written by a single task (${files.size} file)")
+    }
+    // rows ≡ rebuild-over-remaining is pinned by IncrementalDedupSpec;
+    // re-assert here on the multi-file layout to tie the two together
+    val rebuilt = graft.util.TempDirs.scratch("ti_compact_rebuilt").toString
+    val removed = d.select(col("doc_id").cast("long").as("id")).limit(5)
+    IncrementalDedup.buildIndex(
+      d.join(removed.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_anti"),
+      "doc_id", "text", rebuilt)
+    assert(tableRows(s"$out/hashes.parquet") == tableRows(s"$rebuilt/hashes.parquet"),
+      "distributed compaction changed the surviving rows")
+  }
+
+  /** Two clusters 45° apart in dim 8; cluster 0 carries two OUTLIERS
+    * rotated 30° off its centroid AWAY from cluster 1 (so they stay
+    * assigned to cell 0 — 75° from c1 — while inflating cell 0's
+    * angular radius to ~0.52 rad). With θ(τ=0.9) ≈ 0.45 the stale
+    * triangle bound 0.785 ≤ r₀ + θτ then makes cell 0 a candidate for
+    * every cluster-1 query; the refreshed tight radius (~0.1) prunes
+    * it. Deterministic (id-keyed trig noise). */
+  private def clusteredFixture: (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val dim = 8
+    val inv = 1.0 / math.sqrt(2.0)
+    val c0 = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    val c1 = Array.tabulate(dim)(i => if (i == 0 || i == 1) inv else 0.0)
+    val out = Array.tabulate(dim)(i =>
+      if (i == 0) math.cos(math.Pi / 6) else if (i == 1) -math.sin(math.Pi / 6) else 0.0)
+    val rows = (0L until 60L).map { id =>
+      // 40%3=1, 44%3=2: both outliers land in the indexed generation
+      val base = if (id == 40L || id == 44L) out else if (id % 2 == 0) c0 else c1
+      val noise = if (id == 40L || id == 44L) 0.002 else 0.05
+      val v = base.indices.map(i => base(i) + noise * math.sin(id * 13.7 + i * 2.1)).toArray
+      (id, v)
+    }
+    val corpus = rows.toDF("id", "vec")
+    val cents = Seq((0L, c0.toSeq), (1L, c1.toSeq)).toDF("c_id", "c_vec")
+    (corpus, cents)
+  }
+
+  test("refreshGeometry re-tightens post-delete radii: candidates shrink, exactness carries") {
+    import spark.implicits._
+    val (corpus, cents) = clusteredFixture
+    val indexed = corpus.filter(pmod(col("id"), lit(3)) =!= 0)
+    val shard = corpus.filter(pmod(col("id"), lit(3)) === 0)
+    val book = AnnSearch.pqBook(indexed, m = 8, stride = 2)
+    val idx = graft.util.TempDirs.scratch("ti_geo").toString
+    IvfIndex.build(indexed, cents, book, idx)
+    // take down the outliers (both in the indexed generation)
+    IvfIndex.deleteInPlace(spark, idx, Seq(40L, 44L).toDF("id"))
+    val remaining = indexed.filter(!col("id").isin(40L, 44L))
+    def maxRadius(): Double = spark.read.parquet(s"$idx/geometry.parquet")
+      .agg(max("r")).collect()(0).getDouble(0)
+    def candCells(): Long =
+      IvfIndex.candidateCells(spark, idx, shard, tau = 0.9).count()
+    def brute(tau: Double): Set[(Long, Long)] = {
+      val vs = remaining.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val qs = shard.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      (for {
+        (qid, qv) <- qs; (nid, nv) <- vs if qid != nid
+        d = qv.indices.map(i => qv(i) * nv(i)).sum
+        s = d / (math.sqrt(qv.map(x => x * x).sum) * math.sqrt(nv.map(x => x * x).sum))
+        if s >= 0.9
+      } yield (qid, nid)).toSet
+    }
+    def got(): Set[(Long, Long)] =
+      IvfIndex.nearDupsExact(spark, idx, remaining, shard, tau = 0.9)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val staleR = maxRadius()
+    val staleCand = candCells()
+    val want = brute(0.9)
+    assert(want.nonEmpty, "degenerate fixture: no near pairs at tau=0.9")
+    assert(got() == want, "nearDupsExact wrong under stale radii")
+    IvfIndex.refreshGeometry(spark, idx, remaining)
+    assert(maxRadius() < staleR,
+      s"refresh did not tighten the outlier-inflated radius ($staleR -> ${maxRadius()})")
+    assert(candCells() < staleCand,
+      s"refresh did not shrink the candidate cell set ($staleCand -> ${candCells()})")
+    assert(got() == want, "nearDupsExact wrong after refreshGeometry")
+  }
+
+  test("geometry is an accelerator, never a gate: a geometry-less index stays exact (pi fallback)") {
+    import spark.implicits._
+    val (corpus, cents) = clusteredFixture
+    val indexed = corpus.filter(pmod(col("id"), lit(3)) =!= 0)
+    val shard = corpus.filter(pmod(col("id"), lit(3)) === 0)
+    val book = AnnSearch.pqBook(indexed, m = 8, stride = 2)
+    val idx = graft.util.TempDirs.scratch("ti_nogeo").toString
+    IvfIndex.build(indexed, cents, book, idx)
+    // simulate a pre-geometry legacy index / the refresh crash window
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$idx/geometry.parquet"))
+    val vs = indexed.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qs = shard.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val want = (for {
+      (qid, qv) <- qs; (nid, nv) <- vs if qid != nid
+      d = qv.indices.map(i => qv(i) * nv(i)).sum
+      s = d / (math.sqrt(qv.map(x => x * x).sum) * math.sqrt(nv.map(x => x * x).sum))
+      if s >= 0.9
+    } yield (qid, nid)).toSet
+    val got = IvfIndex.nearDupsExact(spark, idx, indexed, shard, tau = 0.9)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "geometry-less index lost exactness (pi fallback broken)")
+    // and maintenance ops on the geometry-less index must not throw
+    val out = graft.util.TempDirs.scratch("ti_nogeo_compact").toString
+    IvfIndex.compact(spark, idx, out)
+    assert(tableRows(s"$out/encoded.parquet") == tableRows(s"$idx/encoded.parquet"))
+  }
+
+  test("probe banding comes from index metadata: a mismatched caller parameter changes nothing") {
+    val d = docsDf
+    val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val idx = graft.util.TempDirs.scratch("ti_meta").toString
+    IncrementalDedup.buildIndex(old, "doc_id", "text", idx, k = 32, n = 3, bands = 8)
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    val right = rows(IncrementalDedup.processShard(spark, idx, shard, "doc_id", "text",
+      tau = 0.8, k = 32, bands = 8, n = 3))
+    // pre-r12 this silently mis-keyed the (band, bucket) join and lost
+    // near-dup candidates; now the index metadata wins
+    val mismatched = rows(IncrementalDedup.processShard(spark, idx, shard, "doc_id", "text",
+      tau = 0.8, k = 16, bands = 4, n = 2))
+    assert(mismatched == right,
+      "a caller's mismatched banding parameters leaked past the index metadata")
+  }
+}
