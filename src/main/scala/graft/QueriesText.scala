@@ -104,6 +104,23 @@ object QueriesText {
     cmsTopTable(spark, dir, graft.ops.CountMin.sketch(toks, "tok", CmsDepth, CmsWidth))
   }
 
+  /** The (ε, δ)-SIZED heavy-hitter gate ([[graft.ops.CountMin.dims]]):
+    * the caller states an accuracy contract — overcount ≤ ε·N with
+    * per-item failure probability ≤ δ — and the grid dims follow from
+    * the Cormode-Muthukrishnan formulas (ε=0.005, δ=0.01 → depth
+    * ⌈ln 100⌉ = 5, width ⌈e/0.005⌉ = 544). The oracle replays THAT
+    * derived grid from scratch, so a drift in the sizing arithmetic
+    * (not just the sketch) breaks the hash. */
+  private def heavyHittersEps(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val (depth, width) = graft.ops.CountMin.dims(CmsEps, CmsDelta)
+    cmsTopTable(spark, dir,
+      graft.ops.CountMin.sketchBounded(toks, "tok", CmsEps, CmsDelta), depth, width)
+  }
+
+  private val CmsEps = 0.005
+  private val CmsDelta = 0.01
+
   private val CmsDepth = 4
   private val CmsWidth = 1024
 
@@ -112,14 +129,15 @@ object QueriesText {
     * the est ≥ exact overcount bit. Shared by the batch and streaming
     * CMS rows — mergeable order-independent counters mean both sketches
     * are bit-identical, so both rows share one oracle. */
-  private def cmsTopTable(spark: SparkSession, dir: String, sk: DataFrame): DataFrame = {
+  private def cmsTopTable(spark: SparkSession, dir: String, sk: DataFrame,
+                          depth: Int = CmsDepth, width: Int = CmsWidth): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs(spark, dir).select(explode(TextOps.tokens(col("text"))).as("tok"))
     val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(desc("exact_cnt"), col("tok")).limit(20)
       .withColumn("rank",
         row_number().over(Window.orderBy(desc("exact_cnt"), col("tok"))).cast("long"))
-    val est = graft.ops.CountMin.estimate(sk, top, "tok", CmsDepth, CmsWidth)
+    val est = graft.ops.CountMin.estimate(sk, top, "tok", depth, width)
     top.join(est.select(col("item").as("tok"), col("est").as("est_cnt")), Seq("tok"))
       .select(col("rank"), col("tok").as("token"), col("exact_cnt"), col("est_cnt"),
         (col("est_cnt") >= col("exact_cnt")).as("overcount_ok"))
@@ -466,6 +484,35 @@ object QueriesText {
       graft.ml.IvfIndex.build(old, centroids, book, idxDir)
     }
     graft.ml.IvfIndex.nearDupsExact(spark, idxDir, old, shard, tau = 0.8)
+  }
+
+  /** The CHURNED-index form of [[dedupIncrementalEmb]], driver-gated:
+    * after the gen-1 index takes an O(delete-list) TOMBSTONE takedown
+    * (every indexed id ≡ 0 mod 5) its stored radii go stale-but-safe;
+    * [[graft.ml.IvfIndex.refreshGeometry]] then re-tightens them from
+    * the remaining float corpus, and the shard's exact τ=0.8 check
+    * runs through the refreshed geometry. The oracle re-derives the
+    * cross-pair set from scratch over the REMAINING corpus — a
+    * tombstoned vector resurfacing anywhere, or a refresh that
+    * tightened a radius below a live member's angle (the unsound
+    * direction), mismatches. Together with the TableIndexSpec pins
+    * (refreshed < stale, candidate cells shrink) this is the full
+    * churn lifecycle under an independent engine. */
+  private def dedupIncrementalEmbRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = clusteredEmbs(spark, dir)
+    val old = corpus.filter(pmod(col("id"), lit(3)) =!= 0)
+    val shard = corpus.filter(pmod(col("id"), lit(3)) === 0)
+    val remaining = old.filter(pmod(col("id"), lit(5)) =!= 0)
+    val idxDir = graft.util.TempDirs.memoized(s"ivf_idx_ref:$dir", "graft_ivf_ref").toString
+    if (!graft.util.TableIndex.anyCommitted(spark, idxDir)) {
+      val centroids = AnnSearch.kmeansCentroidsExact(old, 14, iters = 2)
+      val book = AnnSearch.pqBook(old, m = 32, stride = 10)
+      graft.ml.IvfIndex.build(old, centroids, book, idxDir)
+      graft.ml.IvfIndex.deleteInPlace(spark, idxDir,
+        old.filter(pmod(col("id"), lit(5)) === 0).select("id"))
+      graft.ml.IvfIndex.refreshGeometry(spark, idxDir, remaining)
+    }
+    graft.ml.IvfIndex.nearDupsExact(spark, idxDir, remaining, shard, tau = 0.8)
   }
 
   /** SemDeDup on the CLUSTERED corpus — components over the exact
@@ -2158,6 +2205,7 @@ object QueriesText {
     "token_counts" -> (tokenCounts _),
     "fingerprint" -> (fingerprint _),
     "heavy_hitters_cms" -> (heavyHittersCms _),
+    "heavy_hitters_eps" -> (heavyHittersEps _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "ann_topk_bf" -> (annTopKBf _),
     "ann_topk_ivf" -> (annTopKIvf _),
@@ -2171,6 +2219,7 @@ object QueriesText {
     "ann_topk_idx_delete" -> (annTopKIdxDelete _),
     "ann_topk_idx_tomb" -> (annTopKIdxTomb _),
     "dedup_incremental_emb" -> (dedupIncrementalEmb _),
+    "dedup_incremental_emb_refresh" -> (dedupIncrementalEmbRefresh _),
     "dedup_embedding_clu" -> (dedupEmbeddingClu _),
     "emb_near_pairs" -> (embNearPairs _),
     "emb_near_pairs_clu" -> (embNearPairsClu _),
@@ -2452,7 +2501,9 @@ object QueriesText {
   /** The CMS gate's from-scratch replay: exact top-20 counts AND the
     * full depth×width sketch (cells, estimates, overcount bit) — shared
     * by the batch and streaming rows. */
-  private val cmsOracle: String =
+  private def cmsOracle: String = cmsOracleFor(4, 1024)
+
+  private def cmsOracleFor(depth: Int, width: Int): String =
     """WITH t AS (
       |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
       |  FROM documents),
@@ -2461,20 +2512,21 @@ object QueriesText {
       |  SELECT tok, exact_cnt,
       |    CAST(row_number() OVER (ORDER BY exact_cnt DESC, tok) AS BIGINT) AS rank
       |  FROM ex QUALIFY rank <= 20),
-      |rr AS (SELECT unnest(range(0, 4)) AS r),
+      |rr AS (SELECT unnest(range(0, __DEPTH__)) AS r),
       |cells AS (
-      |  SELECT rr.r, ('0x' || substr(md5(rr.r::VARCHAR || '_' || t.tok), 1, 15))::BIGINT % 1024 AS cell,
+      |  SELECT rr.r, ('0x' || substr(md5(rr.r::VARCHAR || '_' || t.tok), 1, 15))::BIGINT % __WIDTH__ AS cell,
       |    count(*)::BIGINT AS c
       |  FROM t CROSS JOIN rr GROUP BY 1, 2),
       |est AS (
       |  SELECT top.tok, min(coalesce(cells.c, 0))::BIGINT AS est_cnt
       |  FROM top CROSS JOIN rr
       |  LEFT JOIN cells ON cells.r = rr.r
-      |   AND cells.cell = ('0x' || substr(md5(rr.r::VARCHAR || '_' || top.tok), 1, 15))::BIGINT % 1024
+      |   AND cells.cell = ('0x' || substr(md5(rr.r::VARCHAR || '_' || top.tok), 1, 15))::BIGINT % __WIDTH__
       |  GROUP BY top.tok)
       |SELECT top.rank, top.tok AS token, top.exact_cnt, est.est_cnt,
       |  est.est_cnt >= top.exact_cnt AS overcount_ok
       |FROM top JOIN est ON est.tok = top.tok""".stripMargin
+      .replace("__DEPTH__", depth.toString).replace("__WIDTH__", width.toString)
 
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeOracleSql(12),
@@ -3150,6 +3202,9 @@ object QueriesText {
     // row hash is the portable md5 form (the quality-classifier bucket
     // discipline applied to a sketch)
     "heavy_hitters_cms" -> cmsOracle,
+    // the (eps, delta)-sized grid: depth=ceil(ln(1/0.01))=5,
+    // width=ceil(e/0.005)=544 — the oracle replays the DERIVED dims
+    "heavy_hitters_eps" -> cmsOracleFor(5, 544),
     // the streamed sketch is bit-identical to the batch sketch
     // (order-independent mergeable counters) — same from-scratch oracle
     "stream_heavy_hitters" -> cmsOracle,
@@ -3327,6 +3382,21 @@ object QueriesText {
         |      FROM e JOIN c ON c.cid = e.vec_id % 20),
         |q AS (SELECT * FROM m WHERE id % 3 = 0),
         |o AS (SELECT * FROM m WHERE id % 3 <> 0)
+        |SELECT q.id AS q_id, o.id AS n_id,
+        |  round(list_inner_product(q.v, o.v) /
+        |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(o.v, o.v))), 6) AS sim
+        |FROM q JOIN o ON list_inner_product(q.v, o.v) /
+        |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(o.v, o.v))) >= 0.8""".stripMargin,
+    // the churned-index row: identical brute-force contract over the
+    // post-takedown corpus (indexed ids with id % 5 == 0 removed)
+    "dedup_incremental_emb_refresh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+        |m AS (SELECT e.vec_id AS id,
+        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+        |      FROM e JOIN c ON c.cid = e.vec_id % 20),
+        |q AS (SELECT * FROM m WHERE id % 3 = 0),
+        |o AS (SELECT * FROM m WHERE id % 3 <> 0 AND id % 5 <> 0)
         |SELECT q.id AS q_id, o.id AS n_id,
         |  round(list_inner_product(q.v, o.v) /
         |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(o.v, o.v))), 6) AS sim
