@@ -1,0 +1,225 @@
+package graft
+
+import graft.ml.{AnnSearch, IvfIndex}
+import graft.text.IncrementalDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Seeded random LIFECYCLE fuzzing of the two persisted indexes: a
+  * deterministic op sequence (append / tombstone delete / torn-append-
+  * then-replay / geometry refresh / compact) drives each index through
+  * states no single-purpose spec enumerates, and after EVERY step the
+  * index must answer its probe exactly like a from-scratch derivation
+  * over the model's live set. The fixed seeds make it CI-deterministic
+  * (the RandomizedPropertySpec discipline); the torn-append op plants
+  * the literal crash state (bid-prefixed live files + staging record,
+  * no marker) before replaying, so protocol rollback runs under every
+  * surrounding state the walk reaches, not just the one in
+  * TableIndexSpec. */
+class IndexLifecycleFuzzSpec extends SparkSpec {
+
+  private def parquetFiles(path: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val root = new java.io.File(path)
+    if (!root.exists()) Seq.empty else walk(root).filter(_.getName.endsWith(".parquet"))
+  }
+
+  /** Plant a mid-append crash: one table's slice moved live under the
+    * bid prefix, staging record present, no commit marker. */
+  private def tearBatch(indexDir: String, bid: String, table: String, rows: DataFrame): Unit = {
+    val tmp = graft.util.TempDirs.scratch("fuzz_torn").toString + "/t"
+    rows.write.mode("overwrite").parquet(tmp)
+    new java.io.File(s"$indexDir/_staging/$bid").mkdirs()
+    val part = parquetFiles(tmp).head
+    val dst = new java.io.File(s"$indexDir/$table/b_${bid}__${part.getName}")
+    dst.getParentFile.mkdirs()
+    assert(part.renameTo(dst), "fuzz setup: could not plant the torn file")
+  }
+
+  // ---------------------------------------------------------------
+  // Dedup index walk
+  // ---------------------------------------------------------------
+
+  /** 300-word vocabulary, 25–60-token docs — long enough that banded
+    * LSH recall at the planted J values is effectively certain (the
+    * fuzzer tests LIFECYCLE state, not banding probability; see the
+    * miss-probability arithmetic in the near-dup plant below). */
+  private def mkDoc(rng: scala.util.Random): String = {
+    val n = 25 + rng.nextInt(36)
+    (0 until n).map(_ => s"word${rng.nextInt(300)}").mkString(" ")
+  }
+
+  private def shingles(t: String): Set[String] =
+    t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+      .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty || b.isEmpty) 0.0
+    else a.intersect(b).size.toDouble / a.union(b).size
+
+  test("dedup index: random append/delete/tear/compact walks keep processShard == brute force (3 seeds)") {
+    import spark.implicits._
+    for (seed <- 1L to 3L) {
+      val rng = new scala.util.Random(seed)
+      // universe of appendable docs, ids unique across the walk
+      val universe = (0 until 60).map(i => (seed * 1000 + i, mkDoc(rng)))
+      var nextSlice = 0
+      var live = Map.empty[Long, String]
+      var dir = graft.util.TempDirs.scratch(s"fuzz_dedup_$seed").toString
+      // probe shard: exact copies of three universe docs, a one-token
+      // near-dup of a fourth (J ≈ 0.93+ on 25+-token docs → banded
+      // miss probability < 1e-4 with k=32/8 bands), and two novel docs
+      val probeBase = Seq(
+        (90001L, universe(0)._2),
+        (90002L, universe(7)._2),
+        (90003L, universe(13)._2),
+        (90004L, universe(21)._2.split(" ").dropRight(1).mkString(" ") + " zzz"),
+        (90005L, mkDoc(rng)),
+        (90006L, mkDoc(rng)))
+      val probeDf = probeBase.toDF("doc_id", "text")
+      // seed generation: first 10 docs
+      val first = universe.slice(0, 10)
+      IncrementalDedup.buildIndex(first.toDF("doc_id", "text"), "doc_id", "text", dir)
+      live ++= first
+      nextSlice = 10
+
+      def bruteDecisions(): Map[Long, (Boolean, Boolean, Boolean)] = {
+        def norm(t: String) = t.toLowerCase.trim.replaceAll("\\s+", " ")
+        val liveNorms = live.values.map(norm).toSet
+        val liveSh = live.values.map(shingles).toSeq
+        probeBase.sortBy(_._1).foldLeft(Map.empty[Long, (Boolean, Boolean, Boolean)]) {
+          case (acc, (id, text)) =>
+            val earlier = probeBase.filter(_._1 < id)
+            val de = liveNorms.contains(norm(text)) ||
+              earlier.exists(e => norm(e._2) == norm(text))
+            val sh = shingles(text)
+            val dn = liveSh.exists(s => jaccard(s, sh) >= 0.8) ||
+              earlier.exists(e => jaccard(shingles(e._2), sh) >= 0.8)
+            acc + (id -> ((de, dn, !de && !dn)))
+        }
+      }
+      def engineDecisions(): Map[Long, (Boolean, Boolean, Boolean)] =
+        IncrementalDedup.processShard(spark, dir, probeDf, "doc_id", "text", tau = 0.8)
+          .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))))
+          .toMap
+
+      for (step <- 1 to 6) {
+        val op = rng.nextInt(10)
+        if (op < 4 && nextSlice < universe.length) { // append
+          val batch = universe.slice(nextSlice, nextSlice + 5)
+          nextSlice += 5
+          IncrementalDedup.updateIndexInPlace(spark, dir, batch.toDF("doc_id", "text"),
+            "doc_id", "text", batchId = Some(s"fz_${seed}_$step"))
+          live ++= batch
+        } else if (op < 6 && live.size > 3) { // tombstone delete
+          val victims = rng.shuffle(live.keys.toSeq.sorted).take(1 + rng.nextInt(3))
+          IncrementalDedup.deleteInPlace(spark, dir, victims.toDF("id"))
+          live --= victims
+        } else if (op < 8 && nextSlice < universe.length) { // torn append, then replay
+          val batch = universe.slice(nextSlice, nextSlice + 4)
+          nextSlice += 4
+          val bid = s"fz_torn_${seed}_$step"
+          tearBatch(dir, bid, "hashes.parquet",
+            batch.take(2).toDF("doc_id", "text")
+              .select(col("doc_id").cast("long").as("id"),
+                xxhash64(graft.text.TextOps.normText(col("text"))).as("h")))
+          IncrementalDedup.updateIndexInPlace(spark, dir, batch.toDF("doc_id", "text"),
+            "doc_id", "text", batchId = Some(bid))
+          live ++= batch
+        } else { // compact into a fresh generation
+          val out = graft.util.TempDirs.scratch(s"fuzz_dedup_${seed}_c$step").toString
+          IncrementalDedup.compactIndex(spark, dir, out)
+          dir = out
+        }
+        val (got, want) = (engineDecisions(), bruteDecisions())
+        assert(got == want,
+          s"seed $seed step $step: engine decisions diverged from brute force\n" +
+            s"engine: ${got.toSeq.sortBy(_._1)}\nbrute:  ${want.toSeq.sortBy(_._1)}")
+      }
+      assert(live.nonEmpty)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // IVF index walk
+  // ---------------------------------------------------------------
+
+  /** Two clusters 45° apart in dim 8 (the TableIndexSpec geometry),
+    * universe vectors keyed by id with deterministic trig noise. */
+  private def mkVec(id: Long): Array[Double] = {
+    val dim = 8
+    val inv = 1.0 / math.sqrt(2.0)
+    val c = if (id % 2 == 0) Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    else Array.tabulate(dim)(i => if (i == 0 || i == 1) inv else 0.0)
+    c.indices.map(i => c(i) + 0.06 * math.sin(id * 13.7 + i * 2.1)).toArray
+  }
+
+  test("ivf index: random append/delete/refresh/tear/compact walks keep nearDupsExact == brute force (3 seeds)") {
+    import spark.implicits._
+    for (seed <- 11L to 13L) {
+      val rng = new scala.util.Random(seed)
+      val universe = (0 until 80).map(i => (seed * 10000 + i, mkVec(seed * 10000 + i)))
+      val shard = (0 until 12).map(i => (95000L + i, mkVec(95000L + i)))
+      val shardDf = shard.toDF("id", "vec")
+      var nextSlice = 0
+      var live = Map.empty[Long, Array[Double]]
+      var dir = graft.util.TempDirs.scratch(s"fuzz_ivf_$seed").toString
+      val first = universe.slice(0, 20)
+      val cents = Seq(
+        (0L, Seq(1.0, 0, 0, 0, 0, 0, 0, 0)),
+        (1L, Seq(1.0 / math.sqrt(2), 1.0 / math.sqrt(2), 0, 0, 0, 0, 0, 0))
+      ).toDF("c_id", "c_vec")
+      val book = AnnSearch.pqBook(first.toDF("id", "vec"), m = 8, stride = 2)
+      IvfIndex.build(first.toDF("id", "vec"), cents, book, dir)
+      live ++= first
+      nextSlice = 20
+
+      def brute(): Set[(Long, Long)] =
+        (for {
+          (qid, qv) <- shard; (nid, nv) <- live if qid != nid
+          d = qv.indices.map(i => qv(i) * nv(i)).sum
+          s = d / (math.sqrt(qv.map(x => x * x).sum) * math.sqrt(nv.map(x => x * x).sum))
+          if s >= 0.9
+        } yield (qid, nid)).toSet
+      def engine(): Set[(Long, Long)] =
+        IvfIndex.nearDupsExact(spark, dir, live.toSeq.toDF("id", "vec"), shardDf, tau = 0.9)
+          .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      for (step <- 1 to 6) {
+        val op = rng.nextInt(10)
+        if (op < 3 && nextSlice < universe.length) { // append
+          val batch = universe.slice(nextSlice, nextSlice + 8)
+          nextSlice += 8
+          IvfIndex.appendInPlace(spark, dir, batch.toDF("id", "vec"),
+            batchId = Some(s"fz_${seed}_$step"))
+          live ++= batch
+        } else if (op < 5 && live.size > 5) { // tombstone delete
+          val victims = rng.shuffle(live.keys.toSeq.sorted).take(1 + rng.nextInt(4))
+          IvfIndex.deleteInPlace(spark, dir, victims.toDF("id"))
+          live --= victims
+        } else if (op < 7) { // geometry refresh over the live corpus
+          IvfIndex.refreshGeometry(spark, dir, live.toSeq.toDF("id", "vec"))
+        } else if (op < 9 && nextSlice < universe.length) { // torn append, then replay
+          val batch = universe.slice(nextSlice, nextSlice + 5)
+          nextSlice += 5
+          val bid = s"fz_torn_${seed}_$step"
+          tearBatch(dir, bid, "encoded.parquet/cell=0",
+            batch.take(2).toDF("id", "vec")
+              .select(col("id").as("n_id"), lit(Array[Byte](0)).as("codes"), lit(1.0).as("n_norm")))
+          IvfIndex.appendInPlace(spark, dir, batch.toDF("id", "vec"), batchId = Some(bid))
+          live ++= batch
+        } else { // compact into a fresh generation
+          val out = graft.util.TempDirs.scratch(s"fuzz_ivf_${seed}_c$step").toString
+          IvfIndex.compact(spark, dir, out)
+          dir = out
+        }
+        val (got, want) = (engine(), brute())
+        assert(got == want,
+          s"seed $seed step $step: nearDupsExact diverged from brute force " +
+            s"(engine ${got.size} pairs, brute ${want.size})")
+        assert(want.nonEmpty, s"seed $seed step $step: degenerate walk — no true pairs left")
+      }
+    }
+  }
+}
