@@ -158,10 +158,26 @@ object Bpe {
     * deterministic (count desc, pair asc) merge sequence as the
     * distributed loop ([[graft.BpeSpec]] proves equality), without the
     * one-to-two Spark job waves per merge that make the distributed
-    * loop a ~50k-job non-starter at a 32k-merge vocabulary. */
-  def learnLocal(words: DataFrame, nMerges: Int): DataFrame = {
+    * loop a ~50k-job non-starter at a 32k-merge vocabulary.
+    *
+    * The collect is GUARDED (`maxWords`): the distinct-word table is
+    * normally thousands of times smaller than the corpus, but a
+    * pathological tokenization (unsplit CJK, binary noise, URLs kept
+    * whole) can make it corpus-sized, and an unguarded collect then
+    * OOMs the driver with an opaque heap dump instead of a named
+    * error. One cheap count over the (already tiny relative to the
+    * corpus) word table buys a diagnosable failure: filter low-count
+    * words first — a frequency floor is standard BPE practice and
+    * words below it can't win early merges at web scale — or raise
+    * the cap knowingly on a driver sized for it. */
+  def learnLocal(words: DataFrame, nMerges: Int, maxWords: Long = 20000000L): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
+    val n = words.count()
+    require(n <= maxWords,
+      s"learnLocal: distinct-word table has $n rows (> maxWords=$maxWords) — the driver-heap " +
+        "merge loop would OOM. Apply a frequency floor (cnt >= k) to the word table first, " +
+        "or raise maxWords on a driver provisioned for it.")
     val wc = words.select(col("word").cast("string"), col("cnt").cast("long"))
       .as[(String, Long)].collect()
     learnMergesLocal(wc, nMerges).toDF()

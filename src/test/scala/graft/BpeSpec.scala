@@ -181,6 +181,14 @@ class BpeSpec extends SparkSpec {
     assert(viaTyped == expect)
   }
 
+  test("learnLocal refuses a word table past its driver-heap cap with a named error") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = Bpe.wordCounts(d, "text")
+    val e = intercept[IllegalArgumentException](Bpe.learnLocal(words, 12, maxWords = 5L))
+    assert(e.getMessage.contains("frequency floor"),
+      s"guard fired without the remediation hint: ${e.getMessage}")
+  }
+
   test("encode paths agree on the sf0.001 fixture at N=12 and the typed path handles N=1000 shingle merges") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m12 = Bpe.learnLocal(Bpe.wordCounts(d, "text"), 12)
