@@ -216,11 +216,12 @@ object TableIndex {
   /** Enforce the "a tombstoned id must never be re-appended before a
     * compact" contract — violated, the stale tombstone would silently
     * suppress the new row from every search with no error. One
-    * broadcast-semi count against the (small) tombstone table; a no-op
-    * when no tombstones exist. */
+    * semi-join count against the tombstone table (no broadcast hint —
+    * deletion lists can be corpus-scale, the [[liveTable]] rule; AQE
+    * broadcasts small ones); a no-op when no tombstones exist. */
   def assertNotTombstoned(spark: SparkSession, dir: String, ids: DataFrame, keyCol: String): Unit =
     tombstones(spark, dir, keyCol).foreach { t =>
-      val clash = ids.select(col(keyCol)).join(broadcast(t), Seq(keyCol), "left_semi").limit(1).count()
+      val clash = ids.select(col(keyCol)).join(t, Seq(keyCol), "left_semi").limit(1).count()
       require(clash == 0L,
         s"append re-uses tombstoned ids (index $dir): compact the index first, " +
           "or the stale tombstone would silently suppress the re-appended rows")
