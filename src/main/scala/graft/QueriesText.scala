@@ -515,6 +515,48 @@ object QueriesText {
     graft.ml.IvfIndex.nearDupsExact(spark, idxDir, remaining, shard, tau = 0.8)
   }
 
+  /** ONLINE embedding dedup through the driver gate
+    * ([[graft.ml.IvfIndex.dedupStream]]): gen-1 seeds clusters 0–11
+    * only, the stream delivers all 20 clusters in two id-ordered
+    * micro-batches, and each batch is EXACT-checked (τ=0.8) against
+    * the current index + earlier-id batch peers before its survivors
+    * enter the index and float corpus. On this fixture the τ-graph is
+    * transitively closed inside each planted cluster (within ≥0.95,
+    * cross ≤0.4), so the batch-semantics decision reduces to the
+    * boundary-free form the oracle replays from scratch: dup iff a
+    * gen-1 vector or ANY smaller-id stream vector is within τ. The
+    * novel clusters 12–19 produce real keeps (first stream arrival per
+    * cluster) and real later rejections through the GROWN index —
+    * the online loop's whole point. Fresh scratch dirs per invocation
+    * (the stream mutates its index; memoizing would poison re-runs). */
+  private def streamDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = clusteredEmbs(spark, dir)
+    val old = corpus.filter(pmod(col("id"), lit(3)) =!= 0 && pmod(col("id"), lit(20)) < 12)
+    val arriving = corpus.filter(pmod(col("id"), lit(3)) === 0)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val idxDir = graft.util.TempDirs.scratch("graft_ivf_dstream").toString
+    val centroids = AnnSearch.kmeansCentroidsExact(old, 14, iters = 2)
+    val book = AnnSearch.pqBook(old, m = 32, stride = 10)
+    graft.ml.IvfIndex.build(old, centroids, book, idxDir)
+    val corpusDir = graft.util.TempDirs.scratch("graft_ivf_dstream_c").toString
+    graft.util.TableIndex.commitBatch(spark, corpusDir, "seed",
+      Seq(("vectors.parquet", old.select("id", "vec"), Seq.empty)))
+    val decDir = graft.util.TempDirs.scratch("graft_ivf_dstream_d").toString
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = graft.ml.IvfIndex.dedupStream(idxDir, corpusDir, mem.toDF().toDF("id", "vec"),
+      decDir, graft.util.TempDirs.scratch("graft_ivf_dstream_k").toString, tau = 0.8)
+    try {
+      val (h1, h2) = arriving.splitAt(arriving.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(s"$decDir/decisions.parquet")
+      .select(col("id").as("vec_id"), col("dup_emb"), col("kept"))
+  }
+
   /** SemDeDup on the CLUSTERED corpus — components over the exact
     * τ=0.8 closure, one row per duplicate cluster (kept min id +
     * size). Completes the clustered family's 1:1 mirror of the
@@ -2220,6 +2262,7 @@ object QueriesText {
     "ann_topk_idx_tomb" -> (annTopKIdxTomb _),
     "dedup_incremental_emb" -> (dedupIncrementalEmb _),
     "dedup_incremental_emb_refresh" -> (dedupIncrementalEmbRefresh _),
+    "stream_dedup_embedding" -> (streamDedupEmbedding _),
     "dedup_embedding_clu" -> (dedupEmbeddingClu _),
     "emb_near_pairs" -> (embNearPairs _),
     "emb_near_pairs_clu" -> (embNearPairsClu _),
@@ -3387,6 +3430,30 @@ object QueriesText {
         |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(o.v, o.v))), 6) AS sim
         |FROM q JOIN o ON list_inner_product(q.v, o.v) /
         |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(o.v, o.v))) >= 0.8""".stripMargin,
+    // the online-loop row: boundary-free form valid on the clique
+    // fixture (see streamDedupEmbedding's scaladoc) — dup iff a gen-1
+    // (clusters 0-11) vector or any smaller-id stream vector is within
+    // tau=0.8
+    "stream_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+        |m AS (SELECT e.vec_id AS id,
+        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+        |      FROM e JOIN c ON c.cid = e.vec_id % 20),
+        |o AS (SELECT * FROM m WHERE id % 3 <> 0 AND id % 20 < 12),
+        |q AS (SELECT * FROM m WHERE id % 3 = 0)
+        |SELECT q.id AS vec_id,
+        |  (EXISTS (SELECT 1 FROM o WHERE list_inner_product(o.v, q.v) /
+        |     (sqrt(list_inner_product(o.v, o.v)) * sqrt(list_inner_product(q.v, q.v))) >= 0.8)
+        |   OR EXISTS (SELECT 1 FROM m w WHERE w.id % 3 = 0 AND w.id < q.id
+        |     AND list_inner_product(w.v, q.v) /
+        |       (sqrt(list_inner_product(w.v, w.v)) * sqrt(list_inner_product(q.v, q.v))) >= 0.8)) AS dup_emb,
+        |  NOT (EXISTS (SELECT 1 FROM o WHERE list_inner_product(o.v, q.v) /
+        |     (sqrt(list_inner_product(o.v, o.v)) * sqrt(list_inner_product(q.v, q.v))) >= 0.8)
+        |   OR EXISTS (SELECT 1 FROM m w WHERE w.id % 3 = 0 AND w.id < q.id
+        |     AND list_inner_product(w.v, q.v) /
+        |       (sqrt(list_inner_product(w.v, w.v)) * sqrt(list_inner_product(q.v, q.v))) >= 0.8)) AS kept
+        |FROM q""".stripMargin,
     // the churned-index row: identical brute-force contract over the
     // post-takedown corpus (indexed ids with id % 5 == 0 removed)
     "dedup_incremental_emb_refresh" ->

@@ -216,6 +216,71 @@ object IvfIndex {
       .start()
   }
 
+  /** ONLINE embedding dedup — the [[graft.text.IncrementalDedup
+    * .dedupStream]] loop for vectors: each arriving micro-batch is
+    * checked EXACTLY (cosine ≥ τ, no recall knob) against the current
+    * index via [[nearDupsExact]] plus the earlier-id rule within its
+    * own batch ([[AnnSearch.cosineNearPairs]] — the text loop's batch
+    * semantics: a vector is rejected iff it near-dups an INDEXED
+    * vector or an earlier-id vector OF ITS OWN BATCH, so a rejected
+    * earlier vector rejects same-batch successors but not later-batch
+    * ones), and only the survivors enter the index.
+    *
+    * `corpusDir/vectors.parquet` is the loop's float source of truth:
+    * [[nearDupsExact]] scores candidates against floats, and the PQ
+    * index stores codes — so the loop maintains BOTH, appending each
+    * batch's survivors to the float table and the encoded index under
+    * the SAME checkpoint-salted batch id. Seed it with the indexed
+    * generation's (id, vec) rows before starting. Decisions land in
+    * `decisionsDir/decisions.parquet` (id, dup_emb, kept). All three
+    * writes are [[graft.util.TableIndex]] protocol commits, so a
+    * micro-batch replayed after a crash duplicates none of them —
+    * the already-committed writes skip, the torn ones roll back and
+    * redo. */
+  def dedupStream(indexDir: String, corpusDir: String, vecStream: DataFrame,
+                  decisionsDir: String, checkpointDir: String, tau: Double)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val salt = Integer.toHexString(checkpointDir.hashCode)
+    vecStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val bid = f"s${salt}_$batchId%010d"
+          val b = batch.toDF().localCheckpoint(true)
+          TableIndex.repair(spark, corpusDir)
+          val corpus = TableIndex.readTableIfExists(spark, corpusDir, "vectors.parquet")
+            .getOrElse(throw new IllegalStateException(
+              s"IvfIndex.dedupStream: $corpusDir/vectors.parquet missing — seed it with the " +
+                "indexed generation's float vectors before starting the stream"))
+          val dupIdx = nearDupsExact(spark, indexDir, corpus, b, tau)
+            .select(col("q_id").as("id")).distinct()
+          // within-batch earlier-id rule: exact pairs via the closure
+          // (the persisted centroids block it; exactness holds for ANY
+          // centroid table), rejecting the larger id of each pair
+          val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+          val dupBatch = AnnSearch.cosineNearPairs(b, centroids, tau)
+            .select(col("b").as("id")).distinct()
+          val decisions = b.select(col("id"))
+            .join(dupIdx.withColumn("di", lit(true)), Seq("id"), "left")
+            .join(dupBatch.withColumn("db", lit(true)), Seq("id"), "left")
+            .select(col("id"),
+              (coalesce(col("di"), lit(false)) || coalesce(col("db"), lit(false))).as("dup_emb"))
+            .withColumn("kept", !col("dup_emb"))
+            .localCheckpoint(true)
+          TableIndex.commitBatch(spark, decisionsDir, bid,
+            Seq(("decisions.parquet", decisions, Seq.empty)))
+          val survivors = b.join(decisions.filter(col("kept")).select("id"), Seq("id"))
+            .localCheckpoint(true)
+          TableIndex.commitBatch(spark, corpusDir, bid,
+            Seq(("vectors.parquet", survivors, Seq.empty)))
+          appendInPlace(spark, indexDir, survivors, batchId = Some(bid))
+        }
+      }
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** Remove vectors by id — the index-maintenance half of a dedup or
     * takedown decision: once a pipeline drops documents, their vectors
     * must leave the index or every later probe re-surfaces them. A

@@ -127,6 +127,79 @@ class IvfIndexSpec extends SparkSpec {
       "streamed index rows depend on micro-batch boundaries or lost a batch")
   }
 
+  test("dedupStream: decisions match the batch-semantics model, index equals a rebuild over the survivors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two clusters 45° apart (the TableIndexSpec geometry) so τ=0.9
+    // within-cluster pairs are guaranteed and cross pairs are absent
+    val dim = 8
+    val inv = 1.0 / math.sqrt(2.0)
+    def mkVec(id: Long): Array[Double] = {
+      // ids >= 100 with id % 5 == 0 form a THIRD cluster (e2) absent
+      // from the seed — genuinely novel arrivals the loop must KEEP
+      // (first of them per batch) while rejecting their later dups
+      val c = if (id >= 100 && id % 5 == 0) Array.tabulate(dim)(i => if (i == 2) 1.0 else 0.0)
+      else if (id % 2 == 0) Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+      else Array.tabulate(dim)(i => if (i == 0 || i == 1) inv else 0.0)
+      c.indices.map(i => c(i) + 0.06 * math.sin(id * 13.7 + i * 2.1)).toArray
+    }
+    val seed = (0L until 20L).map(id => (id, mkVec(id)))
+    val arriving = (100L until 130L).map(id => (id, mkVec(id)))
+    val cents = Seq(
+      (0L, Seq(1.0, 0, 0, 0, 0, 0, 0, 0)),
+      (1L, Seq(inv, inv, 0, 0, 0, 0, 0, 0))).toDF("c_id", "c_vec")
+    val book = AnnSearch.pqBook(seed.toDF("id", "vec"), m = 8, stride = 2)
+    val idx = graft.util.TempDirs.scratch("ivf_dstream").toString
+    IvfIndex.build(seed.toDF("id", "vec"), cents, book, idx)
+    val corpusDir = graft.util.TempDirs.scratch("ivf_dstream_corpus").toString
+    graft.util.TableIndex.commitBatch(spark, corpusDir, "seed",
+      Seq(("vectors.parquet", seed.toDF("id", "vec"), Seq.empty)))
+    val decDir = graft.util.TempDirs.scratch("ivf_dstream_dec").toString
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = IvfIndex.dedupStream(idx, corpusDir, mem.toDF().toDF("id", "vec"),
+      decDir, graft.util.TempDirs.scratch("ivf_dstream_ckpt").toString, tau = 0.9)
+    val batches = arriving.grouped(10).toSeq
+    try {
+      batches.foreach { b => mem.addData(b.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // model: kept(v) iff no cosine>=τ match in (accepted-so-far index)
+    // and no earlier-id match WITHIN ITS OWN BATCH (regardless of that
+    // earlier vector's own fate) — the documented batch semantics
+    def sim(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    var accepted = seed.toVector
+    val model = scala.collection.mutable.Map.empty[Long, Boolean]
+    for (b <- batches) {
+      val kept = b.filter { case (id, v) =>
+        val dupIdx = accepted.exists { case (aid, av) => aid != id && sim(av, v) >= 0.9 }
+        val dupBatch = b.exists { case (wid, wv) => wid < id && sim(wv, v) >= 0.9 }
+        val k = !dupIdx && !dupBatch
+        model(id) = k
+        k
+      }
+      accepted ++= kept
+    }
+    val got = spark.read.parquet(s"$decDir/decisions.parquet")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == model.toMap,
+      s"streamed dedup decisions diverged from the batch-semantics model\n$got\nvs\n${model.toMap}")
+    assert(model.values.exists(identity) && model.values.exists(!_),
+      "degenerate fixture: decisions are all-kept or all-rejected")
+    // the loop's output state is replayable: index rows == a build over
+    // (seed ∪ stream survivors), float corpus == the accepted set
+    val rebuilt = graft.util.TempDirs.scratch("ivf_dstream_rebuilt").toString
+    IvfIndex.build(accepted.toDF("id", "vec"), cents, book, rebuilt)
+    def tableSorted(path: String): Seq[String] =
+      spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    assert(tableSorted(s"$idx/encoded.parquet") == tableSorted(s"$rebuilt/encoded.parquet"),
+      "streamed index rows are not replayable from scratch over the survivors")
+    assert(spark.read.parquet(s"$corpusDir/vectors.parquet").count() == accepted.length,
+      "float corpus table diverged from the accepted set")
+  }
+
   test("delete(ids) is bit-identical to rebuilding over the remaining corpus") {
     val all = embsDf
     val centroids = AnnSearch.kmeansCentroidsExact(all, 15, iters = 2)
