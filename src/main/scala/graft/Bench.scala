@@ -492,6 +492,11 @@ object Bench {
       // build + training (both memoized per dir); steady cells measure
       // the per-shard cadence cost a production pipeline re-pays
       "corpus_pipeline_v8",
+      // r12: the MULTIMODAL generation loop — v8's cadence plus the
+      // exact embedding gate against the persisted gen-1 IVF index.
+      // First pass pays both index builds + training (memoized per
+      // dir); steady cells measure the three-gate per-shard cost
+      "corpus_pipeline_v9",
       // r11: Count-Min heavy hitters — exact top-20 verification side
       // (one token groupBy, TakeOrdered) plus the depth×width sketch
       // (one partial-aggregated exchange into ≤4096 rows). The cell

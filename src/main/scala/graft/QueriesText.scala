@@ -842,6 +842,86 @@ object QueriesText {
         sum(col("doc_id")).as("id_sum"))
   }
 
+  /** Capstone v9 — the MULTIMODAL generation loop: v8's cadence with
+    * the EMBEDDING gate folded in. A new shard (doc_id % 3 == 0,
+    * restricted to documents that HAVE an embedding — at sf0.1 the
+    * fixture ships 5k docs but 2k vectors, and the oracle applies the
+    * same inner join) arrives against the gen-1 corpus and passes
+    * three gates in pipeline order, cheap-to-expensive:
+    *  1. TEXT dedup vs a PERSISTED incremental index over the gen-1
+    *     documents (exact hash + LSH candidates + τ=0.8 Jaccard
+    *     verify — the `dedup_incremental` machinery on a %3 split),
+    *  2. EMBEDDING dedup vs a PERSISTED gen-1 IVF index
+    *     ([[graft.ml.IvfIndex.nearDupsExact]], exact τ=0.8 cosine, no
+    *     recall knob; gen-1 vectors span clusters 0–11 only, so the
+    *     shard carries genuinely novel semantic clusters the gate must
+    *     pass): a text-novel document whose embedding near-dups an
+    *     indexed one is a SEMANTIC duplicate (SemDeDup's premise) and
+    *     is dropped,
+    *  3. the LEARNED quality gate trained on gen-1 ONLY (bit-exact
+    *     integer LMS, %3 split — no peeking at the shard).
+    * Rollup per source over the text survivors: final count, the
+    * classifier-kept count, how many the embedding gate removed, and
+    * the id_sum checksum. ONE from-scratch oracle replays all three
+    * gates (norm-equality + all-pairs shingle Jaccard + brute-force
+    * cosine + the unrolled 16-iteration training chain). */
+  private def corpusPipelineV9(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val emb = clusteredEmbs(spark, dir)
+    val base = d.join(emb.select(col("id").as("doc_id")), Seq("doc_id")).localCheckpoint(false)
+    val gen1 = base.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val shard = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+    // gate 1: text dedup (fresh %3-split index — dedup_incremental's
+    // memoized index is the %4 split)
+    val tIdx = graft.util.TempDirs.memoized(s"incr_idx3:$dir", "graft_incr_idx3").toString
+    if (!graft.util.TableIndex.anyCommitted(spark, tIdx))
+      IncrementalDedup.buildIndex(gen1, "doc_id", "text", tIdx)
+    val textKept = IncrementalDedup.processShard(spark, tIdx, shard, "doc_id", "text", tau = 0.8)
+      .filter(col("kept")).select(col("id").as("doc_id"))
+    val survivorsText = shard.join(textKept, Seq("doc_id")).localCheckpoint(false)
+    // gate 2: embedding dedup vs the gen-1 IVF index. Gen-1's vectors
+    // are restricted to clusters 0-11 (id % 20 < 12) so the fixture
+    // carries NOVEL semantic clusters (12-19) the gate must pass —
+    // with all 20 clusters seeded, every shard vector near-dups gen-1
+    // and the gate is vacuously total (measured before this split)
+    val old = emb.filter(pmod(col("id"), lit(3)) =!= 0 && pmod(col("id"), lit(20)) < 12)
+    val eIdx = graft.util.TempDirs.memoized(s"ivf_idx_gen1c12:$dir", "graft_ivf_g1c12").toString
+    if (!graft.util.TableIndex.anyCommitted(spark, eIdx)) {
+      val centroids = AnnSearch.kmeansCentroidsExact(old, 14, iters = 2)
+      val book = AnnSearch.pqBook(old, m = 32, stride = 10)
+      graft.ml.IvfIndex.build(old, centroids, book, eIdx)
+    }
+    val qVecs = emb.join(survivorsText.select(col("doc_id").as("id")), Seq("id"))
+    val dupVec = graft.ml.IvfIndex.nearDupsExact(spark, eIdx, old, qVecs, tau = 0.8)
+      .select(col("q_id").as("doc_id")).distinct().localCheckpoint(false)
+    // gate 3: gen-1-trained classifier, scored over the text survivors
+    // (the rollup only reads scores where the embedding gate kept)
+    val w = qualityClfWeightsGen1Mod3(spark, dir)
+    val scores = QualityClassifier.score(
+      QualityClassifier.features(survivorsText, "doc_id", "text"), w)
+    survivorsText.select(col("doc_id"), col("source"))
+      .join(dupVec.withColumn("dv", lit(true)), Seq("doc_id"), "left")
+      .join(scores.select(col("id").as("doc_id"), col("score")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("dv").isNull, 1L).otherwise(0L)).as("n_final"),
+        sum(when(col("dv").isNull && col("score") > 500000L, 1L).otherwise(0L)).as("n_clf_kept"),
+        sum(when(col("dv").isNotNull, 1L).otherwise(0L)).as("n_vec_dup"),
+        sum(when(col("dv").isNull, col("doc_id")).otherwise(lit(0L))).as("id_sum"))
+  }
+
+  /** v9's classifier: trained on the %3-split gen-1 generation (the
+    * v8 weights are the %4 split). Separate memo key. */
+  private def qualityClfWeightsGen1Mod3(spark: SparkSession, dir: String): Array[Long] =
+    clfWeightsCache.computeIfAbsent(s"gen1m3:$dir", { _ =>
+      val d = docs(spark, dir).filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val feats = QualityClassifier.features(d, "doc_id", "text")
+      val labels = TextOps.withQuality(d.select(col("doc_id"), col("text")), col("text"))
+        .select(col("doc_id").cast("long").as("id"),
+          when(col("quality") >= 0.5, lit(1000000L)).otherwise(lit(0L)).as("y"))
+      QualityClassifier.train(feats, labels, iters = 16, lrDen = 100L)
+    })
+
   /** Streaming exact-dedup parity: the first-seen-wins stateful dedup
     * over a deterministic MemoryStream feed (docs in doc_id order, two
     * micro-batches), checked against the batch `min(doc_id) GROUP BY
@@ -2239,6 +2319,7 @@ object QueriesText {
     "quality_clf_train" -> (qualityClfTrain _),
     "corpus_pipeline_v7" -> (corpusPipelineV7 _),
     "corpus_pipeline_v8" -> (corpusPipelineV8 _),
+    "corpus_pipeline_v9" -> (corpusPipelineV9 _),
     "quality_clf_score" -> (qualityClfScore _),
     "dedup_simhash" -> (dedupSimhash _),
     "ngram_jaccard" -> (ngramJaccard _),
@@ -3168,6 +3249,56 @@ object QueriesText {
         |  sum(surv.doc_id)::BIGINT AS id_sum
         |FROM surv JOIN sc ON sc.id = surv.doc_id
         |GROUP BY surv.source""".stripMargin),
+    // v9 = v8's generation loop + the EMBEDDING gate: text dedup chain
+    // (%3 split, restricted to docs with embeddings) -> brute-force
+    // cosine gate vs gen-1 vectors -> gen-1-trained classifier chain ->
+    // per-source rollup with the vec-dup count and id_sum checksum
+    "corpus_pipeline_v9" ->
+      (shingleCte + """,
+        |bd AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id),
+        |nt AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM bd),
+        |ex AS (
+        |  SELECT n.doc_id FROM nt n WHERE n.doc_id % 3 = 0 AND EXISTS (
+        |    SELECT 1 FROM nt o WHERE o.t = n.t AND (o.doc_id % 3 <> 0 OR o.doc_id < n.doc_id))),
+        |nr AS (
+        |  SELECT DISTINCT b.doc_id FROM sh b JOIN sh a
+        |    ON b.doc_id % 3 = 0
+        |   AND (a.doc_id % 3 <> 0 OR a.doc_id < b.doc_id)
+        |   AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |  WHERE b.doc_id IN (SELECT doc_id FROM bd) AND a.doc_id IN (SELECT doc_id FROM bd)),
+        |tk AS MATERIALIZED (
+        |  SELECT bd.doc_id, bd.source, bd.text FROM bd
+        |  WHERE bd.doc_id % 3 = 0
+        |    AND bd.doc_id NOT IN (SELECT doc_id FROM ex)
+        |    AND bd.doc_id NOT IN (SELECT doc_id FROM nr)),
+        |ee AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |cc AS (SELECT vec_id AS cid, v AS cv FROM ee WHERE vec_id < 20),
+        |mm AS (SELECT ee.vec_id AS id,
+        |        list_transform(generate_series(1, len(ee.v)), i -> cc.cv[i] + 0.15 * ee.v[i]) AS v
+        |      FROM ee JOIN cc ON cc.cid = ee.vec_id % 20),
+        |vd AS (
+        |  SELECT DISTINCT q.id AS doc_id FROM mm q JOIN mm o
+        |    ON o.id % 3 <> 0 AND o.id % 20 < 12 AND o.id <> q.id
+        |   AND list_inner_product(q.v, o.v) /
+        |     (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(o.v, o.v))) >= 0.8
+        |  WHERE q.id IN (SELECT doc_id FROM tk)),
+        |""".stripMargin + clfChainBody(16, "WHERE doc_id % 3 <> 0") + """,
+        |sf9 AS (
+        |  SELECT id, (('0x' || substr(md5(g), 1, 15))::BIGINT % 1024) AS j, count(*)::BIGINT AS x
+        |  FROM (SELECT id, unnest(list_concat(w,
+        |          list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1]))) AS g
+        |        FROM (SELECT doc_id AS id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |              FROM tk)) GROUP BY 1, 2
+        |  UNION ALL SELECT doc_id AS id, 1024::BIGINT AS j, 1::BIGINT AS x FROM tk),
+        |sc9 AS (SELECT sf9.id, sum(w16.wt * sf9.x)::BIGINT AS score FROM sf9 JOIN w16 ON w16.j = sf9.j GROUP BY sf9.id)
+        |SELECT tk.source,
+        |  sum(CASE WHEN vd.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_final,
+        |  sum(CASE WHEN vd.doc_id IS NULL AND sc9.score > 500000 THEN 1 ELSE 0 END)::BIGINT AS n_clf_kept,
+        |  sum(CASE WHEN vd.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_vec_dup,
+        |  sum(CASE WHEN vd.doc_id IS NULL THEN tk.doc_id ELSE 0 END)::BIGINT AS id_sum
+        |FROM tk LEFT JOIN vd ON vd.doc_id = tk.doc_id
+        |JOIN sc9 ON sc9.id = tk.doc_id
+        |GROUP BY tk.source""".stripMargin),
     "dedup_minhash_lsh" ->
       (shingleCte +
         """
