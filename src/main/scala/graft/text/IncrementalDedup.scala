@@ -128,10 +128,15 @@ object IncrementalDedup {
   }
 
   /** Append a processed shard's SURVIVORS to an index: reads `indexDir`,
-    * writes `outDir` = old index rows ∪ the survivors' index rows.
-    * Bit-identical to `buildIndex` over (old corpus ∪ survivors) —
-    * IncrementalDedupSpec pins the equality, the persistence discipline
-    * that keeps generation state replayable. */
+    * writes `outDir` = old LIVE index rows ∪ the survivors' index rows.
+    * Carried-over rows pass the tombstone anti-join — a generation copy
+    * that re-materialized tombstoned rows WITHOUT the tombstone table
+    * that suppressed them would silently resurrect every deleted
+    * document in the new generation (the copy is also a fold point,
+    * like [[compactIndex]]). Bit-identical to `buildIndex` over
+    * (live old corpus ∪ survivors) — IncrementalDedupSpec pins the
+    * equality, the persistence discipline that keeps generation state
+    * replayable. */
   def updateIndex(spark: SparkSession, indexDir: String, survivors: DataFrame,
                   idCol: String, textCol: String, outDir: String,
                   k: Int = 32, n: Int = 3, bands: Int = 8): Unit = {
@@ -144,17 +149,21 @@ object IncrementalDedup {
       Map("k" -> kk.toString, "n" -> nn.toString, "bands" -> bb.toString))
     TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("gen"), Seq(
       ("hashes.parquet",
-        spark.read.parquet(s"$indexDir/hashes.parquet").unionByName(fresh("hashes.parquet")),
+        liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/hashes.parquet"))
+          .unionByName(fresh("hashes.parquet")),
         Seq.empty),
       ("sigs.parquet",
-        spark.read.parquet(s"$indexDir/sigs.parquet").unionByName(fresh("sigs.parquet")),
+        liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/sigs.parquet"))
+          .unionByName(fresh("sigs.parquet")),
         Seq.empty),
       ("bands.parquet",
-        spark.read.parquet(s"$indexDir/bands.parquet").withColumn("bp", col("bp").cast("long"))
+        liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/bands.parquet")
+            .withColumn("bp", col("bp").cast("long")))
           .unionByName(fresh("bands.parquet")),
         Seq("bp")),
       ("shingles.parquet",
-        spark.read.parquet(s"$indexDir/shingles.parquet").unionByName(fresh("shingles.parquet")),
+        liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/shingles.parquet"))
+          .unionByName(fresh("shingles.parquet")),
         Seq.empty)))
     ()
   }

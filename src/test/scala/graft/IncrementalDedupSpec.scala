@@ -272,6 +272,38 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("updateIndex is a tombstone fold point: a deleted doc does not resurrect in the next generation") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark query planning internals")
+    ).toDF("doc_id", "text")
+    val gen1 = graft.util.TempDirs.scratch("incr_fold_gen1").toString
+    IncrementalDedup.buildIndex(old, "doc_id", "text", gen1)
+    IncrementalDedup.deleteInPlace(spark, gen1, Seq(1L).toDF("id"))
+    val survivors = Seq((50L, "a fresh survivor document from the shard just processed"))
+      .toDF("doc_id", "text")
+    val gen2 = graft.util.TempDirs.scratch("incr_fold_gen2").toString
+    IncrementalDedup.updateIndex(spark, gen1, survivors, "doc_id", "text", gen2)
+    // the copied generation holds only LIVE rows and no tombstone table
+    assert(!new java.io.File(s"$gen2/tombstones.parquet").exists(),
+      "generation copy carried the tombstone table forward")
+    assert(spark.read.parquet(s"$gen2/hashes.parquet").filter(col("id") === 1L).count() == 0,
+      "generation copy resurrected a tombstoned document's rows")
+    // and a dup of the deleted doc is KEPT against the new generation
+    val probe = Seq((100L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val got = IncrementalDedup.processShard(spark, gen2, probe, "doc_id", "text", tau = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got(100L), "a dup of the deleted doc was rejected by the copied generation")
+    // equality: gen2 == a from-scratch build over (live old ∪ survivors)
+    val rebuilt = graft.util.TempDirs.scratch("incr_fold_rebuilt").toString
+    IncrementalDedup.buildIndex(
+      old.filter(col("doc_id") =!= 1L).unionByName(survivors), "doc_id", "text", rebuilt)
+    for (t <- Seq("hashes", "sigs", "bands", "shingles"))
+      assert(tableSorted(s"$gen2/$t.parquet") == tableSorted(s"$rebuilt/$t.parquet"),
+        s"folded generation table $t diverged from the rebuild over live docs")
+  }
+
   test("updateIndex(survivors) is bit-identical to rebuilding the index from the union") {
     val d = docsDf
     val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
