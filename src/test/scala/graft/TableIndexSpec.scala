@@ -146,6 +146,34 @@ class TableIndexSpec extends SparkSpec {
     }
   }
 
+  test("ivf generation-copy append is a tombstone fold point: deleted vectors do not resurrect") {
+    import spark.implicits._
+    val all = embsDf
+    val old = all.filter(pmod(col("id"), lit(7)) =!= 0)
+    val fresh = all.filter(pmod(col("id"), lit(7)) === 0)
+    val centroids = AnnSearch.kmeansCentroidsExact(old, 15, iters = 2)
+    val book = AnnSearch.pqBook(old, m = 32, stride = 10)
+    val gen1 = graft.util.TempDirs.scratch("ti_fold_gen1").toString
+    IvfIndex.build(old, centroids, book, gen1)
+    val dropped = old.filter(pmod(col("id"), lit(3)) === 0).select("id")
+    IvfIndex.deleteInPlace(spark, gen1, dropped)
+    val gen2 = graft.util.TempDirs.scratch("ti_fold_gen2").toString
+    IvfIndex.append(spark, gen1, fresh, gen2)
+    assert(!new java.io.File(s"$gen2/tombstones.parquet").exists(),
+      "generation copy carried the tombstone table forward")
+    val droppedIds = dropped.as[Long].collect().toSet
+    val gen2Ids = spark.read.parquet(s"$gen2/encoded.parquet")
+      .select("n_id").as[Long].collect().toSet
+    assert(droppedIds.nonEmpty && droppedIds.forall(!gen2Ids.contains(_)),
+      "generation copy resurrected tombstoned vectors")
+    // rows == rebuild over (live old ∪ fresh)
+    val rebuilt = graft.util.TempDirs.scratch("ti_fold_rebuilt").toString
+    IvfIndex.build(old.filter(pmod(col("id"), lit(3)) =!= 0).unionByName(fresh),
+      centroids, book, rebuilt)
+    assert(tableRows(s"$gen2/encoded.parquet") == tableRows(s"$rebuilt/encoded.parquet"),
+      "folded generation encoded rows diverged from the rebuild over live vectors")
+  }
+
   test("compactIndex rewrites the corpus tables distributed: >1 files and >1 write tasks per table") {
     val d = docsDf
     val idx = graft.util.TempDirs.scratch("ti_compact").toString
