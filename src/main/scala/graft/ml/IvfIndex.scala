@@ -459,7 +459,15 @@ object IvfIndex {
     * for the exact score; only candidate-cell members are ever scored.
     * Within-shard pairs are out of scope (run
     * [[AnnSearch.cosineNearPairs]] on the shard itself; generations
-    * partition the id space so the two pair sets are disjoint). */
+    * partition the id space so the two pair sets are disjoint).
+    *
+    * Contract: `corpus` must cover every LIVE indexed id — the float
+    * join is the scoring step, so an indexed id missing from `corpus`
+    * silently loses its pairs (the one place this operator can be
+    * wrong by mis-use rather than fail loud; a per-call subset check
+    * would cost a corpus-wide join on the hot path). [[dedupStream]]
+    * side-steps the foot-gun by maintaining its own float table in
+    * lock-step with the index. */
   def nearDupsExact(spark: SparkSession, indexDir: String, corpus: DataFrame,
                     newVecs: DataFrame, tau: Double): DataFrame = {
     TableIndex.repair(spark, indexDir)

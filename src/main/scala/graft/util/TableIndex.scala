@@ -48,8 +48,15 @@ import org.apache.spark.sql.functions._
   * requirement Spark's own FileOutputCommitter has.
   *
   * Single-writer discipline (one appender per index directory) is
-  * assumed, as everywhere in the index family; readers may run
-  * concurrently with nothing staged.
+  * assumed, as everywhere in the index family. Readers must not
+  * overlap an IN-FLIGHT commit either: moved files become visible to
+  * plain parquet reads before the marker seals the batch, so a read
+  * racing the move phase can observe a cross-table torn prefix (and a
+  * concurrent [[repair]] would roll the writer's live batch back).
+  * Serialize reads behind the writer — the posture of every
+  * non-transactional Hive-layout table; full MVCC would need
+  * manifest-based file listing, which plain-parquet readers cannot
+  * apply.
   */
 object TableIndex {
 
