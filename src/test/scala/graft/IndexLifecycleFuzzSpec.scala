@@ -66,6 +66,10 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
       val universe = (0 until 60).map(i => (seed * 1000 + i, mkDoc(rng)))
       var nextSlice = 0
       var live = Map.empty[Long, String]
+      // every id whose rows should be ON DISK (tombstoned rows stay
+      // until a compact folds them) — the torn-leftover detector:
+      // a failed rollback leaves duplicate rows for a replayed id
+      var tableIds = Set.empty[Long]
       var dir = graft.util.TempDirs.scratch(s"fuzz_dedup_$seed").toString
       // probe shard: exact copies of three universe docs, a one-token
       // near-dup of a fourth (J ≈ 0.93+ on 25+-token docs → banded
@@ -82,6 +86,7 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
       val first = universe.slice(0, 10)
       IncrementalDedup.buildIndex(first.toDF("doc_id", "text"), "doc_id", "text", dir)
       live ++= first
+      tableIds ++= first.map(_._1)
       nextSlice = 10
 
       def bruteDecisions(): Map[Long, (Boolean, Boolean, Boolean)] = {
@@ -112,6 +117,7 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
           IncrementalDedup.updateIndexInPlace(spark, dir, batch.toDF("doc_id", "text"),
             "doc_id", "text", batchId = Some(s"fz_${seed}_$step"))
           live ++= batch
+          tableIds ++= batch.map(_._1)
         } else if (op < 6 && live.size > 3) { // tombstone delete
           val victims = rng.shuffle(live.keys.toSeq.sorted).take(1 + rng.nextInt(3))
           IncrementalDedup.deleteInPlace(spark, dir, victims.toDF("id"))
@@ -120,18 +126,39 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
           val batch = universe.slice(nextSlice, nextSlice + 4)
           nextSlice += 4
           val bid = s"fz_torn_${seed}_$step"
-          tearBatch(dir, bid, "hashes.parquet",
-            batch.take(2).toDF("doc_id", "text")
-              .select(col("doc_id").cast("long").as("id"),
+          // the crash can land mid-write of ANY table: rotate which one
+          // carries the torn slice (rollback must find it wherever it is)
+          val slice = batch.take(2).toDF("doc_id", "text")
+          rng.nextInt(3) match {
+            case 0 => tearBatch(dir, bid, "hashes.parquet",
+              slice.select(col("doc_id").cast("long").as("id"),
                 xxhash64(graft.text.TextOps.normText(col("text"))).as("h")))
+            case 1 => tearBatch(dir, bid, "shingles.parquet",
+              slice.select(col("doc_id").cast("long").as("id"),
+                expr("array(xxhash64(text))").as("shh")))
+            case _ => tearBatch(dir, bid, s"bands.parquet/bp=${rng.nextInt(64)}",
+              slice.select(col("doc_id").cast("long").as("id"),
+                lit(rng.nextInt(8).toLong).as("band"), lit(rng.nextLong()).as("bucket")))
+          }
           IncrementalDedup.updateIndexInPlace(spark, dir, batch.toDF("doc_id", "text"),
             "doc_id", "text", batchId = Some(bid))
           live ++= batch
+          tableIds ++= batch.map(_._1)
         } else { // compact into a fresh generation
           val out = graft.util.TempDirs.scratch(s"fuzz_dedup_${seed}_c$step").toString
           IncrementalDedup.compactIndex(spark, dir, out)
           dir = out
+          tableIds = live.keySet
         }
+        // torn-leftover detector: one hashes row per on-disk id, no
+        // duplicates (a failed rollback leaves the torn slice BESIDE
+        // the replay's rows — invisible to the set-semantics decision
+        // checks, visible as a row-count excess here)
+        val hids = spark.read.parquet(s"$dir/hashes.parquet")
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(hids.sorted == tableIds.toSeq.sorted,
+          s"seed $seed step $step: hashes table ids diverged from the model " +
+            s"(${hids.length} rows vs ${tableIds.size} expected) — torn rollback leftovers?")
         val (got, want) = (engineDecisions(), bruteDecisions())
         assert(got == want,
           s"seed $seed step $step: engine decisions diverged from brute force\n" +
@@ -164,6 +191,7 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
       val shardDf = shard.toDF("id", "vec")
       var nextSlice = 0
       var live = Map.empty[Long, Array[Double]]
+      var tableIds = Set.empty[Long]
       var dir = graft.util.TempDirs.scratch(s"fuzz_ivf_$seed").toString
       val first = universe.slice(0, 20)
       val cents = Seq(
@@ -173,6 +201,7 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
       val book = AnnSearch.pqBook(first.toDF("id", "vec"), m = 8, stride = 2)
       IvfIndex.build(first.toDF("id", "vec"), cents, book, dir)
       live ++= first
+      tableIds ++= first.map(_._1)
       nextSlice = 20
 
       def brute(): Set[(Long, Long)] =
@@ -194,6 +223,7 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
           IvfIndex.appendInPlace(spark, dir, batch.toDF("id", "vec"),
             batchId = Some(s"fz_${seed}_$step"))
           live ++= batch
+          tableIds ++= batch.map(_._1)
         } else if (op < 5 && live.size > 5) { // tombstone delete
           val victims = rng.shuffle(live.keys.toSeq.sorted).take(1 + rng.nextInt(4))
           IvfIndex.deleteInPlace(spark, dir, victims.toDF("id"))
@@ -204,16 +234,31 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
           val batch = universe.slice(nextSlice, nextSlice + 5)
           nextSlice += 5
           val bid = s"fz_torn_${seed}_$step"
-          tearBatch(dir, bid, "encoded.parquet/cell=0",
-            batch.take(2).toDF("id", "vec")
-              .select(col("id").as("n_id"), lit(Array[Byte](0)).as("codes"), lit(1.0).as("n_norm")))
+          // rotate the torn table: encoded (the corpus table) or
+          // geometry (whose torn absence the batch commit must prevent
+          // — visible encoded-without-geometry would break the bound)
+          if (rng.nextBoolean())
+            tearBatch(dir, bid, "encoded.parquet/cell=0",
+              batch.take(2).toDF("id", "vec")
+                .select(col("id").as("n_id"), lit(Array[Byte](0)).as("codes"), lit(1.0).as("n_norm")))
+          else
+            tearBatch(dir, bid, "geometry.parquet",
+              batch.take(1).toDF("id", "vec")
+                .select(lit(0L).as("cell"), lit(0.0).as("r")))
           IvfIndex.appendInPlace(spark, dir, batch.toDF("id", "vec"), batchId = Some(bid))
           live ++= batch
+          tableIds ++= batch.map(_._1)
         } else { // compact into a fresh generation
           val out = graft.util.TempDirs.scratch(s"fuzz_ivf_${seed}_c$step").toString
           IvfIndex.compact(spark, dir, out)
           dir = out
+          tableIds = live.keySet
         }
+        val nids = spark.read.parquet(s"$dir/encoded.parquet")
+          .select("n_id").collect().map(_.getLong(0)).toSeq
+        assert(nids.sorted == tableIds.toSeq.sorted,
+          s"seed $seed step $step: encoded table ids diverged from the model " +
+            s"(${nids.length} rows vs ${tableIds.size} expected) — torn rollback leftovers?")
         val (got, want) = (engine(), brute())
         assert(got == want,
           s"seed $seed step $step: nearDupsExact diverged from brute force " +
