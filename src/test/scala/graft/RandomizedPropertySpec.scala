@@ -217,4 +217,47 @@ class RandomizedPropertySpec extends SparkSpec {
         s"seed $seed: closure diverged from brute force (missing ${want -- got}, extra ${got -- want})")
     }
   }
+
+  test("grams12 == naive unigram+bigram model on random token arrays incl. sizes 0/1/2 (4 seeded cases)") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val word = Gen.oneOf((1 to 15).map(i => s"t$i"))
+    val arrGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+    for (seed <- 1L to 4L) {
+      // force the edge sizes into every case: empty, singleton, pair
+      val arrays = Seq(List.empty[String], List("solo"), List("a", "b")) ++
+        (0 until 12).map(i => sample(arrGen, seed * 100 + i))
+      val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "w")
+      val got = df.select(col("id"), TextOps.grams12(col("w")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      val want = arrays.zipWithIndex.map { case (a, i) =>
+        i.toLong -> (a ++ a.zip(a.drop(1)).map { case (x, y) => s"${x}_$y" })
+      }.toMap
+      assert(got == want, s"seed $seed: grams12 diverged from the naive model")
+    }
+  }
+
+  test("CMS sized from (eps, delta): deterministic lower bound holds, eps*N breach rate <= delta (4 seeded cases)") {
+    import spark.implicits._
+    import graft.ops.CountMin
+    val alphabet = Gen.oneOf((1 to 60).map(i => s"tok$i"))
+    val streamGen = Gen.chooseNum(200, 600).flatMap(n => Gen.listOfN(n, alphabet))
+    for (seed <- 21L to 24L) {
+      val toks = sample(streamGen, seed)
+      val (eps, delta) = (0.05, 0.05)
+      val (depth, width) = CountMin.dims(eps, delta)
+      val df = toks.toDF("tok")
+      val sk = CountMin.sketchBounded(df, "tok", eps, delta)
+      val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      val est = CountMin.estimate(sk, exact.keys.toSeq.toDF("tok"), "tok", depth, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = toks.length
+      for ((t, c) <- exact)
+        assert(est(t) >= c, s"seed $seed: sized CMS undercounted '$t'")
+      val breaches = exact.count { case (t, c) => est(t) - c > eps * n }
+      assert(breaches.toDouble / exact.size <= delta,
+        s"seed $seed: breach rate ${breaches.toDouble / exact.size} > delta=$delta " +
+          s"(depth=$depth width=$width n=$n)")
+    }
+  }
 }
