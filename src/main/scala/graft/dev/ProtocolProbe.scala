@@ -1,0 +1,50 @@
+package graft.dev
+
+import graft.text.IncrementalDedup
+import graft.util.TableIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures what the TableIndex commit protocol costs on top of the
+  * writes it wraps: per-append wall (stage + move + marker for the
+  * four dedup-index tables), files moved per batch, and the read-side
+  * repair() tax (one FS existence check when nothing is staged) —
+  * the numbers behind SCALE.md's "fast path costs one existence
+  * check" claim. */
+object ProtocolProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .appName("protocol-probe")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val gen1 = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val idx = graft.util.TempDirs.scratch("protocol_probe").toString
+    IncrementalDedup.buildIndex(gen1, "doc_id", "text", idx)
+    def files(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idx)).count(_.getName.endsWith(".parquet"))
+    }
+    var prev = files()
+    for (k <- 1 to 4) {
+      val shard = d.filter(pmod(col("doc_id"), lit(5)) === k)
+      val t0 = System.nanoTime()
+      IncrementalDedup.updateIndexInPlace(spark, idx, shard, "doc_id", "text",
+        batchId = Some(f"probe_$k%02d"))
+      val wall = (System.nanoTime() - t0) / 1e6
+      val now = files()
+      println(f"append $k: wall=$wall%8.1f ms  filesMoved=${now - prev}%4d")
+      prev = now
+    }
+    // read-side tax: repair() with nothing staged, amortized
+    val reps = 2000
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < reps) { TableIndex.repair(spark, idx); i += 1 }
+    println(f"repair (no-op): ${(System.nanoTime() - t0) / 1e3 / reps}%8.1f us/call over $reps calls")
+    spark.stop()
+  }
+}
