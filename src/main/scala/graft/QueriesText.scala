@@ -486,6 +486,30 @@ object QueriesText {
     graft.ml.IvfIndex.nearDupsExact(spark, idxDir, old, shard, tau = 0.8)
   }
 
+  /** The SELF-CONTAINED form of [[dedupIncrementalEmb]], driver-gated:
+    * the gen-1 index is built with `storeFloats = true` (the IVFFlat
+    * trade — vectors live IN the index, cell-partitioned like the code
+    * rows) and the shard's exact τ=0.8 check runs with an EMPTY corpus
+    * argument: every float the scoring needs comes from the index's
+    * own partition-pruned float table, so no flat-corpus scan exists
+    * anywhere in the probe. Same brute-force oracle as the
+    * corpus-backed row — the two forms must be indistinguishable in
+    * their answers, differing only in where the floats are read. */
+  private def dedupIncrementalEmbSelf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = clusteredEmbs(spark, dir)
+    val old = corpus.filter(pmod(col("id"), lit(3)) =!= 0)
+    val shard = corpus.filter(pmod(col("id"), lit(3)) === 0)
+    val idxDir = graft.util.TempDirs.memoized(s"ivf_idx_gen1f:$dir", "graft_ivf_g1f").toString
+    if (!graft.util.TableIndex.anyCommitted(spark, idxDir)) {
+      val centroids = AnnSearch.kmeansCentroidsExact(old, 14, iters = 2)
+      val book = AnnSearch.pqBook(old, m = 32, stride = 10)
+      graft.ml.IvfIndex.build(old, centroids, book, idxDir, storeFloats = true)
+    }
+    val emptyCorpus = Seq.empty[(Long, Array[Double])].toDF("id", "vec")
+    graft.ml.IvfIndex.nearDupsExact(spark, idxDir, emptyCorpus, shard, tau = 0.8)
+  }
+
   /** The CHURNED-index form of [[dedupIncrementalEmb]], driver-gated:
     * after the gen-1 index takes an O(delete-list) TOMBSTONE takedown
     * (every indexed id ≡ 0 mod 5) its stored radii go stale-but-safe;
@@ -2343,6 +2367,7 @@ object QueriesText {
     "ann_topk_idx_tomb" -> (annTopKIdxTomb _),
     "dedup_incremental_emb" -> (dedupIncrementalEmb _),
     "dedup_incremental_emb_refresh" -> (dedupIncrementalEmbRefresh _),
+    "dedup_incremental_emb_self" -> (dedupIncrementalEmbSelf _),
     "stream_dedup_embedding" -> (streamDedupEmbedding _),
     "dedup_embedding_clu" -> (dedupEmbeddingClu _),
     "emb_near_pairs" -> (embNearPairs _),
@@ -3585,6 +3610,22 @@ object QueriesText {
         |     AND list_inner_product(w.v, q.v) /
         |       (sqrt(list_inner_product(w.v, w.v)) * sqrt(list_inner_product(q.v, q.v))) >= 0.8)) AS kept
         |FROM q""".stripMargin,
+    // the self-contained (floats-bearing) row: identical contract to
+    // dedup_incremental_emb — the engine passes an EMPTY corpus and
+    // reads every float from the index's own cell-pruned table
+    "dedup_incremental_emb_self" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+        |m AS (SELECT e.vec_id AS id,
+        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+        |      FROM e JOIN c ON c.cid = e.vec_id % 20),
+        |q AS (SELECT * FROM m WHERE id % 3 = 0),
+        |o AS (SELECT * FROM m WHERE id % 3 <> 0)
+        |SELECT q.id AS q_id, o.id AS n_id,
+        |  round(list_inner_product(q.v, o.v) /
+        |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(o.v, o.v))), 6) AS sim
+        |FROM q JOIN o ON list_inner_product(q.v, o.v) /
+        |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(o.v, o.v))) >= 0.8""".stripMargin,
     // the churned-index row: identical brute-force contract over the
     // post-takedown corpus (indexed ids with id % 5 == 0 removed)
     "dedup_incremental_emb_refresh" ->

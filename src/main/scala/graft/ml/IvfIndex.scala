@@ -67,7 +67,8 @@ object IvfIndex {
     * per-shard maxes; readers take max over rows), deletions leave
     * them stale-but-larger — one-sided safe, candidates can only
     * widen, never drop; [[refreshGeometry]] re-tightens them. */
-  def build(corpus: DataFrame, centroids: DataFrame, book: PqBook, outDir: String): Unit = {
+  def build(corpus: DataFrame, centroids: DataFrame, book: PqBook, outDir: String,
+            storeFloats: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     TableIndex.wipe(spark, outDir)
     TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("base"), Seq(
@@ -76,9 +77,39 @@ object IvfIndex {
         Seq.empty),
       ("book.parquet", bookRows(spark, book), Seq.empty),
       ("encoded.parquet", encode(corpus, centroids, book), Seq("cell")),
-      ("geometry.parquet", cellRadii(corpus, centroids), Seq.empty)))
+      ("geometry.parquet", cellRadii(corpus, centroids), Seq.empty))
+      ++ (if (storeFloats) Seq(("floats.parquet", floatRows(corpus, centroids), Seq("cell")))
+          else Seq.empty))
     ()
   }
+
+  /** The opt-in FLOAT table (cell, n_id, vec), cell-PARTITIONED like
+    * `encoded` — the IVFFlat-style self-contained index. Without it,
+    * [[nearDupsExact]] and [[search]] join the caller's flat corpus
+    * for exact scoring, and at 100 TB that join's corpus-side SCAN is
+    * a full pass per shard (candidates prune the JOIN, nothing prunes
+    * a flat table's scan). With it, the candidate fetch partition-
+    * prunes to the candidate/probed cells exactly like the code scan —
+    * per-shard float IO proportional to the candidate cells, not the
+    * corpus. Cost: the index stores a second copy of the vectors
+    * (raw-corpus-sized — the FAISS IVFFlat trade, paid knowingly via
+    * `storeFloats`). */
+  private def floatRows(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = AnnSearch.collectCentroids(centroids)
+    corpus.select(
+      graft.functions.NearestCells.topCells(col("vec"), cents, 1).getItem(0).as("cell"),
+      col("id").as("n_id"),
+      col("vec").cast("array<double>").as("vec"))
+  }
+
+  /** The LIVE float table, if this index stores one: cell re-widened,
+    * tombstones applied — partition filters stacked on top still push
+    * to the scan (the [[loadEncoded]] discipline). */
+  private[graft] def loadFloats(spark: SparkSession, indexDir: String): Option[DataFrame] =
+    TableIndex.readTableIfExists(spark, indexDir, "floats.parquet").map { raw =>
+      TableIndex.liveTable(spark, indexDir,
+        raw.withColumn("cell", col("cell").cast("long")), "n_id")
+    }
 
   private def bookRows(spark: SparkSession, book: PqBook): DataFrame = {
     import spark.implicits._
@@ -147,6 +178,8 @@ object IvfIndex {
     val geometry = TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")
       .fold(freshRadii)(old => old.unionByName(freshRadii))
       .groupBy("cell").agg(max("r").as("r"))
+    val floats = loadFloats(spark, indexDir).map(f =>
+      ("floats.parquet", f.unionByName(floatRows(newVectors, centroids)), Seq("cell")))
     TableIndex.wipe(spark, outDir)
     TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("gen"), Seq(
       ("centroids.parquet", spark.read.parquet(s"$indexDir/centroids.parquet"), Seq.empty),
@@ -154,7 +187,7 @@ object IvfIndex {
       ("encoded.parquet",
         loadEncoded(spark, indexDir).unionByName(encode(newVectors, centroids, book)),
         Seq("cell")),
-      ("geometry.parquet", geometry, Seq.empty)))
+      ("geometry.parquet", geometry, Seq.empty)) ++ floats)
     ()
   }
 
@@ -182,10 +215,17 @@ object IvfIndex {
       newVectors.select(col("id").cast("long").as("n_id")), "n_id")
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val book = loadBook(spark, indexDir)
-    // per-shard maxes appended; readers normalize with a max over rows
+    // per-shard maxes appended; readers normalize with a max over rows.
+    // A floats-bearing index gets the shard's float rows in the SAME
+    // commit — encoded-without-floats would silently lose the new
+    // vectors from every exact-scoring path.
+    val floats =
+      if (TableIndex.readTableIfExists(spark, indexDir, "floats.parquet").isDefined)
+        Seq(("floats.parquet", floatRows(newVectors, centroids), Seq("cell")))
+      else Seq.empty
     TableIndex.commitBatch(spark, indexDir, bid, Seq(
       ("encoded.parquet", encode(newVectors, centroids, book), Seq("cell")),
-      ("geometry.parquet", cellRadii(newVectors, centroids), Seq.empty)))
+      ("geometry.parquet", cellRadii(newVectors, centroids), Seq.empty)) ++ floats)
     ()
   }
 
@@ -299,6 +339,10 @@ object IvfIndex {
     // legacy index simply carries none (readers π-default).
     val geometry = TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")
       .map(g => ("geometry.parquet", g.groupBy("cell").agg(max("r").as("r")), Seq.empty[String]))
+    val floats = loadFloats(spark, indexDir).map(f =>
+      ("floats.parquet",
+        f.join(ids.select(col("id").cast("long").as("n_id")), Seq("n_id"), "left_anti"),
+        Seq("cell")))
     TableIndex.wipe(spark, outDir)
     TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("del"), Seq(
       ("centroids.parquet", spark.read.parquet(s"$indexDir/centroids.parquet"), Seq.empty),
@@ -306,7 +350,7 @@ object IvfIndex {
       ("encoded.parquet",
         loadEncoded(spark, indexDir)
           .join(ids.select(col("id").cast("long").as("n_id")), Seq("n_id"), "left_anti"),
-        Seq("cell"))) ++ geometry)
+        Seq("cell"))) ++ geometry ++ floats)
     ()
   }
 
@@ -347,12 +391,14 @@ object IvfIndex {
     TableIndex.repair(spark, indexDir)
     val geometry = TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")
       .map(g => ("geometry.parquet", g.groupBy("cell").agg(max("r").as("r")), Seq.empty[String]))
+    val floats = loadFloats(spark, indexDir).map(f =>
+      ("floats.parquet", f.repartition(col("cell")), Seq("cell")))
     TableIndex.wipe(spark, outDir)
     TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("compact"), Seq(
       ("centroids.parquet", spark.read.parquet(s"$indexDir/centroids.parquet"), Seq.empty),
       ("book.parquet", spark.read.parquet(s"$indexDir/book.parquet"), Seq.empty),
       ("encoded.parquet", loadEncoded(spark, indexDir).repartition(col("cell")), Seq("cell"))
-    ) ++ geometry)
+    ) ++ geometry ++ floats)
     ()
   }
 
@@ -473,10 +519,19 @@ object IvfIndex {
     TableIndex.repair(spark, indexDir)
     val cand = candidateCells(spark, indexDir, newVecs, tau).localCheckpoint(false)
     val candCells = cand.select("cell").distinct().collect().map(_.getLong(0)).toSeq
-    val members = probedEncoded(spark, indexDir, candCells).select("cell", "n_id")
-    cand.join(members, Seq("cell"))
-      .join(corpus.select(col("id").as("n_id"), col("vec").cast("array<double>").as("n_vec")),
-        Seq("n_id"))
+    // float source for exact scoring: a floats-bearing index serves
+    // its OWN vectors partition-pruned to the candidate cells (no
+    // corpus scan at all — `corpus` is ignored); otherwise the
+    // caller's flat corpus joins by id (one corpus-side projection
+    // scan per shard — the reason `storeFloats` exists)
+    val memberVecs = loadFloats(spark, indexDir) match {
+      case Some(f) => f.filter(col("cell").isInCollection(candCells))
+        .select(col("cell"), col("n_id"), col("vec").cast("array<double>").as("n_vec"))
+      case None => probedEncoded(spark, indexDir, candCells).select("cell", "n_id")
+        .join(corpus.select(col("id").as("n_id"), col("vec").cast("array<double>").as("n_vec")),
+          Seq("n_id"))
+    }
+    cand.join(memberVecs, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       // try_divide, no coalesce: a zero-norm side yields null sim,
       // which fails ≥ τ — a zero vector pairs with nothing (and a
@@ -520,8 +575,16 @@ object IvfIndex {
       .select("q_id", "n_id")
     val q = broadcast(queries.select(
       col("id").as("q_id"), col("vec").as("q_vec"), AnnSearch.norm(col("vec")).as("q_norm")))
+    // exact re-rank floats: from the index's own cell-pruned float
+    // table when it carries one (shortlist members live in probed
+    // cells by construction), else the caller's corpus
+    val rerankVecs = loadFloats(spark, indexDir) match {
+      case Some(f) => f.filter(col("cell").isInCollection(probedCells))
+        .select(col("n_id"), col("vec").as("n_vec"))
+      case None => corpus.select(col("id").as("n_id"), col("vec").as("n_vec"))
+    }
     broadcast(shortIds)
-      .join(corpus.select(col("id").as("n_id"), col("vec").as("n_vec")), Seq("n_id"))
+      .join(rerankVecs, Seq("n_id"))
       .join(q, Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         round(AnnSearch.dot(col("q_vec"), col("n_vec"))

@@ -270,6 +270,75 @@ class TableIndexSpec extends SparkSpec {
     assert(got() == want, "nearDupsExact wrong after refreshGeometry")
   }
 
+  test("floats-bearing index is self-contained: no corpus scan, lifecycle carries floats, scan pruned") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    val (corpus, cents) = clusteredFixture
+    val gen1 = corpus.filter(pmod(col("id"), lit(3)) === 1)
+    val gen2 = corpus.filter(pmod(col("id"), lit(3)) === 2)
+    val shard = corpus.filter(pmod(col("id"), lit(3)) === 0)
+    val book = AnnSearch.pqBook(gen1, m = 8, stride = 2)
+    val idx = graft.util.TempDirs.scratch("ti_floats").toString
+    IvfIndex.build(gen1, cents, book, idx, storeFloats = true)
+    IvfIndex.appendInPlace(spark, idx, gen2) // floats must ride the same commit
+    val emptyCorpus = Seq.empty[(Long, Array[Double])].toDF("id", "vec")
+    def brute(liveIds: Long => Boolean): Set[(Long, Long)] = {
+      val vs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .filter { case (id, _) => id % 3 != 0 && liveIds(id) }.toMap
+      val qs = shard.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      (for {
+        (qid, qv) <- qs; (nid, nv) <- vs if qid != nid
+        d = qv.indices.map(i => qv(i) * nv(i)).sum
+        s = d / (math.sqrt(qv.map(x => x * x).sum) * math.sqrt(nv.map(x => x * x).sum))
+        if s >= 0.9
+      } yield (qid, nid)).toSet
+    }
+    // the corpus argument is IGNORED: exact answers from the index alone
+    val got = IvfIndex.nearDupsExact(spark, idx, emptyCorpus, shard, tau = 0.9)
+    val gotSet = got.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSet == brute(_ => true),
+      "floats-bearing nearDupsExact with an empty corpus diverged from brute force")
+    assert(gotSet.nonEmpty)
+    // the float scan is partition-pruned by the candidate cells
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scans(r.child)
+      case s: FileSourceScanExec    => Seq(s)
+      case other                    => other.children.flatMap(scans)
+    }
+    val floatScans = scans(got.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("floats.parquet"))
+    assert(floatScans.nonEmpty, "no floats.parquet scan in the self-contained probe")
+    assert(floatScans.forall(_.metadata.getOrElse("PartitionFilters", "").contains("cell")),
+      s"float scan not partition-pruned: ${floatScans.map(_.metadata)}")
+    // tombstones apply to the float path too
+    IvfIndex.deleteInPlace(spark, idx, Seq(40L).toDF("id")) // indexed outlier (40 % 3 == 1)
+    val gotAfter = IvfIndex.nearDupsExact(spark, idx, emptyCorpus, shard, tau = 0.9)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotAfter == brute(_ != 40L),
+      "tombstone not applied on the float path")
+    // search: self-contained result == a plain index's corpus-backed result
+    val plain = graft.util.TempDirs.scratch("ti_floats_plain").toString
+    IvfIndex.build(gen1, cents, book, plain)
+    IvfIndex.appendInPlace(spark, plain, gen2)
+    IvfIndex.deleteInPlace(spark, plain, Seq(40L).toDF("id"))
+    val indexed = gen1.unionByName(gen2).filter(col("id") =!= 40L)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(
+      rowsOf(IvfIndex.search(spark, idx, emptyCorpus, shard, k = 3, nprobe = 2, shortlist = 20)) ==
+        rowsOf(IvfIndex.search(spark, plain, indexed, shard, k = 3, nprobe = 2, shortlist = 20)),
+      "self-contained search diverged from the corpus-backed search")
+    // compact carries the float table (rows identical, tombstones folded)
+    val folded = graft.util.TempDirs.scratch("ti_floats_folded").toString
+    IvfIndex.compact(spark, idx, folded)
+    val foldedFloats = spark.read.parquet(s"$folded/floats.parquet")
+      .select("n_id").as[Long].collect().toSet
+    assert(!foldedFloats.contains(40L) && foldedFloats.nonEmpty,
+      "compaction lost or failed to fold the float table")
+  }
+
   test("geometry is an accelerator, never a gate: a geometry-less index stays exact (pi fallback)") {
     import spark.implicits._
     val (corpus, cents) = clusteredFixture
