@@ -321,6 +321,53 @@ object IvfIndex {
       .start()
   }
 
+  /** [[dedupStream]] against a FLOATS-BEARING index (built with
+    * `storeFloats = true`): no side float-corpus directory to seed or
+    * maintain — the index itself serves every float the exact scoring
+    * needs (partition-pruned to the candidate cells), and each batch's
+    * surviving float rows ride [[appendInPlace]]'s atomic commit. The
+    * operationally simpler production form; the corpus-backed overload
+    * remains for indexes that must not duplicate vector storage.
+    * Throws at start if the index carries no float table. */
+  def dedupStream(indexDir: String, vecStream: DataFrame,
+                  decisionsDir: String, checkpointDir: String, tau: Double)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val salt = Integer.toHexString(checkpointDir.hashCode)
+    vecStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          require(loadFloats(spark, indexDir).isDefined,
+            s"IvfIndex.dedupStream (self-contained form): $indexDir carries no floats table — " +
+              "build with storeFloats = true, or use the corpus-backed overload")
+          val bid = f"s${salt}_$batchId%010d"
+          val b = batch.toDF().localCheckpoint(true)
+          import spark.implicits._
+          val emptyCorpus = Seq.empty[(Long, Array[Double])].toDF("id", "vec")
+          val dupIdx = nearDupsExact(spark, indexDir, emptyCorpus, b, tau)
+            .select(col("q_id").as("id")).distinct()
+          val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+          val dupBatch = AnnSearch.cosineNearPairs(b, centroids, tau)
+            .select(col("b").as("id")).distinct()
+          val decisions = b.select(col("id"))
+            .join(dupIdx.withColumn("di", lit(true)), Seq("id"), "left")
+            .join(dupBatch.withColumn("db", lit(true)), Seq("id"), "left")
+            .select(col("id"),
+              (coalesce(col("di"), lit(false)) || coalesce(col("db"), lit(false))).as("dup_emb"))
+            .withColumn("kept", !col("dup_emb"))
+            .localCheckpoint(true)
+          TableIndex.commitBatch(spark, decisionsDir, bid,
+            Seq(("decisions.parquet", decisions, Seq.empty)))
+          val survivors = b.join(decisions.filter(col("kept")).select("id"), Seq("id"))
+            .localCheckpoint(true)
+          appendInPlace(spark, indexDir, survivors, batchId = Some(bid))
+        }
+      }
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** Remove vectors by id — the index-maintenance half of a dedup or
     * takedown decision: once a pipeline drops documents, their vectors
     * must leave the index or every later probe re-surfaces them. A

@@ -200,6 +200,59 @@ class IvfIndexSpec extends SparkSpec {
       "float corpus table diverged from the accepted set")
   }
 
+  test("self-contained dedupStream (floats-bearing, no corpus dir) matches the corpus-backed form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    val inv = 1.0 / math.sqrt(2.0)
+    def mkVec(id: Long): Array[Double] = {
+      val c = if (id >= 100 && id % 5 == 0) Array.tabulate(dim)(i => if (i == 2) 1.0 else 0.0)
+      else if (id % 2 == 0) Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+      else Array.tabulate(dim)(i => if (i == 0 || i == 1) inv else 0.0)
+      c.indices.map(i => c(i) + 0.06 * math.sin(id * 13.7 + i * 2.1)).toArray
+    }
+    val seed = (0L until 20L).map(id => (id, mkVec(id)))
+    val arriving = (100L until 130L).map(id => (id, mkVec(id)))
+    val cents = Seq(
+      (0L, Seq(1.0, 0, 0, 0, 0, 0, 0, 0)),
+      (1L, Seq(inv, inv, 0, 0, 0, 0, 0, 0))).toDF("c_id", "c_vec")
+    val book = AnnSearch.pqBook(seed.toDF("id", "vec"), m = 8, stride = 2)
+    // corpus-backed run
+    val idxA = graft.util.TempDirs.scratch("ivf_ds_a").toString
+    IvfIndex.build(seed.toDF("id", "vec"), cents, book, idxA)
+    val corpusDir = graft.util.TempDirs.scratch("ivf_ds_a_corpus").toString
+    graft.util.TableIndex.commitBatch(spark, corpusDir, "seed",
+      Seq(("vectors.parquet", seed.toDF("id", "vec"), Seq.empty)))
+    val decA = graft.util.TempDirs.scratch("ivf_ds_a_dec").toString
+    // self-contained run
+    val idxB = graft.util.TempDirs.scratch("ivf_ds_b").toString
+    IvfIndex.build(seed.toDF("id", "vec"), cents, book, idxB, storeFloats = true)
+    val decB = graft.util.TempDirs.scratch("ivf_ds_b_dec").toString
+    def feed(start: (MemoryStream[(Long, Array[Double])]) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val mem = MemoryStream[(Long, Array[Double])]
+      val q = start(mem)
+      try arriving.grouped(10).foreach { b => mem.addData(b.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+    }
+    feed(mem => IvfIndex.dedupStream(idxA, corpusDir, mem.toDF().toDF("id", "vec"),
+      decA, graft.util.TempDirs.scratch("ivf_ds_a_ck").toString, tau = 0.9))
+    feed(mem => IvfIndex.dedupStream(idxB, mem.toDF().toDF("id", "vec"),
+      decB, graft.util.TempDirs.scratch("ivf_ds_b_ck").toString, tau = 0.9))
+    def rows(p: String) = spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$decA/decisions.parquet") == rows(s"$decB/decisions.parquet"),
+      "self-contained dedupStream decisions diverged from the corpus-backed form")
+    assert(rows(s"$idxA/encoded.parquet") == rows(s"$idxB/encoded.parquet"),
+      "self-contained dedupStream index rows diverged from the corpus-backed form")
+    // and the float table tracked the survivors exactly
+    val keptIds = spark.read.parquet(s"$decB/decisions.parquet")
+      .filter(col("kept")).select("id").as[Long].collect().toSet
+    val floatIds = spark.read.parquet(s"$idxB/floats.parquet")
+      .select("n_id").as[Long].collect().toSet
+    assert(floatIds == (seed.map(_._1).toSet ++ keptIds),
+      "float table diverged from seed ∪ survivors")
+  }
+
   test("delete(ids) is bit-identical to rebuilding over the remaining corpus") {
     val all = embsDf
     val centroids = AnnSearch.kmeansCentroidsExact(all, 15, iters = 2)
