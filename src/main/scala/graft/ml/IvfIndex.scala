@@ -105,11 +105,25 @@ object IvfIndex {
   /** The LIVE float table, if this index stores one: cell re-widened,
     * tombstones applied — partition filters stacked on top still push
     * to the scan (the [[loadEncoded]] discipline). */
-  private[graft] def loadFloats(spark: SparkSession, indexDir: String): Option[DataFrame] =
-    TableIndex.readTableIfExists(spark, indexDir, "floats.parquet").map { raw =>
+  private[graft] def loadFloats(spark: SparkSession, indexDir: String,
+                                snapshot: Boolean = false): Option[DataFrame] =
+    TableIndex.readTable(spark, indexDir, "floats.parquet", snapshot).map { raw =>
       TableIndex.liveTable(spark, indexDir,
-        raw.withColumn("cell", col("cell").cast("long")), "n_id")
+        raw.withColumn("cell", col("cell").cast("long")), "n_id", snapshot)
     }
+
+  /** A dim table (centroids/book) under the chosen read posture. The
+    * dim tables are written once per index directory (in-place
+    * mutations never touch them), so the snapshot filter is belt-and-
+    * braces — but a mid-BUILD reader sees None-committed and fails
+    * loud here instead of reading a half-written table. */
+  private def dimTable(spark: SparkSession, indexDir: String, table: String,
+                       snapshot: Boolean): DataFrame =
+    if (snapshot)
+      TableIndex.snapshotTable(spark, indexDir, table).getOrElse(
+        throw new IllegalStateException(
+          s"$indexDir/$table holds no committed data (index mid-build?)"))
+    else spark.read.parquet(s"$indexDir/$table")
 
   private def bookRows(spark: SparkSession, book: PqBook): DataFrame = {
     import spark.implicits._
@@ -150,9 +164,9 @@ object IvfIndex {
   }
 
   /** Reload the persisted codebook. */
-  def loadBook(spark: SparkSession, indexDir: String): PqBook = {
-    TableIndex.repair(spark, indexDir)
-    val rows = spark.read.parquet(s"$indexDir/book.parquet")
+  def loadBook(spark: SparkSession, indexDir: String, snapshot: Boolean = false): PqBook = {
+    if (!snapshot) TableIndex.repair(spark, indexDir)
+    val rows = dimTable(spark, indexDir, "book.parquet", snapshot)
       .select(col("sub").cast("int"), col("code").cast("int"), col("cw").cast("array<double>"))
       .collect()
     val m = rows.iterator.map(_.getInt(0)).max + 1
@@ -244,7 +258,10 @@ object IvfIndex {
     * once. */
   def ingestStream(indexDir: String, vectors: DataFrame, checkpointDir: String)
   : org.apache.spark.sql.streaming.StreamingQuery = {
-    val salt = Integer.toHexString(checkpointDir.hashCode)
+    // path-NORMALIZED salt: a restart spelling the same checkpoint
+    // differently must re-derive the same batch ids or the replay
+    // window reopens (graft.util.TableIndex.checkpointSalt)
+    val salt = TableIndex.checkpointSalt(vectors.sparkSession, checkpointDir)
     vectors.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
@@ -280,7 +297,7 @@ object IvfIndex {
   def dedupStream(indexDir: String, corpusDir: String, vecStream: DataFrame,
                   decisionsDir: String, checkpointDir: String, tau: Double)
   : org.apache.spark.sql.streaming.StreamingQuery = {
-    val salt = Integer.toHexString(checkpointDir.hashCode)
+    val salt = TableIndex.checkpointSalt(vecStream.sparkSession, checkpointDir)
     vecStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
@@ -332,7 +349,7 @@ object IvfIndex {
   def dedupStream(indexDir: String, vecStream: DataFrame,
                   decisionsDir: String, checkpointDir: String, tau: Double)
   : org.apache.spark.sql.streaming.StreamingQuery = {
-    val salt = Integer.toHexString(checkpointDir.hashCode)
+    val salt = TableIndex.checkpointSalt(vecStream.sparkSession, checkpointDir)
     vecStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
@@ -462,15 +479,82 @@ object IvfIndex {
     * and readers π-default a cell with no row — any crash degrades to
     * correct-but-unpruned, never to a missed pair. Spec-pinned:
     * refreshed radii ≤ stale radii, [[nearDupsExact]]'s candidate cell
-    * set shrinks, results stay equal to brute force. */
+    * set shrinks, results stay equal to brute force.
+    *
+    * Coverage is ENFORCED: the semi-join tolerates a SUPERSET corpus,
+    * but a SUBSET would compute under-sized radii and the triangle
+    * bound would then wrongly prune cells holding true near-dups —
+    * the one direction the radii contract forbids. Any live indexed
+    * id missing from `corpus` throws (one anti-join probe — this is a
+    * maintenance op, not the query path). A floats-bearing index
+    * refreshes from its OWN float table and ignores `corpus` (pass an
+    * empty frame) — coverage holds by construction there. */
   def refreshGeometry(spark: SparkSession, indexDir: String, corpus: DataFrame): Unit = {
     TableIndex.repair(spark, indexDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
-    val live = corpus.join(
-      loadEncoded(spark, indexDir).select(col("n_id").as("id")), Seq("id"), "left_semi")
+    val live = liveVectors(spark, indexDir, corpus, op = "refreshGeometry")
     TableIndex.replaceTable(spark, indexDir, TableIndex.newBatchId("geo"),
       "geometry.parquet", cellRadii(live, centroids))
     ()
+  }
+
+  /** The LIVE (id, vec) rows of an index, for maintenance ops that
+    * retrain/re-measure from floats: a floats-bearing index serves its
+    * own table (`corpus` ignored — the [[nearDupsExact]] precedence);
+    * otherwise the caller's corpus is semi-joined to the live encoded
+    * ids after PROVING it covers them all (one anti-join `limit(1)`
+    * probe — a subset corpus would silently produce under-sized radii
+    * or a centroid fit that misses live mass, the unsound direction). */
+  private def liveVectors(spark: SparkSession, indexDir: String, corpus: DataFrame,
+                          op: String): DataFrame =
+    loadFloats(spark, indexDir) match {
+      case Some(f) => f.select(col("n_id").as("id"), col("vec"))
+      case None =>
+        val liveIds = loadEncoded(spark, indexDir).select(col("n_id").as("id"))
+        val missing = liveIds
+          .join(corpus.select(col("id")), Seq("id"), "left_anti").limit(1).count()
+        require(missing == 0L,
+          s"$op: the corpus argument is missing live indexed ids (index $indexDir) — " +
+            "a subset corpus would silently break the index's exactness guarantees; " +
+            "pass a corpus covering every live id, or build with storeFloats = true")
+        corpus.join(liveIds, Seq("id"), "left_semi")
+    }
+
+  /** Retrain the centroid PLACEMENT (and optionally the PQ codebook)
+    * on the live corpus and rebuild the index around it — the
+    * maintenance op [[refreshGeometry]] cannot substitute for: radii
+    * re-tightening keeps the triangle bound sound around STALE
+    * centroids, but after generations of drifted appends the cells no
+    * longer fit the data (a drifted cluster smears across cells whose
+    * centroids sit elsewhere), so pruning fractions and ADC ranks
+    * degrade even with tight radii. Reclustering re-seeds + Lloyd-
+    * refines centroids on the LIVE vectors ([[AnnSearch
+    * .kmeansCentroidsExact]] — bit-deterministic), re-encodes, and
+    * writes a fresh generation directory ([[compact]]'s atomic-swap
+    * shape: build into `outDir`, swap the pointer when committed —
+    * `outDir`'s commit marker is the swap gate). Tombstones fold (the
+    * rebuild sees only live rows); `storeFloats` is inherited from the
+    * source index. The codebook carries over by default (PQ codes are
+    * a function of (vector, book) only — cell changes don't re-key
+    * them); `retrainBook = true` refits it on the live corpus too, for
+    * the ADC-rank half of drift. Exactness is unconditional throughout
+    * ([[nearDupsExact]] holds for ANY centroid table); what recluster
+    * restores is the PRUNING — spec-pinned: after drifted appends the
+    * reclustered index's candidate-cell fraction recovers to
+    * build-time levels while results stay ≡ brute force. */
+  def recluster(spark: SparkSession, indexDir: String, corpus: DataFrame, outDir: String,
+                stride: Int, iters: Int = 2, retrainBook: Boolean = false,
+                bookStride: Int = 10): Unit = {
+    TableIndex.repair(spark, indexDir)
+    val live = liveVectors(spark, indexDir, corpus, op = "recluster").localCheckpoint(false)
+    val storeF = TableIndex.readTableIfExists(spark, indexDir, "floats.parquet").isDefined
+    val centroids = AnnSearch.kmeansCentroidsExact(live, stride, iters)
+    val book =
+      if (retrainBook) {
+        val old = loadBook(spark, indexDir)
+        AnnSearch.pqBook(live, m = old.m, stride = bookStride)
+      } else loadBook(spark, indexDir)
+    build(live, centroids, book, outDir, storeFloats = storeF)
   }
 
   /** The LIVE encoded table: cell normalized back to long (partition-
@@ -478,11 +562,12 @@ object IvfIndex {
     * [[deleteInPlace]] tombstones applied as an anti-join (merge-on-
     * read) — the cell partition filter a caller stacks on top still
     * pushes through the join to the parquet scan. */
-  private[graft] def loadEncoded(spark: SparkSession, indexDir: String): DataFrame = {
-    TableIndex.repair(spark, indexDir)
-    val raw = spark.read.parquet(s"$indexDir/encoded.parquet")
+  private[graft] def loadEncoded(spark: SparkSession, indexDir: String,
+                                 snapshot: Boolean = false): DataFrame = {
+    if (!snapshot) TableIndex.repair(spark, indexDir)
+    val raw = dimTable(spark, indexDir, "encoded.parquet", snapshot)
       .withColumn("cell", col("cell").cast("long"))
-    TableIndex.liveTable(spark, indexDir, raw, "n_id")
+    TableIndex.liveTable(spark, indexDir, raw, "n_id", snapshot)
   }
 
   /** The encoded rows of ONE probe set — `cells` is driver-side small
@@ -490,8 +575,9 @@ object IvfIndex {
     * query pairs) and lands in the scan as a partition `IN` filter, so
     * parquet prunes unprobed cells' files before reading a byte.
     * Factored out so the spec can pin the pruning on scan metrics. */
-  private[graft] def probedEncoded(spark: SparkSession, indexDir: String, cells: Seq[Long]): DataFrame =
-    loadEncoded(spark, indexDir).filter(col("cell").isInCollection(cells))
+  private[graft] def probedEncoded(spark: SparkSession, indexDir: String, cells: Seq[Long],
+                                   snapshot: Boolean = false): DataFrame =
+    loadEncoded(spark, indexDir, snapshot).filter(col("cell").isInCollection(cells))
 
   /** The broadcast (cell, c_vec, c_nrm, r) table [[nearDupsExact]]
     * bound-filters against: every centroid, LEFT-joined with the max
@@ -499,12 +585,13 @@ object IvfIndex {
     * accelerate but never exclude a cell it knows nothing about
     * (legacy pre-geometry indexes, the [[refreshGeometry]] crash
     * window). */
-  private[graft] def cellGeometry(spark: SparkSession, indexDir: String): DataFrame = {
-    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+  private[graft] def cellGeometry(spark: SparkSession, indexDir: String,
+                                  snapshot: Boolean = false): DataFrame = {
+    val centroids = dimTable(spark, indexDir, "centroids.parquet", snapshot)
       .select(col("c_id").cast("long").as("cell"),
         col("c_vec").cast("array<double>").as("c_vec"))
       .withColumn("c_nrm", AnnSearch.norm(col("c_vec")))
-    val radii = TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")
+    val radii = TableIndex.readTable(spark, indexDir, "geometry.parquet", snapshot)
       .map(_.groupBy("cell").agg(max("r").as("r")))
     radii.fold(centroids.withColumn("r", lit(math.Pi)))(rad =>
       centroids.join(rad, Seq("cell"), "left")
@@ -516,10 +603,11 @@ object IvfIndex {
     * rows per query evaluated in the join predicate). Factored out so
     * the refresh spec can measure the candidate-cell shrink. */
   private[graft] def candidateCells(spark: SparkSession, indexDir: String,
-                                    newVecs: DataFrame, tau: Double): DataFrame = {
+                                    newVecs: DataFrame, tau: Double,
+                                    snapshot: Boolean = false): DataFrame = {
     val thetaTau = math.acos(math.max(-1.0, math.min(1.0, tau)))
     val slack = 1e-4
-    val geom = broadcast(cellGeometry(spark, indexDir))
+    val geom = broadcast(cellGeometry(spark, indexDir, snapshot))
     newVecs.select(col("id").as("q_id"),
         col("vec").cast("array<double>").as("q_vec"))
       .withColumn("q_nrm", AnnSearch.norm(col("q_vec")))
@@ -560,21 +648,34 @@ object IvfIndex {
     * wrong by mis-use rather than fail loud; a per-call subset check
     * would cost a corpus-wide join on the hot path). [[dedupStream]]
     * side-steps the foot-gun by maintaining its own float table in
-    * lock-step with the index. */
+    * lock-step with the index.
+    *
+    * Float-source PRECEDENCE: on a floats-bearing index (`storeFloats`
+    * build) the index's OWN partition-pruned float table scores every
+    * candidate and the `corpus` argument is IGNORED entirely — pass an
+    * empty frame; a corpus that diverges from the indexed floats has
+    * no effect on the result. On a plain index the caller's corpus is
+    * the float source, under the coverage contract above.
+    *
+    * `snapshot = true` reads every index table through
+    * [[graft.util.TableIndex.snapshotTable]] (committed batches only,
+    * no repair) — safe to run CONCURRENTLY with a writer's in-flight
+    * commit; it sees the pre-batch index until the marker lands. */
   def nearDupsExact(spark: SparkSession, indexDir: String, corpus: DataFrame,
-                    newVecs: DataFrame, tau: Double): DataFrame = {
-    TableIndex.repair(spark, indexDir)
-    val cand = candidateCells(spark, indexDir, newVecs, tau).localCheckpoint(false)
+                    newVecs: DataFrame, tau: Double,
+                    snapshot: Boolean = false): DataFrame = {
+    if (!snapshot) TableIndex.repair(spark, indexDir)
+    val cand = candidateCells(spark, indexDir, newVecs, tau, snapshot).localCheckpoint(false)
     val candCells = cand.select("cell").distinct().collect().map(_.getLong(0)).toSeq
-    // float source for exact scoring: a floats-bearing index serves
-    // its OWN vectors partition-pruned to the candidate cells (no
-    // corpus scan at all — `corpus` is ignored); otherwise the
+    // float source for exact scoring: see the precedence note above —
+    // a floats-bearing index serves its OWN vectors partition-pruned
+    // to the candidate cells (no corpus scan at all); otherwise the
     // caller's flat corpus joins by id (one corpus-side projection
     // scan per shard — the reason `storeFloats` exists)
-    val memberVecs = loadFloats(spark, indexDir) match {
+    val memberVecs = loadFloats(spark, indexDir, snapshot) match {
       case Some(f) => f.filter(col("cell").isInCollection(candCells))
         .select(col("cell"), col("n_id"), col("vec").cast("array<double>").as("n_vec"))
-      case None => probedEncoded(spark, indexDir, candCells).select("cell", "n_id")
+      case None => probedEncoded(spark, indexDir, candCells, snapshot).select("cell", "n_id")
         .join(corpus.select(col("id").as("n_id"), col("vec").cast("array<double>").as("n_vec")),
           Seq("n_id"))
     }
@@ -595,13 +696,23 @@ object IvfIndex {
     * the float corpus by id. Plan shape identical to
     * [[AnnSearch.ivfPqTopK]] except the encoded table is a parquet
     * scan (partition-prunable by cell at scale) instead of an
-    * in-session materialization. */
+    * in-session materialization.
+    *
+    * Float-source PRECEDENCE (the [[nearDupsExact]] rule): on a
+    * floats-bearing index the exact re-rank reads the index's OWN
+    * cell-pruned float table and the `corpus` argument is IGNORED —
+    * pass an empty frame; a corpus diverging from the indexed floats
+    * does not change the scores. On a plain index the caller's corpus
+    * is the re-rank source and must cover every live indexed id.
+    *
+    * `snapshot = true`: committed-batches-only reads, no repair —
+    * safe concurrent with an in-flight writer (see [[nearDupsExact]]). */
   def search(spark: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
-             k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+             k: Int, nprobe: Int, shortlist: Int, snapshot: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    TableIndex.repair(spark, indexDir)
-    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
-    val book = loadBook(spark, indexDir)
+    if (!snapshot) TableIndex.repair(spark, indexDir)
+    val centroids = dimTable(spark, indexDir, "centroids.parquet", snapshot)
+    val book = loadBook(spark, indexDir, snapshot)
     val cents = AnnSearch.collectCentroids(centroids)
     val probes = queries
       .select(col("id").as("q_id"), col("vec").as("q_vec"), AnnSearch.norm(col("vec")).as("q_norm"))
@@ -612,7 +723,7 @@ object IvfIndex {
     // opens an unprobed cell's files
     val probedCells = probes.select("cell").distinct().collect().map(_.getLong(0)).toSeq
     val shortIds = probes
-      .join(probedEncoded(spark, indexDir, probedCells), Seq("cell"))
+      .join(probedEncoded(spark, indexDir, probedCells, snapshot), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         (graft.functions.PqOps.adc(col("q_vec"), col("codes"), book)
@@ -625,7 +736,7 @@ object IvfIndex {
     // exact re-rank floats: from the index's own cell-pruned float
     // table when it carries one (shortlist members live in probed
     // cells by construction), else the caller's corpus
-    val rerankVecs = loadFloats(spark, indexDir) match {
+    val rerankVecs = loadFloats(spark, indexDir, snapshot) match {
       case Some(f) => f.filter(col("cell").isInCollection(probedCells))
         .select(col("n_id"), col("vec").as("n_vec"))
       case None => corpus.select(col("id").as("n_id"), col("vec").as("n_vec"))

@@ -222,9 +222,11 @@ object IncrementalDedup {
                   decisionsDir: String, checkpointDir: String, tau: Double,
                   k: Int = 32, bands: Int = 8, n: Int = 3, maxBucket: Int = 1000)
   : org.apache.spark.sql.streaming.StreamingQuery = {
-    // salt with the checkpoint so two streams (distinct checkpoints)
-    // into one index can never collide on micro-batch numbers
-    val salt = Integer.toHexString(checkpointDir.hashCode)
+    // salt with the NORMALIZED checkpoint path so two streams (distinct
+    // checkpoints) into one index can never collide on micro-batch
+    // numbers, and a restart spelling the same checkpoint differently
+    // re-derives the same ids (graft.util.TableIndex.checkpointSalt)
+    val salt = TableIndex.checkpointSalt(docsStream.sparkSession, checkpointDir)
     docsStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
@@ -260,8 +262,9 @@ object IncrementalDedup {
     ()
   }
 
-  private def liveTable(spark: SparkSession, indexDir: String, df: DataFrame): DataFrame =
-    TableIndex.liveTable(spark, indexDir, df, "id")
+  private def liveTable(spark: SparkSession, indexDir: String, df: DataFrame,
+                        snapshot: Boolean = false): DataFrame =
+    TableIndex.liveTable(spark, indexDir, df, "id", snapshot)
 
   /** Fold point: rewrite the four tables without the tombstoned rows
     * and drop the tombstone table. The three row-per-document tables
@@ -296,18 +299,32 @@ object IncrementalDedup {
     * one row per shard document: (id, dup_exact, dup_near, kept).
     * Shingling/signature/banding parameters come from the INDEX
     * metadata when present (see [[params]]) — the caller's values are
-    * a fallback for legacy indexes only. */
+    * a fallback for legacy indexes only.
+    *
+    * `snapshot = true` reads every index table through
+    * [[graft.util.TableIndex.snapshotTable]] (committed batches only,
+    * no repair) — safe to run CONCURRENTLY with a writer's in-flight
+    * commit: the probe sees the pre-batch index until the batch's
+    * marker lands, never a cross-table torn prefix, and it cannot roll
+    * a live writer's batch back the way the default path's repair()
+    * can. */
   def processShard(spark: SparkSession, indexDir: String, shard: DataFrame,
                    idCol: String, textCol: String, tau: Double,
                    k: Int = 32, bands: Int = 8, n: Int = 3,
-                   maxBucket: Int = 1000): DataFrame = {
-    TableIndex.repair(spark, indexDir)
+                   maxBucket: Int = 1000, snapshot: Boolean = false): DataFrame = {
+    if (!snapshot) TableIndex.repair(spark, indexDir)
     val (kk, nn, bb) = params(spark, indexDir, k, n, bands)
+    def readIdx(table: String): DataFrame =
+      if (snapshot)
+        TableIndex.snapshotTable(spark, indexDir, s"$table.parquet").getOrElse(
+          throw new IllegalStateException(
+            s"$indexDir/$table.parquet holds no committed data (index mid-build?)"))
+      else spark.read.parquet(s"$indexDir/$table.parquet")
     // every index read goes through the tombstone anti-join — a
     // deleted document must neither hash-reject nor near-reject
-    val idxHashes = liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/hashes.parquet"))
-    val idxSigs = liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/sigs.parquet"))
-    val idxShingles = liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/shingles.parquet"))
+    val idxHashes = liveTable(spark, indexDir, readIdx("hashes"), snapshot)
+    val idxSigs = liveTable(spark, indexDir, readIdx("sigs"), snapshot)
+    val idxShingles = liveTable(spark, indexDir, readIdx("shingles"), snapshot)
     val newDocs = shard
       .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
     val newHashed = newDocs
@@ -351,17 +368,18 @@ object IncrementalDedup {
     // derive-from-sigs form (pruning can only help). Indexes from
     // before the band table persisted fall back to deriving the rows.
     val idxBandRows = {
-      val path = new org.apache.hadoop.fs.Path(s"$indexDir/bands.parquet")
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(path)) {
-        val touchedParts = newBands
-          .select(pmod(col("bucket"), lit(BandParts.toLong)).as("bp"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        liveTable(spark, indexDir, spark.read.parquet(path.toString)
-          .withColumn("bp", col("bp").cast("long"))
-          .filter(col("bp").isInCollection(touchedParts)))
-          .select("id", "band", "bucket")
-      } else MinHashLsh.bandBuckets(idxSigs, "id", bb)
+      val persisted = TableIndex.readTable(spark, indexDir, "bands.parquet", snapshot)
+      persisted match {
+        case Some(raw) =>
+          val touchedParts = newBands
+            .select(pmod(col("bucket"), lit(BandParts.toLong)).as("bp"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          liveTable(spark, indexDir, raw
+            .withColumn("bp", col("bp").cast("long"))
+            .filter(col("bp").isInCollection(touchedParts)), snapshot)
+            .select("id", "band", "bucket")
+        case None => MinHashLsh.bandBuckets(idxSigs, "id", bb)
+      }
     }
     val allBands = idxBandRows
       .join(touched, Seq("band", "bucket"), "left_semi")

@@ -48,15 +48,31 @@ import org.apache.spark.sql.functions._
   * requirement Spark's own FileOutputCommitter has.
   *
   * Single-writer discipline (one appender per index directory) is
-  * assumed, as everywhere in the index family. Readers must not
-  * overlap an IN-FLIGHT commit either: moved files become visible to
-  * plain parquet reads before the marker seals the batch, so a read
-  * racing the move phase can observe a cross-table torn prefix (and a
-  * concurrent [[repair]] would roll the writer's live batch back).
-  * Serialize reads behind the writer — the posture of every
-  * non-transactional Hive-layout table; full MVCC would need
-  * manifest-based file listing, which plain-parquet readers cannot
-  * apply.
+  * ENFORCED by an advisory lease file: [[commitBatch]] and
+  * [[replaceTable]] acquire `dir/_writer.lease` (an atomic
+  * create-no-overwrite) for the duration of the mutation, so a second
+  * concurrent writer FAILS FAST instead of interleaving staged batches
+  * and repairs. A crashed writer's lease expires ([[LeaseMs]]) and the
+  * next writer steals it. The lease is advisory in the one way any
+  * lock on a rename-only filesystem must be: a steal decided during a
+  * long GC pause of the old holder can race — the protocol stays
+  * crash-consistent regardless (the loser's batch is torn and rolls
+  * back), the lease exists to make the overlap LOUD.
+  *
+  * Readers have two postures. Plain reads ([[readTableIfExists]] and
+  * the indexes' default paths) must not overlap an IN-FLIGHT commit:
+  * moved files become visible to plain parquet reads before the marker
+  * seals the batch, so a read racing the move phase can observe a
+  * cross-table torn prefix (and a concurrent [[repair]] would roll the
+  * writer's live batch back) — serialize them behind the writer, the
+  * posture of every non-transactional Hive-layout table. SNAPSHOT
+  * reads ([[snapshotTable]]) need no serialization: every data file
+  * carries its batch id in its name and `_commits` lists the committed
+  * ids, so a reader that lists files and keeps only committed-batch
+  * files sees exactly the sealed prefix — an in-flight batch's moved
+  * files are invisible until its marker lands (one atomic create), and
+  * the snapshot path never runs [[repair]], so it can never roll back
+  * a live writer's batch.
   */
 object TableIndex {
 
@@ -67,12 +83,40 @@ object TableIndex {
   private def stagingDir(dir: String) = new Path(s"$dir/_staging")
   private def prefix(bid: String) = s"b_${bid}__"
 
+  /** Batch ids are embedded in marker paths and the `b_<bid>__` file
+    * prefix, so the charset is load-bearing: a '/' would corrupt the
+    * staging/marker paths, and a "__" inside the id would make one
+    * batch's rollback prefix a PREFIX of another's files — repair of a
+    * torn batch "x" would delete committed batch "x__y"'s rows. Fail
+    * at entry, not at repair time. */
+  private[graft] def requireValidBid(bid: String): Unit =
+    require(bid.nonEmpty && !bid.contains("__") &&
+        bid.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"invalid batch id '$bid': must be non-empty [A-Za-z0-9_-] without '__' " +
+        "(the id names marker and data-file paths)")
+
   /** A fresh batch id for a manual (non-stream) append. Stream callers
     * pass their own deterministic id (checkpoint-salted micro-batch
     * number) so a replayed batch resolves to the SAME id and is
     * skipped; manual ids only need uniqueness. */
   def newBatchId(tag: String = "a"): String =
     tag + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** The deterministic per-stream batch-id salt: the checkpoint path,
+    * NORMALIZED (`fs.makeQualified` — scheme, working-dir resolution,
+    * redundant-separator collapse) before hashing, so restarting a
+    * stream with a differently-SPELLED path to the same checkpoint
+    * (trailing slash, relative vs absolute) re-derives the SAME salt
+    * and the exactly-once replay window stays closed. 64-bit (MD5-
+    * folded via nameUUIDFromBytes) rather than the 32-bit String
+    * hash — two independent streams sharing one index would need a
+    * 2⁻⁶⁴-scale collision to silently skip each other's batches. */
+  def checkpointSalt(spark: SparkSession, checkpointDir: String): String = {
+    val p = new Path(checkpointDir)
+    val q = fsOf(spark, p).makeQualified(p).toString
+    java.util.UUID.nameUUIDFromBytes(q.getBytes("UTF-8"))
+      .toString.replace("-", "").take(16)
+  }
 
   def isCommitted(spark: SparkSession, dir: String, bid: String): Boolean = {
     val m = new Path(commitsDir(dir), bid)
@@ -84,10 +128,95 @@ object TableIndex {
     * staged or torn files but no marker, so the guard re-runs it
     * (the pre-r12 guards keyed on the FIRST-written table and could
     * skip a rebuild over a half-written index). */
-  def anyCommitted(spark: SparkSession, dir: String): Boolean = {
+  def anyCommitted(spark: SparkSession, dir: String): Boolean =
+    committedBids(spark, dir).nonEmpty
+
+  /** All committed batch ids — ONE directory listing (markers are
+    * empty files named by their bid; `_`-prefixed entries are protocol
+    * files, not markers). */
+  def committedBids(spark: SparkSession, dir: String): Set[String] = {
     val c = commitsDir(dir)
     val fs = fsOf(spark, c)
-    fs.exists(c) && fs.listStatus(c).nonEmpty
+    if (!fs.exists(c)) Set.empty
+    else fs.listStatus(c).iterator.map(_.getPath.getName)
+      .filterNot(_.startsWith("_")).toSet
+  }
+
+  // ---------------------------------------------------------------
+  // Writer lease
+  // ---------------------------------------------------------------
+
+  /** Lease duration: a crashed writer's lease is stealable after this
+    * long. Generous — a steal from a LIVE writer (stalled, not dead)
+    * turns the fail-fast back into a race, and the protocol's
+    * crash-consistency already bounds the damage of a genuine crash
+    * to one torn (rolled-back) batch. */
+  val LeaseMs: Long = 15L * 60 * 1000
+
+  private def leasePath(dir: String) = new Path(s"$dir/_writer.lease")
+
+  private def readLease(fs: FileSystem, p: Path): Option[(String, Long)] =
+    try {
+      val in = fs.open(p)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      new String(bytes, "UTF-8").trim.split(" ") match {
+        case Array(tok, exp) => Some((tok, exp.toLong))
+        case _               => None
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Acquire the single-writer lease on `dir`, or THROW if a live
+    * writer holds it — the fail-fast that turns the documented
+    * single-writer assumption into an enforced invariant (two
+    * appenders interleaving staged batches and repairs would
+    * otherwise corrupt silently). An expired lease (crashed writer)
+    * is stolen. Returns the owner token for [[releaseLease]]. */
+  private[graft] def acquireLease(spark: SparkSession, dir: String,
+                                  leaseMs: Long = LeaseMs): String = {
+    val p = leasePath(dir)
+    val fs = fsOf(spark, p)
+    fs.mkdirs(new Path(dir))
+    val token = java.util.UUID.randomUUID().toString.replace("-", "")
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false) // no-overwrite: the atomic claim
+        out.write(s"$token ${System.currentTimeMillis() + leaseMs}".getBytes("UTF-8"))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def holderError(holder: Option[(String, Long)]): Nothing =
+      throw new IllegalStateException(
+        s"another writer holds the lease on index $dir" +
+          holder.map { case (t, e) => s" (owner ${t.take(8)}…, expires in ${e - System.currentTimeMillis()} ms)" }.getOrElse("") +
+          " — the index family is single-writer; serialize mutations or wait for the lease to expire")
+    if (!tryCreate()) {
+      val holder = readLease(fs, p)
+      val expired = holder.forall(_._2 < System.currentTimeMillis())
+      if (!expired) holderError(holder)
+      // crashed writer: steal (delete + re-claim). Two stealers can
+      // race the delete; the read-back below makes exactly one win.
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+      if (!tryCreate()) holderError(readLease(fs, p))
+    }
+    // read-back: a concurrent steal may have replaced our file between
+    // create and now — only the token the file actually holds owns it
+    readLease(fs, p) match {
+      case Some((t, _)) if t == token => token
+      case other                      => holderError(other)
+    }
+  }
+
+  private[graft] def releaseLease(spark: SparkSession, dir: String, token: String): Unit = {
+    val p = leasePath(dir)
+    val fs = fsOf(spark, p)
+    // delete only OUR lease — releasing after an expiry-steal must not
+    // drop the new owner's claim
+    if (readLease(fs, p).exists(_._1 == token)) { fs.delete(p, false); () }
+  }
+
+  private def withLease[A](spark: SparkSession, dir: String)(body: => A): A = {
+    val token = acquireLease(spark, dir)
+    try body finally releaseLease(spark, dir, token)
   }
 
   /** Delete `dir` entirely — build-time overwrite semantics (a fresh
@@ -131,43 +260,96 @@ object TableIndex {
     ()
   }
 
+  /** The staged→live (src, dst) rename pairs of one table: partition
+    * subpaths preserved, data files bid-prefixed. */
+  private def movePairs(fs: FileSystem, dir: String, bid: String,
+                        stage: Path, table: String): Seq[(Path, Path)] = {
+    val src = fs.makeQualified(new Path(stage, table))
+    val dst = new Path(dir, table)
+    for (f <- listFilesRec(fs, src)
+         if !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) yield {
+      val rel = f.getPath.toString.stripPrefix(src.toString).stripPrefix("/")
+      val relParent = rel.lastIndexOf('/') match {
+        case -1 => ""
+        case i  => rel.substring(0, i)
+      }
+      val destDir = if (relParent.isEmpty) dst else new Path(dst, relParent)
+      (f.getPath, new Path(destDir, prefix(bid) + f.getPath.getName))
+    }
+  }
+
+  /** Execute a batch's renames, CHECKED and parallel.
+    *
+    * Checked: `FileSystem.rename` reports some failures as a `false`
+    * return instead of throwing (HDFS's posture) — ignoring it would
+    * let a batch reach its commit marker with a staged file silently
+    * dropped, breaking the protocol's "committed == complete"
+    * invariant everything rests on. A failed rename THROWS before the
+    * marker is written, so the batch stays torn and [[repair]] rolls
+    * it back.
+    *
+    * Parallel: renames are metadata RPCs (~ms each on HDFS) issued
+    * from the driver; a bulk build or compaction moves 10⁴–10⁵ files
+    * and a sequential loop prices that at minutes of idle driver time.
+    * A bounded thread pool issues them concurrently (rename is a
+    * namespace op — no data moves; `FileSystem` handles are
+    * thread-safe for it). Destination partition dirs are created
+    * serially first: concurrent `mkdirs` of one dir is racy on some
+    * local filesystems. dev/ProtocolProbe measures both shapes at 10⁴
+    * files; SCALE.md records the numbers. */
+  private[graft] def renameAll(fs: FileSystem, pairs: Seq[(Path, Path)],
+                               threads: Int = 16): Unit = {
+    if (pairs.isEmpty) return
+    pairs.iterator.map(_._2.getParent).toSet.foreach((d: Path) => fs.mkdirs(d))
+    def one(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"rename failed: $src -> $dst — aborting before the commit marker; " +
+            "the torn batch rolls back on the next repair()")
+    val n = math.min(threads, pairs.size)
+    if (n <= 1) { pairs.foreach { case (s, d) => one(s, d) }; return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val fut = pairs.map { case (s, d) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = one(s, d) })
+      }
+      // get() rethrows the worker's IOException (wrapped) — the commit aborts
+      fut.foreach(f => try f.get() catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      })
+    } finally { pool.shutdown(); () }
+  }
+
   /** Atomically commit one batch of rows across several tables.
     * `tables`: (tableName, rows, partitionColumns). Returns false (and
     * writes nothing) when `bid` is already committed — the replayed-
     * micro-batch case. Data files are only ever ADDED to the live
     * dirs; existing files are untouched (the O(shard) in-place-append
-    * contract). */
+    * contract). Holds the writer lease for the whole mutation — a
+    * second concurrent writer throws instead of interleaving. */
   def commitBatch(spark: SparkSession, dir: String, bid: String,
                   tables: Seq[(String, DataFrame, Seq[String])]): Boolean = {
+    requireValidBid(bid)
     if (isCommitted(spark, dir, bid)) return false
-    repair(spark, dir) // roll back a torn earlier attempt of this (or any) batch
-    val fs = fsOf(spark, new Path(dir))
-    val stage = new Path(stagingDir(dir), bid)
-    for ((table, df, parts) <- tables) {
-      val w = df.write.mode("overwrite")
-      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
-        .parquet(new Path(stage, table).toString)
-    }
-    for ((table, _, _) <- tables) {
-      val src = fs.makeQualified(new Path(stage, table))
-      val dst = new Path(dir, table)
-      for (f <- listFilesRec(fs, src)
-           if !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
-        val rel = f.getPath.toString.stripPrefix(src.toString).stripPrefix("/")
-        val relParent = rel.lastIndexOf('/') match {
-          case -1 => ""
-          case i  => rel.substring(0, i)
+    withLease(spark, dir) {
+      if (isCommitted(spark, dir, bid)) false // re-check under the lease
+      else {
+        repair(spark, dir) // roll back a torn earlier attempt of this (or any) batch
+        val fs = fsOf(spark, new Path(dir))
+        val stage = new Path(stagingDir(dir), bid)
+        for ((table, df, parts) <- tables) {
+          val w = df.write.mode("overwrite")
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+            .parquet(new Path(stage, table).toString)
         }
-        val destDir = if (relParent.isEmpty) dst else new Path(dst, relParent)
-        fs.mkdirs(destDir)
-        fs.rename(f.getPath, new Path(destDir, prefix(bid) + f.getPath.getName))
+        renameAll(fs, tables.flatMap { case (table, _, _) => movePairs(fs, dir, bid, stage, table) })
+        val c = commitsDir(dir)
+        fs.mkdirs(c)
+        fs.create(new Path(c, bid), true).close() // the one atomic commit point
+        fs.delete(stage, true)
+        true
       }
     }
-    val c = commitsDir(dir)
-    fs.mkdirs(c)
-    fs.create(new Path(c, bid), true).close() // the one atomic commit point
-    fs.delete(stage, true)
-    true
   }
 
   /** Replace a table's contents wholesale (the geometry-refresh
@@ -178,23 +360,25 @@ object TableIndex {
     * treat a missing radius as π — correct, just unpruned). */
   def replaceTable(spark: SparkSession, dir: String, bid: String,
                    table: String, df: DataFrame): Boolean = {
+    requireValidBid(bid)
     if (isCommitted(spark, dir, bid)) return false
-    repair(spark, dir)
-    val fs = fsOf(spark, new Path(dir))
-    val stage = new Path(stagingDir(dir), bid)
-    df.write.mode("overwrite").parquet(new Path(stage, table).toString)
-    val dst = new Path(dir, table)
-    for (f <- listFilesRec(fs, dst)) fs.delete(f.getPath, false)
-    for (f <- listFilesRec(fs, new Path(stage, table))
-         if !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
-      fs.mkdirs(dst)
-      fs.rename(f.getPath, new Path(dst, prefix(bid) + f.getPath.getName))
+    withLease(spark, dir) {
+      if (isCommitted(spark, dir, bid)) false
+      else {
+        repair(spark, dir)
+        val fs = fsOf(spark, new Path(dir))
+        val stage = new Path(stagingDir(dir), bid)
+        df.write.mode("overwrite").parquet(new Path(stage, table).toString)
+        val dst = new Path(dir, table)
+        for (f <- listFilesRec(fs, dst)) fs.delete(f.getPath, false)
+        renameAll(fs, movePairs(fs, dir, bid, stage, table))
+        val c = commitsDir(dir)
+        fs.mkdirs(c)
+        fs.create(new Path(c, bid), true).close()
+        fs.delete(stage, true)
+        true
+      }
     }
-    val c = commitsDir(dir)
-    fs.mkdirs(c)
-    fs.create(new Path(c, bid), true).close()
-    fs.delete(stage, true)
-    true
   }
 
   /** Read a table if its directory exists AND holds at least one data
@@ -209,16 +393,61 @@ object TableIndex {
     else None
   }
 
+  /** SNAPSHOT-ISOLATED read of a table: only data files whose batch id
+    * is COMMITTED are visible. The listing the protocol already pays
+    * for readability doubles as a manifest — every data file is named
+    * `b_<bid>__…` and `_commits` lists the sealed bids, so filtering
+    * the file list to committed bids yields a consistent cross-table
+    * view with NO serialization against a writer: an in-flight batch's
+    * moved files are invisible until its marker lands (one atomic
+    * create), and this path never runs [[repair]], so it can never
+    * roll back a live writer's batch (the two hazards of the plain
+    * read path). Un-prefixed files (data from outside the protocol)
+    * are treated as always-visible base data. Partition directories
+    * (`cell=…`, `bp=…`) are recovered via `basePath`, so partition
+    * pruning on the returned frame works exactly as on a plain read.
+    *
+    * Not covered: [[replaceTable]] deletes the old files before the
+    * new batch commits — by contract it is only used for tables whose
+    * partial states are one-sided safe (cell radii; readers π-default
+    * a missing row), so a snapshot reader racing it sees a correct,
+    * merely less-pruned view. */
+  def snapshotTable(spark: SparkSession, dir: String, table: String): Option[DataFrame] = {
+    val t = new Path(dir, table)
+    val fs = fsOf(spark, t)
+    if (!fs.exists(t)) return None
+    val committed = committedBids(spark, dir)
+    val files = listFilesRec(fs, t).map(_.getPath).filter { p =>
+      val nm = p.getName
+      if (nm.startsWith("_") || nm.startsWith(".")) false
+      else if (nm.startsWith("b_")) {
+        val i = nm.indexOf("__")
+        i > 2 && committed.contains(nm.substring(2, i))
+      } else true // legacy non-protocol data: always visible
+    }
+    if (files.isEmpty) None
+    else Some(spark.read.option("basePath", fs.makeQualified(t).toString)
+      .parquet(files.map(_.toString): _*))
+  }
+
+  /** [[readTableIfExists]] or [[snapshotTable]], by posture. */
+  def readTable(spark: SparkSession, dir: String, table: String,
+                snapshot: Boolean): Option[DataFrame] =
+    if (snapshot) snapshotTable(spark, dir, table)
+    else readTableIfExists(spark, dir, table)
+
   /** The tombstone table, if any deletions were recorded. */
-  def tombstones(spark: SparkSession, dir: String, keyCol: String): Option[DataFrame] =
-    readTableIfExists(spark, dir, "tombstones.parquet")
+  def tombstones(spark: SparkSession, dir: String, keyCol: String,
+                 snapshot: Boolean = false): Option[DataFrame] =
+    readTable(spark, dir, "tombstones.parquet", snapshot)
       .map(_.select(col(keyCol)).distinct())
 
   /** A stored table with tombstones applied (anti-join by key — AQE
     * broadcasts small deletion lists; partition filters stacked on top
     * still push to the scan). */
-  def liveTable(spark: SparkSession, dir: String, df: DataFrame, keyCol: String): DataFrame =
-    tombstones(spark, dir, keyCol).fold(df)(t => df.join(t, Seq(keyCol), "left_anti"))
+  def liveTable(spark: SparkSession, dir: String, df: DataFrame, keyCol: String,
+                snapshot: Boolean = false): DataFrame =
+    tombstones(spark, dir, keyCol, snapshot).fold(df)(t => df.join(t, Seq(keyCol), "left_anti"))
 
   /** Enforce the "a tombstoned id must never be re-appended before a
     * compact" contract — violated, the stale tombstone would silently

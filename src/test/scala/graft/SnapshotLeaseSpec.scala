@@ -1,0 +1,204 @@
+package graft
+
+import graft.ml.{AnnSearch, IvfIndex}
+import graft.text.IncrementalDedup
+import graft.util.TableIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The round-13 concurrency story of the persisted indexes:
+  *  - SNAPSHOT reads see committed batches only — a reader interleaved
+  *    between a writer's move phase and its commit marker gets the
+  *    pre-batch index (both indexes), never a torn prefix, and never
+  *    repairs (so it cannot roll a live writer's batch back);
+  *  - the WRITER LEASE turns the single-writer assumption into a
+  *    fail-fast (a second concurrent writer throws), with expiry-steal
+  *    for crashed writers;
+  *  - batch ids are validated at entry ('__' and '/' would corrupt the
+  *    rollback prefix / protocol paths);
+  *  - a failed (false-returning) rename ABORTS the commit before the
+  *    marker, preserving committed == complete;
+  *  - the stream batch-id salt is checkpoint-PATH-normalized.
+  */
+class SnapshotLeaseSpec extends SparkSpec {
+
+  private def docsDf: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def parquetFiles(path: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val root = new java.io.File(path)
+    if (!root.exists()) Seq.empty else walk(root).filter(_.getName.endsWith(".parquet"))
+  }
+
+  /** The literal mid-commit on-disk state a reader can race: some of
+    * the batch's files ALREADY MOVED live (bid-prefixed), staging
+    * record present, NO commit marker yet. */
+  private def tearBatch(indexDir: String, bid: String, table: String, rows: DataFrame): Unit = {
+    val tmp = graft.util.TempDirs.scratch("snap_torn_rows").toString + "/t"
+    rows.write.mode("overwrite").parquet(tmp)
+    new java.io.File(s"$indexDir/_staging/$bid").mkdirs()
+    val part = parquetFiles(tmp).head
+    val dst = new java.io.File(s"$indexDir/$table/b_${bid}__${part.getName}")
+    dst.getParentFile.mkdirs()
+    assert(part.renameTo(dst), "test setup: could not plant the in-flight file")
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("dedup snapshot probe interleaved mid-commit sees the pre-batch index and repairs nothing") {
+    val d = docsDf
+    val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    // probing with the shard itself guarantees the sealed batch is
+    // OBSERVABLE: once the shard is indexed, every shard doc exact-dups
+    // itself — so after != preBatch must hold
+    val probe = shard
+    val idx = graft.util.TempDirs.scratch("snap_dedup").toString
+    IncrementalDedup.buildIndex(old, "doc_id", "text", idx)
+    val preBatch = rows(IncrementalDedup.processShard(spark, idx, probe, "doc_id", "text",
+      tau = 0.8, snapshot = true))
+    // writer crashes (or is still moving) mid-append: a slice of the
+    // shard's hash rows is live but unmarked
+    val bid = "snap_inflight_0001"
+    tearBatch(idx, bid, "hashes.parquet",
+      shard.limit(9).select(col("doc_id").cast("long").as("id"),
+        xxhash64(graft.text.TextOps.normText(col("text"))).as("h")))
+    val tornFile = parquetFiles(s"$idx/hashes.parquet")
+      .filter(_.getName.startsWith(s"b_${bid}__"))
+    assert(tornFile.nonEmpty, "test setup: no in-flight file planted")
+    // the snapshot probe must see the PRE-batch index...
+    val during = rows(IncrementalDedup.processShard(spark, idx, probe, "doc_id", "text",
+      tau = 0.8, snapshot = true))
+    assert(during == preBatch, "snapshot probe observed an uncommitted (torn) batch")
+    // ...and must NOT have repaired (a concurrent repair would roll a
+    // LIVE writer's batch back — the hazard snapshot reads remove)
+    assert(tornFile.forall(_.exists()),
+      "snapshot read ran repair() and rolled back the in-flight batch")
+    // the writer finishes (replay): now the snapshot sees the batch
+    IncrementalDedup.updateIndexInPlace(spark, idx, shard, "doc_id", "text",
+      batchId = Some(bid))
+    val after = rows(IncrementalDedup.processShard(spark, idx, probe, "doc_id", "text",
+      tau = 0.8, snapshot = true))
+    val afterPlain = rows(IncrementalDedup.processShard(spark, idx, probe, "doc_id", "text",
+      tau = 0.8))
+    assert(after == afterPlain, "snapshot diverged from the plain read on a quiescent index")
+    assert(after != preBatch, "test fixture too weak: the appended shard changed no probe decision")
+  }
+
+  test("ivf snapshot probe interleaved mid-commit sees the pre-batch index (and search too)") {
+    import spark.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+    val old = all.filter(pmod(col("id"), lit(7)) =!= 0)
+    val fresh = all.filter(pmod(col("id"), lit(7)) === 0)
+    val queries = all.filter(pmod(col("id"), lit(50)) === 0).limit(10)
+    val centroids = AnnSearch.kmeansCentroidsExact(old, 15, iters = 2)
+    val book = AnnSearch.pqBook(old, m = 32, stride = 10)
+    val idx = graft.util.TempDirs.scratch("snap_ivf").toString
+    IvfIndex.build(old, centroids, book, idx)
+    val pre = rows(IvfIndex.nearDupsExact(spark, idx, old, queries, tau = 0.9, snapshot = true))
+    val preSearch = rows(IvfIndex.search(spark, idx, old, queries,
+      k = 5, nprobe = 3, shortlist = 20, snapshot = true))
+    val bid = "snap_ivf_0001"
+    tearBatch(idx, bid, "encoded.parquet/cell=0",
+      fresh.limit(3).select(col("id").as("n_id"), lit(Array[Byte](0, 0)).as("codes"),
+        lit(1.0).as("n_norm")))
+    assert(rows(IvfIndex.nearDupsExact(spark, idx, old, queries, tau = 0.9, snapshot = true)) == pre,
+      "ivf snapshot nearDupsExact observed an uncommitted batch")
+    assert(rows(IvfIndex.search(spark, idx, old, queries,
+      k = 5, nprobe = 3, shortlist = 20, snapshot = true)) == preSearch,
+      "ivf snapshot search observed an uncommitted batch")
+    assert(parquetFiles(s"$idx/encoded.parquet").exists(_.getName.startsWith(s"b_${bid}__")),
+      "snapshot read ran repair() and rolled back the in-flight batch")
+    // writer completes; snapshot == plain on the sealed index
+    IvfIndex.appendInPlace(spark, idx, fresh, batchId = Some(bid))
+    val corpus = old.unionByName(fresh)
+    assert(rows(IvfIndex.nearDupsExact(spark, idx, corpus, queries, tau = 0.9, snapshot = true)) ==
+      rows(IvfIndex.nearDupsExact(spark, idx, corpus, queries, tau = 0.9)),
+      "snapshot diverged from the plain read on a quiescent index")
+  }
+
+  test("writer lease: a second concurrent writer fails fast; an expired lease is stolen") {
+    import spark.implicits._
+    val idx = graft.util.TempDirs.scratch("lease").toString
+    val rowsDf = Seq((1L, 11L), (2L, 22L)).toDF("id", "h")
+    // writer A holds the lease
+    val token = TableIndex.acquireLease(spark, idx)
+    val e = intercept[IllegalStateException] {
+      TableIndex.commitBatch(spark, idx, "lease_b1",
+        Seq(("hashes.parquet", rowsDf, Seq.empty)))
+    }
+    assert(e.getMessage.contains("another writer"), e.getMessage)
+    assert(!TableIndex.isCommitted(spark, idx, "lease_b1"),
+      "a contended commit still landed")
+    TableIndex.releaseLease(spark, idx, token)
+    assert(TableIndex.commitBatch(spark, idx, "lease_b1",
+      Seq(("hashes.parquet", rowsDf, Seq.empty))), "commit after release failed")
+    // a crashed writer's EXPIRED lease is stolen, not honored forever
+    TableIndex.acquireLease(spark, idx, leaseMs = -1000L)
+    assert(TableIndex.commitBatch(spark, idx, "lease_b2",
+      Seq(("hashes.parquet", rowsDf, Seq.empty))), "expired lease was not stolen")
+    // the steal's own lease was released on exit
+    assert(!new java.io.File(s"$idx/_writer.lease").exists(),
+      "lease file leaked after commit")
+  }
+
+  test("batch ids with '__' or '/' are rejected at entry (rollback-prefix aliasing)") {
+    import spark.implicits._
+    val idx = graft.util.TempDirs.scratch("badbid").toString
+    val df = Seq((1L, 1L)).toDF("id", "h")
+    for (bad <- Seq("a__b", "a/b", "", "a b")) {
+      intercept[IllegalArgumentException] {
+        TableIndex.commitBatch(spark, idx, bad, Seq(("hashes.parquet", df, Seq.empty)))
+      }
+    }
+    // the streaming id shape stays valid
+    TableIndex.requireValidBid("s0123456789abcdef_0000000042")
+  }
+
+  test("a false-returning rename aborts before the marker (committed == complete)") {
+    val idx = graft.util.TempDirs.scratch("renamefail").toString
+    new java.io.File(idx).mkdirs()
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a source that does not exist: local rename returns false, not throw
+    val ghost = new org.apache.hadoop.fs.Path(s"$idx/_staging/x/t/ghost.parquet")
+    val dst = new org.apache.hadoop.fs.Path(s"$idx/t/ghost.parquet")
+    intercept[java.io.IOException] {
+      TableIndex.renameAll(fs, Seq((ghost, dst)))
+    }
+  }
+
+  test("checkpoint batch-id salt is path-normalized: respellings agree, distinct paths differ") {
+    val a = TableIndex.checkpointSalt(spark, "/tmp/graft_ckpt_salt/x")
+    assert(a == TableIndex.checkpointSalt(spark, "/tmp/graft_ckpt_salt/x/"))
+    assert(a == TableIndex.checkpointSalt(spark, "/tmp/graft_ckpt_salt/./x"))
+    assert(a == TableIndex.checkpointSalt(spark, "/tmp/graft_ckpt_salt//x"))
+    assert(a != TableIndex.checkpointSalt(spark, "/tmp/graft_ckpt_salt/y"))
+  }
+
+  test("refreshGeometry rejects a SUBSET corpus (under-sized radii would break exactness)") {
+    import spark.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      .limit(60)
+    val centroids = AnnSearch.kmeansCentroidsExact(all, 15, iters = 1)
+    val book = AnnSearch.pqBook(all, m = 32, stride = 10)
+    val idx = graft.util.TempDirs.scratch("geo_subset").toString
+    IvfIndex.build(all, centroids, book, idx)
+    val subset = all.limit(30)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.refreshGeometry(spark, idx, subset)
+    }
+    assert(e.getMessage.contains("missing live indexed ids"), e.getMessage)
+    // a covering corpus refreshes fine; a floats-bearing index needs none
+    IvfIndex.refreshGeometry(spark, idx, all)
+    val fidx = graft.util.TempDirs.scratch("geo_subset_f").toString
+    IvfIndex.build(all, centroids, book, fidx, storeFloats = true)
+    val empty = Seq.empty[(Long, Array[Double])].toDF("id", "vec")
+    IvfIndex.refreshGeometry(spark, fidx, empty) // corpus ignored: refreshes from its own floats
+  }
+}
