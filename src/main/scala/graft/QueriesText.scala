@@ -539,6 +539,38 @@ object QueriesText {
     graft.ml.IvfIndex.nearDupsExact(spark, idxDir, remaining, shard, tau = 0.8)
   }
 
+  /** The CENTROID-DRIFT form of [[dedupIncrementalEmb]], driver-gated:
+    * the gen-1 index is TRAINED (centroids + codebook) on clusters
+    * 0–11 only, then the remaining old members (clusters 12–19 —
+    * vectors the trained centroids never saw) arrive via
+    * [[graft.ml.IvfIndex.appendInPlace]], smearing across ill-fitting
+    * cells and inflating their radii. [[graft.ml.IvfIndex.recluster]]
+    * then retrains centroid placement on the live corpus, re-encodes,
+    * and writes the fresh generation; the shard's exact τ=0.8 check
+    * runs through the RECLUSTERED index. The oracle is the same
+    * brute-force cross-pair set as `dedup_incremental_emb` — exactness
+    * is unconditional across the whole lifecycle (train → drifted
+    * appends → recluster); what recluster restores is the pruning,
+    * which TableIndexSpec pins separately (candidate cells recover to
+    * one per query on the drift fixture). */
+  private def dedupIncrementalEmbRecluster(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = clusteredEmbs(spark, dir)
+    val old = corpus.filter(pmod(col("id"), lit(3)) =!= 0)
+    val shard = corpus.filter(pmod(col("id"), lit(3)) === 0)
+    val seed = old.filter(pmod(col("id"), lit(20)) < 12)
+    val drift = old.filter(pmod(col("id"), lit(20)) >= 12)
+    val idxDir = graft.util.TempDirs.memoized(s"ivf_idx_recl1:$dir", "graft_ivf_recl1").toString
+    val reclDir = graft.util.TempDirs.memoized(s"ivf_idx_recl2:$dir", "graft_ivf_recl2").toString
+    if (!graft.util.TableIndex.anyCommitted(spark, reclDir)) {
+      val centroids = AnnSearch.kmeansCentroidsExact(seed, 14, iters = 2)
+      val book = AnnSearch.pqBook(seed, m = 32, stride = 10)
+      graft.ml.IvfIndex.build(seed, centroids, book, idxDir)
+      graft.ml.IvfIndex.appendInPlace(spark, idxDir, drift)
+      graft.ml.IvfIndex.recluster(spark, idxDir, old, reclDir, stride = 14, iters = 2)
+    }
+    graft.ml.IvfIndex.nearDupsExact(spark, reclDir, old, shard, tau = 0.8)
+  }
+
   /** ONLINE embedding dedup through the driver gate
     * ([[graft.ml.IvfIndex.dedupStream]]): gen-1 seeds clusters 0–11
     * only, the stream delivers all 20 clusters in two id-ordered
@@ -2367,6 +2399,7 @@ object QueriesText {
     "ann_topk_idx_tomb" -> (annTopKIdxTomb _),
     "dedup_incremental_emb" -> (dedupIncrementalEmb _),
     "dedup_incremental_emb_refresh" -> (dedupIncrementalEmbRefresh _),
+    "dedup_incremental_emb_recluster" -> (dedupIncrementalEmbRecluster _),
     "dedup_incremental_emb_self" -> (dedupIncrementalEmbSelf _),
     "stream_dedup_embedding" -> (streamDedupEmbedding _),
     "dedup_embedding_clu" -> (dedupEmbeddingClu _),
@@ -3636,6 +3669,23 @@ object QueriesText {
         |      FROM e JOIN c ON c.cid = e.vec_id % 20),
         |q AS (SELECT * FROM m WHERE id % 3 = 0),
         |o AS (SELECT * FROM m WHERE id % 3 <> 0 AND id % 5 <> 0)
+        |SELECT q.id AS q_id, o.id AS n_id,
+        |  round(list_inner_product(q.v, o.v) /
+        |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(o.v, o.v))), 6) AS sim
+        |FROM q JOIN o ON list_inner_product(q.v, o.v) /
+        |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(o.v, o.v))) >= 0.8""".stripMargin,
+    // the centroid-drift row: train on clusters 0-11, append 12-19,
+    // RECLUSTER — exactness is unconditional across the lifecycle, so
+    // the oracle is the same brute-force cross-pair set over the full
+    // live old corpus as dedup_incremental_emb
+    "dedup_incremental_emb_recluster" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 20),
+        |m AS (SELECT e.vec_id AS id,
+        |        list_transform(generate_series(1, len(e.v)), i -> c.cv[i] + 0.15 * e.v[i]) AS v
+        |      FROM e JOIN c ON c.cid = e.vec_id % 20),
+        |q AS (SELECT * FROM m WHERE id % 3 = 0),
+        |o AS (SELECT * FROM m WHERE id % 3 <> 0)
         |SELECT q.id AS q_id, o.id AS n_id,
         |  round(list_inner_product(q.v, o.v) /
         |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(o.v, o.v))), 6) AS sim

@@ -339,6 +339,82 @@ class TableIndexSpec extends SparkSpec {
       "compaction lost or failed to fold the float table")
   }
 
+  /** Drift fixture for [[IvfIndex.recluster]]: clusters A (e0) and B
+    * ((e0+e1)/√2) are the TRAINED generation; cluster C (e2,
+    * orthogonal to both) arrives later — its members assign ~90° from
+    * whichever centroid wins the noise, inflating that cell's radius
+    * toward π/2, so C-directed queries stop pruning anything. Ids laid
+    * out so stride-20 reclustering seeds one member of each cluster. */
+  private def driftFixture: (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val dim = 8
+    val inv = 1.0 / math.sqrt(2.0)
+    def base(id: Long): Array[Double] =
+      if (id < 20) Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+      else if (id < 40) Array.tabulate(dim)(i => if (i == 0 || i == 1) inv else 0.0)
+      else Array.tabulate(dim)(i => if (i == 2) 1.0 else 0.0)
+    def noisy(id: Long, b: Array[Double]): Array[Double] =
+      b.indices.map(i => b(i) + 0.05 * math.sin(id * 13.7 + i * 2.1)).toArray
+    val corpus = (0L until 60L).map(id => (id, noisy(id, base(id)))).toDF("id", "vec")
+    val queries = (100L until 106L).map(id =>
+      (id, noisy(id, Array.tabulate(dim)(i => if (i == 2) 1.0 else 0.0)))).toDF("id", "vec")
+    val cents = Seq(
+      (0L, Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0).toSeq),
+      (1L, Array.tabulate(dim)(i => if (i == 0 || i == 1) inv else 0.0).toSeq)).toDF("c_id", "c_vec")
+    (corpus, queries, cents)
+  }
+
+  test("recluster restores centroid placement after drifted appends: pruning recovers, exactness carries") {
+    val (corpus, queries, cents) = driftFixture
+    val gen1 = corpus.filter(col("id") < 40)   // clusters A, B — what the centroids fit
+    val drift = corpus.filter(col("id") >= 40) // cluster C — orthogonal to both centroids
+    val book = AnnSearch.pqBook(gen1, m = 8, stride = 2)
+    val idx = graft.util.TempDirs.scratch("recl_idx").toString
+    IvfIndex.build(gen1, cents, book, idx)
+    IvfIndex.appendInPlace(spark, idx, drift)
+    def brute(): Set[(Long, Long)] = {
+      val vs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val qs = queries.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      (for {
+        (qid, qv) <- qs; (nid, nv) <- vs
+        d = qv.indices.map(i => qv(i) * nv(i)).sum
+        s = d / (math.sqrt(qv.map(x => x * x).sum) * math.sqrt(nv.map(x => x * x).sum))
+        if s >= 0.9
+      } yield (qid, nid)).toSet
+    }
+    def got(dir: String): Set[(Long, Long)] =
+      IvfIndex.nearDupsExact(spark, dir, corpus, queries, tau = 0.9)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = brute()
+    assert(want.nonEmpty, "degenerate fixture: C queries found no near-dups")
+    // exactness is UNCONDITIONAL — it must hold on the drifted index too
+    assert(got(idx) == want, "nearDupsExact wrong on the drifted index")
+    val staleCand = IvfIndex.candidateCells(spark, idx, queries, tau = 0.9).count()
+    // recluster: stride 20 seeds ids 0 (A), 20 (B), 40 (C)
+    val recl = graft.util.TempDirs.scratch("recl_out").toString
+    IvfIndex.recluster(spark, idx, corpus, recl, stride = 20, iters = 2)
+    val reclCand = IvfIndex.candidateCells(spark, recl, queries, tau = 0.9).count()
+    assert(reclCand < staleCand,
+      s"recluster did not restore pruning (candidate pairs $staleCand -> $reclCand)")
+    assert(reclCand == queries.count(),
+      s"reclustered index should candidate exactly the C cell per query (got $reclCand)")
+    assert(got(recl) == want, "nearDupsExact wrong after recluster")
+    // recluster ≡ build over the live corpus with the retrained tables
+    val direct = graft.util.TempDirs.scratch("recl_direct").toString
+    IvfIndex.build(corpus, AnnSearch.kmeansCentroidsExact(corpus, 20, 2), book, direct)
+    for (t <- Seq("encoded", "geometry", "centroids"))
+      assert(tableRows(s"$recl/$t.parquet") == tableRows(s"$direct/$t.parquet"),
+        s"reclustered $t diverged from the direct rebuild")
+    // tombstones FOLD through a recluster (it rewrites from live rows)
+    import spark.implicits._
+    IvfIndex.deleteInPlace(spark, idx, Seq(41L).toDF("id"))
+    val recl2 = graft.util.TempDirs.scratch("recl_tomb").toString
+    IvfIndex.recluster(spark, idx, corpus, recl2, stride = 20, iters = 2)
+    assert(!new java.io.File(s"$recl2/tombstones.parquet").exists(),
+      "recluster carried the tombstone table forward")
+    assert(got(recl2) == want.filter(_._2 != 41L), "tombstone leaked through recluster")
+  }
+
   test("geometry is an accelerator, never a gate: a geometry-less index stays exact (pi fallback)") {
     import spark.implicits._
     val (corpus, cents) = clusteredFixture
