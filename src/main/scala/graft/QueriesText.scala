@@ -2081,9 +2081,8 @@ object QueriesText {
     * curation (tokenizers are trained on the raw corpus). */
   private def capstoneMerges(spark: SparkSession, dir: String): Seq[graft.text.Bpe.Merge] = {
     import spark.implicits._
-    graft.text.Bpe.learnMergesLocal(
-      graft.text.Bpe.wordCounts(docs(spark, dir), "text")
-        .as[(String, Long)].collect(), nMerges = 12)
+    graft.text.Bpe.learnLocalMerges(
+      graft.text.Bpe.wordCounts(docs(spark, dir), "text"), nMerges = 12)
   }
 
   /** Packing + per-source shard stats over per-doc subword weights —
@@ -2172,8 +2171,7 @@ object QueriesText {
     val wc = graft.text.Bpe.wordCounts(d, "text")
     val merges = {
       import spark.implicits._
-      graft.text.Bpe.learnMergesLocal(
-        wc.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 12)
+      graft.text.Bpe.learnLocalMerges(wc, nMerges = 12)
     }
     graft.text.Bpe.encodeCounts(d, "doc_id", "text", merges)
   }
@@ -2185,8 +2183,7 @@ object QueriesText {
   private def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wc = graft.text.Bpe.wordCounts(docs(spark, dir), "text")
-    val merges = graft.text.Bpe.learnMergesLocal(
-      wc.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 12)
+    val merges = graft.text.Bpe.learnLocalMerges(wc, nMerges = 12)
     graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wc), merges).toDF()
   }
 
@@ -2200,8 +2197,7 @@ object QueriesText {
     import spark.implicits._
     val d = docs(spark, dir)
     val wc = graft.text.Bpe.wordCounts(d, "text")
-    val merges = graft.text.Bpe.learnMergesLocal(
-      wc.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 12)
+    val merges = graft.text.Bpe.learnLocalMerges(wc, nMerges = 12)
     val vocab = graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wc), merges)
     graft.text.Bpe.encodeIds(d, "doc_id",
         regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)), merges, vocab)
@@ -2220,8 +2216,7 @@ object QueriesText {
     import spark.implicits._
     val d = docs(spark, dir)
     val wc = graft.text.Bpe.wordCounts(d, "text")
-    val merges = graft.text.Bpe.learnMergesLocal(
-      wc.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 12)
+    val merges = graft.text.Bpe.learnLocalMerges(wc, nMerges = 12)
     val vocab = graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wc), merges)
     val enc = graft.text.Bpe.encodeIds(d, "doc_id",
       regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)), merges, vocab)
@@ -2249,8 +2244,7 @@ object QueriesText {
     import org.apache.spark.sql.types._
     val d = docs(spark, dir)
     val wc = graft.text.Bpe.wordCounts(d, "text")
-    val merges = graft.text.Bpe.learnMergesLocal(
-      wc.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 12)
+    val merges = graft.text.Bpe.learnLocalMerges(wc, nMerges = 12)
     val vocab = graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wc), merges)
 
     val tmp = graft.util.TempDirs.memoized(s"bpe_artifact:$dir", "graft_bpe_artifact")
@@ -2282,8 +2276,7 @@ object QueriesText {
     val counts = graft.text.Bpe.shingleCounts(d, "text", n = 3)
     val merges = {
       import spark.implicits._
-      graft.text.Bpe.learnMergesLocal(
-        counts.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 1000)
+      graft.text.Bpe.learnLocalMerges(counts, nMerges = 1000)
     }
     // encode at the same shingle granularity the vocabulary was
     // learned on (the words-array seam; the guard keeps short docs at
@@ -2310,8 +2303,7 @@ object QueriesText {
     import spark.implicits._
     val d = docs(spark, dir)
     val wc = graft.text.Bpe.wordCounts(d, "text")
-    val merges = graft.text.Bpe.learnMergesLocal(
-      wc.select(col("word"), col("cnt")).as[(String, Long)].collect(), nMerges = 1000)
+    val merges = graft.text.Bpe.learnLocalMerges(wc, nMerges = 1000)
     val vocab = graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wc), merges)
     graft.text.Bpe.encodeIds(d, "doc_id",
         regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)), merges, vocab)

@@ -173,14 +173,38 @@ object Bpe {
   def learnLocal(words: DataFrame, nMerges: Int, maxWords: Long = 20000000L): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
-    val n = words.count()
-    require(n <= maxWords,
-      s"learnLocal: distinct-word table has $n rows (> maxWords=$maxWords) — the driver-heap " +
+    learnLocalMerges(words, nMerges, maxWords).toDF()
+  }
+
+  /** [[learnLocal]] returning the merge sequence directly — the form
+    * pipelines compose with [[encodeCountsOf]]/[[encodeIds]] without a
+    * DataFrame round-trip. This IS the guarded path: callers that
+    * collect the word table themselves bypass the cap. */
+  def learnLocalMerges(words: DataFrame, nMerges: Int,
+                       maxWords: Long = 20000000L): Seq[Merge] =
+    learnMergesLocal(collectWordsGuarded(words, maxWords), nMerges)
+
+  /** The guarded word-table collect behind [[learnLocal]]: ONE pass —
+    * the probe is a `limit(maxWords + 1)` on the fetch itself, so a
+    * within-cap table is collected by the same job that checks the
+    * cap (the pre-r13 guard ran `count()` first, RE-EXECUTING the
+    * word aggregate — a second full corpus pass per training run),
+    * and an over-cap table surfaces as length == maxWords + 1 without
+    * ever materializing past the cap. The merge loop is order-
+    * insensitive (it aggregates the rows into a pair-count heap), so
+    * the limit's partition-order nondeterminism is invisible. */
+  def collectWordsGuarded(words: DataFrame, maxWords: Long = 20000000L): Array[(String, Long)] = {
+    require(maxWords > 0 && maxWords < Int.MaxValue,
+      s"maxWords=$maxWords out of range (0, Int.MaxValue)")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val wc = words.select(col("word").cast("string"), col("cnt").cast("long"))
+      .as[(String, Long)].limit(maxWords.toInt + 1).collect()
+    require(wc.length <= maxWords,
+      s"learnLocal: distinct-word table exceeds maxWords=$maxWords rows — the driver-heap " +
         "merge loop would OOM. Apply a frequency floor (cnt >= k) to the word table first, " +
         "or raise maxWords on a driver provisioned for it.")
-    val wc = words.select(col("word").cast("string"), col("cnt").cast("long"))
-      .as[(String, Long)].collect()
-    learnMergesLocal(wc, nMerges).toDF()
+    wc
   }
 
   /** ENCODE: apply a learned merge sequence to the corpus, reporting
