@@ -204,15 +204,23 @@ object Bench {
     // (ext_cal); host-normalized steady cells (cell · calRef/calStep)
     // go to bench_out.json as extended_norm.
     val calRef = 0.70 // the round-8 reference host reading the series is anchored to
+    // r13: a per-step DRIVER calibration too (the ext_cal pattern for
+    // the single-thread axis) — the r12 watches (bpe_train_1k,
+    // acc_stats) could not be adjudicated because drv_cal ran once at
+    // session start; a cell ratio that tracks its STEP's drv_cal ratio
+    // is host, not code
     val extRuns = extDirs.map { dir =>
       val label = Paths.get(dir).getFileName.toString
         .replace("graft_sf1_synth", "sf1_synth")
       val calStep = calibration(spark)
-      (label, calStep, extPass(dir))
+      val drvStep = driverCalibration()
+      (label, calStep, drvStep, extPass(dir))
     }
-    val extCal = extRuns.map { case (label, c, _) => "\"" + label + "\":" + f"$c%.2f" }
+    val extCal = extRuns.map { case (label, c, _, _) => "\"" + label + "\":" + f"$c%.2f" }
       .mkString("{", ",", "}")
-    val extNorm = extRuns.map { case (label, c, (_, steady)) =>
+    val drvCalExt = extRuns.map { case (label, _, dcs, _) => "\"" + label + "\":" + f"$dcs%.2f" }
+      .mkString("{", ",", "}")
+    val extNorm = extRuns.map { case (label, c, _, (_, steady)) =>
       "\"" + label + "\":" + steady.map { case (k, v) =>
         "\"" + k + "\":" + f"${v * calRef / c}%.3f"
       }.mkString("{", ",", "}")
@@ -221,25 +229,22 @@ object Bench {
     // drift DURING the run — a slow round with pre≈post≈historical
     // calibration is a code regression; pre/post ≫ historical is host.
     val calPost = calibration(spark)
-    // extended cells at 2 decimals on stdout: 3 dirs × 15 cells at
-    // 3 decimals leaves no margin inside the driver's tail window
-    def cells2(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     def extJson(pick: ((Seq[(String, Double)], Seq[(String, Double)])) => Seq[(String, Double)],
                 fmt: Seq[(String, Double)] => String,
                 only: String => Boolean = _ => true): String =
-      extRuns.filter { case (label, _, _) => only(label) }
-        .map { case (label, _, runs) => "\"" + label + "\":" + fmt(pick(runs)) }
+      extRuns.filter { case (label, _, _, _) => only(label) }
+        .map { case (label, _, _, runs) => "\"" + label + "\":" + fmt(pick(runs)) }
         .mkString("{", ",", "}")
-    // stdout carries the extended STEADY cells for the DRIVER's dir and
-    // the synth up-step only: r10's two new cells (bpe_encode_ids_1k,
-    // corpus_pipeline_v6) push the full 3-dir block past the 1860-char
-    // guard, which would silently drop ALL extended data from the
-    // driver's tail — the sf0.01 down-step (least informative: cells
-    // are fixture-floor-dominated there) moves to bench_out.json only,
-    // where all three dirs always live in full.
+    // stdout candidates for the extended block, richest first: the
+    // DRIVER's dir + the synth up-step (the sf0.01 down-step is
+    // fixture-floor-dominated and lives in bench_out.json only), then
+    // the tiers extendedTiers derives — one step, top-N. The first
+    // tier whose full line fits the tail budget wins (see stdoutJson).
     val sfLabelMain = Paths.get(sfDir).getFileName.toString
-    val ext2 = extJson(_._2, cells2, only = l => l == sfLabelMain || l == "sf1_synth")
+    val stdoutSteps = extRuns
+      .filter { case (label, _, _, _) => label == sfLabelMain || label == "sf1_synth" }
+      .sortBy { case (label, _, _, _) => if (label == sfLabelMain) 0 else 1 }
+      .map { case (label, _, _, (_, steady)) => (label, steady) }
     val ext = extJson(_._2, cells)
     val extFirst = extJson(_._1, cells)
     // cal_drift = pre/post: ~1.0 means a stable host; ≫1 means the run
@@ -255,20 +260,25 @@ object Bench {
         if (slim) ""
         else s""""first_pass_total":${f"$firstTotal%.3f"},"tiled_first_cold":${f"$tiledFirstCold%.3f"},"""
       val sfLabel = if (slim) Paths.get(sfDir).getFileName.toString else sfDir
-      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$debt"tiled_first":${f"$tiledFirst%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"},"cal_drift":${f"$calDrift%.2f"},"drv_cal":${f"$drvCal%.3f"},"ext_cal":$extCal$extPart,"sf":"$sfLabel""""
+      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$debt"tiled_first":${f"$tiledFirst%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"},"cal_drift":${f"$calDrift%.2f"},"drv_cal":${f"$drvCal%.3f"},"drv_cal_ext":$drvCalExt,"ext_cal":$extCal$extPart,"sf":"$sfLabel""""
     }
     // stdout line: must fit the driver's 2000-char stdout tail window
     // (with the trailing ~75-char sbt status line) or the round's bench
     // goes unparsed — r6/r7 both lost their lines to exactly this.
-    // Guarded by construction: if the extended block ever pushes past
-    // 1860 chars it is dropped from stdout (bench_out.json always has
-    // it). The budget: since r9 stderr (log4j console + stack traces)
-    // routes to bench_spark.log BEFORE Spark starts, the tail holds
-    // ONLY this line plus sbt's status line — 1860 + 76 = 1936 < 2000
-    // with real slack; the tighter 1780 of the r8 ADVICE predates that
-    // routing.
-    val withExt = "{" + core(s""","extended":$ext2""", slim = true) + "}"
-    val stdoutJson = if (withExt.length <= 1860) withExt else "{" + core("", slim = true) + "}"
+    // TIERED guard (r13; the r12 lesson): the old guard was
+    // all-or-nothing, and when drv_cal + the v9 cells pushed the
+    // 2-step block past budget it dropped ALL ~30 extended cells from
+    // the driver's record. Now the richest representation that FITS
+    // wins — every step, else one step, else the primary step's top-N
+    // heaviest cells down to 1 — so the driver's independent perf
+    // record never goes blind on the extended family again
+    // (bench_out.json always carries all steps in full). The budget:
+    // since r9 stderr routes to bench_spark.log BEFORE Spark starts,
+    // the tail holds ONLY this line plus sbt's ~76-char status line —
+    // 1860 + 76 = 1936 < 2000 with real slack.
+    val stdoutJson = pickStdoutLine(
+      extPart => "{" + core(extPart, slim = true) + "}",
+      extendedTiers(stdoutSteps))
     // full detail (per-query first passes) → bench_out.json
     val fullJson = "{" + core(s""","extended":$ext""", slim = false) +
       s""","first_pass":$first,"extended_first_pass":$extFirst,"extended_norm":$extNorm}"""
@@ -348,6 +358,36 @@ object Bench {
     }
     outDir
   }
+
+  /** The stdout extended-block tiers, RICHEST FIRST, at 2 decimals
+    * (3 decimals × 3 dirs left no margin inside the tail window):
+    *  1. every step, all cells;
+    *  2. the primary (first) step only, all cells;
+    *  3. the primary step's top-N heaviest cells, N = 12, 8, 5, 3, 1.
+    * Pure so BenchLineSpec can pin the budget against the largest
+    * plausible cell set. Steps must arrive primary-first. */
+  private[graft] def extendedTiers(steps: Seq[(String, Seq[(String, Double)])]): Seq[String] = {
+    def fmt(ss: Seq[(String, Seq[(String, Double)])]): String =
+      ss.map { case (l, cs) =>
+        "\"" + l + "\":" + cs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+          .mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+    if (steps.isEmpty || steps.forall(_._2.isEmpty)) return Seq.empty
+    val primary = Seq(steps.head).filter(_._2.nonEmpty)
+    val topNs = Seq(12, 8, 5, 3, 1).map(n =>
+      primary.map { case (l, cs) => (l, cs.sortBy { case (k, v) => (-v, k) }.take(n)) })
+    (Seq(steps, primary) ++ topNs).distinct.map(fmt)
+  }
+
+  /** First tier whose FULL line fits `budget`; a line with no extended
+    * block only when even a one-cell tier cannot fit (never happens at
+    * the real core size — BenchLineSpec pins it). `mkLine` receives
+    * either "" or `,"extended":{...}` and returns the complete line. */
+  private[graft] def pickStdoutLine(mkLine: String => String, extTiers: Seq[String],
+                                    budget: Int = 1860): String =
+    extTiers.iterator.map(t => mkLine(s""","extended":$t"""))
+      .find(_.length <= budget)
+      .getOrElse(mkLine(""))
 
   /** Conformance queries plus the bench-only scale-contrast cells
     * (`bpe_train_1k` / `bpe_encode_1k` — oracle-less by design, moved

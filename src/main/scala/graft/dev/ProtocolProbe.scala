@@ -45,6 +45,31 @@ object ProtocolProbe {
     var i = 0
     while (i < reps) { TableIndex.repair(spark, idx); i += 1 }
     println(f"repair (no-op): ${(System.nanoTime() - t0) / 1e3 / reps}%8.1f us/call over $reps calls")
+
+    // MOVE-PHASE scaling (r13): a bulk build or compaction of a 100 TB
+    // index moves 10^4-10^5 staged files; the per-append numbers above
+    // are 10-100 files. Plant N tiny staged files, time the checked
+    // rename wave serial vs pooled — if the sequential driver loop
+    // dominates at bulk shape, the pool is the fix (renames are
+    // namespace RPCs; nothing else about the protocol changes).
+    val base = graft.util.TempDirs.scratch("protocol_probe_bulk").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (n <- Seq(1000, 10000); threads <- Seq(1, 16)) {
+      val dir = s"$base/n${n}_t$threads"
+      val stageDir = new java.io.File(s"$dir/_staging/bulk/t")
+      stageDir.mkdirs()
+      val pairs = (0 until n).map { j =>
+        val f = new java.io.File(stageDir, f"part-$j%05d.parquet")
+        java.nio.file.Files.write(f.toPath, Array[Byte](80, 65, 82, 49))
+        (new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          new org.apache.hadoop.fs.Path(s"$dir/t/b_bulk__part-$j%05d.parquet"))
+      }
+      val m0 = System.nanoTime()
+      TableIndex.renameAll(fs, pairs, threads = threads)
+      val ms = (System.nanoTime() - m0) / 1e6
+      println(f"move phase: n=$n%6d threads=$threads%2d  wall=$ms%8.1f ms  (${ms * 1000 / n}%6.1f us/file)")
+    }
     spark.stop()
   }
 }
