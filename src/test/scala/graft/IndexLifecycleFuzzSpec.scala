@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
 
 /** Seeded random LIFECYCLE fuzzing of the two persisted indexes: a
   * deterministic op sequence (append / tombstone delete / torn-append-
-  * then-replay / geometry refresh / compact) drives each index through
-  * states no single-purpose spec enumerates, and after EVERY step the
-  * index must answer its probe exactly like a from-scratch derivation
-  * over the model's live set. The fixed seeds make it CI-deterministic
-  * (the RandomizedPropertySpec discipline); the torn-append op plants
-  * the literal crash state (bid-prefixed live files + staging record,
-  * no marker) before replaying, so protocol rollback runs under every
-  * surrounding state the walk reaches, not just the one in
+  * then-replay / geometry refresh / compact / recluster) drives each
+  * index through states no single-purpose spec enumerates, and after
+  * EVERY step the index must answer its probe exactly like a
+  * from-scratch derivation over the model's live set — through BOTH
+  * read postures (plain and snapshot). The fixed seeds make it
+  * CI-deterministic (the RandomizedPropertySpec discipline); the
+  * torn-append op plants the literal crash state (bid-prefixed live
+  * files + staging record, no marker), probes it through the SNAPSHOT
+  * path (must see the pre-batch model, must not repair) and only then
+  * replays, so protocol rollback AND snapshot isolation run under
+  * every surrounding state the walk reaches, not just the one in
   * TableIndexSpec. */
 class IndexLifecycleFuzzSpec extends SparkSpec {
 
@@ -104,8 +107,9 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
             acc + (id -> ((de, dn, !de && !dn)))
         }
       }
-      def engineDecisions(): Map[Long, (Boolean, Boolean, Boolean)] =
-        IncrementalDedup.processShard(spark, dir, probeDf, "doc_id", "text", tau = 0.8)
+      def engineDecisions(snapshot: Boolean = false): Map[Long, (Boolean, Boolean, Boolean)] =
+        IncrementalDedup.processShard(spark, dir, probeDf, "doc_id", "text", tau = 0.8,
+            snapshot = snapshot)
           .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))))
           .toMap
 
@@ -140,6 +144,12 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
               slice.select(col("doc_id").cast("long").as("id"),
                 lit(rng.nextInt(8).toLong).as("band"), lit(rng.nextLong()).as("bucket")))
           }
+          // a SNAPSHOT probe interleaved mid-crash (torn files live, no
+          // marker) must see the pre-batch model and must NOT repair
+          assert(engineDecisions(snapshot = true) == bruteDecisions(),
+            s"seed $seed step $step: snapshot probe observed the torn (uncommitted) batch")
+          assert(parquetFiles(dir).exists(_.getName.startsWith(s"b_${bid}__")),
+            s"seed $seed step $step: snapshot probe repaired the in-flight batch away")
           IncrementalDedup.updateIndexInPlace(spark, dir, batch.toDF("doc_id", "text"),
             "doc_id", "text", batchId = Some(bid))
           live ++= batch
@@ -163,6 +173,9 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
         assert(got == want,
           s"seed $seed step $step: engine decisions diverged from brute force\n" +
             s"engine: ${got.toSeq.sortBy(_._1)}\nbrute:  ${want.toSeq.sortBy(_._1)}")
+        // quiescent index: the snapshot posture answers identically
+        assert(engineDecisions(snapshot = true) == want,
+          s"seed $seed step $step: snapshot decisions diverged on a quiescent index")
       }
       assert(live.nonEmpty)
     }
@@ -211,8 +224,9 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
           s = d / (math.sqrt(qv.map(x => x * x).sum) * math.sqrt(nv.map(x => x * x).sum))
           if s >= 0.9
         } yield (qid, nid)).toSet
-      def engine(): Set[(Long, Long)] =
-        IvfIndex.nearDupsExact(spark, dir, live.toSeq.toDF("id", "vec"), shardDf, tau = 0.9)
+      def engine(snapshot: Boolean = false): Set[(Long, Long)] =
+        IvfIndex.nearDupsExact(spark, dir, live.toSeq.toDF("id", "vec"), shardDf, tau = 0.9,
+            snapshot = snapshot)
           .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
       for (step <- 1 to 6) {
@@ -245,12 +259,23 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
             tearBatch(dir, bid, "geometry.parquet",
               batch.take(1).toDF("id", "vec")
                 .select(lit(0L).as("cell"), lit(0.0).as("r")))
+          // snapshot probe mid-crash: pre-batch answers, no repair
+          assert(engine(snapshot = true) == brute(),
+            s"seed $seed step $step: snapshot probe observed the torn (uncommitted) batch")
+          assert(parquetFiles(dir).exists(_.getName.startsWith(s"b_${bid}__")),
+            s"seed $seed step $step: snapshot probe repaired the in-flight batch away")
           IvfIndex.appendInPlace(spark, dir, batch.toDF("id", "vec"), batchId = Some(bid))
           live ++= batch
           tableIds ++= batch.map(_._1)
-        } else { // compact into a fresh generation
+        } else if (rng.nextBoolean()) { // compact into a fresh generation
           val out = graft.util.TempDirs.scratch(s"fuzz_ivf_${seed}_c$step").toString
           IvfIndex.compact(spark, dir, out)
+          dir = out
+          tableIds = live.keySet
+        } else { // RECLUSTER into a fresh generation (retrained cells)
+          val out = graft.util.TempDirs.scratch(s"fuzz_ivf_${seed}_r$step").toString
+          IvfIndex.recluster(spark, dir, live.toSeq.toDF("id", "vec"), out,
+            stride = 7, iters = 1)
           dir = out
           tableIds = live.keySet
         }
@@ -263,6 +288,8 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
         assert(got == want,
           s"seed $seed step $step: nearDupsExact diverged from brute force " +
             s"(engine ${got.size} pairs, brute ${want.size})")
+        assert(engine(snapshot = true) == want,
+          s"seed $seed step $step: snapshot probe diverged on a quiescent index")
         assert(want.nonEmpty, s"seed $seed step $step: degenerate walk — no true pairs left")
       }
     }
