@@ -413,6 +413,13 @@ class TableIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$recl2/tombstones.parquet").exists(),
       "recluster carried the tombstone table forward")
     assert(got(recl2) == want.filter(_._2 != 41L), "tombstone leaked through recluster")
+    // retrainBook: exactness carries with a refitted codebook too (PQ
+    // codes re-key; the exact re-rank contract is book-independent)
+    val reclBook = graft.util.TempDirs.scratch("recl_book").toString
+    IvfIndex.recluster(spark, idx, corpus, reclBook, stride = 20, iters = 2,
+      retrainBook = true, bookStride = 2)
+    assert(got(reclBook) == want.filter(_._2 != 41L),
+      "nearDupsExact wrong after recluster with a retrained codebook")
   }
 
   test("geometry is an accelerator, never a gate: a geometry-less index stays exact (pi fallback)") {
