@@ -214,9 +214,55 @@ object TableIndex {
     if (readLease(fs, p).exists(_._1 == token)) { fs.delete(p, false); () }
   }
 
+  /** Renew our own lease's expiry; false (and stop renewing) if the
+    * file no longer carries our token — someone stole it, and
+    * rewriting would clobber the new owner. */
+  private def renewLease(fs: FileSystem, p: Path, token: String, leaseMs: Long): Boolean =
+    readLease(fs, p) match {
+      case Some((t, _)) if t == token =>
+        val out = fs.create(p, true)
+        out.write(s"$token ${System.currentTimeMillis() + leaseMs}".getBytes("UTF-8"))
+        out.close()
+        true
+      case _ => false
+    }
+
+  /** Keep a held lease alive for the duration of a LONG mutation: a
+    * 100 TB compaction's staged writes can exceed any fixed expiry,
+    * and without renewal a second writer would legitimately "steal"
+    * the lease from a LIVE writer mid-commit — the exact overlap the
+    * lease exists to prevent. A daemon thread rewrites the expiry
+    * every leaseMs/3 while held (and stops itself if the token ever
+    * changes — a stolen lease is the new owner's). Returns a closer
+    * that stops the thread. */
+  private[graft] def startLeaseHeartbeat(spark: SparkSession, dir: String, token: String,
+                                         leaseMs: Long = LeaseMs): AutoCloseable = {
+    val p = leasePath(dir)
+    val fs = fsOf(spark, p)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        try Thread.sleep(math.max(50L, leaseMs / 3))
+        catch { case _: InterruptedException => () }
+        if (!stop.get()) {
+          try { if (!renewLease(fs, p, token, leaseMs)) stop.set(true) }
+          catch { case _: Throwable => () } // transient FS error: retry next tick
+        }
+      }
+    })
+    t.setDaemon(true)
+    t.setName(s"graft-lease-heartbeat-${token.take(8)}")
+    t.start()
+    () => { stop.set(true); t.interrupt() }
+  }
+
   private def withLease[A](spark: SparkSession, dir: String)(body: => A): A = {
     val token = acquireLease(spark, dir)
-    try body finally releaseLease(spark, dir, token)
+    val hb = startLeaseHeartbeat(spark, dir, token)
+    try body finally {
+      try hb.close() catch { case _: Throwable => () }
+      releaseLease(spark, dir, token)
+    }
   }
 
   /** Delete `dir` entirely — build-time overwrite semantics (a fresh
@@ -227,11 +273,20 @@ object TableIndex {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
-  private def listFilesRec(fs: FileSystem, p: Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+  /** Recursive file listing via per-directory `listStatus` — NOT
+    * `fs.listFiles(p, recursive)`: the latter materializes
+    * LocatedFileStatus (block locations) per file, which on a local
+    * filesystem costs ~4 ms/file (measured, dev/ListProbe: 8.2 s vs
+    * 0.04 s for 2,048 files — 170×) and on HDFS pulls location data
+    * none of the protocol needs. Per-dir listStatus is one RPC per
+    * partition directory — the standard Hive-layout listing shape. */
+  private def listFilesRec(fs: FileSystem, p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     if (!fs.exists(p)) return Seq.empty
-    val out = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) out += it.next()
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    def rec(q: Path): Unit = fs.listStatus(q).foreach { s =>
+      if (s.isDirectory) rec(s.getPath) else out += s
+    }
+    rec(p)
     out.result()
   }
 
@@ -390,12 +445,14 @@ object TableIndex {
     * its first element. */
   private def hasDataFile(fs: FileSystem, p: Path): Boolean = {
     if (!fs.exists(p)) return false
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val nm = it.next().getPath.getName
-      if (!nm.startsWith("_") && !nm.startsWith(".")) return true
+    def rec(q: Path): Boolean = fs.listStatus(q).exists { s =>
+      if (s.isDirectory) rec(s.getPath)
+      else {
+        val nm = s.getPath.getName
+        !nm.startsWith("_") && !nm.startsWith(".")
+      }
     }
-    false
+    rec(p)
   }
 
   /** Read a table if its directory exists AND holds at least one data

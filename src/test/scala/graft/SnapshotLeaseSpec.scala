@@ -146,6 +146,25 @@ class SnapshotLeaseSpec extends SparkSpec {
       "lease file leaked after commit")
   }
 
+  test("lease heartbeat keeps a LONG mutation's lease alive past its expiry; a stale one stays stealable") {
+    val idx = graft.util.TempDirs.scratch("lease_hb").toString
+    // a 300 ms lease, renewed every ~100 ms: after 1 s (3+ expiries) a
+    // second writer must STILL be refused — the renewal is what stops
+    // a long commit's lease from being stolen mid-mutation
+    val token = TableIndex.acquireLease(spark, idx, leaseMs = 300L)
+    val hb = TableIndex.startLeaseHeartbeat(spark, idx, token, leaseMs = 300L)
+    try {
+      Thread.sleep(1000L)
+      intercept[IllegalStateException] {
+        TableIndex.acquireLease(spark, idx, leaseMs = 300L)
+      }
+    } finally hb.close()
+    // heartbeat stopped: the lease expires and becomes stealable again
+    Thread.sleep(500L)
+    val thief = TableIndex.acquireLease(spark, idx, leaseMs = 300L)
+    TableIndex.releaseLease(spark, idx, thief)
+  }
+
   test("batch ids with '__' or '/' are rejected at entry (rollback-prefix aliasing)") {
     import spark.implicits._
     val idx = graft.util.TempDirs.scratch("badbid").toString
