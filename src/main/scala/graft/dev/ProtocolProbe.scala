@@ -46,6 +46,23 @@ object ProtocolProbe {
     while (i < reps) { TableIndex.repair(spark, idx); i += 1 }
     println(f"repair (no-op): ${(System.nanoTime() - t0) / 1e3 / reps}%8.1f us/call over $reps calls")
 
+    // writer-lease tax (r13): acquire + heartbeat start/stop + release
+    // per protocol mutation — the price of the fail-fast
+    {
+      val reps2 = 200
+      val ld = graft.util.TempDirs.scratch("protocol_probe_lease").toString
+      val t1 = System.nanoTime()
+      var j = 0
+      while (j < reps2) {
+        val tok = TableIndex.acquireLease(spark, ld)
+        val hb = TableIndex.startLeaseHeartbeat(spark, ld, tok)
+        hb.close()
+        TableIndex.releaseLease(spark, ld, tok)
+        j += 1
+      }
+      println(f"lease acquire+hb+release: ${(System.nanoTime() - t1) / 1e3 / reps2}%8.1f us/mutation over $reps2 cycles")
+    }
+
     // MOVE-PHASE scaling (r13): a bulk build or compaction of a 100 TB
     // index moves 10^4-10^5 staged files; the per-append numbers above
     // are 10-100 files. Plant N tiny staged files, time the checked

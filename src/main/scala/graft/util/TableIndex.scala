@@ -190,7 +190,19 @@ object TableIndex {
           holder.map { case (t, e) => s" (owner ${t.take(8)}…, expires in ${e - System.currentTimeMillis()} ms)" }.getOrElse("") +
           " — the index family is single-writer; serialize mutations or wait for the lease to expire")
     if (!tryCreate()) {
-      val holder = readLease(fs, p)
+      // an unparseable/empty lease is usually a writer caught mid-
+      // create or mid-renewal, not a corpse — re-read before treating
+      // it as expired, or a microsecond write window would let a
+      // contender delete a LIVE owner's lease
+      def readStable(): Option[(String, Long)] = {
+        var r = readLease(fs, p)
+        var tries = 0
+        while (r.isEmpty && tries < 5 && fs.exists(p)) {
+          Thread.sleep(20L * (tries + 1)); r = readLease(fs, p); tries += 1
+        }
+        r
+      }
+      val holder = readStable()
       val expired = holder.forall(_._2 < System.currentTimeMillis())
       if (!expired) holderError(holder)
       // crashed writer: steal (delete + re-claim). Two stealers can
