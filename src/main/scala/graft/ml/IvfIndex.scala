@@ -102,14 +102,26 @@ object IvfIndex {
       col("vec").cast("array<double>").as("vec"))
   }
 
+  /** The read posture of one LOGICAL operation: None = plain read,
+    * Some = a snapshot PINNED at the operation's entry point
+    * ([[graft.util.TableIndex.openSnapshot]] — one `_commits` listing)
+    * and threaded through every table open inside it, so a batch
+    * committing mid-operation is all-or-nothing across the operation's
+    * tables (encoded + geometry + floats + tombstones), never a
+    * cross-table tear. */
+  type Snap = Option[TableIndex.Snapshot]
+
+  private def pin(spark: SparkSession, indexDir: String, snapshot: Boolean): Snap =
+    if (snapshot) Some(TableIndex.openSnapshot(spark, indexDir)) else None
+
   /** The LIVE float table, if this index stores one: cell re-widened,
     * tombstones applied — partition filters stacked on top still push
     * to the scan (the [[loadEncoded]] discipline). */
   private[graft] def loadFloats(spark: SparkSession, indexDir: String,
-                                snapshot: Boolean = false): Option[DataFrame] =
-    TableIndex.readTable(spark, indexDir, "floats.parquet", snapshot).map { raw =>
+                                snap: Snap = None): Option[DataFrame] =
+    TableIndex.readTable(spark, indexDir, "floats.parquet", snap).map { raw =>
       TableIndex.liveTable(spark, indexDir,
-        raw.withColumn("cell", col("cell").cast("long")), "n_id", snapshot)
+        raw.withColumn("cell", col("cell").cast("long")), "n_id", snap)
     }
 
   /** A dim table (centroids/book) under the chosen read posture. The
@@ -118,12 +130,14 @@ object IvfIndex {
     * braces — but a mid-BUILD reader sees None-committed and fails
     * loud here instead of reading a half-written table. */
   private def dimTable(spark: SparkSession, indexDir: String, table: String,
-                       snapshot: Boolean): DataFrame =
-    if (snapshot)
-      TableIndex.snapshotTable(spark, indexDir, table).getOrElse(
-        throw new IllegalStateException(
-          s"$indexDir/$table holds no committed data (index mid-build?)"))
-    else spark.read.parquet(s"$indexDir/$table")
+                       snap: Snap): DataFrame =
+    snap match {
+      case Some(s) =>
+        TableIndex.snapshotTable(spark, s, table).getOrElse(
+          throw new IllegalStateException(
+            s"$indexDir/$table holds no committed data (index mid-build?)"))
+      case None => spark.read.parquet(s"$indexDir/$table")
+    }
 
   private def bookRows(spark: SparkSession, book: PqBook): DataFrame = {
     import spark.implicits._
@@ -163,10 +177,11 @@ object IvfIndex {
       AnnSearch.norm(col("vec")).as("n_norm"))
   }
 
-  /** Reload the persisted codebook. */
-  def loadBook(spark: SparkSession, indexDir: String, snapshot: Boolean = false): PqBook = {
-    if (!snapshot) TableIndex.repair(spark, indexDir)
-    val rows = dimTable(spark, indexDir, "book.parquet", snapshot)
+  /** Reload the persisted codebook. `snap`: pass the operation's
+    * pinned snapshot for a repair-free committed-only read. */
+  def loadBook(spark: SparkSession, indexDir: String, snap: Snap = None): PqBook = {
+    if (snap.isEmpty) TableIndex.repair(spark, indexDir)
+    val rows = dimTable(spark, indexDir, "book.parquet", snap)
       .select(col("sub").cast("int"), col("code").cast("int"), col("cw").cast("array<double>"))
       .collect()
     val m = rows.iterator.map(_.getInt(0)).max + 1
@@ -563,11 +578,11 @@ object IvfIndex {
     * read) — the cell partition filter a caller stacks on top still
     * pushes through the join to the parquet scan. */
   private[graft] def loadEncoded(spark: SparkSession, indexDir: String,
-                                 snapshot: Boolean = false): DataFrame = {
-    if (!snapshot) TableIndex.repair(spark, indexDir)
-    val raw = dimTable(spark, indexDir, "encoded.parquet", snapshot)
+                                 snap: Snap = None): DataFrame = {
+    if (snap.isEmpty) TableIndex.repair(spark, indexDir)
+    val raw = dimTable(spark, indexDir, "encoded.parquet", snap)
       .withColumn("cell", col("cell").cast("long"))
-    TableIndex.liveTable(spark, indexDir, raw, "n_id", snapshot)
+    TableIndex.liveTable(spark, indexDir, raw, "n_id", snap)
   }
 
   /** The encoded rows of ONE probe set — `cells` is driver-side small
@@ -576,8 +591,8 @@ object IvfIndex {
     * parquet prunes unprobed cells' files before reading a byte.
     * Factored out so the spec can pin the pruning on scan metrics. */
   private[graft] def probedEncoded(spark: SparkSession, indexDir: String, cells: Seq[Long],
-                                   snapshot: Boolean = false): DataFrame =
-    loadEncoded(spark, indexDir, snapshot).filter(col("cell").isInCollection(cells))
+                                   snap: Snap = None): DataFrame =
+    loadEncoded(spark, indexDir, snap).filter(col("cell").isInCollection(cells))
 
   /** The broadcast (cell, c_vec, c_nrm, r) table [[nearDupsExact]]
     * bound-filters against: every centroid, LEFT-joined with the max
@@ -586,12 +601,12 @@ object IvfIndex {
     * (legacy pre-geometry indexes, the [[refreshGeometry]] crash
     * window). */
   private[graft] def cellGeometry(spark: SparkSession, indexDir: String,
-                                  snapshot: Boolean = false): DataFrame = {
-    val centroids = dimTable(spark, indexDir, "centroids.parquet", snapshot)
+                                  snap: Snap = None): DataFrame = {
+    val centroids = dimTable(spark, indexDir, "centroids.parquet", snap)
       .select(col("c_id").cast("long").as("cell"),
         col("c_vec").cast("array<double>").as("c_vec"))
       .withColumn("c_nrm", AnnSearch.norm(col("c_vec")))
-    val radii = TableIndex.readTable(spark, indexDir, "geometry.parquet", snapshot)
+    val radii = TableIndex.readTable(spark, indexDir, "geometry.parquet", snap)
       .map(_.groupBy("cell").agg(max("r").as("r")))
     radii.fold(centroids.withColumn("r", lit(math.Pi)))(rad =>
       centroids.join(rad, Seq("cell"), "left")
@@ -604,10 +619,10 @@ object IvfIndex {
     * the refresh spec can measure the candidate-cell shrink. */
   private[graft] def candidateCells(spark: SparkSession, indexDir: String,
                                     newVecs: DataFrame, tau: Double,
-                                    snapshot: Boolean = false): DataFrame = {
+                                    snap: Snap = None): DataFrame = {
     val thetaTau = math.acos(math.max(-1.0, math.min(1.0, tau)))
     val slack = 1e-4
-    val geom = broadcast(cellGeometry(spark, indexDir, snapshot))
+    val geom = broadcast(cellGeometry(spark, indexDir, snap))
     newVecs.select(col("id").as("q_id"),
         col("vec").cast("array<double>").as("q_vec"))
       .withColumn("q_nrm", AnnSearch.norm(col("q_vec")))
@@ -657,25 +672,29 @@ object IvfIndex {
     * no effect on the result. On a plain index the caller's corpus is
     * the float source, under the coverage contract above.
     *
-    * `snapshot = true` reads every index table through
-    * [[graft.util.TableIndex.snapshotTable]] (committed batches only,
-    * no repair) — safe to run CONCURRENTLY with a writer's in-flight
-    * commit; it sees the pre-batch index until the marker lands. */
+    * `snapshot = true` reads every index table through ONE pinned
+    * [[graft.util.TableIndex.Snapshot]] (committed batches only, no
+    * repair) — safe to run CONCURRENTLY with a writer's in-flight
+    * commit: it sees the pre-batch index until the marker lands, and
+    * because the pin is per-OPERATION, a batch committing between this
+    * probe's table opens is all-or-nothing across encoded/geometry/
+    * floats/tombstones (never a cross-table tear). */
   def nearDupsExact(spark: SparkSession, indexDir: String, corpus: DataFrame,
                     newVecs: DataFrame, tau: Double,
                     snapshot: Boolean = false): DataFrame = {
-    if (!snapshot) TableIndex.repair(spark, indexDir)
-    val cand = candidateCells(spark, indexDir, newVecs, tau, snapshot).localCheckpoint(false)
+    val snap = pin(spark, indexDir, snapshot)
+    if (snap.isEmpty) TableIndex.repair(spark, indexDir)
+    val cand = candidateCells(spark, indexDir, newVecs, tau, snap).localCheckpoint(false)
     val candCells = cand.select("cell").distinct().collect().map(_.getLong(0)).toSeq
     // float source for exact scoring: see the precedence note above —
     // a floats-bearing index serves its OWN vectors partition-pruned
     // to the candidate cells (no corpus scan at all); otherwise the
     // caller's flat corpus joins by id (one corpus-side projection
     // scan per shard — the reason `storeFloats` exists)
-    val memberVecs = loadFloats(spark, indexDir, snapshot) match {
+    val memberVecs = loadFloats(spark, indexDir, snap) match {
       case Some(f) => f.filter(col("cell").isInCollection(candCells))
         .select(col("cell"), col("n_id"), col("vec").cast("array<double>").as("n_vec"))
-      case None => probedEncoded(spark, indexDir, candCells, snapshot).select("cell", "n_id")
+      case None => probedEncoded(spark, indexDir, candCells, snap).select("cell", "n_id")
         .join(corpus.select(col("id").as("n_id"), col("vec").cast("array<double>").as("n_vec")),
           Seq("n_id"))
     }
@@ -705,14 +724,17 @@ object IvfIndex {
     * does not change the scores. On a plain index the caller's corpus
     * is the re-rank source and must cover every live indexed id.
     *
-    * `snapshot = true`: committed-batches-only reads, no repair —
-    * safe concurrent with an in-flight writer (see [[nearDupsExact]]). */
+    * `snapshot = true`: committed-batches-only reads under ONE pinned
+    * snapshot, no repair — safe concurrent with an in-flight writer,
+    * and immune to a commit landing between this search's table opens
+    * (see [[nearDupsExact]]). */
   def search(spark: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
              k: Int, nprobe: Int, shortlist: Int, snapshot: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    if (!snapshot) TableIndex.repair(spark, indexDir)
-    val centroids = dimTable(spark, indexDir, "centroids.parquet", snapshot)
-    val book = loadBook(spark, indexDir, snapshot)
+    val snap = pin(spark, indexDir, snapshot)
+    if (snap.isEmpty) TableIndex.repair(spark, indexDir)
+    val centroids = dimTable(spark, indexDir, "centroids.parquet", snap)
+    val book = loadBook(spark, indexDir, snap)
     val cents = AnnSearch.collectCentroids(centroids)
     val probes = queries
       .select(col("id").as("q_id"), col("vec").as("q_vec"), AnnSearch.norm(col("vec")).as("q_norm"))
@@ -723,7 +745,7 @@ object IvfIndex {
     // opens an unprobed cell's files
     val probedCells = probes.select("cell").distinct().collect().map(_.getLong(0)).toSeq
     val shortIds = probes
-      .join(probedEncoded(spark, indexDir, probedCells, snapshot), Seq("cell"))
+      .join(probedEncoded(spark, indexDir, probedCells, snap), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         (graft.functions.PqOps.adc(col("q_vec"), col("codes"), book)
@@ -736,7 +758,7 @@ object IvfIndex {
     // exact re-rank floats: from the index's own cell-pruned float
     // table when it carries one (shortlist members live in probed
     // cells by construction), else the caller's corpus
-    val rerankVecs = loadFloats(spark, indexDir, snapshot) match {
+    val rerankVecs = loadFloats(spark, indexDir, snap) match {
       case Some(f) => f.filter(col("cell").isInCollection(probedCells))
         .select(col("n_id"), col("vec").as("n_vec"))
       case None => corpus.select(col("id").as("n_id"), col("vec").as("n_vec"))

@@ -263,8 +263,8 @@ object IncrementalDedup {
   }
 
   private def liveTable(spark: SparkSession, indexDir: String, df: DataFrame,
-                        snapshot: Boolean = false): DataFrame =
-    TableIndex.liveTable(spark, indexDir, df, "id", snapshot)
+                        snap: Option[TableIndex.Snapshot] = None): DataFrame =
+    TableIndex.liveTable(spark, indexDir, df, "id", snap)
 
   /** Fold point: rewrite the four tables without the tombstoned rows
     * and drop the tombstone table. The three row-per-document tables
@@ -301,30 +301,37 @@ object IncrementalDedup {
     * metadata when present (see [[params]]) — the caller's values are
     * a fallback for legacy indexes only.
     *
-    * `snapshot = true` reads every index table through
-    * [[graft.util.TableIndex.snapshotTable]] (committed batches only,
-    * no repair) — safe to run CONCURRENTLY with a writer's in-flight
+    * `snapshot = true` reads every index table through ONE pinned
+    * [[graft.util.TableIndex.Snapshot]] (committed batches only, no
+    * repair) — safe to run CONCURRENTLY with a writer's in-flight
     * commit: the probe sees the pre-batch index until the batch's
-    * marker lands, never a cross-table torn prefix, and it cannot roll
-    * a live writer's batch back the way the default path's repair()
-    * can. */
+    * marker lands, and because the pin is per-CALL (one `_commits`
+    * listing for hashes, sigs, shingles, bands AND tombstones), a
+    * batch committing between this probe's table opens is visible in
+    * all of them or none — never batch X's hashes without its band
+    * rows, the cross-table tear a per-table listing would allow. It
+    * also cannot roll a live writer's batch back the way the default
+    * path's repair() can. */
   def processShard(spark: SparkSession, indexDir: String, shard: DataFrame,
                    idCol: String, textCol: String, tau: Double,
                    k: Int = 32, bands: Int = 8, n: Int = 3,
                    maxBucket: Int = 1000, snapshot: Boolean = false): DataFrame = {
-    if (!snapshot) TableIndex.repair(spark, indexDir)
+    val snap = if (snapshot) Some(TableIndex.openSnapshot(spark, indexDir)) else None
+    if (snap.isEmpty) TableIndex.repair(spark, indexDir)
     val (kk, nn, bb) = params(spark, indexDir, k, n, bands)
     def readIdx(table: String): DataFrame =
-      if (snapshot)
-        TableIndex.snapshotTable(spark, indexDir, s"$table.parquet").getOrElse(
-          throw new IllegalStateException(
-            s"$indexDir/$table.parquet holds no committed data (index mid-build?)"))
-      else spark.read.parquet(s"$indexDir/$table.parquet")
+      snap match {
+        case Some(s) =>
+          TableIndex.snapshotTable(spark, s, s"$table.parquet").getOrElse(
+            throw new IllegalStateException(
+              s"$indexDir/$table.parquet holds no committed data (index mid-build?)"))
+        case None => spark.read.parquet(s"$indexDir/$table.parquet")
+      }
     // every index read goes through the tombstone anti-join — a
     // deleted document must neither hash-reject nor near-reject
-    val idxHashes = liveTable(spark, indexDir, readIdx("hashes"), snapshot)
-    val idxSigs = liveTable(spark, indexDir, readIdx("sigs"), snapshot)
-    val idxShingles = liveTable(spark, indexDir, readIdx("shingles"), snapshot)
+    val idxHashes = liveTable(spark, indexDir, readIdx("hashes"), snap)
+    val idxSigs = liveTable(spark, indexDir, readIdx("sigs"), snap)
+    val idxShingles = liveTable(spark, indexDir, readIdx("shingles"), snap)
     val newDocs = shard
       .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
     val newHashed = newDocs
@@ -368,7 +375,7 @@ object IncrementalDedup {
     // derive-from-sigs form (pruning can only help). Indexes from
     // before the band table persisted fall back to deriving the rows.
     val idxBandRows = {
-      val persisted = TableIndex.readTable(spark, indexDir, "bands.parquet", snapshot)
+      val persisted = TableIndex.readTable(spark, indexDir, "bands.parquet", snap)
       persisted match {
         case Some(raw) =>
           val touchedParts = newBands
@@ -376,7 +383,7 @@ object IncrementalDedup {
             .distinct().collect().map(_.getLong(0)).toSeq
           liveTable(spark, indexDir, raw
             .withColumn("bp", col("bp").cast("long"))
-            .filter(col("bp").isInCollection(touchedParts)), snapshot)
+            .filter(col("bp").isInCollection(touchedParts)), snap)
             .select("id", "band", "bucket")
         case None => MinHashLsh.bandBuckets(idxSigs, "id", bb)
       }

@@ -72,7 +72,10 @@ import org.apache.spark.sql.functions._
   * files sees exactly the sealed prefix — an in-flight batch's moved
   * files are invisible until its marker lands (one atomic create), and
   * the snapshot path never runs [[repair]], so it can never roll back
-  * a live writer's batch.
+  * a live writer's batch. A multi-table read pins ONE [[Snapshot]]
+  * (one `_commits` listing) and opens every table through it, so a
+  * batch committing mid-read is all-or-nothing across the read's
+  * tables too — not just within each.
   */
 object TableIndex {
 
@@ -141,6 +144,30 @@ object TableIndex {
     else fs.listStatus(c).iterator.map(_.getPath.getName)
       .filterNot(_.startsWith("_")).toSet
   }
+
+  /** A PINNED consistent view of an index directory: the committed-bid
+    * set, listed ONCE at open time. Every table opened through the
+    * same Snapshot filters its file list against this one set, so a
+    * batch whose marker lands WHILE a multi-table read is assembling
+    * is either visible in ALL of the read's tables or in NONE.
+    *
+    * This is the cross-TABLE half of snapshot isolation. Filtering to
+    * committed bids per table call closes the torn-PREFIX hazard (an
+    * in-flight batch's moved files are invisible until its one marker
+    * lands), but re-listing `_commits` per table re-opens a tear
+    * ACROSS tables: a batch committing between a probe's `hashes` open
+    * and its `bands` open would give the probe the batch's hashes
+    * without its band rows — the same silently-missed-near-dup class
+    * the whole protocol exists to prevent, time-shifted into the
+    * reader. One listing per LOGICAL operation (not per table) is the
+    * fix, and it is also cheaper. */
+  final case class Snapshot private[util] (dir: String, bids: Set[String])
+
+  /** Pin a snapshot of `dir`: one `_commits` listing. Open one per
+    * logical read (a probe, a search, a maintenance measurement) and
+    * pass it to every table open inside that read. */
+  def openSnapshot(spark: SparkSession, dir: String): Snapshot =
+    Snapshot(dir, committedBids(spark, dir))
 
   // ---------------------------------------------------------------
   // Writer lease
@@ -495,17 +522,16 @@ object TableIndex {
     * partial states are one-sided safe (cell radii; readers π-default
     * a missing row), so a snapshot reader racing it sees a correct,
     * merely less-pruned view. */
-  def snapshotTable(spark: SparkSession, dir: String, table: String): Option[DataFrame] = {
-    val t = new Path(dir, table)
+  def snapshotTable(spark: SparkSession, snap: Snapshot, table: String): Option[DataFrame] = {
+    val t = new Path(snap.dir, table)
     val fs = fsOf(spark, t)
     if (!fs.exists(t)) return None
-    val committed = committedBids(spark, dir)
     val files = listFilesRec(fs, t).map(_.getPath).filter { p =>
       val nm = p.getName
       if (nm.startsWith("_") || nm.startsWith(".")) false
       else if (nm.startsWith("b_")) {
         val i = nm.indexOf("__")
-        i > 2 && committed.contains(nm.substring(2, i))
+        i > 2 && snap.bids.contains(nm.substring(2, i))
       } else true // legacy non-protocol data: always visible
     }
     if (files.isEmpty) None
@@ -513,24 +539,34 @@ object TableIndex {
       .parquet(files.map(_.toString): _*))
   }
 
-  /** [[readTableIfExists]] or [[snapshotTable]], by posture. */
+  /** Single-table snapshot read with a fresh pin — only for reads that
+    * genuinely touch ONE table; a multi-table read must [[openSnapshot]]
+    * once and pass the handle, or commits landing between its table
+    * opens tear the cross-table view (see [[Snapshot]]). */
+  def snapshotTable(spark: SparkSession, dir: String, table: String): Option[DataFrame] =
+    snapshotTable(spark, openSnapshot(spark, dir), table)
+
+  /** [[readTableIfExists]] (plain) or [[snapshotTable]] under the
+    * caller's pinned handle, by posture. */
   def readTable(spark: SparkSession, dir: String, table: String,
-                snapshot: Boolean): Option[DataFrame] =
-    if (snapshot) snapshotTable(spark, dir, table)
-    else readTableIfExists(spark, dir, table)
+                snap: Option[Snapshot]): Option[DataFrame] =
+    snap match {
+      case Some(s) => snapshotTable(spark, s, table)
+      case None    => readTableIfExists(spark, dir, table)
+    }
 
   /** The tombstone table, if any deletions were recorded. */
   def tombstones(spark: SparkSession, dir: String, keyCol: String,
-                 snapshot: Boolean = false): Option[DataFrame] =
-    readTable(spark, dir, "tombstones.parquet", snapshot)
+                 snap: Option[Snapshot] = None): Option[DataFrame] =
+    readTable(spark, dir, "tombstones.parquet", snap)
       .map(_.select(col(keyCol)).distinct())
 
   /** A stored table with tombstones applied (anti-join by key — AQE
     * broadcasts small deletion lists; partition filters stacked on top
     * still push to the scan). */
   def liveTable(spark: SparkSession, dir: String, df: DataFrame, keyCol: String,
-                snapshot: Boolean = false): DataFrame =
-    tombstones(spark, dir, keyCol, snapshot).fold(df)(t => df.join(t, Seq(keyCol), "left_anti"))
+                snap: Option[Snapshot] = None): DataFrame =
+    tombstones(spark, dir, keyCol, snap).fold(df)(t => df.join(t, Seq(keyCol), "left_anti"))
 
   /** Enforce the "a tombstoned id must never be re-appended before a
     * compact" contract — violated, the stale tombstone would silently

@@ -199,6 +199,43 @@ class SnapshotLeaseSpec extends SparkSpec {
     assert(a != TableIndex.checkpointSalt(spark, "/tmp/graft_ckpt_salt/y"))
   }
 
+  test("a pinned Snapshot is immune to commits landing between its table opens (cross-table)") {
+    import spark.implicits._
+    val idx = graft.util.TempDirs.scratch("snap_pin").toString
+    TableIndex.commitBatch(spark, idx, "pin_b1", Seq(
+      ("a.parquet", Seq((1L, 10L)).toDF("id", "h"), Seq.empty),
+      ("b.parquet", Seq((1L, 100L)).toDF("id", "s"), Seq.empty)))
+    // a logical read pins ONCE, then opens its tables one by one...
+    val snap = TableIndex.openSnapshot(spark, idx)
+    val aPre = TableIndex.snapshotTable(spark, snap, "a.parquet").get.count()
+    // ...and a second batch commits BETWEEN those opens
+    TableIndex.commitBatch(spark, idx, "pin_b2", Seq(
+      ("a.parquet", Seq((2L, 20L)).toDF("id", "h"), Seq.empty),
+      ("b.parquet", Seq((2L, 200L)).toDF("id", "s"), Seq.empty)))
+    // table b, opened through the SAME pin after the commit landed,
+    // must not show batch 2 — a per-table listing would pair batch-1-
+    // only `a` with batch-2-bearing `b`: the cross-table tear
+    val bDuring = TableIndex.snapshotTable(spark, snap, "b.parquet").get
+    assert(aPre == 1L && bDuring.count() == 1L,
+      "pinned snapshot tore across tables (later table open saw a mid-read commit)")
+    // a FRESH pin sees the second batch in both tables
+    val snap2 = TableIndex.openSnapshot(spark, idx)
+    assert(TableIndex.snapshotTable(spark, snap2, "a.parquet").get.count() == 2L)
+    assert(TableIndex.snapshotTable(spark, snap2, "b.parquet").get.count() == 2L)
+    // tombstones committed after a pin are equally invisible to it —
+    // the merge-on-read anti-join resolves against the SAME bid set
+    TableIndex.commitBatch(spark, idx, "pin_del", Seq(
+      ("tombstones.parquet", Seq(Tuple1(1L)).toDF("id"), Seq.empty)))
+    val liveUnderPin = TableIndex.liveTable(spark, idx,
+      TableIndex.snapshotTable(spark, snap2, "a.parquet").get, "id", Some(snap2))
+    assert(liveUnderPin.count() == 2L,
+      "a tombstone batch committed after the pin leaked into the pinned read")
+    val liveFresh = TableIndex.liveTable(spark, idx,
+      TableIndex.snapshotTable(spark, idx, "a.parquet").get, "id",
+      Some(TableIndex.openSnapshot(spark, idx)))
+    assert(liveFresh.count() == 1L, "a fresh pin missed the committed tombstones")
+  }
+
   test("refreshGeometry rejects a SUBSET corpus (under-sized radii would break exactness)") {
     import spark.implicits._
     val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
