@@ -87,6 +87,33 @@ object ProtocolProbe {
       val ms = (System.nanoTime() - m0) / 1e6
       println(f"move phase: n=$n%6d threads=$threads%2d  wall=$ms%8.1f ms  (${ms * 1000 / n}%6.1f us/file)")
     }
+
+    // MARKER-FOLD benefit (r13): every open (snapshot pin, replay
+    // check, memoization guard) lists _commits; at streaming cadence
+    // that directory holds 10^4+ one-per-batch markers. Plant N
+    // markers, time committedBids before and after checkpointCommits.
+    {
+      val md = graft.util.TempDirs.scratch("protocol_probe_markers").toString
+      val cdir = new java.io.File(s"$md/_commits"); cdir.mkdirs()
+      val n = 20000
+      for (j <- 0 until n)
+        new java.io.File(cdir, f"s0123456789abcdef_$j%010d").createNewFile()
+      def timeBids(reps: Int): Double = {
+        val t = System.nanoTime()
+        var j = 0
+        var sz = 0
+        while (j < reps) { sz = TableIndex.committedBids(spark, md).size; j += 1 }
+        require(sz == n, s"bid set lost entries: $sz != $n")
+        (System.nanoTime() - t) / 1e6 / reps
+      }
+      val beforeMs = timeBids(20)
+      val f0 = System.nanoTime()
+      TableIndex.checkpointCommits(spark, md)
+      val foldMs = (System.nanoTime() - f0) / 1e6
+      val afterMs = timeBids(20)
+      println(f"marker fold: n=$n  committedBids before=$beforeMs%8.2f ms  " +
+        f"fold=$foldMs%8.1f ms  after=$afterMs%8.2f ms/open")
+    }
     spark.stop()
   }
 }

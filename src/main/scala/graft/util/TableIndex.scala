@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   *     atomic file create covering ALL tables of the batch.
   *  4. CLEAN: remove the staging directory.
   *
+  * Markers accumulate one file per batch forever; [[checkpointCommits]]
+  * periodically folds them into a versioned `_base` file so `_commits`
+  * stays O(1) between folds instead of O(total batches ever) — the
+  * listing every open pays.
+  *
   * [[repair]] (run by every read/maintenance entry point; a no-op FS
   * existence check when nothing is staged) restores the invariant "the
   * live directories hold exactly the committed batches": a staging dir
@@ -90,13 +95,17 @@ object TableIndex {
     * prefix, so the charset is load-bearing: a '/' would corrupt the
     * staging/marker paths, and a "__" inside the id would make one
     * batch's rollback prefix a PREFIX of another's files — repair of a
-    * torn batch "x" would delete committed batch "x__y"'s rows. Fail
-    * at entry, not at repair time. */
+    * torn batch "x" would delete committed batch "x__y"'s rows. A
+    * LEADING '_' would name a marker the `_commits` listing treats as
+    * a protocol file, not a marker: the batch would commit (its marker
+    * exists for [[isCommitted]]) yet stay permanently invisible to
+    * [[committedBids]] and every snapshot read. Fail at entry, not at
+    * repair time. */
   private[graft] def requireValidBid(bid: String): Unit =
-    require(bid.nonEmpty && !bid.contains("__") &&
+    require(bid.nonEmpty && !bid.startsWith("_") && !bid.contains("__") &&
         bid.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
-      s"invalid batch id '$bid': must be non-empty [A-Za-z0-9_-] without '__' " +
-        "(the id names marker and data-file paths)")
+      s"invalid batch id '$bid': must be non-empty [A-Za-z0-9_-], not start with '_', " +
+        "and contain no '__' (the id names marker and data-file paths)")
 
   /** A fresh batch id for a manual (non-stream) append. Stream callers
     * pass their own deterministic id (checkpoint-salted micro-batch
@@ -121,9 +130,20 @@ object TableIndex {
       .toString.replace("-", "").take(16)
   }
 
+  /** Marker probe first (one existence check — the pre-fold fast
+    * path), then the newest `_base` checkpoint: a replayed micro-batch
+    * whose marker was folded by [[checkpointCommits]] MUST still
+    * resolve as committed, or the exactly-once guarantee breaks the
+    * first time a fold runs under a live stream. */
   def isCommitted(spark: SparkSession, dir: String, bid: String): Boolean = {
     val m = new Path(commitsDir(dir), bid)
-    fsOf(spark, m).exists(m)
+    val fs = fsOf(spark, m)
+    if (fs.exists(m)) return true
+    val c = commitsDir(dir)
+    if (!fs.exists(c)) return false
+    fs.listStatus(c).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(BasePrefix)).toSeq.sorted.lastOption
+      .exists(b => readBaseBids(fs, new Path(c, b)).contains(bid))
   }
 
   /** True iff the index at `dir` has at least one committed batch —
@@ -136,13 +156,82 @@ object TableIndex {
 
   /** All committed batch ids — ONE directory listing (markers are
     * empty files named by their bid; `_`-prefixed entries are protocol
-    * files, not markers). */
+    * files) plus the newest `_base.<ver>` checkpoint's folded bids
+    * (see [[checkpointCommits]]). Any interleaving with a concurrent
+    * checkpoint yields the complete set: the new base lands (one
+    * atomic rename) BEFORE any marker it folds is deleted, so a
+    * listing sees every bid in a marker, a base, or both — never in
+    * neither. */
   def committedBids(spark: SparkSession, dir: String): Set[String] = {
     val c = commitsDir(dir)
     val fs = fsOf(spark, c)
-    if (!fs.exists(c)) Set.empty
-    else fs.listStatus(c).iterator.map(_.getPath.getName)
-      .filterNot(_.startsWith("_")).toSet
+    if (!fs.exists(c)) return Set.empty
+    val entries = fs.listStatus(c).iterator.map(_.getPath.getName).toSeq
+    // '_'-prefixed entries are protocol files, '.'-prefixed are FS
+    // artifacts (ChecksumFileSystem .crc sidecars) — neither is a marker
+    val markers = entries.filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    val newestBase = entries.filter(_.startsWith(BasePrefix)).sorted.lastOption
+    newestBase.fold(markers)(b => markers ++ readBaseBids(fs, new Path(c, b)))
+  }
+
+  // -- commit-marker checkpointing ---------------------------------
+  // Every batch leaves one empty marker file forever; at streaming
+  // micro-batch cadence (hourly shards for months, or a per-minute
+  // stream) `_commits` grows to 10⁴–10⁵ entries and EVERY open —
+  // snapshot pin, replay check, memoization guard — pays that
+  // listing. checkpointCommits folds the markers into one versioned
+  // text file. Committed bids are append-only facts (nothing
+  // un-commits a batch), so any union of a stale base with surviving
+  // markers is correct — that is what makes the fold safe to run
+  // against live readers with no coordination beyond the writer
+  // lease.
+
+  private val BasePrefix = "_base."
+
+  private def readBaseBids(fs: FileSystem, p: Path): Set[String] =
+    try {
+      val in = fs.open(p)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      new String(bytes, "UTF-8").split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+    } catch { case _: java.io.IOException => Set.empty }
+
+  /** Fold the current commit markers into one `_base.<ver+1>` file and
+    * delete them — bounds `_commits` at O(1) entries between folds
+    * instead of O(total batches ever). Ordering is superset-safe at
+    * every step: (1) the union of the newest base and all markers is
+    * written to a `_`-ignored temp and RENAMED to `_base.<ver+1>` (one
+    * atomic publish — readers never see a partially-written base);
+    * (2) only then are the folded markers deleted; (3) older base
+    * versions are removed last. A reader listing at any interleaving
+    * sees every committed bid at least once, and a crash leaves only
+    * redundant files (re-folded by the next call). Runs under the
+    * writer lease: a marker created by a concurrent commit after the
+    * listing simply survives to the next fold. */
+  def checkpointCommits(spark: SparkSession, dir: String): Unit = withLease(spark, dir) {
+    val c = commitsDir(dir)
+    val fs = fsOf(spark, c)
+    if (fs.exists(c)) {
+      val entries = fs.listStatus(c).map(_.getPath.getName)
+      val markers = entries.filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
+      val bases = entries.filter(_.startsWith(BasePrefix)).sorted.toSeq
+      if (markers.nonEmpty || bases.size > 1) {
+        val ver = bases.lastOption.map(_.stripPrefix(BasePrefix).toLong).getOrElse(0L)
+        val all = bases.lastOption.map(b => readBaseBids(fs, new Path(c, b)))
+          .getOrElse(Set.empty) ++ markers
+        val tmp = new Path(c, s"_tmp.${java.util.UUID.randomUUID().toString.replace("-", "")}")
+        val out = fs.create(tmp, false)
+        out.write(all.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+        out.close()
+        val next = new Path(c, f"$BasePrefix${ver + 1}%019d")
+        if (!fs.rename(tmp, next))
+          throw new java.io.IOException(s"checkpointCommits: could not publish $next")
+        markers.foreach(m => fs.delete(new Path(c, m), false))
+        bases.foreach(b => fs.delete(new Path(c, b), false))
+        // leftover _tmp.* from crashed folds are inert (never read); sweep
+        fs.listStatus(c).iterator.map(_.getPath)
+          .filter(_.getName.startsWith("_tmp.")).foreach(fs.delete(_, false))
+      }
+    }
   }
 
   /** A PINNED consistent view of an index directory: the committed-bid

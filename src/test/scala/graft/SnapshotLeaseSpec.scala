@@ -236,6 +236,46 @@ class SnapshotLeaseSpec extends SparkSpec {
     assert(liveFresh.count() == 1L, "a fresh pin missed the committed tombstones")
   }
 
+  test("checkpointCommits folds markers into a base: replay still skips, snapshots stay complete") {
+    import spark.implicits._
+    val idx = graft.util.TempDirs.scratch("ckpt_commits").toString
+    for (i <- 1 to 3)
+      TableIndex.commitBatch(spark, idx, s"fold-b$i",
+        Seq(("t.parquet", Seq((i.toLong, i.toLong)).toDF("id", "v"), Seq.empty)))
+    val before = TableIndex.committedBids(spark, idx)
+    assert(before == Set("fold-b1", "fold-b2", "fold-b3"))
+    TableIndex.checkpointCommits(spark, idx)
+    val names = new java.io.File(s"$idx/_commits").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet // .crc sidecars are FS noise
+    assert(!names.exists(n => !n.startsWith("_")), s"markers survived the fold: $names")
+    assert(names.count(_.startsWith("_base.")) == 1, s"expected one base file: $names")
+    assert(TableIndex.committedBids(spark, idx) == before, "the fold changed the bid set")
+    // a replayed batch whose marker was folded must STILL skip — the
+    // exactly-once guarantee's first encounter with a fold
+    assert(TableIndex.isCommitted(spark, idx, "fold-b2"))
+    assert(!TableIndex.commitBatch(spark, idx, "fold-b2",
+      Seq(("t.parquet", Seq((99L, 99L)).toDF("id", "v"), Seq.empty))),
+      "a folded batch id was re-committed (duplicate rows)")
+    val snap = TableIndex.openSnapshot(spark, idx)
+    assert(TableIndex.snapshotTable(spark, snap, "t.parquet").get.count() == 3L,
+      "snapshot lost folded batches' rows")
+    // a commit AFTER the fold coexists: bids = base ∪ new markers
+    TableIndex.commitBatch(spark, idx, "fold-b4",
+      Seq(("t.parquet", Seq((4L, 4L)).toDF("id", "v"), Seq.empty)))
+    assert(TableIndex.committedBids(spark, idx) == before + "fold-b4")
+    // a second fold absorbs the new marker and replaces the old base
+    TableIndex.checkpointCommits(spark, idx)
+    val names2 = new java.io.File(s"$idx/_commits").listFiles().map(_.getName)
+      .filterNot(n => n.startsWith("_tmp") || n.startsWith(".")).toSet
+    assert(names2.size == 1 && names2.head.startsWith("_base."), s"second fold left: $names2")
+    assert(TableIndex.committedBids(spark, idx) == before + "fold-b4")
+    TableIndex.checkpointCommits(spark, idx) // idempotent when nothing to fold
+    assert(TableIndex.committedBids(spark, idx) == before + "fold-b4")
+    assert(TableIndex.snapshotTable(spark, idx, "t.parquet").get.count() == 4L)
+    // a leading '_' bid would name an invisible marker — rejected at entry
+    intercept[IllegalArgumentException] { TableIndex.requireValidBid("_sneaky") }
+  }
+
   test("refreshGeometry rejects a SUBSET corpus (under-sized radii would break exactness)") {
     import spark.implicits._
     val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
