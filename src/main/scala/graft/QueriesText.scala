@@ -681,6 +681,42 @@ object QueriesText {
       .select(col("id").as("doc_id"), col("dup_exact"), col("dup_near"), col("kept"))
   }
 
+  /** Incremental dedup THROUGH a commit-marker fold
+    * ([[graft.util.TableIndex.checkpointCommits]]): the index is built
+    * in two committed batches (base %4∈{2,3}, then shard %4==1 under
+    * an explicit batch id), the markers are FOLDED into a `_base`
+    * checkpoint, and the %4==1 batch is then REPLAYED under its
+    * original id — it must skip (its marker is gone; only the base
+    * records it; a miss here re-appends the rows and every bucket
+    * count downstream doubles). Row-count guards fail the row loudly
+    * if the replay lands. The probe then runs under a pinned snapshot
+    * and must match the SAME from-scratch oracle as `dedup_incremental`
+    * — the fold is invisible to every decision. */
+  private def dedupIncrementalFold(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val base = d.filter(pmod(col("doc_id"), lit(4)).isin(2, 3))
+    val shardA = d.filter(pmod(col("doc_id"), lit(4)) === 1)
+    val shardB = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val idxDir = graft.util.TempDirs.memoized(s"incr_fold_idx:$dir", "graft_incr_fold").toString
+    if (!graft.util.TableIndex.anyCommitted(spark, idxDir)) {
+      IncrementalDedup.buildIndex(base, "doc_id", "text", idxDir)
+      IncrementalDedup.updateIndexInPlace(spark, idxDir, shardA, "doc_id", "text",
+        batchId = Some("fold-a"))
+      graft.util.TableIndex.checkpointCommits(spark, idxDir)
+    }
+    require(graft.util.TableIndex.isCommitted(spark, idxDir, "fold-a"),
+      "marker fold lost a committed batch id")
+    val hashesBefore = spark.read.parquet(s"$idxDir/hashes.parquet").count()
+    IncrementalDedup.updateIndexInPlace(spark, idxDir, shardA, "doc_id", "text",
+      batchId = Some("fold-a")) // replay after the fold: must skip
+    val hashesAfter = spark.read.parquet(s"$idxDir/hashes.parquet").count()
+    require(hashesAfter == hashesBefore,
+      s"batch replayed after a marker fold duplicated rows ($hashesBefore -> $hashesAfter)")
+    IncrementalDedup.processShard(spark, idxDir, shardB, "doc_id", "text", tau = 0.8,
+      snapshot = true)
+      .select(col("id").as("doc_id"), col("dup_exact"), col("dup_near"), col("kept"))
+  }
+
   /** Learned quality classifier — TRAIN: distill the heuristic quality
     * gate (`TextOps.withQuality` ≥ 0.5) into a hashed-unigram linear
     * model by exact integer LMS ([[graft.text.QualityClassifier]]).
@@ -2364,6 +2400,7 @@ object QueriesText {
     "stream_dedup_minhash" -> (streamDedupMinhash _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_fold" -> (dedupIncrementalFold _),
     "quality_clf_train" -> (qualityClfTrain _),
     "corpus_pipeline_v7" -> (corpusPipelineV7 _),
     "corpus_pipeline_v8" -> (corpusPipelineV8 _),
@@ -2701,6 +2738,27 @@ object QueriesText {
       |  est.est_cnt >= top.exact_cnt AS overcount_ok
       |FROM top JOIN est ON est.tok = top.tok""".stripMargin
       .replace("__DEPTH__", depth.toString).replace("__WIDTH__", width.toString)
+
+  /** The two-generation incremental-dedup decision, re-derived from
+    * scratch (normalized-text equality + all-pairs shingle Jaccard) —
+    * shared by `dedup_incremental` and `dedup_incremental_fold`: the
+    * fold row's marker checkpoint + replay must change NO decision. */
+  private def dedupIncrementalOracle: String =
+    shingleCte + """,
+      |nt AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
+      |ex AS (
+      |  SELECT n.doc_id FROM nt n WHERE n.doc_id % 4 = 0 AND EXISTS (
+      |    SELECT 1 FROM nt o WHERE o.t = n.t AND (o.doc_id % 4 <> 0 OR o.doc_id < n.doc_id))),
+      |nr AS (
+      |  SELECT DISTINCT b.doc_id FROM sh b JOIN sh a
+      |    ON b.doc_id % 4 = 0
+      |   AND (a.doc_id % 4 <> 0 OR a.doc_id < b.doc_id)
+      |   AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+      |SELECT d.doc_id,
+      |  (d.doc_id IN (SELECT doc_id FROM ex)) AS dup_exact,
+      |  (d.doc_id IN (SELECT doc_id FROM nr)) AS dup_near,
+      |  (d.doc_id NOT IN (SELECT doc_id FROM ex)) AND (d.doc_id NOT IN (SELECT doc_id FROM nr)) AS kept
+      |FROM documents d WHERE d.doc_id % 4 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "bpe_train" -> bpeOracleSql(12),
@@ -3249,22 +3307,8 @@ object QueriesText {
         """SELECT cf.id AS doc_id, sum(w16.wt * cf.x)::BIGINT AS score,
           |  (sum(w16.wt * cf.x) > 500000) AS kept
           |FROM cf JOIN w16 ON w16.j = cf.j GROUP BY cf.id""".stripMargin),
-    "dedup_incremental" ->
-      (shingleCte + """,
-        |nt AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t FROM documents),
-        |ex AS (
-        |  SELECT n.doc_id FROM nt n WHERE n.doc_id % 4 = 0 AND EXISTS (
-        |    SELECT 1 FROM nt o WHERE o.t = n.t AND (o.doc_id % 4 <> 0 OR o.doc_id < n.doc_id))),
-        |nr AS (
-        |  SELECT DISTINCT b.doc_id FROM sh b JOIN sh a
-        |    ON b.doc_id % 4 = 0
-        |   AND (a.doc_id % 4 <> 0 OR a.doc_id < b.doc_id)
-        |   AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
-        |SELECT d.doc_id,
-        |  (d.doc_id IN (SELECT doc_id FROM ex)) AS dup_exact,
-        |  (d.doc_id IN (SELECT doc_id FROM nr)) AS dup_near,
-        |  (d.doc_id NOT IN (SELECT doc_id FROM ex)) AND (d.doc_id NOT IN (SELECT doc_id FROM nr)) AS kept
-        |FROM documents d WHERE d.doc_id % 4 = 0""".stripMargin),
+    "dedup_incremental" -> dedupIncrementalOracle,
+    "dedup_incremental_fold" -> dedupIncrementalOracle,
     // v8 = the dedup_incremental decision chain + the classifier chain
     // trained on gen-1 only (WHERE on ct) + shard-survivor scoring +
     // the per-source rollup — one from-scratch replay of the whole

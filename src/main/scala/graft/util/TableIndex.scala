@@ -141,9 +141,21 @@ object TableIndex {
     if (fs.exists(m)) return true
     val c = commitsDir(dir)
     if (!fs.exists(c)) return false
-    fs.listStatus(c).iterator.map(_.getPath.getName)
-      .filter(_.startsWith(BasePrefix)).toSeq.sorted.lastOption
-      .exists(b => readBaseBids(fs, new Path(c, b)).contains(bid))
+    // same bounded re-list as committedBids: a concurrent fold can
+    // replace the base between the listing and the read
+    var attempt = 0
+    while (true) {
+      val newest = fs.listStatus(c).iterator.map(_.getPath.getName)
+        .filter(_.startsWith(BasePrefix)).toSeq.sorted.lastOption
+      try return newest.exists(b => readBaseBids(fs, new Path(c, b)).contains(bid)) ||
+        fs.exists(m) // the marker may have landed while we looked
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** True iff the index at `dir` has at least one committed batch —
@@ -166,12 +178,25 @@ object TableIndex {
     val c = commitsDir(dir)
     val fs = fsOf(spark, c)
     if (!fs.exists(c)) return Set.empty
-    val entries = fs.listStatus(c).iterator.map(_.getPath.getName).toSeq
-    // '_'-prefixed entries are protocol files, '.'-prefixed are FS
-    // artifacts (ChecksumFileSystem .crc sidecars) — neither is a marker
-    val markers = entries.filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
-    val newestBase = entries.filter(_.startsWith(BasePrefix)).sorted.lastOption
-    newestBase.fold(markers)(b => markers ++ readBaseBids(fs, new Path(c, b)))
+    // bounded re-list: a concurrent fold can delete the base we just
+    // listed (after publishing its successor) — re-listing finds the
+    // newer base, whose bid set is a superset. Persistent absence is a
+    // genuine FS fault and must THROW, never shrink the bid set.
+    var attempt = 0
+    while (true) {
+      val entries = fs.listStatus(c).iterator.map(_.getPath.getName).toSeq
+      // '_'-prefixed entries are protocol files, '.'-prefixed are FS
+      // artifacts (ChecksumFileSystem .crc sidecars) — neither is a marker
+      val markers = entries.filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+      val newestBase = entries.filter(_.startsWith(BasePrefix)).sorted.lastOption
+      try return newestBase.fold(markers)(b => markers ++ readBaseBids(fs, new Path(c, b)))
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   // -- commit-marker checkpointing ---------------------------------
@@ -188,12 +213,17 @@ object TableIndex {
 
   private val BasePrefix = "_base."
 
-  private def readBaseBids(fs: FileSystem, p: Path): Set[String] =
-    try {
-      val in = fs.open(p)
-      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-      new String(bytes, "UTF-8").split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
-    } catch { case _: java.io.IOException => Set.empty }
+  /** THROWS on a read failure rather than degrading to an empty set:
+    * a swallowed error here would silently drop every folded batch
+    * from a reader's view — and, inside [[checkpointCommits]], would
+    * write a new base MISSING those bids and then delete the old one,
+    * permanently un-committing data. Transient FS errors must surface
+    * as failed operations, never as a smaller bid set. */
+  private def readBaseBids(fs: FileSystem, p: Path): Set[String] = {
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    new String(bytes, "UTF-8").split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+  }
 
   /** Fold the current commit markers into one `_base.<ver+1>` file and
     * delete them — bounds `_commits` at O(1) entries between folds
