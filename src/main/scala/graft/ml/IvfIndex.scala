@@ -678,11 +678,17 @@ object IvfIndex {
     * commit: it sees the pre-batch index until the marker lands, and
     * because the pin is per-OPERATION, a batch committing between this
     * probe's table opens is all-or-nothing across encoded/geometry/
-    * floats/tombstones (never a cross-table tear). */
+    * floats/tombstones (never a cross-table tear).
+    *
+    * `at`: a CALLER-pinned handle (supersedes `snapshot`) — pass the
+    * same [[graft.util.TableIndex.openSnapshot]] result to several
+    * probes/searches and they all answer from one frozen index state,
+    * even while a writer commits between the calls. */
   def nearDupsExact(spark: SparkSession, indexDir: String, corpus: DataFrame,
                     newVecs: DataFrame, tau: Double,
-                    snapshot: Boolean = false): DataFrame = {
-    val snap = pin(spark, indexDir, snapshot)
+                    snapshot: Boolean = false,
+                    at: Option[TableIndex.Snapshot] = None): DataFrame = {
+    val snap = at.orElse(pin(spark, indexDir, snapshot))
     if (snap.isEmpty) TableIndex.repair(spark, indexDir)
     val cand = candidateCells(spark, indexDir, newVecs, tau, snap).localCheckpoint(false)
     val candCells = cand.select("cell").distinct().collect().map(_.getLong(0)).toSeq
@@ -729,9 +735,10 @@ object IvfIndex {
     * and immune to a commit landing between this search's table opens
     * (see [[nearDupsExact]]). */
   def search(spark: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
-             k: Int, nprobe: Int, shortlist: Int, snapshot: Boolean = false): DataFrame = {
+             k: Int, nprobe: Int, shortlist: Int, snapshot: Boolean = false,
+             at: Option[TableIndex.Snapshot] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val snap = pin(spark, indexDir, snapshot)
+    val snap = at.orElse(pin(spark, indexDir, snapshot))
     if (snap.isEmpty) TableIndex.repair(spark, indexDir)
     val centroids = dimTable(spark, indexDir, "centroids.parquet", snap)
     val book = loadBook(spark, indexDir, snap)

@@ -311,12 +311,20 @@ object IncrementalDedup {
     * all of them or none — never batch X's hashes without its band
     * rows, the cross-table tear a per-table listing would allow. It
     * also cannot roll a live writer's batch back the way the default
-    * path's repair() can. */
+    * path's repair() can.
+    *
+    * `at`: a CALLER-pinned [[graft.util.TableIndex.Snapshot]] —
+    * supersedes `snapshot` and extends the pin across OPERATIONS: every
+    * probe (and [[graft.ml.IvfIndex]] call) passed the same handle
+    * answers from the same frozen index state, even while a writer
+    * commits between the calls — the multi-gate-pipeline / audit-
+    * session consistency a per-call pin cannot give. */
   def processShard(spark: SparkSession, indexDir: String, shard: DataFrame,
                    idCol: String, textCol: String, tau: Double,
                    k: Int = 32, bands: Int = 8, n: Int = 3,
-                   maxBucket: Int = 1000, snapshot: Boolean = false): DataFrame = {
-    val snap = if (snapshot) Some(TableIndex.openSnapshot(spark, indexDir)) else None
+                   maxBucket: Int = 1000, snapshot: Boolean = false,
+                   at: Option[TableIndex.Snapshot] = None): DataFrame = {
+    val snap = at.orElse(if (snapshot) Some(TableIndex.openSnapshot(spark, indexDir)) else None)
     if (snap.isEmpty) TableIndex.repair(spark, indexDir)
     val (kk, nn, bb) = params(spark, indexDir, k, n, bands)
     def readIdx(table: String): DataFrame =

@@ -236,6 +236,53 @@ class SnapshotLeaseSpec extends SparkSpec {
     assert(liveFresh.count() == 1L, "a fresh pin missed the committed tombstones")
   }
 
+  test("a caller-pinned handle freezes the index across OPERATIONS, not just tables") {
+    val d = docsDf
+    val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val idx = graft.util.TempDirs.scratch("snap_session").toString
+    IncrementalDedup.buildIndex(old, "doc_id", "text", idx)
+    val session = TableIndex.openSnapshot(spark, idx)
+    val probeA = rows(IncrementalDedup.processShard(spark, idx, shard, "doc_id", "text",
+      tau = 0.8, at = Some(session)))
+    // a writer commits between the session's two probes
+    IncrementalDedup.updateIndexInPlace(spark, idx, shard, "doc_id", "text",
+      batchId = Some("sess_b1"))
+    val probeB = rows(IncrementalDedup.processShard(spark, idx, shard, "doc_id", "text",
+      tau = 0.8, at = Some(session)))
+    assert(probeB == probeA,
+      "a pinned session's second probe saw a batch committed after the pin")
+    // a per-call snapshot (fresh pin) DOES see it — the pin is the difference
+    val fresh = rows(IncrementalDedup.processShard(spark, idx, shard, "doc_id", "text",
+      tau = 0.8, snapshot = true))
+    assert(fresh != probeA,
+      "fixture too weak: the mid-session batch changed no decision")
+    // same contract on the IVF side: nearDupsExact + search under one handle
+    import spark.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+    val oldV = all.filter(pmod(col("id"), lit(7)) =!= 0)
+    val freshV = all.filter(pmod(col("id"), lit(7)) === 0)
+    val queries = freshV.limit(10)
+    val vidx = graft.util.TempDirs.scratch("snap_session_ivf").toString
+    IvfIndex.build(oldV, AnnSearch.kmeansCentroidsExact(oldV, 15, iters = 2),
+      AnnSearch.pqBook(oldV, m = 32, stride = 10), vidx)
+    val vs = TableIndex.openSnapshot(spark, vidx)
+    val ndA = rows(IvfIndex.nearDupsExact(spark, vidx, oldV, queries, tau = 0.9, at = Some(vs)))
+    val seA = rows(IvfIndex.search(spark, vidx, oldV, queries,
+      k = 5, nprobe = 3, shortlist = 20, at = Some(vs)))
+    IvfIndex.appendInPlace(spark, vidx, freshV, batchId = Some("sess_v1"))
+    assert(rows(IvfIndex.nearDupsExact(spark, vidx, oldV, queries, tau = 0.9, at = Some(vs))) == ndA,
+      "pinned nearDupsExact saw the mid-session append")
+    assert(rows(IvfIndex.search(spark, vidx, oldV, queries,
+      k = 5, nprobe = 3, shortlist = 20, at = Some(vs))) == seA,
+      "pinned search saw the mid-session append")
+    val corpus = oldV.unionByName(freshV)
+    assert(rows(IvfIndex.search(spark, vidx, corpus, queries,
+      k = 5, nprobe = 3, shortlist = 20, snapshot = true)) != seA,
+      "fixture too weak: the appended vectors changed no search result")
+  }
+
   test("checkpointCommits folds markers into a base: replay still skips, snapshots stay complete") {
     import spark.implicits._
     val idx = graft.util.TempDirs.scratch("ckpt_commits").toString
