@@ -780,4 +780,47 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "sim")
   }
+
+  /** OFFLINE index check: the protocol-level namespace findings
+    * ([[graft.util.TableIndex.fsck]]) plus this index's row-level
+    * invariants — states the commit protocol cannot produce but a
+    * manual copy, partial restore, or foreign writer can:
+    *
+    *  - `cell-orphan`: an encoded (or geometry) cell with no centroid
+    *    row — its members are unreachable by any probe (search assigns
+    *    probes from the centroid table) yet count as indexed;
+    *  - `floats-parity` (floats-bearing index only): the encoded and
+    *    float id sets diverge — a vector with codes but no floats
+    *    silently drops out of every exact-scoring path, one with
+    *    floats but no codes is invisible to candidate selection.
+    *
+    * Full-table scans by design: an offline maintenance pass. */
+  def fsckIndex(spark: SparkSession, indexDir: String): Seq[TableIndex.FsckFinding] = {
+    val proto = TableIndex.fsck(spark, indexDir)
+    val out = Seq.newBuilder[TableIndex.FsckFinding]
+    val cents = spark.read.parquet(s"$indexDir/centroids.parquet")
+      .select(col("c_id").cast("long").as("cell"))
+    val enc = spark.read.parquet(s"$indexDir/encoded.parquet")
+      .withColumn("cell", col("cell").cast("long"))
+    val encOrphans = enc.select("cell").distinct().join(cents, Seq("cell"), "left_anti").count()
+    if (encOrphans > 0)
+      out += TableIndex.FsckFinding("cell-orphan", s"encoded.parquet: $encOrphans cells without a centroid")
+    for (g <- TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")) {
+      val geoOrphans = g.select(col("cell").cast("long").as("cell")).distinct()
+        .join(cents, Seq("cell"), "left_anti").count()
+      if (geoOrphans > 0)
+        out += TableIndex.FsckFinding("cell-orphan", s"geometry.parquet: $geoOrphans cells without a centroid")
+    }
+    for (f <- TableIndex.readTableIfExists(spark, indexDir, "floats.parquet")) {
+      val fe = f.select(col("n_id")).distinct()
+      val ee = enc.select(col("n_id")).distinct()
+      val missing = ee.join(fe, Seq("n_id"), "left_anti").count()
+      val extra = fe.join(ee, Seq("n_id"), "left_anti").count()
+      if (missing > 0)
+        out += TableIndex.FsckFinding("floats-parity", s"$missing encoded ids have no float row")
+      if (extra > 0)
+        out += TableIndex.FsckFinding("floats-parity", s"$extra float rows have no encoded row")
+    }
+    proto ++ out.result()
+  }
 }

@@ -429,4 +429,36 @@ object IncrementalDedup {
         coalesce(col("dn"), lit(false)).as("dup_near"))
       .withColumn("kept", !col("dup_exact") && !col("dup_near"))
   }
+
+  /** OFFLINE index check: the protocol-level namespace findings
+    * ([[graft.util.TableIndex.fsck]]) plus this index's row-level
+    * invariant — every document id present in `hashes` must appear in
+    * `sigs`, `shingles` AND `bands` (and vice versa). The commit
+    * protocol makes a divergence impossible through any crash it
+    * covers; fsck is for the states it does NOT cover (a manual copy
+    * that dropped a table's files, a partial filesystem restore, a
+    * foreign writer) — a doc missing from `bands` is silently
+    * un-probeable, the failure mode that motivates the whole batch
+    * protocol. Full-table id scans by design: an offline maintenance
+    * pass, never the query path. */
+  def fsckIndex(spark: SparkSession, indexDir: String): Seq[TableIndex.FsckFinding] = {
+    val proto = TableIndex.fsck(spark, indexDir)
+    val tables = Seq("hashes", "sigs", "shingles", "bands").flatMap { t =>
+      TableIndex.readTableIfExists(spark, indexDir, s"$t.parquet")
+        .map(d => t -> d.select(col("id")).distinct())
+    }
+    val parity = tables.headOption.toSeq.flatMap { case (baseName, base) =>
+      tables.tail.flatMap { case (t, d) =>
+        val missing = base.join(d, Seq("id"), "left_anti").count()
+        val extra = d.join(base, Seq("id"), "left_anti").count()
+        (if (missing > 0)
+           Seq(TableIndex.FsckFinding("id-parity", s"$t.parquet missing $missing ids present in $baseName"))
+         else Nil) ++
+        (if (extra > 0)
+           Seq(TableIndex.FsckFinding("id-parity", s"$t.parquet has $extra ids absent from $baseName"))
+         else Nil)
+      }
+    }
+    proto ++ parity
+  }
 }

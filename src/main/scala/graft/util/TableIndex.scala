@@ -724,6 +724,77 @@ object TableIndex {
       .toMap
   }
 
+  /** One [[fsck]] finding: `kind` is a stable machine-checkable tag,
+    * `detail` names the offending path/bid/count. */
+  final case class FsckFinding(kind: String, detail: String)
+
+  /** OFFLINE invariant check of one index directory — the tool an
+    * operator runs before trusting an index after an incident (a
+    * repair gone wrong, a manual copy, a filesystem restore). Pure
+    * namespace inspection (no table contents read; the index-level
+    * row-parity checks live with each index):
+    *
+    *  - `orphan-file`: a live `b_<bid>__` data file whose bid is
+    *    neither committed nor staged — unreachable by [[repair]]
+    *    (repair keys off staging dirs) yet VISIBLE to plain reads;
+    *    the one state that silently corrupts a non-snapshot reader.
+    *  - `torn-batch`: a staged batch without a marker (repairable —
+    *    [[repair]] rolls it back; listed so the operator knows a
+    *    writer died).
+    *  - `unfinished-clean`: a staged batch WITH its marker (repair
+    *    finishes the cleanup; benign).
+    *  - `stale-lease`: an expired writer lease (crashed writer; the
+    *    next writer steals it — benign, listed for forensics).
+    *  - `unparseable-lease`: a lease file no writer can read — a
+    *    contender would steal it after the bounded re-read; loud here.
+    *  - `tmp-leftover`: a `_commits/_tmp.*` from a crashed fold
+    *    (inert; swept by the next [[checkpointCommits]]).
+    *
+    * A FULL recursive listing of the index — an offline maintenance
+    * scan by design (the read path never pays this; at 10⁵ files it
+    * is one listing pass, the same cost as the compaction sizing). */
+  def fsck(spark: SparkSession, dir: String): Seq[FsckFinding] = {
+    val p = new Path(dir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Seq.empty
+    val out = Seq.newBuilder[FsckFinding]
+    val committed = committedBids(spark, dir)
+    val staged: Set[String] = {
+      val st = stagingDir(dir)
+      if (!fs.exists(st)) Set.empty
+      else fs.listStatus(st).iterator.map(_.getPath.getName).toSet
+    }
+    for (t <- fs.listStatus(p)
+         if t.isDirectory && !t.getPath.getName.startsWith("_")) {
+      for (f <- listFilesRec(fs, t.getPath)) {
+        val nm = f.getPath.getName
+        if (nm.startsWith("b_")) {
+          val i = nm.indexOf("__")
+          if (i > 2) {
+            val bid = nm.substring(2, i)
+            if (!committed.contains(bid) && !staged.contains(bid))
+              out += FsckFinding("orphan-file", f.getPath.toString)
+          }
+        }
+      }
+    }
+    for (bid <- staged)
+      out += FsckFinding(
+        if (committed.contains(bid)) "unfinished-clean" else "torn-batch", bid)
+    val lp = leasePath(dir)
+    if (fs.exists(lp)) readLease(fs, lp) match {
+      case Some((tok, exp)) if exp < System.currentTimeMillis() =>
+        out += FsckFinding("stale-lease", s"owner ${tok.take(8)}… expired ${exp}")
+      case None => out += FsckFinding("unparseable-lease", lp.toString)
+      case _    => () // live lease: a writer is (legitimately) active
+    }
+    val c = commitsDir(dir)
+    if (fs.exists(c))
+      for (s <- fs.listStatus(c) if s.getPath.getName.startsWith("_tmp."))
+        out += FsckFinding("tmp-leftover", s.getPath.toString)
+    out.result()
+  }
+
   /** Size-targeted output partitioning for a compaction rewrite:
     * enough partitions to keep files near `targetBytes`, floored at
     * the cluster's parallelism so the rewrite is never a single task

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ml.{AnnSearch, IvfIndex}
+import graft.text.IncrementalDedup
+import graft.util.TableIndex
+import org.apache.spark.sql.functions._
+
+/** The offline invariant checker: a healthy index yields no findings;
+  * each planted violation — states the commit protocol cannot produce
+  * but a manual copy, partial restore, or foreign writer can — is
+  * named by its stable kind tag. */
+class FsckSpec extends SparkSpec {
+
+  private def docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("dedup index: healthy is clean; orphan files, parity breaks, torn batches are named") {
+    import spark.implicits._
+    val idx = graft.util.TempDirs.scratch("fsck_dedup").toString
+    IncrementalDedup.buildIndex(docsDf.limit(120), "doc_id", "text", idx)
+    assert(IncrementalDedup.fsckIndex(spark, idx).isEmpty,
+      s"healthy index flagged: ${IncrementalDedup.fsckIndex(spark, idx)}")
+
+    // a half-shaped foreign write: hashes rows without sigs/shingles/bands
+    TableIndex.commitBatch(spark, idx, "fsck-half",
+      Seq(("hashes.parquet", Seq((999001L, 42L)).toDF("id", "h"), Seq.empty)))
+    val parity = IncrementalDedup.fsckIndex(spark, idx).filter(_.kind == "id-parity")
+    assert(parity.size == 3, s"expected 3 id-parity findings (sigs/shingles/bands): $parity")
+
+    // an orphan bid-prefixed file repair can never reach
+    val orphan = new java.io.File(s"$idx/hashes.parquet/b_fsck-ghost__part-0.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](80, 65, 82, 49))
+    // a torn staged batch (writer died mid-stage)
+    new java.io.File(s"$idx/_staging/fsck-torn").mkdirs()
+    // a crashed fold's temp file
+    val tmp = new java.io.File(s"$idx/_commits/_tmp.deadbeef")
+    java.nio.file.Files.write(tmp.toPath, "x".getBytes)
+    val kinds = TableIndex.fsck(spark, idx).map(_.kind).toSet
+    assert(kinds == Set("orphan-file", "torn-batch", "tmp-leftover"),
+      s"planted violations not all named: $kinds")
+    // the orphan is invisible to a snapshot read (uncommitted bid) —
+    // fsck exists because PLAIN reads would see it
+    orphan.delete()
+    TableIndex.repair(spark, idx) // rolls the torn batch back
+    assert(!new java.io.File(s"$idx/_staging").exists())
+  }
+
+  test("ivf index: cell orphans and floats parity breaks are named") {
+    import spark.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      .limit(80)
+    val idx = graft.util.TempDirs.scratch("fsck_ivf").toString
+    IvfIndex.build(all, AnnSearch.kmeansCentroidsExact(all, 15, iters = 1),
+      AnnSearch.pqBook(all, m = 32, stride = 10), idx, storeFloats = true)
+    assert(IvfIndex.fsckIndex(spark, idx).isEmpty,
+      s"healthy index flagged: ${IvfIndex.fsckIndex(spark, idx)}")
+
+    // a float row with no encoded row (and a nonexistent cell)
+    TableIndex.commitBatch(spark, idx, "fsck-floats",
+      Seq(("floats.parquet",
+        Seq((9999L, 888001L, Array(0.1, 0.2))).toDF("cell", "n_id", "vec"), Seq("cell"))))
+    val f1 = IvfIndex.fsckIndex(spark, idx)
+    assert(f1.exists(f => f.kind == "floats-parity" && f.detail.contains("no encoded row")), s"$f1")
+
+    // an encoded row keyed to a cell no centroid defines
+    TableIndex.commitBatch(spark, idx, "fsck-cell",
+      Seq(("encoded.parquet",
+        Seq((8888L, 888002L, Array[Byte](0, 0), 1.0)).toDF("cell", "n_id", "codes", "n_norm"),
+        Seq("cell"))))
+    val f2 = IvfIndex.fsckIndex(spark, idx)
+    assert(f2.exists(f => f.kind == "cell-orphan" && f.detail.contains("encoded.parquet")), s"$f2")
+    assert(f2.exists(f => f.kind == "floats-parity" && f.detail.contains("no float row")), s"$f2")
+  }
+}

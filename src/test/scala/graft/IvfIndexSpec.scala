@@ -400,5 +400,19 @@ class IvfIndexSpec extends SparkSpec {
     assert(read === want,
       s"scan materialized $read rows; probed cells hold $want of $total — pruning failed")
     assert(want < total, "probe set unexpectedly covers the whole corpus")
+
+    // the SNAPSHOT path reads an explicit committed-file list (via
+    // basePath) — partition pruning must survive that shape too, or
+    // every concurrent-safe probe silently scans the whole index
+    val snap = Some(graft.util.TableIndex.openSnapshot(spark, idx))
+    val sdf = IvfIndex.probedEncoded(spark, idx, probed, snap)
+    sdf.collect()
+    val sscan = scans(sdf.queryExecution.executedPlan)
+    assert(sscan.nonEmpty, s"no parquet scan in:\n${sdf.queryExecution.executedPlan}")
+    assert(sscan.head.metadata.getOrElse("PartitionFilters", "").contains("cell"),
+      s"snapshot read lost directory-level pruning: ${sscan.head.metadata}")
+    val sread = sscan.map(_.metrics("numOutputRows").value).sum
+    assert(sread === want,
+      s"snapshot scan materialized $sread rows; probed cells hold $want — pruning failed")
   }
 }
