@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 
 /** Seeded random LIFECYCLE fuzzing of the two persisted indexes: a
   * deterministic op sequence (append / tombstone delete / torn-append-
-  * then-replay / geometry refresh / compact / recluster) drives each
+  * then-replay / geometry refresh / compact / recluster, with a
+  * marker FOLD + replay-after-fold action every even step) drives each
   * index through states no single-purpose spec enumerates, and after
   * EVERY step the index must answer its probe exactly like a
   * from-scratch derivation over the model's live set — through BOTH
@@ -113,6 +114,9 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
           .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))))
           .toMap
 
+      // the last batch committed into the CURRENT dir, for the
+      // fold-then-replay action (reset when a compact switches dirs)
+      var lastReplay: Option[(String, Seq[(Long, String)])] = None
       for (step <- 1 to 6) {
         val op = rng.nextInt(10)
         if (op < 4 && nextSlice < universe.length) { // append
@@ -122,6 +126,7 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
             "doc_id", "text", batchId = Some(s"fz_${seed}_$step"))
           live ++= batch
           tableIds ++= batch.map(_._1)
+          lastReplay = Some((s"fz_${seed}_$step", batch))
         } else if (op < 6 && live.size > 3) { // tombstone delete
           val victims = rng.shuffle(live.keys.toSeq.sorted).take(1 + rng.nextInt(3))
           IncrementalDedup.deleteInPlace(spark, dir, victims.toDF("id"))
@@ -154,11 +159,24 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
             "doc_id", "text", batchId = Some(bid))
           live ++= batch
           tableIds ++= batch.map(_._1)
+          lastReplay = Some((bid, batch))
         } else { // compact into a fresh generation
           val out = graft.util.TempDirs.scratch(s"fuzz_dedup_${seed}_c$step").toString
           IncrementalDedup.compactIndex(spark, dir, out)
           dir = out
           tableIds = live.keySet
+          lastReplay = None
+        }
+        // marker FOLD every even step (composes with whatever state the
+        // walk reached), then replay the last committed bid: it must
+        // still skip via the base-file lookup — a miss re-appends its
+        // rows and the hashes-id check below catches the duplicates
+        if (step % 2 == 0) {
+          graft.util.TableIndex.checkpointCommits(spark, dir)
+          lastReplay.foreach { case (bid, batch) =>
+            IncrementalDedup.updateIndexInPlace(spark, dir, batch.toDF("doc_id", "text"),
+              "doc_id", "text", batchId = Some(bid))
+          }
         }
         // torn-leftover detector: one hashes row per on-disk id, no
         // duplicates (a failed rollback leaves the torn slice BESIDE
@@ -229,6 +247,7 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
             snapshot = snapshot)
           .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+      var lastReplay: Option[(String, Seq[(Long, Array[Double])])] = None
       for (step <- 1 to 6) {
         val op = rng.nextInt(10)
         if (op < 3 && nextSlice < universe.length) { // append
@@ -238,6 +257,7 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
             batchId = Some(s"fz_${seed}_$step"))
           live ++= batch
           tableIds ++= batch.map(_._1)
+          lastReplay = Some((s"fz_${seed}_$step", batch))
         } else if (op < 5 && live.size > 5) { // tombstone delete
           val victims = rng.shuffle(live.keys.toSeq.sorted).take(1 + rng.nextInt(4))
           IvfIndex.deleteInPlace(spark, dir, victims.toDF("id"))
@@ -267,17 +287,29 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
           IvfIndex.appendInPlace(spark, dir, batch.toDF("id", "vec"), batchId = Some(bid))
           live ++= batch
           tableIds ++= batch.map(_._1)
+          lastReplay = Some((bid, batch))
         } else if (rng.nextBoolean()) { // compact into a fresh generation
           val out = graft.util.TempDirs.scratch(s"fuzz_ivf_${seed}_c$step").toString
           IvfIndex.compact(spark, dir, out)
           dir = out
           tableIds = live.keySet
+          lastReplay = None
         } else { // RECLUSTER into a fresh generation (retrained cells)
           val out = graft.util.TempDirs.scratch(s"fuzz_ivf_${seed}_r$step").toString
           IvfIndex.recluster(spark, dir, live.toSeq.toDF("id", "vec"), out,
             stride = 7, iters = 1)
           dir = out
           tableIds = live.keySet
+          lastReplay = None
+        }
+        // marker fold + replay-after-fold (the dedup walk's action):
+        // a replayed bid must resolve through the base file; a miss
+        // re-appends and the encoded-id check below catches it
+        if (step % 2 == 0) {
+          graft.util.TableIndex.checkpointCommits(spark, dir)
+          lastReplay.foreach { case (bid, batch) =>
+            IvfIndex.appendInPlace(spark, dir, batch.toDF("id", "vec"), batchId = Some(bid))
+          }
         }
         val nids = spark.read.parquet(s"$dir/encoded.parquet")
           .select("n_id").collect().map(_.getLong(0)).toSeq
