@@ -111,9 +111,6 @@ object IvfIndex {
     * cross-table tear. */
   type Snap = Option[TableIndex.Snapshot]
 
-  private def pin(spark: SparkSession, indexDir: String, snapshot: Boolean): Snap =
-    if (snapshot) Some(TableIndex.openSnapshot(spark, indexDir)) else None
-
   /** The LIVE float table, if this index stores one: cell re-widened,
     * tombstones applied — partition filters stacked on top still push
     * to the scan (the [[loadEncoded]] discipline). */
@@ -688,7 +685,7 @@ object IvfIndex {
                     newVecs: DataFrame, tau: Double,
                     snapshot: Boolean = false,
                     at: Option[TableIndex.Snapshot] = None): DataFrame = {
-    val snap = at.orElse(pin(spark, indexDir, snapshot))
+    val snap = TableIndex.resolvePin(spark, indexDir, snapshot, at)
     if (snap.isEmpty) TableIndex.repair(spark, indexDir)
     val cand = candidateCells(spark, indexDir, newVecs, tau, snap).localCheckpoint(false)
     val candCells = cand.select("cell").distinct().collect().map(_.getLong(0)).toSeq
@@ -738,7 +735,7 @@ object IvfIndex {
              k: Int, nprobe: Int, shortlist: Int, snapshot: Boolean = false,
              at: Option[TableIndex.Snapshot] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val snap = at.orElse(pin(spark, indexDir, snapshot))
+    val snap = TableIndex.resolvePin(spark, indexDir, snapshot, at)
     if (snap.isEmpty) TableIndex.repair(spark, indexDir)
     val centroids = dimTable(spark, indexDir, "centroids.parquet", snap)
     val book = loadBook(spark, indexDir, snap)
@@ -798,20 +795,30 @@ object IvfIndex {
   def fsckIndex(spark: SparkSession, indexDir: String): Seq[TableIndex.FsckFinding] = {
     val proto = TableIndex.fsck(spark, indexDir)
     val out = Seq.newBuilder[TableIndex.FsckFinding]
-    val cents = spark.read.parquet(s"$indexDir/centroids.parquet")
-      .select(col("c_id").cast("long").as("cell"))
-    val enc = spark.read.parquet(s"$indexDir/encoded.parquet")
-      .withColumn("cell", col("cell").cast("long"))
-    val encOrphans = enc.select("cell").distinct().join(cents, Seq("cell"), "left_anti").count()
-    if (encOrphans > 0)
-      out += TableIndex.FsckFinding("cell-orphan", s"encoded.parquet: $encOrphans cells without a centroid")
-    for (g <- TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")) {
+    // the diagnostic must NAME a missing mandatory table, not crash on
+    // it — incident-damaged indexes are exactly what it inspects
+    val centsOpt = TableIndex.readTableIfExists(spark, indexDir, "centroids.parquet")
+      .map(_.select(col("c_id").cast("long").as("cell")))
+    val encOpt = TableIndex.readTableIfExists(spark, indexDir, "encoded.parquet")
+      .map(_.withColumn("cell", col("cell").cast("long")))
+    for (t <- Seq("centroids" -> centsOpt, "book" ->
+           TableIndex.readTableIfExists(spark, indexDir, "book.parquet"),
+           "encoded" -> encOpt) if t._2.isEmpty)
+      out += TableIndex.FsckFinding("missing-table", s"${t._1}.parquet holds no data")
+    for (cents <- centsOpt; enc <- encOpt) {
+      val encOrphans = enc.select("cell").distinct().join(cents, Seq("cell"), "left_anti").count()
+      if (encOrphans > 0)
+        out += TableIndex.FsckFinding("cell-orphan", s"encoded.parquet: $encOrphans cells without a centroid")
+    }
+    for (cents <- centsOpt;
+         g <- TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")) {
       val geoOrphans = g.select(col("cell").cast("long").as("cell")).distinct()
         .join(cents, Seq("cell"), "left_anti").count()
       if (geoOrphans > 0)
         out += TableIndex.FsckFinding("cell-orphan", s"geometry.parquet: $geoOrphans cells without a centroid")
     }
-    for (f <- TableIndex.readTableIfExists(spark, indexDir, "floats.parquet")) {
+    for (enc <- encOpt;
+         f <- TableIndex.readTableIfExists(spark, indexDir, "floats.parquet")) {
       val fe = f.select(col("n_id")).distinct()
       val ee = enc.select(col("n_id")).distinct()
       val missing = ee.join(fe, Seq("n_id"), "left_anti").count()

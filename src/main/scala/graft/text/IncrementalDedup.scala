@@ -324,7 +324,7 @@ object IncrementalDedup {
                    k: Int = 32, bands: Int = 8, n: Int = 3,
                    maxBucket: Int = 1000, snapshot: Boolean = false,
                    at: Option[TableIndex.Snapshot] = None): DataFrame = {
-    val snap = at.orElse(if (snapshot) Some(TableIndex.openSnapshot(spark, indexDir)) else None)
+    val snap = TableIndex.resolvePin(spark, indexDir, snapshot, at)
     if (snap.isEmpty) TableIndex.repair(spark, indexDir)
     val (kk, nn, bb) = params(spark, indexDir, k, n, bands)
     def readIdx(table: String): DataFrame =
@@ -443,12 +443,18 @@ object IncrementalDedup {
     * pass, never the query path. */
   def fsckIndex(spark: SparkSession, indexDir: String): Seq[TableIndex.FsckFinding] = {
     val proto = TableIndex.fsck(spark, indexDir)
-    val tables = Seq("hashes", "sigs", "shingles", "bands").flatMap { t =>
+    val expected = Seq("hashes", "sigs", "shingles", "bands")
+    val present = expected.flatMap { t =>
       TableIndex.readTableIfExists(spark, indexDir, s"$t.parquet")
         .map(d => t -> d.select(col("id")).distinct())
     }
-    val parity = tables.headOption.toSeq.flatMap { case (baseName, base) =>
-      tables.tail.flatMap { case (t, d) =>
+    // a wholly-absent table is EXACTLY the dropped-a-table restore this
+    // check exists for — it must be a finding, not a silent skip that
+    // leaves the surviving tables "in parity" with each other
+    val missingTables = expected.filterNot(t => present.exists(_._1 == t))
+      .map(t => TableIndex.FsckFinding("missing-table", s"$t.parquet holds no data"))
+    val parity = present.headOption.toSeq.flatMap { case (baseName, base) =>
+      present.tail.flatMap { case (t, d) =>
         val missing = base.join(d, Seq("id"), "left_anti").count()
         val extra = d.join(base, Seq("id"), "left_anti").count()
         (if (missing > 0)
@@ -459,6 +465,6 @@ object IncrementalDedup {
          else Nil)
       }
     }
-    proto ++ parity
+    proto ++ missingTables ++ parity
   }
 }

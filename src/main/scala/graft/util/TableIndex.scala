@@ -130,32 +130,27 @@ object TableIndex {
       .toString.replace("-", "").take(16)
   }
 
-  /** Marker probe first (one existence check — the pre-fold fast
-    * path), then the newest `_base` checkpoint: a replayed micro-batch
-    * whose marker was folded by [[checkpointCommits]] MUST still
-    * resolve as committed, or the exactly-once guarantee breaks the
-    * first time a fold runs under a live stream. */
+  /** Marker probe first (one existence check — the fast path), then —
+    * only if this directory has EVER been folded (the [[FoldedSentinel]]
+    * existence check) — the full bid set: a replayed micro-batch whose
+    * marker was folded by [[checkpointCommits]] MUST still resolve as
+    * committed, or the exactly-once guarantee breaks the first time a
+    * fold runs under a live stream. A never-folded directory answers
+    * in two `exists()` calls — the write path's replay pre-check must
+    * not pay a full `_commits` listing per commit on a marker-heavy
+    * index (the listing is exactly what the fold exists to retire).
+    *
+    * Validates `bid` at entry: the protocol's own `_base.*` / `_tmp.*`
+    * file names would otherwise satisfy the marker existence probe and
+    * make an append under such a bid silently no-op as "already
+    * committed" — data loss with no error. */
   def isCommitted(spark: SparkSession, dir: String, bid: String): Boolean = {
+    requireValidBid(bid)
     val m = new Path(commitsDir(dir), bid)
     val fs = fsOf(spark, m)
     if (fs.exists(m)) return true
-    val c = commitsDir(dir)
-    if (!fs.exists(c)) return false
-    // same bounded re-list as committedBids: a concurrent fold can
-    // replace the base between the listing and the read
-    var attempt = 0
-    while (true) {
-      val newest = fs.listStatus(c).iterator.map(_.getPath.getName)
-        .filter(_.startsWith(BasePrefix)).toSeq.sorted.lastOption
-      try return newest.exists(b => readBaseBids(fs, new Path(c, b)).contains(bid)) ||
-        fs.exists(m) // the marker may have landed while we looked
-      catch {
-        case e: java.io.FileNotFoundException =>
-          attempt += 1
-          if (attempt >= 5) throw e
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    if (!fs.exists(new Path(commitsDir(dir), FoldedSentinel))) return false
+    committedBids(spark, dir).contains(bid)
   }
 
   /** True iff the index at `dir` has at least one committed batch —
@@ -213,16 +208,41 @@ object TableIndex {
 
   private val BasePrefix = "_base."
 
+  /** Created (once, never removed) by the FIRST fold of a directory:
+    * its absence proves no base file has ever existed, so a missing
+    * marker is authoritative and [[isCommitted]] answers a miss with
+    * two `exists()` calls instead of a full `_commits` listing — the
+    * write path's per-commit replay pre-check must not pay the very
+    * listing the fold exists to retire. Ordering makes the sentinel
+    * sound: it lands AFTER the base publish and BEFORE any marker
+    * deletion, so a reader finding neither a bid's marker nor the
+    * sentinel is guaranteed that bid was never folded. */
+  private val FoldedSentinel = "_folded"
+
   /** THROWS on a read failure rather than degrading to an empty set:
     * a swallowed error here would silently drop every folded batch
     * from a reader's view — and, inside [[checkpointCommits]], would
     * write a new base MISSING those bids and then delete the old one,
     * permanently un-committing data. Transient FS errors must surface
-    * as failed operations, never as a smaller bid set. */
+    * as failed operations, never as a smaller bid set.
+    *
+    * Cached per qualified path: base files are IMMUTABLE once
+    * published (a fold writes a NEW version, never rewrites), so a
+    * parsed bid set is valid forever — repeat opens skip the re-read
+    * of a file that grows with total batches ever. */
+  private val baseBidsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
   private def readBaseBids(fs: FileSystem, p: Path): Set[String] = {
+    val key = fs.makeQualified(p).toString
+    val cached = baseBidsCache.get(key)
+    if (cached != null) return cached
     val in = fs.open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-    new String(bytes, "UTF-8").split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+    val bids = new String(bytes, "UTF-8").split("\n").iterator
+      .map(_.trim).filter(_.nonEmpty).toSet
+    baseBidsCache.put(key, bids)
+    bids
   }
 
   /** Fold the current commit markers into one `_base.<ver+1>` file and
@@ -241,6 +261,12 @@ object TableIndex {
     val c = commitsDir(dir)
     val fs = fsOf(spark, c)
     if (fs.exists(c)) {
+      // sweep crashed folds' temps FIRST (inert — never read), and
+      // unconditionally: a fold that crashed after a later successful
+      // one would otherwise leave its temp behind forever (the no-op
+      // path below never reached the old in-branch sweep)
+      fs.listStatus(c).iterator.map(_.getPath)
+        .filter(_.getName.startsWith("_tmp.")).foreach(fs.delete(_, false))
       val entries = fs.listStatus(c).map(_.getPath.getName)
       val markers = entries.filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
       val bases = entries.filter(_.startsWith(BasePrefix)).sorted.toSeq
@@ -255,11 +281,12 @@ object TableIndex {
         val next = new Path(c, f"$BasePrefix${ver + 1}%019d")
         if (!fs.rename(tmp, next))
           throw new java.io.IOException(s"checkpointCommits: could not publish $next")
+        // sentinel BEFORE marker deletion: from here on a missing
+        // marker no longer proves "not committed", and isCommitted's
+        // fast path must know that (see FoldedSentinel)
+        fs.create(new Path(c, FoldedSentinel), true).close()
         markers.foreach(m => fs.delete(new Path(c, m), false))
         bases.foreach(b => fs.delete(new Path(c, b), false))
-        // leftover _tmp.* from crashed folds are inert (never read); sweep
-        fs.listStatus(c).iterator.map(_.getPath)
-          .filter(_.getName.startsWith("_tmp.")).foreach(fs.delete(_, false))
       }
     }
   }
@@ -287,6 +314,27 @@ object TableIndex {
     * pass it to every table open inside that read. */
   def openSnapshot(spark: SparkSession, dir: String): Snapshot =
     Snapshot(dir, committedBids(spark, dir))
+
+  /** Resolve one operation's read posture — the shared entry-point
+    * logic of `processShard`/`nearDupsExact`/`search`: a caller-pinned
+    * handle (`at`) wins, else a fresh per-operation pin when
+    * `snapshot`, else plain. A handle pinned on a DIFFERENT index
+    * throws (path-qualified comparison, so respellings of one dir
+    * still match): without the check, every table read would resolve
+    * against the handle's directory while the operation labels itself
+    * with `dir` — answers silently computed from the wrong index. */
+  def resolvePin(spark: SparkSession, dir: String, snapshot: Boolean,
+                 at: Option[Snapshot]): Option[Snapshot] = {
+    at.foreach { s =>
+      val pa = new Path(s.dir)
+      val pb = new Path(dir)
+      require(fsOf(spark, pa).makeQualified(pa) == fsOf(spark, pb).makeQualified(pb),
+        s"snapshot handle is pinned on index ${s.dir} but was passed to an " +
+          s"operation on $dir — a cross-index handle would silently answer " +
+          "from the wrong index")
+    }
+    at.orElse(if (snapshot) Some(openSnapshot(spark, dir)) else None)
+  }
 
   // ---------------------------------------------------------------
   // Writer lease

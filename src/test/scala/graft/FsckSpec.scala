@@ -42,6 +42,18 @@ class FsckSpec extends SparkSpec {
     orphan.delete()
     TableIndex.repair(spark, idx) // rolls the torn batch back
     assert(!new java.io.File(s"$idx/_staging").exists())
+
+    // a WHOLLY-dropped table (the partial-restore case) must be a
+    // named finding, not a silent skip that leaves the survivors
+    // "in parity" with each other
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    rmRf(new java.io.File(s"$idx/sigs.parquet"))
+    val dropped = IncrementalDedup.fsckIndex(spark, idx)
+    assert(dropped.exists(f => f.kind == "missing-table" && f.detail.contains("sigs")),
+      s"dropped table not named: $dropped")
   }
 
   test("ivf index: cell orphans and floats parity breaks are named") {
@@ -70,5 +82,12 @@ class FsckSpec extends SparkSpec {
     val f2 = IvfIndex.fsckIndex(spark, idx)
     assert(f2.exists(f => f.kind == "cell-orphan" && f.detail.contains("encoded.parquet")), s"$f2")
     assert(f2.exists(f => f.kind == "floats-parity" && f.detail.contains("no float row")), s"$f2")
+
+    // the diagnostic must NAME missing mandatory tables (wrong path,
+    // damaged restore), never crash on them
+    val ghost = IvfIndex.fsckIndex(spark,
+      graft.util.TempDirs.scratch("fsck_ivf_ghost").toString)
+    assert(ghost.count(_.kind == "missing-table") == 3,
+      s"empty dir should name all three mandatory tables: $ghost")
   }
 }

@@ -313,7 +313,7 @@ class SnapshotLeaseSpec extends SparkSpec {
     // a second fold absorbs the new marker and replaces the old base
     TableIndex.checkpointCommits(spark, idx)
     val names2 = new java.io.File(s"$idx/_commits").listFiles().map(_.getName)
-      .filterNot(n => n.startsWith("_tmp") || n.startsWith(".")).toSet
+      .filterNot(n => n.startsWith("_tmp") || n.startsWith(".") || n == "_folded").toSet
     assert(names2.size == 1 && names2.head.startsWith("_base."), s"second fold left: $names2")
     assert(TableIndex.committedBids(spark, idx) == before + "fold-b4")
     TableIndex.checkpointCommits(spark, idx) // idempotent when nothing to fold
@@ -321,6 +321,40 @@ class SnapshotLeaseSpec extends SparkSpec {
     assert(TableIndex.snapshotTable(spark, idx, "t.parquet").get.count() == 4L)
     // a leading '_' bid would name an invisible marker — rejected at entry
     intercept[IllegalArgumentException] { TableIndex.requireValidBid("_sneaky") }
+    // ...and isCommitted validates too: the protocol's own _base.* /
+    // _folded file names would otherwise read as "already committed"
+    // and silently no-op an append under such a bid
+    intercept[IllegalArgumentException] {
+      TableIndex.isCommitted(spark, idx, "_folded")
+    }
+    // a crashed fold's temp is swept even when there is nothing to
+    // fold (single base, no markers — the no-op path)
+    val tmp2 = new java.io.File(s"$idx/_commits/_tmp.crashed")
+    java.nio.file.Files.write(tmp2.toPath, "x".getBytes)
+    TableIndex.checkpointCommits(spark, idx)
+    assert(!tmp2.exists(), "no-op fold left a crashed fold's temp behind")
+    // the fold sentinel exists and never counts as a marker
+    assert(new java.io.File(s"$idx/_commits/_folded").exists())
+    assert(!TableIndex.committedBids(spark, idx).contains("_folded"))
+  }
+
+  test("a snapshot handle pinned on one index is rejected by an operation on another") {
+    val d = docsDf
+    val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0).limit(60)
+    val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0).limit(20)
+    val idxA = graft.util.TempDirs.scratch("pin_cross_a").toString
+    val idxB = graft.util.TempDirs.scratch("pin_cross_b").toString
+    IncrementalDedup.buildIndex(old, "doc_id", "text", idxA)
+    IncrementalDedup.buildIndex(old, "doc_id", "text", idxB)
+    val handleA = TableIndex.openSnapshot(spark, idxA)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.processShard(spark, idxB, shard, "doc_id", "text",
+        tau = 0.8, at = Some(handleA))
+    }
+    assert(e.getMessage.contains("cross-index"), e.getMessage)
+    // respellings of the SAME dir are fine (qualified comparison)
+    IncrementalDedup.processShard(spark, s"$idxA/", shard, "doc_id", "text",
+      tau = 0.8, at = Some(handleA)).collect()
   }
 
   test("refreshGeometry rejects a SUBSET corpus (under-sized radii would break exactness)") {
