@@ -106,13 +106,29 @@ object ProtocolProbe {
         require(sz == n, s"bid set lost entries: $sz != $n")
         (System.nanoTime() - t) / 1e6 / reps
       }
+      // the write path's replay pre-check: an isCommitted MISS (a new
+      // batch id) — pre-fold it must stay at two exists() calls (the
+      // _folded sentinel's absence is authoritative), never the full
+      // listing; post-fold it pays the tiny listing + cached base
+      def timeMiss(reps: Int): Double = {
+        val t = System.nanoTime()
+        var j = 0
+        while (j < reps) {
+          require(!TableIndex.isCommitted(spark, md, f"s0000000000000000_$j%010d-x"))
+          j += 1
+        }
+        (System.nanoTime() - t) / 1e3 / reps
+      }
+      val missBefore = timeMiss(200)
       val beforeMs = timeBids(20)
       val f0 = System.nanoTime()
       TableIndex.checkpointCommits(spark, md)
       val foldMs = (System.nanoTime() - f0) / 1e6
       val afterMs = timeBids(20)
+      val missAfter = timeMiss(200)
       println(f"marker fold: n=$n  committedBids before=$beforeMs%8.2f ms  " +
-        f"fold=$foldMs%8.1f ms  after=$afterMs%8.2f ms/open")
+        f"fold=$foldMs%8.1f ms  after=$afterMs%8.2f ms/open  " +
+        f"isCommitted-miss before=$missBefore%7.1f us  after=$missAfter%7.1f us")
     }
     spark.stop()
   }
