@@ -258,6 +258,12 @@ object TableIndex {
     * writer lease: a marker created by a concurrent commit after the
     * listing simply survives to the next fold. */
   def checkpointCommits(spark: SparkSession, dir: String): Unit = withLease(spark, dir) {
+    checkpointCommitsLocked(spark, dir)
+  }
+
+  /** The fold body, for callers that ALREADY hold the writer lease
+    * ([[commitBatch]]'s auto-fold — the lease is not reentrant). */
+  private def checkpointCommitsLocked(spark: SparkSession, dir: String): Unit = {
     val c = commitsDir(dir)
     val fs = fsOf(spark, c)
     if (fs.exists(c)) {
@@ -608,9 +614,30 @@ object TableIndex {
         fs.mkdirs(c)
         fs.create(new Path(c, bid), true).close() // the one atomic commit point
         fs.delete(stage, true)
+        maybeAutoFold(spark, dir) // still under the lease
         true
       }
     }
+  }
+
+  /** Fold AUTOMATICALLY every [[AutoFoldEvery]]-th commit this writer
+    * lands on a directory (the Delta-checkpoint cadence) — at
+    * streaming cadence nobody should have to remember a maintenance
+    * op to keep `_commits` bounded. The per-writer JVM counter is the
+    * trigger (single-writer discipline makes it an honest proxy for
+    * the marker count; a restarted writer just re-earns its cadence),
+    * so the common commit pays ZERO extra listings — the fold itself
+    * lists, and runs under the commit's already-held lease. Manual
+    * [[checkpointCommits]] remains for operator-driven folds. */
+  private[graft] val AutoFoldEvery = 32
+  private val commitCounters =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def maybeAutoFold(spark: SparkSession, dir: String): Unit = {
+    val n = commitCounters
+      .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
+      .incrementAndGet()
+    if (n % AutoFoldEvery == 0) checkpointCommitsLocked(spark, dir)
   }
 
   /** Replace a table's contents wholesale (the geometry-refresh

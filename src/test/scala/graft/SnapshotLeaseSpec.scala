@@ -338,6 +338,26 @@ class SnapshotLeaseSpec extends SparkSpec {
     assert(!TableIndex.committedBids(spark, idx).contains("_folded"))
   }
 
+  test("auto-fold: the writer's Nth commit folds the markers by itself") {
+    import spark.implicits._
+    val idx = graft.util.TempDirs.scratch("autofold").toString
+    val bids = (1 to TableIndex.AutoFoldEvery).map(i => f"auto-b$i%03d")
+    for ((b, i) <- bids.zipWithIndex)
+      TableIndex.commitBatch(spark, idx, b,
+        Seq(("t.parquet", Seq((i.toLong, i.toLong)).toDF("id", "v"), Seq.empty)))
+    val names = new java.io.File(s"$idx/_commits").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(names.count(!_.startsWith("_")) == 0,
+      s"markers survived the auto-fold cadence: $names")
+    assert(names.count(_.startsWith("_base.")) == 1, s"$names")
+    assert(TableIndex.committedBids(spark, idx) == bids.toSet)
+    // a replayed early bid still skips through the folded base
+    assert(!TableIndex.commitBatch(spark, idx, bids.head,
+      Seq(("t.parquet", Seq((99L, 99L)).toDF("id", "v"), Seq.empty))))
+    assert(TableIndex.snapshotTable(spark, idx, "t.parquet").get.count() ==
+      TableIndex.AutoFoldEvery.toLong)
+  }
+
   test("a snapshot handle pinned on one index is rejected by an operation on another") {
     val d = docsDf
     val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0).limit(60)
