@@ -338,6 +338,46 @@ class SnapshotLeaseSpec extends SparkSpec {
     assert(!TableIndex.committedBids(spark, idx).contains("_folded"))
   }
 
+  test("live writer vs snapshot readers: every concurrent read is a sealed, cross-table-consistent prefix") {
+    import spark.implicits._
+    val idx = graft.util.TempDirs.scratch("race_live").toString
+    val writes = 10
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try {
+        for (i <- 1 to writes)
+          TableIndex.commitBatch(spark, idx, f"race-b$i%03d", Seq(
+            ("a.parquet", Seq((i.toLong, i.toLong)).toDF("id", "x"), Seq.empty),
+            ("b.parquet", Seq((i.toLong, i * 100L)).toDF("id", "y"), Seq.empty)))
+      } catch { case t: Throwable => writerErr = Some(t) }
+    })
+    writer.setDaemon(true)
+    writer.start()
+    // readers race the live writer with NO coordination: each pinned
+    // read must see the same sealed batch prefix in BOTH tables
+    // (a==b — the cross-table guarantee under a real interleaving,
+    // not a planted one) and prefixes must only grow
+    var prev = 0L
+    var reads = 0
+    while (writer.isAlive || prev < writes) {
+      val snap = TableIndex.openSnapshot(spark, idx)
+      val a = TableIndex.snapshotTable(spark, snap, "a.parquet").map(_.count()).getOrElse(0L)
+      val b = TableIndex.snapshotTable(spark, snap, "b.parquet").map(_.count()).getOrElse(0L)
+      assert(a == b, s"concurrent snapshot tore across tables: a=$a b=$b")
+      assert(a >= prev, s"snapshot prefix went backwards: $prev -> $a")
+      prev = a
+      reads += 1
+      if (!writer.isAlive && prev >= writes) () else Thread.sleep(50)
+      if (reads > 600) fail(s"writer never finished (err=$writerErr, seen=$prev)")
+    }
+    writer.join(10000)
+    writerErr.foreach(t => fail(s"writer thread failed: $t"))
+    assert(prev == writes.toLong)
+    // at least a few reads must have raced the live writer (host-speed
+    // tolerant; the assertions above did the real work on each one)
+    assert(reads >= 3, s"only $reads reads — the race window never opened")
+  }
+
   test("auto-fold: the writer's Nth commit folds the markers by itself") {
     import spark.implicits._
     val idx = graft.util.TempDirs.scratch("autofold").toString
