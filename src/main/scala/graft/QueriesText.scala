@@ -506,8 +506,7 @@ object QueriesText {
       val book = AnnSearch.pqBook(old, m = 32, stride = 10)
       graft.ml.IvfIndex.build(old, centroids, book, idxDir, storeFloats = true)
     }
-    val emptyCorpus = Seq.empty[(Long, Array[Double])].toDF("id", "vec")
-    graft.ml.IvfIndex.nearDupsExact(spark, idxDir, emptyCorpus, shard, tau = 0.8)
+    graft.ml.IvfIndex.nearDupsExact(spark, idxDir, shard, tau = 0.8)
   }
 
   /** The CHURNED-index form of [[dedupIncrementalEmb]], driver-gated:

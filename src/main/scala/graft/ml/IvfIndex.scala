@@ -176,7 +176,8 @@ object IvfIndex {
 
   /** Reload the persisted codebook. `snap`: pass the operation's
     * pinned snapshot for a repair-free committed-only read. */
-  def loadBook(spark: SparkSession, indexDir: String, snap: Snap = None): PqBook = {
+  def loadBook(spark: SparkSession, indexDirOrRoot: String, snap: Snap = None): PqBook = {
+    val indexDir = snap.map(_.dir).getOrElse(TableIndex.resolveDir(spark, indexDirOrRoot))
     if (snap.isEmpty) TableIndex.repair(spark, indexDir)
     val rows = dimTable(spark, indexDir, "book.parquet", snap)
       .select(col("sub").cast("int"), col("code").cast("int"), col("cw").cast("array<double>"))
@@ -195,7 +196,9 @@ object IvfIndex {
     * persisted dim tables). A pre-geometry legacy index carries no
     * radii forward — the new generation gets the shard's radii only,
     * and readers π-default the rest (correct, unpruned). */
-  def append(spark: SparkSession, indexDir: String, newVectors: DataFrame, outDir: String): Unit = {
+  def append(spark: SparkSession, indexDirOrRoot: String, newVectors: DataFrame,
+             outDir: String): Unit = {
+    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     TableIndex.repair(spark, indexDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val book = loadBook(spark, indexDir)
@@ -232,8 +235,9 @@ object IvfIndex {
     * `batchId` is skipped, and re-appending a tombstoned id throws.
     * Row-content contract identical to [[append]]: IvfIndexSpec pins
     * rows ≡ rebuild-over-union (layout differs, rows don't). */
-  def appendInPlace(spark: SparkSession, indexDir: String, newVectors: DataFrame,
+  def appendInPlace(spark: SparkSession, indexDirOrRoot: String, newVectors: DataFrame,
                     batchId: Option[String] = None): Unit = {
+    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     val bid = batchId.getOrElse(TableIndex.newBatchId())
     if (TableIndex.isCommitted(spark, indexDir, bid)) return // replayed batch
     TableIndex.repair(spark, indexDir)
@@ -371,9 +375,7 @@ object IvfIndex {
               "build with storeFloats = true, or use the corpus-backed overload")
           val bid = f"s${salt}_$batchId%010d"
           val b = batch.toDF().localCheckpoint(true)
-          import spark.implicits._
-          val emptyCorpus = Seq.empty[(Long, Array[Double])].toDF("id", "vec")
-          val dupIdx = nearDupsExact(spark, indexDir, emptyCorpus, b, tau)
+          val dupIdx = nearDupsExact(spark, indexDir, b, tau)
             .select(col("q_id").as("id")).distinct()
           val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
           val dupBatch = AnnSearch.cosineNearPairs(b, centroids, tau)
@@ -408,7 +410,9 @@ object IvfIndex {
     * corpus), so the filter must be a join, not a collected literal;
     * AQE picks broadcast when the list is small. IvfIndexSpec pins
     * delete ≡ rebuild-over-remaining bit-exactly. */
-  def delete(spark: SparkSession, indexDir: String, ids: DataFrame, outDir: String): Unit = {
+  def delete(spark: SparkSession, indexDirOrRoot: String, ids: DataFrame,
+             outDir: String): Unit = {
+    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     TableIndex.repair(spark, indexDir)
     // radii carry over STALE (an upper bound after removals) —
     // one-sided safe; [[refreshGeometry]] re-tightens. A pre-geometry
@@ -445,8 +449,9 @@ object IvfIndex {
     * tombstoned id before a compact THROWS in [[appendInPlace]] (the
     * tombstone would suppress the new row too) — enforced, not
     * comment-only. */
-  def deleteInPlace(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
-    TableIndex.commitBatch(spark, indexDir, TableIndex.newBatchId("del"),
+  def deleteInPlace(spark: SparkSession, indexDirOrRoot: String, ids: DataFrame): Unit = {
+    TableIndex.commitBatch(spark, TableIndex.resolveDir(spark, indexDirOrRoot),
+      TableIndex.newBatchId("del"),
       Seq(("tombstones.parquet", ids.select(col("id").cast("long").as("n_id")), Seq.empty)))
     ()
   }
@@ -463,19 +468,67 @@ object IvfIndex {
     * pins rows bit-identical before/after and a strictly smaller file
     * count. Centroids and book are copied through untouched (they are
     * single-write dim tables). */
-  def compact(spark: SparkSession, indexDir: String, outDir: String): Unit = {
+  def compact(spark: SparkSession, indexDirOrRoot: String, outDir: String): Unit = {
+    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     TableIndex.repair(spark, indexDir)
     val geometry = TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")
       .map(g => ("geometry.parquet", g.groupBy("cell").agg(max("r").as("r")), Seq.empty[String]))
-    val floats = loadFloats(spark, indexDir).map(f =>
-      ("floats.parquet", f.repartition(col("cell")), Seq("cell")))
+    // size-targeted parallelism WITHIN cells (range on (cell, n_id)):
+    // the pre-r14 repartition(col("cell")) made every cell ONE task and
+    // one file — a hot semantic cluster (the common case in a real
+    // corpus) serialized the whole fold regardless of cluster size
+    val nEnc = TableIndex.compactionPartitions(spark, indexDir, "encoded.parquet")
+    val floats = loadFloats(spark, indexDir).map { f =>
+      val nF = TableIndex.compactionPartitions(spark, indexDir, "floats.parquet")
+      ("floats.parquet", TableIndex.sizedKeyedRepartition(f, nF, "cell", "n_id"), Seq("cell"))
+    }
     TableIndex.wipe(spark, outDir)
     TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("compact"), Seq(
       ("centroids.parquet", spark.read.parquet(s"$indexDir/centroids.parquet"), Seq.empty),
       ("book.parquet", spark.read.parquet(s"$indexDir/book.parquet"), Seq.empty),
-      ("encoded.parquet", loadEncoded(spark, indexDir).repartition(col("cell")), Seq("cell"))
+      ("encoded.parquet",
+        TableIndex.sizedKeyedRepartition(loadEncoded(spark, indexDir), nEnc, "cell", "n_id"),
+        Seq("cell"))
     ) ++ geometry ++ floats)
     ()
+  }
+
+  /** [[compact]] with the generation cutover made a LIBRARY guarantee
+    * (the [[graft.text.IncrementalDedup.compactPublish]] shape):
+    * compact the root's CURRENT generation into a fresh child
+    * directory, then swap `root/_generation` atomically — only after
+    * the new generation's commit marker lands. A crash anywhere leaves
+    * the old generation authoritative; pinned snapshots survive the
+    * swap; retire the superseded directory with
+    * [[graft.util.TableIndex.retireGeneration]] once readers drain. */
+  def compactPublish(spark: SparkSession, root: String): String = {
+    val cur = TableIndex.resolveGeneration(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root carries no _generation pointer — build into a child directory and " +
+          "publishGeneration it first"))
+    val genName = "g" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val outDir = s"$root/$genName"
+    compact(spark, cur, outDir)
+    TableIndex.publishGeneration(spark, root, genName)
+    outDir
+  }
+
+  /** [[recluster]] under the same published-cutover contract as
+    * [[compactPublish]] — the drift-maintenance op is exactly the
+    * "atomic-swap shape" whose cutover used to be prose: retrain on
+    * the live corpus into a fresh generation, publish when committed. */
+  def reclusterPublish(spark: SparkSession, root: String, corpus: DataFrame,
+                       stride: Int, iters: Int = 2, retrainBook: Boolean = false,
+                       bookStride: Int = 10): String = {
+    val cur = TableIndex.resolveGeneration(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root carries no _generation pointer — build into a child directory and " +
+          "publishGeneration it first"))
+    val genName = "g" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val outDir = s"$root/$genName"
+    recluster(spark, cur, corpus, outDir, stride, iters, retrainBook, bookStride)
+    TableIndex.publishGeneration(spark, root, genName)
+    outDir
   }
 
   /** Re-tighten the cell radii from the LIVE float corpus — the
@@ -501,7 +554,8 @@ object IvfIndex {
     * maintenance op, not the query path). A floats-bearing index
     * refreshes from its OWN float table and ignores `corpus` (pass an
     * empty frame) — coverage holds by construction there. */
-  def refreshGeometry(spark: SparkSession, indexDir: String, corpus: DataFrame): Unit = {
+  def refreshGeometry(spark: SparkSession, indexDirOrRoot: String, corpus: DataFrame): Unit = {
+    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     TableIndex.repair(spark, indexDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val live = liveVectors(spark, indexDir, corpus, op = "refreshGeometry")
@@ -554,9 +608,10 @@ object IvfIndex {
     * restores is the PRUNING — spec-pinned: after drifted appends the
     * reclustered index's candidate-cell fraction recovers to
     * build-time levels while results stay ≡ brute force. */
-  def recluster(spark: SparkSession, indexDir: String, corpus: DataFrame, outDir: String,
+  def recluster(spark: SparkSession, indexDirOrRoot: String, corpus: DataFrame, outDir: String,
                 stride: Int, iters: Int = 2, retrainBook: Boolean = false,
                 bookStride: Int = 10): Unit = {
+    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     TableIndex.repair(spark, indexDir)
     val live = liveVectors(spark, indexDir, corpus, op = "recluster").localCheckpoint(false)
     val storeF = TableIndex.readTableIfExists(spark, indexDir, "floats.parquet").isDefined
@@ -664,10 +719,10 @@ object IvfIndex {
     *
     * Float-source PRECEDENCE: on a floats-bearing index (`storeFloats`
     * build) the index's OWN partition-pruned float table scores every
-    * candidate and the `corpus` argument is IGNORED entirely — pass an
-    * empty frame; a corpus that diverges from the indexed floats has
-    * no effect on the result. On a plain index the caller's corpus is
-    * the float source, under the coverage contract above.
+    * candidate and the `corpus` argument is IGNORED entirely — use the
+    * no-corpus overload, which drops the ignored parameter outright.
+    * On a plain index the caller's corpus is the float source, under
+    * the coverage contract above.
     *
     * `snapshot = true` reads every index table through ONE pinned
     * [[graft.util.TableIndex.Snapshot]] (committed batches only, no
@@ -681,11 +736,12 @@ object IvfIndex {
     * same [[graft.util.TableIndex.openSnapshot]] result to several
     * probes/searches and they all answer from one frozen index state,
     * even while a writer commits between the calls. */
-  def nearDupsExact(spark: SparkSession, indexDir: String, corpus: DataFrame,
+  def nearDupsExact(spark: SparkSession, indexDirOrRoot: String, corpus: DataFrame,
                     newVecs: DataFrame, tau: Double,
                     snapshot: Boolean = false,
                     at: Option[TableIndex.Snapshot] = None): DataFrame = {
-    val snap = TableIndex.resolvePin(spark, indexDir, snapshot, at)
+    val snap = TableIndex.resolvePin(spark, indexDirOrRoot, snapshot, at)
+    val indexDir = snap.map(_.dir).getOrElse(TableIndex.resolveDir(spark, indexDirOrRoot))
     if (snap.isEmpty) TableIndex.repair(spark, indexDir)
     val cand = candidateCells(spark, indexDir, newVecs, tau, snap).localCheckpoint(false)
     val candCells = cand.select("cell").distinct().collect().map(_.getLong(0)).toSeq
@@ -713,6 +769,37 @@ object IvfIndex {
       .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** [[nearDupsExact]] for a FLOATS-BEARING index, with no corpus
+    * parameter: the index's own cell-pruned float table scores every
+    * candidate, so the corpus argument the full signature carries is
+    * ignored there by documented precedence — this overload removes
+    * the empty-frame idiom that precedence forced on callers. Fails
+    * loud on an index without a float table (there is genuinely no
+    * float source to score from). */
+  def nearDupsExact(spark: SparkSession, indexDirOrRoot: String, newVecs: DataFrame,
+                    tau: Double, snapshot: Boolean, at: Option[TableIndex.Snapshot]): DataFrame = {
+    val snap = TableIndex.resolvePin(spark, indexDirOrRoot, snapshot, at)
+    val indexDir = snap.map(_.dir).getOrElse(TableIndex.resolveDir(spark, indexDirOrRoot))
+    requireFloats(spark, indexDir, snap, "nearDupsExact")
+    nearDupsExact(spark, indexDir, emptyVecFrame(spark), newVecs, tau, snapshot, snap)
+  }
+
+  /** Plain-read form of the no-corpus [[nearDupsExact]] overload. */
+  def nearDupsExact(spark: SparkSession, indexDirOrRoot: String, newVecs: DataFrame,
+                    tau: Double): DataFrame =
+    nearDupsExact(spark, indexDirOrRoot, newVecs, tau, snapshot = false, at = None)
+
+  private def emptyVecFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Array[Double])].toDF("id", "vec")
+  }
+
+  private def requireFloats(spark: SparkSession, indexDir: String, snap: Snap,
+                            op: String): Unit =
+    require(loadFloats(spark, indexDir, snap).isDefined,
+      s"$op (no-corpus form): $indexDir carries no floats table — build with " +
+        "storeFloats = true, or use the corpus-argument overload")
+
   /** IVFADC top-k against the persisted index: probe `nprobe` cells,
     * ADC-rank their CODE rows, exact-re-rank the `shortlist` against
     * the float corpus by id. Plan shape identical to
@@ -723,19 +810,20 @@ object IvfIndex {
     * Float-source PRECEDENCE (the [[nearDupsExact]] rule): on a
     * floats-bearing index the exact re-rank reads the index's OWN
     * cell-pruned float table and the `corpus` argument is IGNORED —
-    * pass an empty frame; a corpus diverging from the indexed floats
-    * does not change the scores. On a plain index the caller's corpus
-    * is the re-rank source and must cover every live indexed id.
+    * use the no-corpus overload, which drops the ignored parameter
+    * outright. On a plain index the caller's corpus is the re-rank
+    * source and must cover every live indexed id.
     *
     * `snapshot = true`: committed-batches-only reads under ONE pinned
     * snapshot, no repair — safe concurrent with an in-flight writer,
     * and immune to a commit landing between this search's table opens
     * (see [[nearDupsExact]]). */
-  def search(spark: SparkSession, indexDir: String, corpus: DataFrame, queries: DataFrame,
+  def search(spark: SparkSession, indexDirOrRoot: String, corpus: DataFrame, queries: DataFrame,
              k: Int, nprobe: Int, shortlist: Int, snapshot: Boolean = false,
              at: Option[TableIndex.Snapshot] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val snap = TableIndex.resolvePin(spark, indexDir, snapshot, at)
+    val snap = TableIndex.resolvePin(spark, indexDirOrRoot, snapshot, at)
+    val indexDir = snap.map(_.dir).getOrElse(TableIndex.resolveDir(spark, indexDirOrRoot))
     if (snap.isEmpty) TableIndex.repair(spark, indexDir)
     val centroids = dimTable(spark, indexDir, "centroids.parquet", snap)
     val book = loadBook(spark, indexDir, snap)
@@ -778,6 +866,24 @@ object IvfIndex {
       .select("q_id", "rank", "n_id", "sim")
   }
 
+  /** [[search]] for a FLOATS-BEARING index, with no corpus parameter
+    * (the [[nearDupsExact]] no-corpus rule): the exact re-rank reads
+    * the index's own cell-pruned float table. Fails loud on an index
+    * without a float table. */
+  def search(spark: SparkSession, indexDirOrRoot: String, queries: DataFrame,
+             k: Int, nprobe: Int, shortlist: Int,
+             snapshot: Boolean, at: Option[TableIndex.Snapshot]): DataFrame = {
+    val snap = TableIndex.resolvePin(spark, indexDirOrRoot, snapshot, at)
+    val indexDir = snap.map(_.dir).getOrElse(TableIndex.resolveDir(spark, indexDirOrRoot))
+    requireFloats(spark, indexDir, snap, "search")
+    search(spark, indexDir, emptyVecFrame(spark), queries, k, nprobe, shortlist, snapshot, snap)
+  }
+
+  /** Plain-read form of the no-corpus [[search]] overload. */
+  def search(spark: SparkSession, indexDirOrRoot: String, queries: DataFrame,
+             k: Int, nprobe: Int, shortlist: Int): DataFrame =
+    search(spark, indexDirOrRoot, queries, k, nprobe, shortlist, snapshot = false, at = None)
+
   /** OFFLINE index check: the protocol-level namespace findings
     * ([[graft.util.TableIndex.fsck]]) plus this index's row-level
     * invariants — states the commit protocol cannot produce but a
@@ -792,7 +898,8 @@ object IvfIndex {
     *    floats but no codes is invisible to candidate selection.
     *
     * Full-table scans by design: an offline maintenance pass. */
-  def fsckIndex(spark: SparkSession, indexDir: String): Seq[TableIndex.FsckFinding] = {
+  def fsckIndex(spark: SparkSession, indexDirOrRoot: String): Seq[TableIndex.FsckFinding] = {
+    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     val proto = TableIndex.fsck(spark, indexDir)
     val out = Seq.newBuilder[TableIndex.FsckFinding]
     // the diagnostic must NAME a missing mandatory table, not crash on

@@ -137,9 +137,10 @@ object IncrementalDedup {
     * (live old corpus ∪ survivors) — IncrementalDedupSpec pins the
     * equality, the persistence discipline that keeps generation state
     * replayable. */
-  def updateIndex(spark: SparkSession, indexDir: String, survivors: DataFrame,
+  def updateIndex(spark: SparkSession, indexDirOrRoot: String, survivors: DataFrame,
                   idCol: String, textCol: String, outDir: String,
                   k: Int = 32, n: Int = 3, bands: Int = 8): Unit = {
+    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     TableIndex.repair(spark, indexDir)
     val (kk, nn, bb) = params(spark, indexDir, k, n, bands)
     val base = survivors.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
@@ -181,10 +182,11 @@ object IncrementalDedup {
     * [[updateIndex]]: spec-pinned rows ≡ rebuild-over-union with
     * pre-append files byte-untouched, the
     * [[graft.ml.IvfIndex.appendInPlace]] discipline. */
-  def updateIndexInPlace(spark: SparkSession, indexDir: String, survivors: DataFrame,
+  def updateIndexInPlace(spark: SparkSession, indexDirOrRoot: String, survivors: DataFrame,
                          idCol: String, textCol: String,
                          k: Int = 32, n: Int = 3, bands: Int = 8,
                          batchId: Option[String] = None): Unit = {
+    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     val bid = batchId.getOrElse(TableIndex.newBatchId())
     if (TableIndex.isCommitted(spark, indexDir, bid)) return // replayed batch
     TableIndex.repair(spark, indexDir)
@@ -256,8 +258,9 @@ object IncrementalDedup {
     * [[compactIndex]] is the fold point. Re-appending a tombstoned id
     * before a compact throws ([[graft.util.TableIndex
     * .assertNotTombstoned]]). */
-  def deleteInPlace(spark: SparkSession, indexDir: String, ids: DataFrame): Unit = {
-    TableIndex.commitBatch(spark, indexDir, TableIndex.newBatchId("del"),
+  def deleteInPlace(spark: SparkSession, indexDirOrRoot: String, ids: DataFrame): Unit = {
+    TableIndex.commitBatch(spark, TableIndex.resolveDir(spark, indexDirOrRoot),
+      TableIndex.newBatchId("del"),
       Seq(("tombstones.parquet", ids.select(col("id").cast("long").as("id")), Seq.empty)))
     ()
   }
@@ -267,32 +270,63 @@ object IncrementalDedup {
     TableIndex.liveTable(spark, indexDir, df, "id", snap)
 
   /** Fold point: rewrite the four tables without the tombstoned rows
-    * and drop the tombstone table. The three row-per-document tables
+    * and drop the tombstone table. ALL FOUR corpus-sized tables
     * rewrite through a SIZE-TARGETED repartition
     * ([[graft.util.TableIndex.compactionPartitions]]: ~128 MiB files,
     * floored at the cluster parallelism) — at 100 TB they carry
     * billions of rows, and a single-task funnel (the pre-r12
-    * `coalesce(1)`) could never complete; the band table keeps its
-    * bucket-partition discipline. Spec-pinned ≡ rebuild-over-remaining,
-    * with >1 output files per table on a multi-partition index. */
+    * `coalesce(1)`) could never complete. The band table keeps its
+    * bucket-partition DIRECTORY discipline but parallelizes WITHIN
+    * partition values ([[graft.util.TableIndex.sizedKeyedRepartition]]
+    * — range on (bp, bucket, id)): the pre-r14 `repartition(col("bp"))`
+    * bounded the corpus-sized rewrite at ≤[[BandParts]] tasks forever,
+    * a straggler wall no cluster size could fix. Spec-pinned ≡
+    * rebuild-over-remaining, with >1 output files per table AND >1
+    * files under a deliberately hot bp. */
   def compactIndex(spark: SparkSession, indexDir: String, outDir: String): Unit = {
-    TableIndex.repair(spark, indexDir)
+    val idir = TableIndex.resolveDir(spark, indexDir)
+    TableIndex.repair(spark, idir)
     TableIndex.wipe(spark, outDir)
-    val meta = TableIndex.readMeta(spark, indexDir)
+    val meta = TableIndex.readMeta(spark, idir)
     if (meta.nonEmpty) TableIndex.writeMeta(spark, outDir, meta)
     val flat = for (t <- Seq("hashes", "sigs", "shingles")) yield {
-      val n = TableIndex.compactionPartitions(spark, indexDir, s"$t.parquet")
+      val n = TableIndex.compactionPartitions(spark, idir, s"$t.parquet")
       (s"$t.parquet",
-        liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/$t.parquet")).repartition(n),
+        liveTable(spark, idir, spark.read.parquet(s"$idir/$t.parquet")).repartition(n),
         Seq.empty[String])
     }
+    val nBands = TableIndex.compactionPartitions(spark, idir, "bands.parquet")
     val bands = ("bands.parquet",
-      liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/bands.parquet")
-          .withColumn("bp", col("bp").cast("long")))
-        .repartition(col("bp")),
+      TableIndex.sizedKeyedRepartition(
+        liveTable(spark, idir, spark.read.parquet(s"$idir/bands.parquet")
+          .withColumn("bp", col("bp").cast("long"))),
+        nBands, "bp", "bucket", "id"),
       Seq("bp"))
     TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("compact"), flat :+ bands)
     ()
+  }
+
+  /** [[compactIndex]] with the generation cutover made a LIBRARY
+    * guarantee: compact the root's CURRENT generation into a fresh
+    * child directory, and only after the new generation's commit
+    * marker lands swap `root/_generation` (one atomic rename —
+    * [[graft.util.TableIndex.publishGeneration]]). A crash anywhere
+    * leaves the OLD generation authoritative; pinned snapshot handles
+    * keep answering from their generation across the swap; a fresh
+    * open of `root` follows the pointer. The superseded generation is
+    * NOT deleted here — retire it with [[graft.util.TableIndex
+    * .retireGeneration]] once in-flight readers drain. Returns the new
+    * generation's directory. */
+  def compactPublish(spark: SparkSession, root: String): String = {
+    val cur = TableIndex.resolveGeneration(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root carries no _generation pointer — build into a child directory and " +
+          "publishGeneration it first"))
+    val genName = "g" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val outDir = s"$root/$genName"
+    compactIndex(spark, cur, outDir)
+    TableIndex.publishGeneration(spark, root, genName)
+    outDir
   }
 
   /** Dedup `shard` against the persisted index at `indexDir`. Returns
@@ -319,12 +353,15 @@ object IncrementalDedup {
     * answers from the same frozen index state, even while a writer
     * commits between the calls — the multi-gate-pipeline / audit-
     * session consistency a per-call pin cannot give. */
-  def processShard(spark: SparkSession, indexDir: String, shard: DataFrame,
+  def processShard(spark: SparkSession, indexDirOrRoot: String, shard: DataFrame,
                    idCol: String, textCol: String, tau: Double,
                    k: Int = 32, bands: Int = 8, n: Int = 3,
                    maxBucket: Int = 1000, snapshot: Boolean = false,
                    at: Option[TableIndex.Snapshot] = None): DataFrame = {
-    val snap = TableIndex.resolvePin(spark, indexDir, snapshot, at)
+    val snap = TableIndex.resolvePin(spark, indexDirOrRoot, snapshot, at)
+    // the pin freezes the generation too — a plain read follows the
+    // root's pointer fresh (see graft.util.TableIndex.resolveDir)
+    val indexDir = snap.map(_.dir).getOrElse(TableIndex.resolveDir(spark, indexDirOrRoot))
     if (snap.isEmpty) TableIndex.repair(spark, indexDir)
     val (kk, nn, bb) = params(spark, indexDir, k, n, bands)
     def readIdx(table: String): DataFrame =
@@ -441,7 +478,8 @@ object IncrementalDedup {
     * un-probeable, the failure mode that motivates the whole batch
     * protocol. Full-table id scans by design: an offline maintenance
     * pass, never the query path. */
-  def fsckIndex(spark: SparkSession, indexDir: String): Seq[TableIndex.FsckFinding] = {
+  def fsckIndex(spark: SparkSession, indexDirOrRoot: String): Seq[TableIndex.FsckFinding] = {
+    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     val proto = TableIndex.fsck(spark, indexDir)
     val expected = Seq("hashes", "sigs", "shingles", "bands")
     val present = expected.flatMap { t =>

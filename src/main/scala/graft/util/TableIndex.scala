@@ -226,15 +226,26 @@ object TableIndex {
     * permanently un-committing data. Transient FS errors must surface
     * as failed operations, never as a smaller bid set.
     *
-    * Cached per qualified path: base files are IMMUTABLE once
-    * published (a fold writes a NEW version, never rewrites), so a
-    * parsed bid set is valid forever — repeat opens skip the re-read
-    * of a file that grows with total batches ever. */
+    * Cached per (qualified path, modificationTime, length): base files
+    * are IMMUTABLE once published (a fold writes a NEW version, never
+    * rewrites), so a parsed bid set is valid for as long as that file
+    * status holds — repeat opens skip the re-read of a file that grows
+    * with total batches ever. The path alone is NOT a sufficient key:
+    * [[wipe]] + rebuild at the same directory restarts base versioning
+    * at `_base.…001`, re-publishing the same qualified path with a
+    * DIFFERENT generation's bids — a path-keyed cache would serve the
+    * dead generation's set, hiding newly committed batches from
+    * snapshot readers and letting replayed bids re-append rows. The
+    * FileStatus in the key catches that across JVMs; [[wipe]] also
+    * purges same-JVM entries eagerly (local-FS modification times have
+    * coarse granularity, so an immediate rebuild could collide). */
   private val baseBidsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
   private def readBaseBids(fs: FileSystem, p: Path): Set[String] = {
-    val key = fs.makeQualified(p).toString
+    val q = fs.makeQualified(p).toString
+    val st = fs.getFileStatus(p) // FileNotFoundException → caller's bounded re-list
+    val key = s"$q#${st.getModificationTime}#${st.getLen}"
     val cached = baseBidsCache.get(key)
     if (cached != null) return cached
     val in = fs.open(p)
@@ -294,6 +305,10 @@ object TableIndex {
         markers.foreach(m => fs.delete(new Path(c, m), false))
         bases.foreach(b => fs.delete(new Path(c, b), false))
       }
+      // any fold — auto or manual — restarts the commit cadence (the
+      // counter is "commits since the last fold", persisted so the
+      // cadence survives writer-JVM turnover; see maybeAutoFold)
+      writeFoldCount(fs, dir, 0L)
     }
   }
 
@@ -313,13 +328,27 @@ object TableIndex {
     * the whole protocol exists to prevent, time-shifted into the
     * reader. One listing per LOGICAL operation (not per table) is the
     * fix, and it is also cheaper. */
-  final case class Snapshot private[util] (dir: String, bids: Set[String])
+  final case class Snapshot private[util] (dir: String, bids: Set[String],
+                                           origin: Option[String] = None)
 
   /** Pin a snapshot of `dir`: one `_commits` listing. Open one per
     * logical read (a probe, a search, a maintenance measurement) and
-    * pass it to every table open inside that read. */
-  def openSnapshot(spark: SparkSession, dir: String): Snapshot =
-    Snapshot(dir, committedBids(spark, dir))
+    * pass it to every table open inside that read.
+    *
+    * `dir` may be a generation ROOT (a directory carrying a
+    * [[publishGeneration]] pointer): the pin resolves the pointer ONCE
+    * and freezes on that generation — `(generation, bids)` — so the
+    * handle keeps answering from the pinned generation even if a
+    * concurrent [[publishGeneration]] swaps the pointer mid-read
+    * (the pre-swap generation's files are untouched until an explicit
+    * [[retireGeneration]]). `origin` records the root the caller
+    * addressed, so [[resolvePin]] can recognize the handle when later
+    * operations address the same root. */
+  def openSnapshot(spark: SparkSession, dir: String): Snapshot = {
+    val resolved = resolveDir(spark, dir)
+    Snapshot(resolved, committedBids(spark, resolved),
+      origin = if (resolved == dir) None else Some(dir))
+  }
 
   /** Resolve one operation's read posture — the shared entry-point
     * logic of `processShard`/`nearDupsExact`/`search`: a caller-pinned
@@ -332,14 +361,114 @@ object TableIndex {
   def resolvePin(spark: SparkSession, dir: String, snapshot: Boolean,
                  at: Option[Snapshot]): Option[Snapshot] = {
     at.foreach { s =>
-      val pa = new Path(s.dir)
-      val pb = new Path(dir)
-      require(fsOf(spark, pa).makeQualified(pa) == fsOf(spark, pb).makeQualified(pb),
+      def q(x: String) = { val p = new Path(x); fsOf(spark, p).makeQualified(p) }
+      val target = q(dir)
+      // three ways a handle legitimately names this index: pinned on
+      // this exact directory; pinned THROUGH this root (origin records
+      // the root, so the handle survives a concurrent generation swap);
+      // or pinned on a generation whose ROOT is being addressed (mixed
+      // addressing across a swap — the handle's generation is a direct
+      // child of a pointer-bearing root)
+      val ok = q(s.dir) == target ||
+        s.origin.exists(o => q(o) == target) ||
+        (q(s.dir).getParent == target && resolveGeneration(spark, dir).isDefined)
+      require(ok,
         s"snapshot handle is pinned on index ${s.dir} but was passed to an " +
           s"operation on $dir — a cross-index handle would silently answer " +
           "from the wrong index")
     }
     at.orElse(if (snapshot) Some(openSnapshot(spark, dir)) else None)
+  }
+
+  // ---------------------------------------------------------------
+  // Generation pointer
+  // ---------------------------------------------------------------
+  // Every whole-index rewrite — compact, recluster, the generation-
+  // copy append/delete — builds a NEW directory and commits it with
+  // the ordinary batch protocol; until r14 the CUTOVER (pointing
+  // readers at the new generation, retiring the old one) was the
+  // operator's problem, out-of-band — the one step of the maintenance
+  // story a crash could leave ambiguous (new generation committed,
+  // readers on the old one forever). The pointer makes the swap a
+  // library guarantee: `root/_generation` holds the current
+  // generation's child-directory name and is replaced by ONE atomic
+  // rename, so a reader resolves the old generation or the new one,
+  // never a torn pointer; a crash between the generation's commit and
+  // the swap leaves the OLD generation authoritative (the new one is
+  // just an unreferenced directory, re-publishable or deletable).
+
+  private val GenPointer = "_generation"
+
+  /** The current generation's directory under `root`, if `root`
+    * carries a pointer. */
+  def resolveGeneration(spark: SparkSession, root: String): Option[String] = {
+    val p = new Path(new Path(root), GenPointer)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val name = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()
+    if (name.isEmpty) None else Some(new Path(new Path(root), name).toString)
+  }
+
+  /** Follow a generation pointer ONE hop: a pointer-bearing root
+    * resolves to its current generation directory; any other path is
+    * itself. Every index entry point resolves through this, so a
+    * caller can address a rooted index by its root forever and
+    * compact/recluster swaps stay invisible. One hop by design — a
+    * generation directory carrying its own pointer is a layout error,
+    * not a chain to follow. */
+  def resolveDir(spark: SparkSession, path: String): String =
+    resolveGeneration(spark, path).getOrElse(path)
+
+  /** Publish `genName` (a child directory of `root`) as the current
+    * generation: write-temp + ATOMIC overwrite-rename of the pointer
+    * file. Fails loud if the generation holds no committed batch —
+    * publishing a torn build would point every reader at an index the
+    * protocol considers nonexistent. Callers publish only AFTER the
+    * generation's commit marker lands (the [[commitBatch]] return), so
+    * the crash window between commit and swap is one-sided: the old
+    * generation stays authoritative. */
+  def publishGeneration(spark: SparkSession, root: String, genName: String): Unit = {
+    require(genName.nonEmpty && !genName.contains("/") && !genName.startsWith("_") &&
+        !genName.startsWith("."),
+      s"generation name '$genName' must be a plain child-directory name")
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    val genDir = new Path(rootP, genName)
+    require(fs.exists(genDir), s"generation directory $genDir does not exist")
+    require(anyCommitted(spark, genDir.toString),
+      s"generation $genDir holds no committed batch — publishing it would point " +
+        "readers at a torn index")
+    val tmp = new Path(rootP,
+      s"$GenPointer.tmp.${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val out = fs.create(tmp, false)
+    out.write(genName.getBytes("UTF-8"))
+    out.close()
+    // FileContext.rename(OVERWRITE) is the one Hadoop API with atomic
+    // replace-existing semantics (HDFS implements it as a single
+    // namenode op; plain FileSystem.rename refuses an existing dest)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(new Path(rootP, GenPointer)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Delete a SUPERSEDED generation's directory — the retirement half
+    * of the swap, guarded so the current generation (the one the
+    * pointer names) can never be retired: readers resolving the
+    * pointer right now would lose their files mid-read. Pinned
+    * snapshot handles on the retired generation become invalid — the
+    * operator contract is retire only after in-flight readers drain
+    * (the lease-less analog of every snapshot-retention policy). */
+  def retireGeneration(spark: SparkSession, root: String, genName: String): Unit = {
+    val target = new Path(new Path(root), genName)
+    val fs = fsOf(spark, target)
+    val current = resolveGeneration(spark, root)
+    require(!current.exists(c => fsOf(spark, new Path(c)).makeQualified(new Path(c)) ==
+        fs.makeQualified(target)),
+      s"cannot retire the CURRENT generation $genName of $root — publish a successor first")
+    if (fs.exists(target)) { fs.delete(target, true); () }
   }
 
   // ---------------------------------------------------------------
@@ -483,6 +612,14 @@ object TableIndex {
     val p = new Path(dir)
     val fs = fsOf(spark, p)
     if (fs.exists(p)) { fs.delete(p, true); () }
+    // purge cached base bid sets under the wiped dir: a rebuild at the
+    // same path restarts base versioning, and a same-JVM rebuild can
+    // land within the local FS's modification-time granularity — the
+    // FileStatus-keyed cache alone could then serve the dead
+    // generation's bids (see readBaseBids)
+    val prefix = fs.makeQualified(p).toString + "/"
+    baseBidsCache.keySet.removeIf(_.startsWith(prefix))
+    ()
   }
 
   /** Recursive file listing via per-directory `listStatus` — NOT
@@ -511,7 +648,20 @@ object TableIndex {
     if (!fs.exists(st)) return
     for (s <- fs.listStatus(st)) {
       val bid = s.getPath.getName
-      if (!isCommitted(spark, dir, bid)) {
+      // an INVALID-named staging entry (leading '_'/'.', a '__', a
+      // foreign charset) cannot have been created by commitBatch —
+      // requireValidBid gates every entry point — so it is restore
+      // damage or a foreign writer's junk. Tolerate it: delete the
+      // staged rows WITHOUT the live-file rollback (an invalid id's
+      // `b_<bid>__` prefix could alias another batch's files, and no
+      // live files can exist for an id no commit ever accepted). The
+      // pre-r14 path passed it to isCommitted, whose validation threw
+      // from every default-posture read — exactly the incident states
+      // fsck says the system should tolerate.
+      val valid =
+        try { requireValidBid(bid); true }
+        catch { case _: IllegalArgumentException => false }
+      if (valid && !isCommitted(spark, dir, bid)) {
         // torn batch: every moved file carries the bid in its name —
         // delete them wherever they landed, then the staged rows
         val p = prefix(bid)
@@ -620,24 +770,54 @@ object TableIndex {
     }
   }
 
-  /** Fold AUTOMATICALLY every [[AutoFoldEvery]]-th commit this writer
-    * lands on a directory (the Delta-checkpoint cadence) — at
-    * streaming cadence nobody should have to remember a maintenance
-    * op to keep `_commits` bounded. The per-writer JVM counter is the
-    * trigger (single-writer discipline makes it an honest proxy for
-    * the marker count; a restarted writer just re-earns its cadence),
-    * so the common commit pays ZERO extra listings — the fold itself
-    * lists, and runs under the commit's already-held lease. Manual
-    * [[checkpointCommits]] remains for operator-driven folds. */
+  /** Fold AUTOMATICALLY every [[AutoFoldEvery]]-th commit on a
+    * directory (the Delta-checkpoint cadence) — at streaming cadence
+    * nobody should have to remember a maintenance op to keep
+    * `_commits` bounded. The counter is PERSISTED protocol state
+    * (`_commits/_fold_count`, written under the commit's already-held
+    * lease): the realistic production cadence is one shard append per
+    * short-lived JVM, hourly for months, and an in-process counter
+    * never reaches the threshold there — `_commits` would grow
+    * unbounded, the exact failure the auto-fold exists to prevent. A
+    * read + a small create per commit, against a commit that already
+    * pays tens of namespace RPCs.
+    *
+    * The fold itself is best-effort AT THIS CALL SITE: by the time it
+    * runs, the batch's marker has landed — the commit succeeded — so a
+    * fold failure (transient FS error, the fail-loud base read) must
+    * not surface as a failed commit to a streaming caller that would
+    * then abort and replay. It is logged, the persisted counter stays
+    * ≥ the threshold, and the NEXT commit (or a manual
+    * [[checkpointCommits]]) retries. */
   private[graft] val AutoFoldEvery = 32
-  private val commitCounters =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def foldCountPath(dir: String) = new Path(commitsDir(dir), "_fold_count")
+
+  private def readFoldCount(fs: FileSystem, dir: String): Long =
+    try {
+      val in = fs.open(foldCountPath(dir))
+      val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      s.toLong
+    } catch { case _: Exception => 0L } // absent/unreadable: re-earn the cadence
+
+  private def writeFoldCount(fs: FileSystem, dir: String, n: Long): Unit = {
+    val out = fs.create(foldCountPath(dir), true)
+    out.write(n.toString.getBytes("UTF-8"))
+    out.close()
+  }
 
   private def maybeAutoFold(spark: SparkSession, dir: String): Unit = {
-    val n = commitCounters
-      .computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicLong())
-      .incrementAndGet()
-    if (n % AutoFoldEvery == 0) checkpointCommitsLocked(spark, dir)
+    val fs = fsOf(spark, commitsDir(dir))
+    val n = readFoldCount(fs, dir) + 1
+    writeFoldCount(fs, dir, n) // BEFORE the fold: a thrown fold keeps the cadence armed
+    if (n >= AutoFoldEvery) {
+      try checkpointCommitsLocked(spark, dir) // resets the count on success
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Console.err.println(
+            s"graft: auto-fold failed on $dir (commit unaffected; the next commit retries): $e")
+      }
+    }
   }
 
   /** Replace a table's contents wholesale (the geometry-refresh
@@ -664,6 +844,11 @@ object TableIndex {
         fs.mkdirs(c)
         fs.create(new Path(c, bid), true).close()
         fs.delete(stage, true)
+        // replaceTable commits a marker per call like commitBatch does —
+        // a geometry-refresh-heavy maintenance cadence must feed the
+        // same fold cadence or `_commits` grows unbounded between
+        // manual folds (still under the lease)
+        maybeAutoFold(spark, dir)
         true
       }
     }
@@ -854,8 +1039,14 @@ object TableIndex {
       }
     }
     for (bid <- staged)
-      out += FsckFinding(
-        if (committed.contains(bid)) "unfinished-clean" else "torn-batch", bid)
+      out += (try {
+        requireValidBid(bid)
+        FsckFinding(if (committed.contains(bid)) "unfinished-clean" else "torn-batch", bid)
+      } catch {
+        // a staging entry no commit ever accepted (restore damage or a
+        // foreign writer) — repair deletes it without a live rollback
+        case _: IllegalArgumentException => FsckFinding("invalid-bid", bid)
+      })
     val lp = leasePath(dir)
     if (fs.exists(lp)) readLease(fs, lp) match {
       case Some((tok, exp)) if exp < System.currentTimeMillis() =>
@@ -885,4 +1076,27 @@ object TableIndex {
     math.max(spark.sparkContext.defaultParallelism,
       math.ceil(bytes.toDouble / targetBytes).toInt)
   }
+
+  /** Size-targeted rewrite parallelism WITHIN partition values, for
+    * compacting a PARTITIONED table: range-repartition on
+    * (key, tiebreaks) into `n` partitions ([[compactionPartitions]]'s
+    * sizing), then write with `partitionBy(key)` as before. The range
+    * partitioner samples the actual row distribution, so a HOT key —
+    * a skewed semantic cluster in `cell`, a heavy band bucket in
+    * `bp` — spans multiple contiguous ranges: multiple write tasks
+    * and multiple files under its partition directory, sized to the
+    * data rather than to the key cardinality. Total file count stays
+    * ~n + #keys (a range boundary splits at most one key), and
+    * directory-level partition pruning is untouched.
+    *
+    * The pre-r14 shape — `repartition(col(key))` — bounded the rewrite
+    * at ONE task and one file per key value regardless of cluster
+    * size: with 64 band partitions, a corpus-sized table funneled
+    * through ≤64 writers forever; one hot cell serialized the fold —
+    * the `coalesce(1)` failure class surviving on the partitioned
+    * tables. The extra cost of the range form is its sampling pass —
+    * a maintenance-path trade, never the query path. */
+  def sizedKeyedRepartition(df: DataFrame, n: Int, key: String,
+                            tiebreaks: String*): DataFrame =
+    df.repartitionByRange(n, (key +: tiebreaks).map(col): _*)
 }

@@ -54,6 +54,16 @@ class FsckSpec extends SparkSpec {
     val dropped = IncrementalDedup.fsckIndex(spark, idx)
     assert(dropped.exists(f => f.kind == "missing-table" && f.detail.contains("sigs")),
       s"dropped table not named: $dropped")
+
+    // an INVALID-named staging entry (no commit ever accepted such an
+    // id — restore damage or a foreign writer): named, and tolerated
+    // by repair rather than thrown from every read (r13 ADVICE)
+    new java.io.File(s"$idx/_staging/__bogus").mkdirs()
+    val invalid = TableIndex.fsck(spark, idx)
+    assert(invalid.exists(f => f.kind == "invalid-bid" && f.detail == "__bogus"),
+      s"invalid staging name not named: $invalid")
+    TableIndex.repair(spark, idx) // must not throw
+    assert(!new java.io.File(s"$idx/_staging/__bogus").exists())
   }
 
   test("ivf index: cell orphans and floats parity breaks are named") {

@@ -468,4 +468,140 @@ class TableIndexSpec extends SparkSpec {
     assert(mismatched == right,
       "a caller's mismatched banding parameters leaked past the index metadata")
   }
+
+  test("ivf compact splits a HOT cell across multiple write tasks/files") {
+    import spark.implicits._
+    val dim = 8
+    // 90% of vectors in cell 0 — the skewed-semantic-cluster shape the
+    // pre-r14 repartition(col("cell")) serialized into ONE task forever
+    val rows = (0L until 200L).map { id =>
+      val base = if (id < 180) 0 else 1
+      val v = Array.tabulate(dim)(i =>
+        (if (i == base) 1.0 else 0.0) + (if (i == 7) 0.001 * (id % 17) else 0.0))
+      (id, v)
+    }
+    val corpus = rows.toDF("id", "vec")
+    val centroids = Seq(
+      (0L, Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0).toSeq),
+      (1L, Array.tabulate(dim)(i => if (i == 1) 1.0 else 0.0).toSeq)).toDF("c_id", "c_vec")
+    val book = AnnSearch.pqBook(corpus, m = 2, stride = 3)
+    val idx = graft.util.TempDirs.scratch("ti_skew_ivf").toString
+    IvfIndex.build(corpus, centroids, book, idx)
+    IvfIndex.deleteInPlace(spark, idx, Seq(5L, 6L).toDF("id"))
+    val out = graft.util.TempDirs.scratch("ti_skew_ivf_out").toString
+    IvfIndex.compact(spark, idx, out)
+    // each write task emits at most one file per partition directory,
+    // so >1 files under the hot cell == >1 write tasks rewrote it —
+    // the range repartition on (cell, n_id) splits the hot key by id
+    val hotFiles = parquetFiles(s"$out/encoded.parquet/cell=0")
+    assert(hotFiles.size > 1,
+      s"hot cell rewritten by a single task (${hotFiles.size} file) — the " +
+        "partition-value-bounded funnel is back")
+    // rows ≡ rebuild-over-remaining, unchanged by the parallel layout
+    val rebuilt = graft.util.TempDirs.scratch("ti_skew_ivf_rebuilt").toString
+    IvfIndex.build(corpus.filter(!col("id").isin(5L, 6L)), centroids, book, rebuilt)
+    assert(tableRows(s"$out/encoded.parquet") == tableRows(s"$rebuilt/encoded.parquet"),
+      "skew-parallel compaction changed the surviving encoded rows")
+  }
+
+  test("dedup compactIndex splits a HOT band partition across multiple write tasks/files") {
+    import spark.implicits._
+    // 190 verbatim-identical docs: one signature, so with bands = 2 the
+    // band table concentrates ~90% of its rows in ≤2 (band, bucket)
+    // keys — a deliberately hot bp
+    val docs = (0L until 200L).map { id =>
+      val text =
+        if (id < 190) "the same exact document body repeated verbatim across the corpus many times"
+        else s"unique filler document number $id with entirely different words ${id * 7} here"
+      (id, text)
+    }.toDF("doc_id", "text")
+    val idx = graft.util.TempDirs.scratch("ti_skew_bands").toString
+    IncrementalDedup.buildIndex(docs, "doc_id", "text", idx, bands = 2)
+    IncrementalDedup.deleteInPlace(spark, idx, Seq(0L).toDF("id"))
+    val out = graft.util.TempDirs.scratch("ti_skew_bands_out").toString
+    IncrementalDedup.compactIndex(spark, idx, out)
+    val bpDirs = new java.io.File(s"$out/bands.parquet").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bp="))
+    assert(bpDirs.nonEmpty, "no bp partition directories after compaction")
+    val hot = bpDirs.map(d => parquetFiles(d.getPath).size).max
+    assert(hot > 1,
+      s"hot bp rewritten by a single task ($hot file) — the BandParts-bounded funnel is back")
+    val rebuilt = graft.util.TempDirs.scratch("ti_skew_bands_rebuilt").toString
+    IncrementalDedup.buildIndex(docs.filter(col("doc_id") =!= 0L), "doc_id", "text",
+      rebuilt, bands = 2)
+    assert(tableRows(s"$out/bands.parquet") == tableRows(s"$rebuilt/bands.parquet"),
+      "skew-parallel band compaction changed the surviving rows")
+  }
+
+  test("auto-fold cadence survives writer-JVM turnover (persisted _fold_count)") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scratch("ti_cadence").toString
+    // the counter is _commits/_fold_count, not process memory — each
+    // loop iteration stands in for a fresh one-commit writer JVM (the
+    // hourly-cron cadence that never reaches 32 in-process commits)
+    for (i <- 1 to TableIndex.AutoFoldEvery + 3)
+      TableIndex.commitBatch(spark, dir, f"cad$i%04d",
+        Seq(("t.parquet", Seq((i.toLong, i.toString)).toDF("id", "v"), Seq.empty)))
+    val entries = new java.io.File(s"$dir/_commits").listFiles().map(_.getName)
+    assert(entries.exists(_.startsWith("_base.")),
+      "no base checkpoint after AutoFoldEvery single-commit writers — _commits unbounded")
+    val markers = entries.filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(markers.length < TableIndex.AutoFoldEvery,
+      s"markers not folded (${markers.length} remain)")
+    // nothing un-commits: every bid still resolves, folded or not
+    assert(TableIndex.committedBids(spark, dir).size == TableIndex.AutoFoldEvery + 3)
+    assert(TableIndex.isCommitted(spark, dir, "cad0001"))
+  }
+
+  test("replaceTable feeds the same fold cadence") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scratch("ti_cadence_repl").toString
+    for (i <- 1 to TableIndex.AutoFoldEvery + 1)
+      TableIndex.replaceTable(spark, dir, f"rep$i%04d", "t.parquet",
+        Seq((i.toLong, i.toString)).toDF("id", "v"))
+    val entries = new java.io.File(s"$dir/_commits").listFiles().map(_.getName)
+    assert(entries.exists(_.startsWith("_base.")),
+      "a geometry-refresh-heavy cadence never folded — replaceTable bypasses the bound")
+    assert(TableIndex.committedBids(spark, dir).size == TableIndex.AutoFoldEvery + 1)
+  }
+
+  test("wipe + rebuild at the same path serves the NEW generation's folded bids") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scratch("ti_cache_gen").toString
+    TableIndex.commitBatch(spark, dir, "gen1a",
+      Seq(("t.parquet", Seq((1L, "a")).toDF("id", "v"), Seq.empty)))
+    TableIndex.checkpointCommits(spark, dir) // _base.…001 caches {gen1a}
+    assert(TableIndex.committedBids(spark, dir) == Set("gen1a"))
+    TableIndex.wipe(spark, dir)
+    // rebuild at the SAME path: base versioning restarts at _base.…001 —
+    // the same qualified path, a different generation's bids. A stale
+    // cache here hid new commits from snapshot readers and let replayed
+    // bids re-append rows (the r13 ADVICE high).
+    TableIndex.commitBatch(spark, dir, "gen2a",
+      Seq(("t.parquet", Seq((2L, "b")).toDF("id", "v"), Seq.empty)))
+    TableIndex.checkpointCommits(spark, dir)
+    assert(TableIndex.committedBids(spark, dir) == Set("gen2a"),
+      "stale cached base bids served for the rebuilt generation")
+    assert(!TableIndex.isCommitted(spark, dir, "gen1a"))
+    assert(TableIndex.isCommitted(spark, dir, "gen2a"))
+    // and a replay-guarded append under a fresh bid still lands
+    assert(TableIndex.commitBatch(spark, dir, "gen2b",
+      Seq(("t.parquet", Seq((3L, "c")).toDF("id", "v"), Seq.empty))))
+  }
+
+  test("repair tolerates invalid-named staging entries (restore damage / foreign writer)") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scratch("ti_badstage").toString
+    TableIndex.commitBatch(spark, dir, "good1",
+      Seq(("t.parquet", Seq((1L, "a")).toDF("id", "v"), Seq.empty)))
+    for (bad <- Seq("__rollback_alias", "_leadunder", "has space")) {
+      val f = new java.io.File(s"$dir/_staging/$bad")
+      f.mkdirs()
+      java.nio.file.Files.writeString(f.toPath.resolve("junk.txt"), "x")
+    }
+    TableIndex.repair(spark, dir) // pre-r14: threw IllegalArgumentException from every read
+    assert(!new java.io.File(s"$dir/_staging").exists(), "staging junk not swept")
+    assert(spark.read.parquet(s"$dir/t.parquet").count() == 1,
+      "repair of foreign staging entries damaged committed data")
+  }
 }
