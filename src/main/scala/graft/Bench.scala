@@ -135,6 +135,12 @@ object Bench {
       (tiledFirst, Bench.headline.map(n => n -> timeQuery(n, repeats)))
     }
     val (tiledFirstCold, firstPass) = runPass(1)
+    // r14 (the r13 session-debt lesson): the flagship's LAST-measured
+    // cell absorbs whatever block-manager/GC debt the session built up,
+    // and r13's driver record could only be adjudicated against the
+    // builder's local numbers. first/last/min of the steady pass go on
+    // the stdout line so the driver record SELF-adjudicates: last ≫
+    // min with first ≈ min is session debt, not a code regression.
     // GC barrier: the heavy tail of the first pass (shuffle files,
     // checkpointed blocks) otherwise lands its collection pause on the
     // FIRST steady query — r4 measured q1_agg 2.6× slower from exactly
@@ -148,6 +154,10 @@ object Bench {
     val first = cells(firstPass)
     val total = results.map(_._2).sum
     val firstTotal = firstPass.map(_._2).sum
+    // steady-pass flagship positions: first-position (tiledFirst), the
+    // canonical last-position cell inside `queries`, and their min
+    val tiledLast = results.find(_._1 == "tiled_acc_hist").map(_._2).getOrElse(-1.0)
+    val tiledMin = math.min(tiledFirst, tiledLast)
     // extended family: the dedup/ANN/streaming shuffle paths measured at
     // the driver's sf AND one scale factor down, so the skew caps and the
     // map-side assignment plan are MEASURED across a 10× data step, not
@@ -260,7 +270,7 @@ object Bench {
         if (slim) ""
         else s""""first_pass_total":${f"$firstTotal%.3f"},"tiled_first_cold":${f"$tiledFirstCold%.3f"},"""
       val sfLabel = if (slim) Paths.get(sfDir).getFileName.toString else sfDir
-      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$debt"tiled_first":${f"$tiledFirst%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"},"cal_drift":${f"$calDrift%.2f"},"drv_cal":${f"$drvCal%.3f"},"drv_cal_ext":$drvCalExt,"ext_cal":$extCal$extPart,"sf":"$sfLabel""""
+      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$debt"tiled_first":${f"$tiledFirst%.3f"},"tiled_min":${f"$tiledMin%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"},"cal_drift":${f"$calDrift%.2f"},"drv_cal":${f"$drvCal%.3f"},"drv_cal_ext":$drvCalExt,"ext_cal":$extCal$extPart,"sf":"$sfLabel""""
     }
     // stdout line: must fit the driver's 2000-char stdout tail window
     // (with the trailing ~75-char sbt status line) or the round's bench

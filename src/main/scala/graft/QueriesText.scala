@@ -691,11 +691,14 @@ object QueriesText {
     * if the replay lands. The probe then runs under a pinned snapshot
     * and must match the SAME from-scratch oracle as `dedup_incremental`
     * — the fold is invisible to every decision. */
-  private def dedupIncrementalFold(spark: SparkSession, dir: String): DataFrame = {
+  /** The `dedup_incremental_fold` index (memoized per sf dir): base
+    * build over %4∈{2,3}, the %4==1 shard appended under an explicit
+    * batch id, markers folded. Shared with `fsck_conformance`, which
+    * audits exactly this lifecycle's on-disk artifact. */
+  private def foldIndexDir(spark: SparkSession, dir: String): String = {
     val d = docs(spark, dir)
     val base = d.filter(pmod(col("doc_id"), lit(4)).isin(2, 3))
     val shardA = d.filter(pmod(col("doc_id"), lit(4)) === 1)
-    val shardB = d.filter(pmod(col("doc_id"), lit(4)) === 0)
     val idxDir = graft.util.TempDirs.memoized(s"incr_fold_idx:$dir", "graft_incr_fold").toString
     if (!graft.util.TableIndex.anyCommitted(spark, idxDir)) {
       IncrementalDedup.buildIndex(base, "doc_id", "text", idxDir)
@@ -703,6 +706,14 @@ object QueriesText {
         batchId = Some("fold-a"))
       graft.util.TableIndex.checkpointCommits(spark, idxDir)
     }
+    idxDir
+  }
+
+  private def dedupIncrementalFold(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val shardA = d.filter(pmod(col("doc_id"), lit(4)) === 1)
+    val shardB = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val idxDir = foldIndexDir(spark, dir)
     require(graft.util.TableIndex.isCommitted(spark, idxDir, "fold-a"),
       "marker fold lost a committed batch id")
     val hashesBefore = spark.read.parquet(s"$idxDir/hashes.parquet").count()
@@ -714,6 +725,72 @@ object QueriesText {
     IncrementalDedup.processShard(spark, idxDir, shardB, "doc_id", "text", tau = 0.8,
       snapshot = true)
       .select(col("id").as("doc_id"), col("dup_exact"), col("dup_near"), col("kept"))
+  }
+
+  /** The PUBLISHED-GENERATION lifecycle, driver-gated: the
+    * `dedup_incremental` index is built as generation `g0` under a
+    * ROOT, published ([[graft.util.TableIndex.publishGeneration]]),
+    * then compacted THROUGH the pointer ([[graft.text.IncrementalDedup
+    * .compactPublish]] — the new generation's commit marker lands
+    * first, then one atomic pointer rename). The shard probe addresses
+    * the ROOT under a root-pinned snapshot handle, so this row gates
+    * the whole swap surface at once: pointer-following entry points,
+    * `(generation, bids)` pins, and decision invariance across the
+    * cutover — the same from-scratch oracle as `dedup_incremental`
+    * must hold after the swap. */
+  private def dedupIncrementalGen(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val root = graft.util.TempDirs.memoized(s"incr_gen_root:$dir", "graft_incr_gen").toString
+    if (graft.util.TableIndex.resolveGeneration(spark, root).isEmpty) {
+      IncrementalDedup.buildIndex(old, "doc_id", "text", s"$root/g0")
+      graft.util.TableIndex.publishGeneration(spark, root, "g0")
+      IncrementalDedup.compactPublish(spark, root) // swap to a fresh generation
+    }
+    val pin = graft.util.TableIndex.openSnapshot(spark, root)
+    IncrementalDedup.processShard(spark, root, shard, "doc_id", "text", tau = 0.8,
+      at = Some(pin))
+      .select(col("id").as("doc_id"), col("dup_exact"), col("dup_near"), col("kept"))
+  }
+
+  /** OFFLINE fsck as a DRIVER-GATED contract: zero findings on the
+    * protocol-produced `dedup_incremental_fold` index (build → append
+    * under an explicit bid → marker fold) is itself a hash-gateable
+    * invariant — no orphan, tear, lease fault, or id-parity break
+    * anywhere in the lifecycle's artifact — and a planted orphan in a
+    * scratch COPY must be named by kind. The planted file is a copy of
+    * an EXISTING hashes data file under a never-committed bid: valid
+    * parquet (the full index-level fsck can still read every table),
+    * no new ids (id parity stays clean), unreachable by repair, yet
+    * visible to plain reads — the one silent-corruption state the
+    * protocol cannot roll back, which is why the tool exists. */
+  private def fsckConformance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idxDir = foldIndexDir(spark, dir)
+    val healthy = IncrementalDedup.fsckIndex(spark, idxDir)
+    val copy = graft.util.TempDirs.scratch("graft_fsck_copy").toString
+    copyTree(new java.io.File(idxDir), new java.io.File(copy))
+    val donor = new java.io.File(s"$copy/hashes.parquet").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).minBy(_.getName)
+    java.nio.file.Files.copy(donor.toPath,
+      new java.io.File(s"$copy/hashes.parquet/b_ghost__planted.parquet").toPath)
+    val planted = IncrementalDedup.fsckIndex(spark, copy)
+    Seq((healthy.size.toLong,
+        "orphan-file",
+        planted.count(_.kind == "orphan-file").toLong))
+      .toDF("healthy_findings", "planted_kind", "planted_hits")
+  }
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
   }
 
   /** Learned quality classifier — TRAIN: distill the heuristic quality
@@ -2400,6 +2477,8 @@ object QueriesText {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_fold" -> (dedupIncrementalFold _),
+    "dedup_incremental_gen" -> (dedupIncrementalGen _),
+    "fsck_conformance" -> (fsckConformance _),
     "quality_clf_train" -> (qualityClfTrain _),
     "corpus_pipeline_v7" -> (corpusPipelineV7 _),
     "corpus_pipeline_v8" -> (corpusPipelineV8 _),
@@ -3308,6 +3387,15 @@ object QueriesText {
           |FROM cf JOIN w16 ON w16.j = cf.j GROUP BY cf.id""".stripMargin),
     "dedup_incremental" -> dedupIncrementalOracle,
     "dedup_incremental_fold" -> dedupIncrementalOracle,
+    // the pointer swap must be invisible to every decision — same
+    // from-scratch replay as the in-place rows
+    "dedup_incremental_gen" -> dedupIncrementalOracle,
+    // the healthy protocol artifact audits clean; the planted orphan
+    // is named exactly once
+    "fsck_conformance" ->
+      """SELECT CAST(0 AS BIGINT) AS healthy_findings,
+        |  'orphan-file' AS planted_kind,
+        |  CAST(1 AS BIGINT) AS planted_hits""".stripMargin,
     // v8 = the dedup_incremental decision chain + the classifier chain
     // trained on gen-1 only (WHERE on ct) + shard-survivor scoring +
     // the per-source rollup — one from-scratch replay of the whole

@@ -330,7 +330,8 @@ object IvfIndex {
           // within-batch earlier-id rule: exact pairs via the closure
           // (the persisted centroids block it; exactness holds for ANY
           // centroid table), rejecting the larger id of each pair
-          val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+          val centroids = spark.read.parquet(
+            s"${TableIndex.resolveDir(spark, indexDir)}/centroids.parquet")
           val dupBatch = AnnSearch.cosineNearPairs(b, centroids, tau)
             .select(col("b").as("id")).distinct()
           val decisions = b.select(col("id"))
@@ -377,7 +378,8 @@ object IvfIndex {
           val b = batch.toDF().localCheckpoint(true)
           val dupIdx = nearDupsExact(spark, indexDir, b, tau)
             .select(col("q_id").as("id")).distinct()
-          val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+          val centroids = spark.read.parquet(
+            s"${TableIndex.resolveDir(spark, indexDir)}/centroids.parquet")
           val dupBatch = AnnSearch.cosineNearPairs(b, centroids, tau)
             .select(col("b").as("id")).distinct()
           val decisions = b.select(col("id"))

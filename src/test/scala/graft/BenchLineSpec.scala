@@ -19,8 +19,9 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   // the r12 driver line measured 500 chars without the extended block;
-  // drv_cal_ext adds ~60 and headline values could widen by ~50 —
-  // 700 is a conservative ceiling for the core
+  // drv_cal_ext adds ~60, the r14 "tiled_min" flagship key ~19, and
+  // headline values could widen by ~50 — 700 stays a conservative
+  // ceiling for the core
   private def mkLine(coreLen: Int): String => String =
     ext => "{" + "x" * coreLen + ext + "}"
 

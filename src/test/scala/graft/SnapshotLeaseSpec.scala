@@ -313,7 +313,9 @@ class SnapshotLeaseSpec extends SparkSpec {
     // a second fold absorbs the new marker and replaces the old base
     TableIndex.checkpointCommits(spark, idx)
     val names2 = new java.io.File(s"$idx/_commits").listFiles().map(_.getName)
-      .filterNot(n => n.startsWith("_tmp") || n.startsWith(".") || n == "_folded").toSet
+      .filterNot(n => n.startsWith("_tmp") || n.startsWith(".") || n == "_folded" ||
+        n == "_fold_count") // r14: the persisted auto-fold cadence counter
+      .toSet
     assert(names2.size == 1 && names2.head.startsWith("_base."), s"second fold left: $names2")
     assert(TableIndex.committedBids(spark, idx) == before + "fold-b4")
     TableIndex.checkpointCommits(spark, idx) // idempotent when nothing to fold
