@@ -598,9 +598,12 @@ object IvfIndex {
     * degrade even with tight radii. Reclustering re-seeds + Lloyd-
     * refines centroids on the LIVE vectors ([[AnnSearch
     * .kmeansCentroidsExact]] — bit-deterministic), re-encodes, and
-    * writes a fresh generation directory ([[compact]]'s atomic-swap
-    * shape: build into `outDir`, swap the pointer when committed —
-    * `outDir`'s commit marker is the swap gate). Tombstones fold (the
+    * writes a fresh generation directory. The cutover is a library
+    * primitive: [[reclusterPublish]] builds into a fresh child of a
+    * pointer-rooted index and swaps `root/_generation` atomically
+    * once the commit marker lands ([[graft.util.TableIndex
+    * .publishGeneration]]); this raw form leaves `outDir` unpublished
+    * for callers composing their own roots. Tombstones fold (the
     * rebuild sees only live rows); `storeFloats` is inherited from the
     * source index. The codebook carries over by default (PQ codes are
     * a function of (vector, book) only — cell changes don't re-key
@@ -902,7 +905,8 @@ object IvfIndex {
     * Full-table scans by design: an offline maintenance pass. */
   def fsckIndex(spark: SparkSession, indexDirOrRoot: String): Seq[TableIndex.FsckFinding] = {
     val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
-    val proto = TableIndex.fsck(spark, indexDir)
+    val proto = TableIndex.rootFindings(spark, indexDirOrRoot) ++
+      TableIndex.fsck(spark, indexDir)
     val out = Seq.newBuilder[TableIndex.FsckFinding]
     // the diagnostic must NAME a missing mandatory table, not crash on
     // it — incident-damaged indexes are exactly what it inspects

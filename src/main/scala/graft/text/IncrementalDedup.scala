@@ -480,7 +480,8 @@ object IncrementalDedup {
     * pass, never the query path. */
   def fsckIndex(spark: SparkSession, indexDirOrRoot: String): Seq[TableIndex.FsckFinding] = {
     val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
-    val proto = TableIndex.fsck(spark, indexDir)
+    val proto = TableIndex.rootFindings(spark, indexDirOrRoot) ++
+      TableIndex.fsck(spark, indexDir)
     val expected = Seq("hashes", "sigs", "shingles", "bands")
     val present = expected.flatMap { t =>
       TableIndex.readTableIfExists(spark, indexDir, s"$t.parquet")

@@ -454,6 +454,42 @@ object TableIndex {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Pointer-level [[fsck]] findings of a generation ROOT (empty for a
+    * plain index directory) — the states the swap protocol leaves
+    * enumerable rather than ambiguous:
+    *
+    *  - `dangling-pointer`: the pointer names a missing directory, or
+    *    one with no committed batch (manual damage — [[publishGeneration]]
+    *    refuses to create this, and readers fail loud on it);
+    *  - `unpublished-generation`: a sibling generation directory the
+    *    pointer does not name — EITHER a publisher crashed between the
+    *    new generation's commit and the swap (re-publish or delete it)
+    *    OR a superseded generation awaiting [[retireGeneration]]. The
+    *    operator disambiguates by age; the tool's job is that neither
+    *    state is silent disk growth.
+    *
+    * The index-level fsck entry points prepend these, so auditing a
+    * rooted index by its root covers both layers in one call. */
+  def rootFindings(spark: SparkSession, path: String): Seq[FsckFinding] =
+    resolveGeneration(spark, path) match {
+      case None => Seq.empty
+      case Some(cur) =>
+        val out = Seq.newBuilder[FsckFinding]
+        val rootP = new Path(path)
+        val fs = fsOf(spark, rootP)
+        val curP = fs.makeQualified(new Path(cur))
+        if (!fs.exists(curP))
+          out += FsckFinding("dangling-pointer", s"$cur does not exist")
+        else if (!anyCommitted(spark, cur))
+          out += FsckFinding("dangling-pointer", s"$cur holds no committed batch")
+        for (d <- fs.listStatus(rootP)
+             if d.isDirectory && !d.getPath.getName.startsWith("_") &&
+               !d.getPath.getName.startsWith(".") &&
+               fs.makeQualified(d.getPath) != curP)
+          out += FsckFinding("unpublished-generation", d.getPath.getName)
+        out.result()
+    }
+
   /** Delete a SUPERSEDED generation's directory — the retirement half
     * of the swap, guarded so the current generation (the one the
     * pointer names) can never be retired: readers resolving the

@@ -159,6 +159,38 @@ class GenerationSpec extends SparkSpec {
       "root-addressed nearDupsExact diverged from brute force after recluster swap")
   }
 
+  test("rootFindings: unpublished generations and dangling pointers are named; a clean root is silent") {
+    val root = graft.util.TempDirs.scratch("gen_fsck_root").toString
+    val d = docsDf.limit(40)
+    IncrementalDedup.buildIndex(d, "doc_id", "text", s"$root/g0")
+    TableIndex.publishGeneration(spark, root, "g0")
+    assert(TableIndex.rootFindings(spark, root).isEmpty, "clean root flagged")
+    // the crash-between-commit-and-swap artifact: a committed successor
+    // generation the pointer does not name
+    IncrementalDedup.compactIndex(spark, s"$root/g0", s"$root/g1")
+    assert(TableIndex.rootFindings(spark, root) ==
+      Seq(TableIndex.FsckFinding("unpublished-generation", "g1")))
+    // the index-level fsck via the root prepends the pointer layer
+    assert(IncrementalDedup.fsckIndex(spark, root)
+      .exists(f => f.kind == "unpublished-generation" && f.detail == "g1"))
+    TableIndex.publishGeneration(spark, root, "g1")
+    // now g0 is the superseded generation awaiting retirement
+    assert(TableIndex.rootFindings(spark, root).map(_.detail) == Seq("g0"))
+    TableIndex.retireGeneration(spark, root, "g0")
+    assert(TableIndex.rootFindings(spark, root).isEmpty)
+    // manual damage: the pointed-at generation vanishes out-of-band
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(); ()
+    }
+    rmRf(new java.io.File(s"$root/g1"))
+    assert(TableIndex.rootFindings(spark, root).exists(_.kind == "dangling-pointer"))
+    // a plain (non-rooted) index directory yields no pointer findings
+    val plain = graft.util.TempDirs.scratch("gen_fsck_plain").toString
+    IncrementalDedup.buildIndex(d, "doc_id", "text", plain)
+    assert(TableIndex.rootFindings(spark, plain).isEmpty)
+  }
+
   test("resolvePin: cross-index handles still throw; root/generation mixed addressing resolves") {
     val rootA = graft.util.TempDirs.scratch("gen_pin_a").toString
     val rootB = graft.util.TempDirs.scratch("gen_pin_b").toString
