@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 /** Measures the r14 partitioned-compaction rewrite under deliberate
   * skew: a corpus with ~90% of its vectors in ONE cell, compacted via
-  * the size-targeted range repartition. Reports the write-task count
+  * the byte-derived per-key salt. Reports the write-task count
   * (distinct part numbers across the rewritten table — each task
   * writes at most one file per partition directory), the file count
   * under the hot cell, and wall time. The pre-r14

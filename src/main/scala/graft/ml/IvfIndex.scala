@@ -475,21 +475,23 @@ object IvfIndex {
     TableIndex.repair(spark, indexDir)
     val geometry = TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")
       .map(g => ("geometry.parquet", g.groupBy("cell").agg(max("r").as("r")), Seq.empty[String]))
-    // size-targeted parallelism WITHIN cells (range on (cell, n_id)):
-    // the pre-r14 repartition(col("cell")) made every cell ONE task and
-    // one file — a hot semantic cluster (the common case in a real
-    // corpus) serialized the whole fold regardless of cluster size
-    val nEnc = TableIndex.compactionPartitions(spark, indexDir, "encoded.parquet")
+    // size-targeted parallelism WITHIN cells (per-cell byte-derived
+    // salt — single pass): the pre-r14 repartition(col("cell")) made
+    // every cell ONE task and one file — a hot semantic cluster (the
+    // common case in a real corpus) serialized the whole fold
+    // regardless of cluster size
     val floats = loadFloats(spark, indexDir).map { f =>
-      val nF = TableIndex.compactionPartitions(spark, indexDir, "floats.parquet")
-      ("floats.parquet", TableIndex.sizedKeyedRepartition(f, nF, "cell", "n_id"), Seq("cell"))
+      ("floats.parquet",
+        TableIndex.sizedKeyedRepartition(spark, indexDir, "floats.parquet", f, "cell", "n_id"),
+        Seq("cell"))
     }
     TableIndex.wipe(spark, outDir)
     TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("compact"), Seq(
       ("centroids.parquet", spark.read.parquet(s"$indexDir/centroids.parquet"), Seq.empty),
       ("book.parquet", spark.read.parquet(s"$indexDir/book.parquet"), Seq.empty),
       ("encoded.parquet",
-        TableIndex.sizedKeyedRepartition(loadEncoded(spark, indexDir), nEnc, "cell", "n_id"),
+        TableIndex.sizedKeyedRepartition(spark, indexDir, "encoded.parquet",
+          loadEncoded(spark, indexDir), "cell", "n_id"),
         Seq("cell"))
     ) ++ geometry ++ floats)
     ()

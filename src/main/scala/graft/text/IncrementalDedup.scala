@@ -278,11 +278,11 @@ object IncrementalDedup {
     * `coalesce(1)`) could never complete. The band table keeps its
     * bucket-partition DIRECTORY discipline but parallelizes WITHIN
     * partition values ([[graft.util.TableIndex.sizedKeyedRepartition]]
-    * — range on (bp, bucket, id)): the pre-r14 `repartition(col("bp"))`
-    * bounded the corpus-sized rewrite at ≤[[BandParts]] tasks forever,
-    * a straggler wall no cluster size could fix. Spec-pinned ≡
-    * rebuild-over-remaining, with >1 output files per table AND >1
-    * files under a deliberately hot bp. */
+    * — per-bp byte-derived salt, single data pass): the pre-r14
+    * `repartition(col("bp"))` bounded the corpus-sized rewrite at
+    * ≤[[BandParts]] tasks forever, a straggler wall no cluster size
+    * could fix. Spec-pinned ≡ rebuild-over-remaining, with >1 output
+    * files per table AND >1 files under a deliberately hot bp. */
   def compactIndex(spark: SparkSession, indexDir: String, outDir: String): Unit = {
     val idir = TableIndex.resolveDir(spark, indexDir)
     TableIndex.repair(spark, idir)
@@ -295,12 +295,11 @@ object IncrementalDedup {
         liveTable(spark, idir, spark.read.parquet(s"$idir/$t.parquet")).repartition(n),
         Seq.empty[String])
     }
-    val nBands = TableIndex.compactionPartitions(spark, idir, "bands.parquet")
     val bands = ("bands.parquet",
-      TableIndex.sizedKeyedRepartition(
+      TableIndex.sizedKeyedRepartition(spark, idir, "bands.parquet",
         liveTable(spark, idir, spark.read.parquet(s"$idir/bands.parquet")
           .withColumn("bp", col("bp").cast("long"))),
-        nBands, "bp", "bucket", "id"),
+        "bp", "bucket", "id"),
       Seq("bp"))
     TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("compact"), flat :+ bands)
     ()

@@ -1113,26 +1113,72 @@ object TableIndex {
       math.ceil(bytes.toDouble / targetBytes).toInt)
   }
 
+  /** On-disk bytes per partition VALUE of a Hive-layout table — read
+    * from the directory listing a compaction already pays, zero data
+    * passes. Keys are the `key=` directory values as written. */
+  private def partitionBytes(fs: FileSystem, dir: String, table: String,
+                             key: String): Map[String, Long] = {
+    val p = new Path(dir, table)
+    if (!fs.exists(p)) return Map.empty
+    fs.listStatus(p).iterator
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(key + "="))
+      .map(d => d.getPath.getName.stripPrefix(key + "=") ->
+        listFilesRec(fs, d.getPath).map(_.getLen).sum)
+      .toMap
+  }
+
   /** Size-targeted rewrite parallelism WITHIN partition values, for
-    * compacting a PARTITIONED table: range-repartition on
-    * (key, tiebreaks) into `n` partitions ([[compactionPartitions]]'s
-    * sizing), then write with `partitionBy(key)` as before. The range
-    * partitioner samples the actual row distribution, so a HOT key —
-    * a skewed semantic cluster in `cell`, a heavy band bucket in
-    * `bp` — spans multiple contiguous ranges: multiple write tasks
-    * and multiple files under its partition directory, sized to the
-    * data rather than to the key cardinality. Total file count stays
-    * ~n + #keys (a range boundary splits at most one key), and
-    * directory-level partition pruning is untouched.
+    * compacting a PARTITIONED table — SINGLE-PASS: each key's salt
+    * width is derived from its on-disk byte share (the listing above,
+    * driver-side), salt = hash(tiebreaks) mod width, then one hash
+    * repartition on (key, salt) and the usual `partitionBy(key)`
+    * write. A HOT key — a skewed semantic cluster in `cell`, a heavy
+    * band bucket in `bp` — gets a proportionally wide salt: multiple
+    * write tasks and multiple ~target-sized files under its partition
+    * directory; total files ≈ Σ widths ≈ table bytes / target;
+    * directory-level pruning untouched. On-disk bytes include
+    * tombstoned rows the rewrite drops — an upper bound, which only
+    * over-splits, never funnels.
     *
-    * The pre-r14 shape — `repartition(col(key))` — bounded the rewrite
-    * at ONE task and one file per key value regardless of cluster
-    * size: with 64 band partitions, a corpus-sized table funneled
-    * through ≤64 writers forever; one hot cell serialized the fold —
-    * the `coalesce(1)` failure class surviving on the partitioned
-    * tables. The extra cost of the range form is its sampling pass —
-    * a maintenance-path trade, never the query path. */
-  def sizedKeyedRepartition(df: DataFrame, n: Int, key: String,
-                            tiebreaks: String*): DataFrame =
-    df.repartitionByRange(n, (key +: tiebreaks).map(col): _*)
+    * Why not `repartitionByRange`: the range partitioner's SAMPLING
+    * job executes the child plan a second time, and a compaction's
+    * child is the corpus-sized table behind a tombstone anti-join —
+    * a 2× read at 100 TB. The salt widths come from metadata the
+    * fold already lists, so the data is read exactly once. A table
+    * with no partition directories (nothing staged under `key=`)
+    * falls back to the range form — without stats the salt cannot
+    * size itself, and a sampling pass on an unknown layout beats a
+    * single-task funnel.
+    *
+    * The pre-r14 shape — `repartition(col(key))` — bounded the
+    * rewrite at ONE task and one file per key value regardless of
+    * cluster size: with 64 band partitions, a corpus-sized table
+    * funneled through ≤64 writers forever; one hot cell serialized
+    * the fold — the `coalesce(1)` failure class surviving on the
+    * partitioned tables. */
+  def sizedKeyedRepartition(spark: SparkSession, dir: String, table: String,
+                            df: DataFrame, key: String, tiebreaks: String*): DataFrame = {
+    val fs = fsOf(spark, new Path(dir, table))
+    val bytes = partitionBytes(fs, dir, table, key)
+    val n = compactionPartitions(spark, dir, table)
+    if (bytes.isEmpty || bytes.values.sum == 0L)
+      return df.repartitionByRange(n, (key +: tiebreaks).map(col): _*)
+    val total = bytes.values.sum.toDouble
+    // proportional widths floored at 1: at test scale the cluster
+    // parallelism dominates n and a 90%-share key gets ~0.9·n salts;
+    // at 100 TB the bytes/target term dominates and width_k ≈
+    // ceil(bytes_k / targetBytes)
+    val widths = bytes.map { case (k, b) =>
+      k -> math.max(1, math.ceil(b / total * n).toInt)
+    }
+    val widthCol = coalesce(
+      element_at(
+        map(widths.toSeq.sortBy(_._1).flatMap { case (k, w) => Seq(lit(k), lit(w)) }: _*),
+        col(key).cast("string")),
+      lit(1))
+    val salt = pmod(xxhash64(tiebreaks.map(col): _*), widthCol.cast("long"))
+    df.withColumn("__graft_salt", salt)
+      .repartition(math.max(n, widths.values.sum), col(key), col("__graft_salt"))
+      .drop("__graft_salt")
+  }
 }

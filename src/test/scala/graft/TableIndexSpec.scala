@@ -506,12 +506,15 @@ class TableIndexSpec extends SparkSpec {
 
   test("dedup compactIndex splits a HOT band partition across multiple write tasks/files") {
     import spark.implicits._
-    // 190 verbatim-identical docs: one signature, so with bands = 2 the
-    // band table concentrates ~90% of its rows in ≤2 (band, bucket)
-    // keys — a deliberately hot bp
-    val docs = (0L until 200L).map { id =>
+    // 5,000 verbatim-identical docs: one signature, so with bands = 2
+    // the band table concentrates its rows in ≤2 (band, bucket) keys —
+    // a deliberately hot bp. The count matters: salt widths derive
+    // from per-directory BYTES, and at tiny scale parquet's per-file
+    // metadata floor (~1 KB) swamps the data — 5k distinct ids make
+    // the hot directories byte-dominant the way any real corpus's are
+    val docs = (0L until 5010L).map { id =>
       val text =
-        if (id < 190) "the same exact document body repeated verbatim across the corpus many times"
+        if (id < 5000L) "the same exact document body repeated verbatim across the corpus many times"
         else s"unique filler document number $id with entirely different words ${id * 7} here"
       (id, text)
     }.toDF("doc_id", "text")
