@@ -754,6 +754,52 @@ object QueriesText {
       .select(col("id").as("doc_id"), col("dup_exact"), col("dup_near"), col("kept"))
   }
 
+  /** The SWAP-vs-APPEND race, driver-gated — the interleaving the r14
+    * pointer alone would lose silently: generation `g0` holds the
+    * %4∈{2,3} docs and is published; the compaction rewrite reads a
+    * snapshot PINNED at entry into `g1`; then the %4==1 shard lands on
+    * the ROOT (still pointing at g0) under an explicit batch id —
+    * AFTER the rewrite read its tables, BEFORE the swap. The publish
+    * runs through [[graft.util.TableIndex.catchUpAndPublish]]: under
+    * g0's writer lease the late batch is copied bit-identically into
+    * g1 (same bid) and only then does the pointer swap. Gates, in one
+    * row: the late batch is committed-visible through the root (lost
+    * = the pre-catch-up behavior), a replay of it SKIPS in the new
+    * generation (row-count-guarded), and the %4==0 probe matches the
+    * SAME from-scratch oracle as `dedup_incremental` — the race is
+    * invisible to every decision. */
+  private def dedupIncrementalGenRace(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val old = d.filter(pmod(col("doc_id"), lit(4)).isin(2, 3))
+    val lateShard = d.filter(pmod(col("doc_id"), lit(4)) === 1)
+    val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val root = graft.util.TempDirs.memoized(s"incr_genrace_root:$dir", "graft_incr_genrace").toString
+    if (graft.util.TableIndex.resolveGeneration(spark, root).isEmpty) {
+      IncrementalDedup.buildIndex(old, "doc_id", "text", s"$root/g0")
+      graft.util.TableIndex.publishGeneration(spark, root, "g0")
+      val cur = s"$root/g0"
+      val snap = graft.util.TableIndex.openSnapshot(spark, cur)
+      IncrementalDedup.compactIndex(spark, cur, s"$root/g1", at = Some(snap))
+      IncrementalDedup.updateIndexInPlace(spark, root, lateShard, "doc_id", "text",
+        batchId = Some("race-late"))
+      val late = graft.util.TableIndex.catchUpAndPublish(spark, root, cur, "g1", snap.bids)
+      require(late.contains("race-late"),
+        s"the late-committed batch was not carried across the swap (carried: $late)")
+    }
+    val gen = graft.util.TableIndex.resolveDir(spark, root)
+    require(graft.util.TableIndex.isCommitted(spark, gen, "race-late"),
+      "late batch lost across the generation swap")
+    val hashesBefore = spark.read.parquet(s"$gen/hashes.parquet").count()
+    IncrementalDedup.updateIndexInPlace(spark, root, lateShard, "doc_id", "text",
+      batchId = Some("race-late")) // replay of the carried bid: must skip
+    val hashesAfter = spark.read.parquet(s"$gen/hashes.parquet").count()
+    require(hashesAfter == hashesBefore,
+      s"carried batch replayed as new rows across the swap ($hashesBefore -> $hashesAfter)")
+    IncrementalDedup.processShard(spark, root, shard, "doc_id", "text", tau = 0.8,
+      snapshot = true)
+      .select(col("id").as("doc_id"), col("dup_exact"), col("dup_near"), col("kept"))
+  }
+
   /** OFFLINE fsck as a DRIVER-GATED contract: zero findings on the
     * protocol-produced `dedup_incremental_fold` index (build → append
     * under an explicit bid → marker fold) is itself a hash-gateable
@@ -2478,6 +2524,7 @@ object QueriesText {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_fold" -> (dedupIncrementalFold _),
     "dedup_incremental_gen" -> (dedupIncrementalGen _),
+    "dedup_incremental_gen_race" -> (dedupIncrementalGenRace _),
     "fsck_conformance" -> (fsckConformance _),
     "quality_clf_train" -> (qualityClfTrain _),
     "corpus_pipeline_v7" -> (corpusPipelineV7 _),
@@ -3390,6 +3437,7 @@ object QueriesText {
     // the pointer swap must be invisible to every decision — same
     // from-scratch replay as the in-place rows
     "dedup_incremental_gen" -> dedupIncrementalOracle,
+    "dedup_incremental_gen_race" -> dedupIncrementalOracle,
     // the healthy protocol artifact audits clean; the planted orphan
     // is named exactly once
     "fsck_conformance" ->

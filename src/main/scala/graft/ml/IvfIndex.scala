@@ -237,25 +237,34 @@ object IvfIndex {
     * rows ≡ rebuild-over-union (layout differs, rows don't). */
   def appendInPlace(spark: SparkSession, indexDirOrRoot: String, newVectors: DataFrame,
                     batchId: Option[String] = None): Unit = {
-    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     val bid = batchId.getOrElse(TableIndex.newBatchId())
-    if (TableIndex.isCommitted(spark, indexDir, bid)) return // replayed batch
-    TableIndex.repair(spark, indexDir)
-    TableIndex.assertNotTombstoned(spark, indexDir,
-      newVectors.select(col("id").cast("long").as("n_id")), "n_id")
-    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
-    val book = loadBook(spark, indexDir)
-    // per-shard maxes appended; readers normalize with a max over rows.
-    // A floats-bearing index gets the shard's float rows in the SAME
-    // commit — encoded-without-floats would silently lose the new
-    // vectors from every exact-scoring path.
-    val floats =
-      if (TableIndex.readTableIfExists(spark, indexDir, "floats.parquet").isDefined)
-        Seq(("floats.parquet", floatRows(newVectors, centroids), Seq("cell")))
-      else Seq.empty
-    TableIndex.commitBatch(spark, indexDir, bid, Seq(
-      ("encoded.parquet", encode(newVectors, centroids, book), Seq("cell")),
-      ("geometry.parquet", cellRadii(newVectors, centroids), Seq.empty)) ++ floats)
+    // root-addressed appends re-validate the generation pointer under
+    // the commit's lease and retry across a concurrent swap
+    // (graft.util.TableIndex.mutateCurrent): a shard committing into a
+    // just-superseded generation would otherwise be invisible to every
+    // post-swap root reader — lost, with no error
+    TableIndex.mutateCurrent(spark, indexDirOrRoot) { (indexDir, reqCur) =>
+      if (!TableIndex.isCommitted(spark, indexDir, bid)) { // replayed batch: skip
+        TableIndex.repair(spark, indexDir)
+        TableIndex.assertNotTombstoned(spark, indexDir,
+          newVectors.select(col("id").cast("long").as("n_id")), "n_id")
+        val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+        val book = loadBook(spark, indexDir)
+        // per-shard maxes appended; readers normalize with a max over rows.
+        // A floats-bearing index gets the shard's float rows in the SAME
+        // commit — encoded-without-floats would silently lose the new
+        // vectors from every exact-scoring path.
+        val floats =
+          if (TableIndex.readTableIfExists(spark, indexDir, "floats.parquet").isDefined)
+            Seq(("floats.parquet", floatRows(newVectors, centroids), Seq("cell")))
+          else Seq.empty
+        TableIndex.commitBatch(spark, indexDir, bid, Seq(
+          ("encoded.parquet", encode(newVectors, centroids, book), Seq("cell")),
+          ("geometry.parquet", cellRadii(newVectors, centroids), Seq.empty)) ++ floats,
+          requireCurrentOf = reqCur)
+        ()
+      }
+    }
     ()
   }
 
@@ -452,9 +461,12 @@ object IvfIndex {
     * tombstone would suppress the new row too) — enforced, not
     * comment-only. */
   def deleteInPlace(spark: SparkSession, indexDirOrRoot: String, ids: DataFrame): Unit = {
-    TableIndex.commitBatch(spark, TableIndex.resolveDir(spark, indexDirOrRoot),
-      TableIndex.newBatchId("del"),
-      Seq(("tombstones.parquet", ids.select(col("id").cast("long").as("n_id")), Seq.empty)))
+    val bid = TableIndex.newBatchId("del")
+    TableIndex.mutateCurrent(spark, indexDirOrRoot) { (indexDir, reqCur) =>
+      TableIndex.commitBatch(spark, indexDir, bid,
+        Seq(("tombstones.parquet", ids.select(col("id").cast("long").as("n_id")), Seq.empty)),
+        requireCurrentOf = reqCur)
+    }
     ()
   }
 
@@ -470,28 +482,33 @@ object IvfIndex {
     * pins rows bit-identical before/after and a strictly smaller file
     * count. Centroids and book are copied through untouched (they are
     * single-write dim tables). */
-  def compact(spark: SparkSession, indexDirOrRoot: String, outDir: String): Unit = {
-    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
-    TableIndex.repair(spark, indexDir)
-    val geometry = TableIndex.readTableIfExists(spark, indexDir, "geometry.parquet")
+  def compact(spark: SparkSession, indexDirOrRoot: String, outDir: String,
+              at: Snap = None): Unit = {
+    val indexDir = at.map(_.dir).getOrElse(TableIndex.resolveDir(spark, indexDirOrRoot))
+    // `at`: build from a PINNED committed view (compactPublish passes
+    // one) — no repair (it could roll a concurrent writer's mid-move
+    // batch back), no torn file waves; post-pin commits are the
+    // publisher's catch-up (graft.util.TableIndex.catchUpAndPublish)
+    if (at.isEmpty) TableIndex.repair(spark, indexDir)
+    val geometry = TableIndex.readTable(spark, indexDir, "geometry.parquet", at)
       .map(g => ("geometry.parquet", g.groupBy("cell").agg(max("r").as("r")), Seq.empty[String]))
     // size-targeted parallelism WITHIN cells (per-cell byte-derived
     // salt — single pass): the pre-r14 repartition(col("cell")) made
     // every cell ONE task and one file — a hot semantic cluster (the
     // common case in a real corpus) serialized the whole fold
     // regardless of cluster size
-    val floats = loadFloats(spark, indexDir).map { f =>
+    val floats = loadFloats(spark, indexDir, at).map { f =>
       ("floats.parquet",
         TableIndex.sizedKeyedRepartition(spark, indexDir, "floats.parquet", f, "cell", "n_id"),
         Seq("cell"))
     }
     TableIndex.wipe(spark, outDir)
     TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("compact"), Seq(
-      ("centroids.parquet", spark.read.parquet(s"$indexDir/centroids.parquet"), Seq.empty),
-      ("book.parquet", spark.read.parquet(s"$indexDir/book.parquet"), Seq.empty),
+      ("centroids.parquet", dimTable(spark, indexDir, "centroids.parquet", at), Seq.empty),
+      ("book.parquet", dimTable(spark, indexDir, "book.parquet", at), Seq.empty),
       ("encoded.parquet",
         TableIndex.sizedKeyedRepartition(spark, indexDir, "encoded.parquet",
-          loadEncoded(spark, indexDir), "cell", "n_id"),
+          loadEncoded(spark, indexDir, at), "cell", "n_id"),
         Seq("cell"))
     ) ++ geometry ++ floats)
     ()
@@ -510,10 +527,18 @@ object IvfIndex {
       throw new IllegalStateException(
         s"$root carries no _generation pointer — build into a child directory and " +
           "publishGeneration it first"))
+    // pin → rewrite from the pin → catch up late commits under the
+    // source's writer lease → swap. Concurrent root-addressed writers
+    // either land before the catch-up listing (carried over, same bid
+    // — file copy is sound here: compaction retrains nothing the rows
+    // are relative to) or retry against the new generation
+    // (graft.util.TableIndex.mutateCurrent); replayed pre-swap bids
+    // skip via the seeded history. No interleaving loses a batch.
+    val snap = TableIndex.openSnapshot(spark, cur)
     val genName = "g" + java.util.UUID.randomUUID().toString.replace("-", "")
     val outDir = s"$root/$genName"
-    compact(spark, cur, outDir)
-    TableIndex.publishGeneration(spark, root, genName)
+    compact(spark, cur, outDir, at = Some(snap))
+    TableIndex.catchUpAndPublish(spark, root, cur, genName, snap.bids)
     outDir
   }
 
@@ -528,11 +553,62 @@ object IvfIndex {
       throw new IllegalStateException(
         s"$root carries no _generation pointer — build into a child directory and " +
           "publishGeneration it first"))
+    val snap = TableIndex.openSnapshot(spark, cur)
     val genName = "g" + java.util.UUID.randomUUID().toString.replace("-", "")
     val outDir = s"$root/$genName"
-    recluster(spark, cur, corpus, outDir, stride, iters, retrainBook, bookStride)
-    TableIndex.publishGeneration(spark, root, genName)
+    recluster(spark, cur, corpus, outDir, stride, iters, retrainBook, bookStride,
+      at = Some(snap))
+    // unlike compactPublish's file-copy carry, late APPEND batches here
+    // must be RE-ENCODED: their codes and cell assignments are relative
+    // to the centroids/book the recluster just retrained away
+    TableIndex.catchUpAndPublishWith(spark, root, cur, genName, snap.bids)(
+      late => carryReencoded(spark, cur, outDir, late))
     outDir
+  }
+
+  /** Recluster's catch-up carry ([[graft.util.TableIndex
+    * .catchUpAndPublishWith]]): a batch committed to the source after
+    * the recluster's pin cannot be file-copied — PQ codes and cell
+    * assignments are relative to the RETRAINED centroids/book — so
+    * append batches are re-encoded from their own float rows through
+    * [[appendInPlace]] UNDER THE SAME BID (replay semantics carry
+    * over), and tombstone batches file-copy (id lists are
+    * model-independent). Appends run before tombstones, reproducing a
+    * legal source order (a late delete of a late-appended id must find
+    * the row present). A plain (no-floats) index cannot re-encode a
+    * late append — that fails LOUD with the remedy named, instead of
+    * publishing a generation that silently lost the shard. */
+  private[graft] def carryReencoded(spark: SparkSession, srcDir: String, dstDir: String,
+                                    late: Seq[String]): Unit = {
+    if (late.isEmpty) return
+    val kinds = late.map { bid =>
+      (bid,
+        TableIndex.batchRows(spark, srcDir, "encoded.parquet", bid).isDefined,
+        TableIndex.batchRows(spark, srcDir, "tombstones.parquet", bid).isDefined)
+    }
+    val mixed = kinds.collect { case (bid, true, true) => bid }
+    require(mixed.isEmpty,
+      s"reclusterPublish: late batches ${mixed.mkString(", ")} carry BOTH encoded and " +
+        "tombstone rows — no index mutation produces this; run fsck on the source")
+    val appends = kinds.collect { case (bid, true, false) => bid }
+    if (appends.nonEmpty &&
+        TableIndex.readTableIfExists(spark, srcDir, "floats.parquet").isEmpty)
+      throw new IllegalStateException(
+        s"reclusterPublish: batches ${appends.mkString(", ")} committed to $srcDir after " +
+          "the recluster's pinned snapshot, and a plain (no-floats) index cannot re-encode " +
+          "them against the retrained centroids — quiesce appends around reclusterPublish, " +
+          "or build with storeFloats = true")
+    for (bid <- appends) {
+      val vecs = TableIndex.batchRows(spark, srcDir, "floats.parquet", bid)
+        .getOrElse(throw new IllegalStateException(
+          s"reclusterPublish: late batch $bid has encoded rows but no float rows in $srcDir"))
+        .select(col("n_id").as("id"), col("vec"))
+      appendInPlace(spark, dstDir, vecs, batchId = Some(bid))
+    }
+    // everything else (tombstones; a replaceTable'd geometry refresh —
+    // stale radii merge by max, still sound upper bounds) copies as-is
+    TableIndex.copyBatches(spark, srcDir, dstDir,
+      kinds.collect { case (bid, false, _) => bid })
   }
 
   /** Re-tighten the cell radii from the LIVE float corpus — the
@@ -576,11 +652,11 @@ object IvfIndex {
     * probe — a subset corpus would silently produce under-sized radii
     * or a centroid fit that misses live mass, the unsound direction). */
   private def liveVectors(spark: SparkSession, indexDir: String, corpus: DataFrame,
-                          op: String): DataFrame =
-    loadFloats(spark, indexDir) match {
+                          op: String, snap: Snap = None): DataFrame =
+    loadFloats(spark, indexDir, snap) match {
       case Some(f) => f.select(col("n_id").as("id"), col("vec"))
       case None =>
-        val liveIds = loadEncoded(spark, indexDir).select(col("n_id").as("id"))
+        val liveIds = loadEncoded(spark, indexDir, snap).select(col("n_id").as("id"))
         val missing = liveIds
           .join(corpus.select(col("id")), Seq("id"), "left_anti").limit(1).count()
         require(missing == 0L,
@@ -617,17 +693,18 @@ object IvfIndex {
     * build-time levels while results stay ≡ brute force. */
   def recluster(spark: SparkSession, indexDirOrRoot: String, corpus: DataFrame, outDir: String,
                 stride: Int, iters: Int = 2, retrainBook: Boolean = false,
-                bookStride: Int = 10): Unit = {
-    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
-    TableIndex.repair(spark, indexDir)
-    val live = liveVectors(spark, indexDir, corpus, op = "recluster").localCheckpoint(false)
-    val storeF = TableIndex.readTableIfExists(spark, indexDir, "floats.parquet").isDefined
+                bookStride: Int = 10, at: Snap = None): Unit = {
+    val indexDir = at.map(_.dir).getOrElse(TableIndex.resolveDir(spark, indexDirOrRoot))
+    if (at.isEmpty) TableIndex.repair(spark, indexDir)
+    val live = liveVectors(spark, indexDir, corpus, op = "recluster", snap = at)
+      .localCheckpoint(false)
+    val storeF = TableIndex.readTable(spark, indexDir, "floats.parquet", at).isDefined
     val centroids = AnnSearch.kmeansCentroidsExact(live, stride, iters)
     val book =
       if (retrainBook) {
-        val old = loadBook(spark, indexDir)
+        val old = loadBook(spark, indexDir, at)
         AnnSearch.pqBook(live, m = old.m, stride = bookStride)
-      } else loadBook(spark, indexDir)
+      } else loadBook(spark, indexDir, at)
     build(live, centroids, book, outDir, storeFloats = storeF)
   }
 

@@ -186,14 +186,22 @@ object IncrementalDedup {
                          idCol: String, textCol: String,
                          k: Int = 32, n: Int = 3, bands: Int = 8,
                          batchId: Option[String] = None): Unit = {
-    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     val bid = batchId.getOrElse(TableIndex.newBatchId())
-    if (TableIndex.isCommitted(spark, indexDir, bid)) return // replayed batch
-    TableIndex.repair(spark, indexDir)
-    val (kk, nn, bb) = params(spark, indexDir, k, n, bands)
-    val base = survivors.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
-    TableIndex.assertNotTombstoned(spark, indexDir, base.select("id"), "id")
-    TableIndex.commitBatch(spark, indexDir, bid, indexRows(base, kk, nn, bb))
+    // root-addressed appends re-validate the generation pointer under
+    // the commit's lease and retry across a concurrent swap — without
+    // this, a shard committing into a just-superseded generation would
+    // be invisible to every post-swap root reader (lost, no error)
+    TableIndex.mutateCurrent(spark, indexDirOrRoot) { (indexDir, reqCur) =>
+      if (!TableIndex.isCommitted(spark, indexDir, bid)) { // replayed batch: skip
+        TableIndex.repair(spark, indexDir)
+        val (kk, nn, bb) = params(spark, indexDir, k, n, bands)
+        val base = survivors.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
+        TableIndex.assertNotTombstoned(spark, indexDir, base.select("id"), "id")
+        TableIndex.commitBatch(spark, indexDir, bid, indexRows(base, kk, nn, bb),
+          requireCurrentOf = reqCur)
+        ()
+      }
+    }
     ()
   }
 
@@ -259,9 +267,12 @@ object IncrementalDedup {
     * before a compact throws ([[graft.util.TableIndex
     * .assertNotTombstoned]]). */
   def deleteInPlace(spark: SparkSession, indexDirOrRoot: String, ids: DataFrame): Unit = {
-    TableIndex.commitBatch(spark, TableIndex.resolveDir(spark, indexDirOrRoot),
-      TableIndex.newBatchId("del"),
-      Seq(("tombstones.parquet", ids.select(col("id").cast("long").as("id")), Seq.empty)))
+    val bid = TableIndex.newBatchId("del")
+    TableIndex.mutateCurrent(spark, indexDirOrRoot) { (indexDir, reqCur) =>
+      TableIndex.commitBatch(spark, indexDir, bid,
+        Seq(("tombstones.parquet", ids.select(col("id").cast("long").as("id")), Seq.empty)),
+        requireCurrentOf = reqCur)
+    }
     ()
   }
 
@@ -282,23 +293,36 @@ object IncrementalDedup {
     * `repartition(col("bp"))` bounded the corpus-sized rewrite at
     * ≤[[BandParts]] tasks forever, a straggler wall no cluster size
     * could fix. Spec-pinned ≡ rebuild-over-remaining, with >1 output
-    * files per table AND >1 files under a deliberately hot bp. */
-  def compactIndex(spark: SparkSession, indexDir: String, outDir: String): Unit = {
-    val idir = TableIndex.resolveDir(spark, indexDir)
-    TableIndex.repair(spark, idir)
+    * files per table AND >1 files under a deliberately hot bp.
+    *
+    * `at`: an optional pinned snapshot to build FROM ([[compactPublish]]
+    * passes one) — the rewrite then reads a frozen committed view and
+    * never calls repair(), so it can run CONCURRENTLY with a live
+    * writer's in-flight commit (the default plain-read posture's
+    * repair() could roll that writer's mid-move batch back, and the
+    * live read could see a torn file wave). Batches committing after
+    * the pin are the publisher's catch-up problem
+    * ([[graft.util.TableIndex.catchUpAndPublish]]). */
+  def compactIndex(spark: SparkSession, indexDir: String, outDir: String,
+                   at: Option[TableIndex.Snapshot] = None): Unit = {
+    val idir = at.map(_.dir).getOrElse(TableIndex.resolveDir(spark, indexDir))
+    if (at.isEmpty) TableIndex.repair(spark, idir)
     TableIndex.wipe(spark, outDir)
     val meta = TableIndex.readMeta(spark, idir)
     if (meta.nonEmpty) TableIndex.writeMeta(spark, outDir, meta)
+    def tableOf(name: String): DataFrame =
+      TableIndex.readTable(spark, idir, name, at).getOrElse(throw new IllegalStateException(
+        s"compactIndex: $idir/$name is missing or holds no committed rows"))
     val flat = for (t <- Seq("hashes", "sigs", "shingles")) yield {
       val n = TableIndex.compactionPartitions(spark, idir, s"$t.parquet")
       (s"$t.parquet",
-        liveTable(spark, idir, spark.read.parquet(s"$idir/$t.parquet")).repartition(n),
+        liveTable(spark, idir, tableOf(s"$t.parquet"), at).repartition(n),
         Seq.empty[String])
     }
     val bands = ("bands.parquet",
       TableIndex.sizedKeyedRepartition(spark, idir, "bands.parquet",
-        liveTable(spark, idir, spark.read.parquet(s"$idir/bands.parquet")
-          .withColumn("bp", col("bp").cast("long"))),
+        liveTable(spark, idir, tableOf("bands.parquet")
+          .withColumn("bp", col("bp").cast("long")), at),
         "bp", "bucket", "id"),
       Seq("bp"))
     TableIndex.commitBatch(spark, outDir, TableIndex.newBatchId("compact"), flat :+ bands)
@@ -306,14 +330,24 @@ object IncrementalDedup {
   }
 
   /** [[compactIndex]] with the generation cutover made a LIBRARY
-    * guarantee: compact the root's CURRENT generation into a fresh
-    * child directory, and only after the new generation's commit
-    * marker lands swap `root/_generation` (one atomic rename —
-    * [[graft.util.TableIndex.publishGeneration]]). A crash anywhere
-    * leaves the OLD generation authoritative; pinned snapshot handles
-    * keep answering from their generation across the swap; a fresh
-    * open of `root` follows the pointer. The superseded generation is
-    * NOT deleted here — retire it with [[graft.util.TableIndex
+    * guarantee — and, since the second half of r14, a cutover that is
+    * SAFE AGAINST CONCURRENT WRITERS: the rewrite reads a snapshot
+    * PINNED at entry (no repair, no torn file waves from a racing
+    * append), and the publish runs through [[graft.util.TableIndex
+    * .catchUpAndPublish]] — under the source generation's writer
+    * lease, any batch committed after the pin is copied bit-identically
+    * into the new generation (same bids, so stream replay stays
+    * exactly-once across the swap), the pinned bid HISTORY is seeded
+    * into the new generation (a replayed pre-swap micro-batch still
+    * skips), and only then does `root/_generation` swap (one atomic
+    * rename). A root-addressed append racing the publish either lands
+    * before the catch-up listing (carried over) or fails its pointer
+    * re-validation and retries against the new generation
+    * ([[graft.util.TableIndex.mutateCurrent]]) — no interleaving loses
+    * a batch. A crash anywhere leaves the OLD generation
+    * authoritative; pinned snapshot handles keep answering from their
+    * generation across the swap. The superseded generation is NOT
+    * deleted here — retire it with [[graft.util.TableIndex
     * .retireGeneration]] once in-flight readers drain. Returns the new
     * generation's directory. */
   def compactPublish(spark: SparkSession, root: String): String = {
@@ -321,10 +355,11 @@ object IncrementalDedup {
       throw new IllegalStateException(
         s"$root carries no _generation pointer — build into a child directory and " +
           "publishGeneration it first"))
+    val snap = TableIndex.openSnapshot(spark, cur)
     val genName = "g" + java.util.UUID.randomUUID().toString.replace("-", "")
     val outDir = s"$root/$genName"
-    compactIndex(spark, cur, outDir)
-    TableIndex.publishGeneration(spark, root, genName)
+    compactIndex(spark, cur, outDir, at = Some(snap))
+    TableIndex.catchUpAndPublish(spark, root, cur, genName, snap.bids)
     outDir
   }
 

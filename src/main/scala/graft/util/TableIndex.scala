@@ -482,13 +482,58 @@ object TableIndex {
           out += FsckFinding("dangling-pointer", s"$cur does not exist")
         else if (!anyCommitted(spark, cur))
           out += FsckFinding("dangling-pointer", s"$cur holds no committed batch")
-        for (d <- fs.listStatus(rootP)
-             if d.isDirectory && !d.getPath.getName.startsWith("_") &&
-               !d.getPath.getName.startsWith(".") &&
-               fs.makeQualified(d.getPath) != curP)
-          out += FsckFinding("unpublished-generation", d.getPath.getName)
+        for (d <- fs.listStatus(rootP)) {
+          val nm = d.getPath.getName
+          if (d.isDirectory && !nm.startsWith("_") && !nm.startsWith(".") &&
+              fs.makeQualified(d.getPath) != curP)
+            out += FsckFinding("unpublished-generation", nm)
+          // a publisher that crashed between its temp write and the
+          // atomic rename leaves `_generation.tmp.*` — inert (never
+          // read) but silent disk growth nothing else lists
+          if (d.isFile && nm.startsWith(s"$GenPointer.tmp."))
+            out += FsckFinding("pointer-tmp", nm)
+        }
         out.result()
     }
+
+  /** Age-gated sweep of a generation root — the retirement half of the
+    * swap made an OPS PRIMITIVE instead of a manual loop: deletes (a)
+    * sibling generation directories the pointer does not name and (b)
+    * crashed publishers' `_generation.tmp.*` files, both only when
+    * their newest contained file is older than `graceMs`. The grace
+    * window is the snapshot-retention policy ([[retireGeneration]]'s
+    * operator contract, time-based): a pinned handle on a superseded
+    * generation stays valid for at least the grace period after the
+    * generation last changed — the Delta-VACUUM posture, since a
+    * filesystem cannot enumerate live readers. The CURRENT generation
+    * is never touched (same guard as [[retireGeneration]]); a
+    * committed-but-unpublished successor younger than the grace is
+    * left for its publisher to finish. Returns what was deleted. */
+  def vacuumGenerations(spark: SparkSession, root: String, graceMs: Long): Seq[String] = {
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    val cur = resolveGeneration(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root carries no _generation pointer — vacuumGenerations only operates on " +
+          "pointer-rooted indexes (a plain directory has no superseded generations)"))
+    val curQ = fs.makeQualified(new Path(cur))
+    val cutoff = System.currentTimeMillis() - graceMs
+    val deleted = Seq.newBuilder[String]
+    for (d <- fs.listStatus(rootP)) {
+      val nm = d.getPath.getName
+      val isStaleDir = d.isDirectory && !nm.startsWith("_") && !nm.startsWith(".") &&
+        fs.makeQualified(d.getPath) != curQ &&
+        (d.getModificationTime +: listFilesRec(fs, d.getPath).map(_.getModificationTime))
+          .max < cutoff
+      val isStaleTmp = d.isFile && nm.startsWith(s"$GenPointer.tmp.") &&
+        d.getModificationTime < cutoff
+      if (isStaleDir || isStaleTmp) {
+        fs.delete(d.getPath, true)
+        deleted += nm
+      }
+    }
+    deleted.result()
+  }
 
   /** Delete a SUPERSEDED generation's directory — the retirement half
     * of the swap, guarded so the current generation (the one the
@@ -506,6 +551,224 @@ object TableIndex {
       s"cannot retire the CURRENT generation $genName of $root — publish a successor first")
     if (fs.exists(target)) { fs.delete(target, true); () }
   }
+
+  // ---------------------------------------------------------------
+  // Generation swap vs concurrent writers — the linearized cutover
+  // ---------------------------------------------------------------
+  // The pointer alone (r14 first half) left two silent-loss races
+  // open between a publisher and a root-addressed writer:
+  //  (1) publisher-side: a batch committed to the OLD generation
+  //      after the rewrite read its tables but before the swap is
+  //      simply absent from the new generation — lost at cutover;
+  //  (2) appender-side: a writer that resolved the pointer just
+  //      before a swap commits into the now-superseded directory —
+  //      invisible to every post-swap root reader.
+  // Both close on the same axis the protocol already has: the source
+  // generation's WRITER LEASE. The publisher holds it from the
+  // late-bid listing through the pointer rename (catch-up copies any
+  // late batch into the new generation first), and every
+  // root-addressed commit re-validates the pointer UNDER that same
+  // lease — so a commit either lands before the publisher's listing
+  // (and is carried over, same bid) or fails loud and retries against
+  // the new generation. A third, quieter hazard closes with
+  // [[seedCommittedHistory]]: the new generation re-files every
+  // source row under its own batch id, so WITHOUT carrying the
+  // source's bid history a stream replaying a pre-swap micro-batch
+  // against the root would find no marker and re-append — duplicates
+  // with no error, the first crash after the first compact.
+
+  /** Thrown when a ROOT-addressed mutation loses the race with a
+    * concurrent generation swap: the directory it resolved is no
+    * longer the one the pointer names. The batch was NOT committed —
+    * re-resolving the root and retrying is always safe (batch ids
+    * make the retry idempotent); [[mutateCurrent]] does exactly that. */
+  final class GenerationSupersededException(msg: String) extends IllegalStateException(msg)
+
+  /** Run a mutation against the CURRENT generation of `dirOrRoot`,
+    * retrying (bounded) when a concurrent generation swap supersedes
+    * the resolved directory mid-mutation. The body receives
+    * `(resolvedDir, requireCurrentOf)` and must pass the second value
+    * to [[commitBatch]], which re-validates the pointer under the
+    * writer lease — the swap also runs under that lease
+    * ([[catchUpAndPublish]]), so the check linearizes the race instead
+    * of narrowing it. A plain (pointer-less) directory passes straight
+    * through. Retries are bounded: back-to-back swaps are a
+    * maintenance misconfiguration, not a state to spin against. */
+  def mutateCurrent[A](spark: SparkSession, dirOrRoot: String)
+                      (body: (String, Option[String]) => A): A = {
+    if (resolveGeneration(spark, dirOrRoot).isEmpty) return body(dirOrRoot, None)
+    var attempt = 0
+    while (true) {
+      val dir = resolveDir(spark, dirOrRoot)
+      try return body(dir, Some(dirOrRoot))
+      catch {
+        case e: GenerationSupersededException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Seed a new generation's committed-bid HISTORY with `bids`
+    * (markers-only — no data files move): the replay bridge across a
+    * generation swap. A compacted/reclustered generation re-files
+    * every source row under its own single batch id, so the source's
+    * markers do not exist in it — and a stream replaying an already-
+    * applied micro-batch against the ROOT after the swap would find no
+    * marker, re-append, and silently double every row it ever wrote.
+    * Folded bids are committed FACTS (their rows are present,
+    * re-filed), so they are recorded in the new generation's `_base`
+    * checkpoint (plus the [[FoldedSentinel]]), making [[isCommitted]]
+    * answer true forever — the exactly-once replay window stays closed
+    * across cutovers. Additive and idempotent (unions with any
+    * existing base). Requires the generation to hold its own committed
+    * batch first, so the seeded history can never make a TORN build
+    * pass [[publishGeneration]]'s committed-batch guard. */
+  def seedCommittedHistory(spark: SparkSession, dir: String, bids: Set[String]): Unit = {
+    if (bids.isEmpty) return
+    bids.foreach(requireValidBid)
+    require(anyCommitted(spark, dir),
+      s"seedCommittedHistory($dir): the generation holds no committed batch of its own — " +
+        "seeding history into a torn build would let it pass the publish guard")
+    withLease(spark, dir) {
+      val c = commitsDir(dir)
+      val fs = fsOf(spark, c)
+      fs.mkdirs(c)
+      val bases = fs.listStatus(c).map(_.getPath.getName).filter(_.startsWith(BasePrefix)).sorted
+      val ver = bases.lastOption.map(_.stripPrefix(BasePrefix).toLong).getOrElse(0L)
+      val all = bases.lastOption.map(b => readBaseBids(fs, new Path(c, b)))
+        .getOrElse(Set.empty) ++ bids
+      val tmp = new Path(c, s"_tmp.${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val out = fs.create(tmp, false)
+      out.write(all.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      out.close()
+      val next = new Path(c, f"$BasePrefix${ver + 1}%019d")
+      if (!fs.rename(tmp, next))
+        throw new java.io.IOException(s"seedCommittedHistory: could not publish $next")
+      // sentinel AFTER the base lands: isCommitted's slow path only
+      // consults the base when the sentinel exists
+      fs.create(new Path(c, FoldedSentinel), true).close()
+    }
+  }
+
+  /** The rows ONE committed batch contributed to `table` — strictly
+    * the files carrying its `b_<bid>__` prefix (unlike
+    * [[snapshotTable]], non-protocol base files are NOT included).
+    * None when the batch touched no file of this table. Partition
+    * directories are recovered via `basePath` as everywhere else. */
+  def batchRows(spark: SparkSession, dir: String, table: String, bid: String): Option[DataFrame] = {
+    requireValidBid(bid)
+    val t = new Path(new Path(dir), table)
+    val fs = fsOf(spark, t)
+    if (!fs.exists(t)) return None
+    val pfx = prefix(bid)
+    val files = listFilesRec(fs, t).map(_.getPath).filter(_.getName.startsWith(pfx))
+    if (files.isEmpty) None
+    else Some(spark.read.option("basePath", fs.makeQualified(t).toString)
+      .parquet(files.map(_.toString): _*))
+  }
+
+  /** Copy committed batches from `srcDir` into `dstDir`
+    * BIT-IDENTICALLY — file-level copy routed through the ordinary
+    * staging protocol (stage → checked renames → one atomic marker per
+    * batch), each batch keeping its ID: replay semantics carry over,
+    * and a crash mid-copy is a torn batch the next [[repair]] rolls
+    * back like any other. Batches already committed in `dstDir` skip
+    * (idempotent). The SOURCE is never modified — it may still be
+    * serving pinned snapshot readers. Sound only when the rows are
+    * valid in the destination as-is (compact: nothing is
+    * model-relative); a RECLUSTERED generation must re-encode instead
+    * (see [[graft.ml.IvfIndex.reclusterPublish]]). */
+  def copyBatches(spark: SparkSession, srcDir: String, dstDir: String,
+                  bids: Seq[String]): Unit = {
+    if (bids.isEmpty) return
+    bids.foreach(requireValidBid)
+    val srcP = new Path(srcDir)
+    val fsS = fsOf(spark, srcP)
+    val conf = spark.sparkContext.hadoopConfiguration
+    withLease(spark, dstDir) {
+      val fsD = fsOf(spark, new Path(dstDir))
+      repair(spark, dstDir)
+      val tableDirs = fsS.listStatus(srcP).filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")).map(_.getPath)
+      for (bid <- bids.sorted if !isCommitted(spark, dstDir, bid)) {
+        val pfx = prefix(bid)
+        val stage = new Path(stagingDir(dstDir), bid)
+        val staged = Seq.newBuilder[String]
+        for (t <- tableDirs) {
+          val tq = fsS.makeQualified(t).toString
+          val files = listFilesRec(fsS, t).map(_.getPath).filter(_.getName.startsWith(pfx))
+          if (files.nonEmpty) {
+            staged += t.getName
+            for (f <- files) {
+              val rel = f.toString.stripPrefix(tq).stripPrefix("/")
+              val relParent = rel.lastIndexOf('/') match {
+                case -1 => ""
+                case i  => rel.substring(0, i)
+              }
+              val destDir = if (relParent.isEmpty) new Path(stage, t.getName)
+                            else new Path(new Path(stage, t.getName), relParent)
+              fsD.mkdirs(destDir)
+              // staged WITHOUT the bid prefix — movePairs re-applies it,
+              // so the live name ends identical to the source's
+              org.apache.hadoop.fs.FileUtil.copy(
+                fsS, f, fsD, new Path(destDir, f.getName.stripPrefix(pfx)), false, conf)
+            }
+          }
+        }
+        renameAll(fsD, staged.result().flatMap(t => movePairs(fsD, dstDir, bid, stage, t)))
+        val c = commitsDir(dstDir)
+        fsD.mkdirs(c)
+        fsD.create(new Path(c, bid), true).close()
+        fsD.delete(stage, true)
+        maybeAutoFold(spark, dstDir)
+      }
+    }
+  }
+
+  /** Linearize a generation swap against concurrent root-addressed
+    * writers, then publish — the missing half of the r14 pointer.
+    * Under the SOURCE generation's writer lease (the same lease every
+    * [[commitBatch]] on it holds): (1) `carry` folds any batch
+    * committed to the source AFTER `pinned` — the bid set the new
+    * generation was built from — into the new generation; (2) the
+    * pointer swaps. Because the lease is held from the late-bid
+    * listing through the rename, no commit can land in the source in
+    * between: a root-addressed writer either committed BEFORE the
+    * listing (and is carried over, same bid) or acquires the lease
+    * AFTER the swap and fails its pointer re-validation
+    * ([[GenerationSupersededException]] → [[mutateCurrent]] retries
+    * against the new generation). The pinned bids are seeded into the
+    * new generation's history first ([[seedCommittedHistory]]) so
+    * replayed pre-swap micro-batches skip there too. The under-lease
+    * window is proportional to LATE data (appends racing the rewrite),
+    * not to the rewrite itself — the rewrite ran un-leased from its
+    * pinned snapshot. Returns the late bids carried over. */
+  def catchUpAndPublishWith(spark: SparkSession, root: String, srcDir: String,
+                            genName: String, pinned: Set[String],
+                            leaseWaitMs: Long = 10L * 60 * 1000)
+                           (carry: Seq[String] => Unit): Seq[String] = {
+    seedCommittedHistory(spark, s"$root/$genName", pinned)
+    // POLLING acquire, publisher-side only: a live appender's held
+    // lease (seconds per shard) must not abort a publish that already
+    // invested the full rewrite — appends keep their fail-fast
+    withLeaseAwait(spark, srcDir, leaseWaitMs) {
+      val late = (committedBids(spark, srcDir) -- pinned).toSeq.sorted
+      carry(late)
+      publishGeneration(spark, root, genName)
+      late
+    }
+  }
+
+  /** [[catchUpAndPublishWith]] with the default bit-identical
+    * file-copy carry — correct whenever late rows are valid in the new
+    * generation as-is (compaction; anything that does not retrain a
+    * model the rows are relative to). */
+  def catchUpAndPublish(spark: SparkSession, root: String, srcDir: String,
+                        genName: String, pinned: Set[String]): Seq[String] =
+    catchUpAndPublishWith(spark, root, srcDir, genName, pinned)(
+      late => copyBatches(spark, srcDir, s"$root/$genName", late))
 
   // ---------------------------------------------------------------
   // Writer lease
@@ -635,6 +898,30 @@ object TableIndex {
 
   private def withLease[A](spark: SparkSession, dir: String)(body: => A): A = {
     val token = acquireLease(spark, dir)
+    val hb = startLeaseHeartbeat(spark, dir, token)
+    try body finally {
+      try hb.close() catch { case _: Throwable => () }
+      releaseLease(spark, dir, token)
+    }
+  }
+
+  /** [[withLease]] with a POLLING acquire — for the PUBLISHER side of
+    * a generation swap only. Production appends keep the fail-fast
+    * contract (cheap to retry at the caller); a publisher that already
+    * invested a full rewrite must not abort because one shard append
+    * holds the source lease for a few seconds. Polls until `waitMs`,
+    * then rethrows the contention error. */
+  private def withLeaseAwait[A](spark: SparkSession, dir: String, waitMs: Long)(body: => A): A = {
+    val deadline = System.currentTimeMillis() + waitMs
+    var token: String = null
+    while (token == null) {
+      try token = acquireLease(spark, dir)
+      catch {
+        case e: IllegalStateException =>
+          if (System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(200)
+      }
+    }
     val hb = startLeaseHeartbeat(spark, dir, token)
     try body finally {
       try hb.close() catch { case _: Throwable => () }
@@ -779,12 +1066,32 @@ object TableIndex {
     * micro-batch case. Data files are only ever ADDED to the live
     * dirs; existing files are untouched (the O(shard) in-place-append
     * contract). Holds the writer lease for the whole mutation — a
-    * second concurrent writer throws instead of interleaving. */
+    * second concurrent writer throws instead of interleaving.
+    * `requireCurrentOf`: the generation ROOT this mutation resolved
+    * `dir` from, when root-addressed — re-validated under the lease
+    * (see the in-body comment; [[GenerationSupersededException]]). */
   def commitBatch(spark: SparkSession, dir: String, bid: String,
-                  tables: Seq[(String, DataFrame, Seq[String])]): Boolean = {
+                  tables: Seq[(String, DataFrame, Seq[String])],
+                  requireCurrentOf: Option[String] = None): Boolean = {
     requireValidBid(bid)
     if (isCommitted(spark, dir, bid)) return false
     withLease(spark, dir) {
+      // root-addressed mutation: re-validate the generation pointer
+      // UNDER the lease. catchUpAndPublish holds this same lease for
+      // its final late-bid listing + pointer rename, so the check
+      // LINEARIZES the swap-vs-append race: this commit either lands
+      // before the publisher's listing (and is carried into the new
+      // generation, same bid) or throws here — never silently into a
+      // superseded directory no post-swap root reader will open.
+      requireCurrentOf.foreach { root =>
+        def q(x: String) = { val p = new Path(x); fsOf(spark, p).makeQualified(p).toString }
+        val cur = resolveGeneration(spark, root)
+        if (!cur.exists(c => q(c) == q(dir)))
+          throw new GenerationSupersededException(
+            s"generation $dir of root $root was superseded (current: ${cur.getOrElse("<none>")}) " +
+              "before this mutation acquired the writer lease — nothing was committed; " +
+              "re-resolve the root and retry (mutateCurrent does this automatically)")
+      }
       if (isCommitted(spark, dir, bid)) false // re-check under the lease
       else {
         repair(spark, dir) // roll back a torn earlier attempt of this (or any) batch
