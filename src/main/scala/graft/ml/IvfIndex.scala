@@ -136,6 +136,46 @@ object IvfIndex {
       case None => spark.read.parquet(s"$indexDir/$table")
     }
 
+  /** The persisted centroid table, COLLECTED and session-cached
+    * ([[graft.util.TableIndex.cachedDim]] — keyed by the table's
+    * visible-file fingerprint, so wipe+rebuild, replaceTable and
+    * snapshot-subset views all re-key). Centroids are written once per
+    * generation; without the cache every probe / search / append paid
+    * a ~0.14 s read+collect of an ≤nlist-row table (measured,
+    * dev/EmbStageProbe) — a per-call DRIVER constant that dominates
+    * the dim side of shard-cadence workloads. */
+  private[graft] def centroidSet(spark: SparkSession, indexDir: String,
+                                 snap: Snap = None): graft.functions.CentroidSet =
+    TableIndex.cachedDim[graft.functions.CentroidSet](
+        "centset", spark, indexDir, "centroids.parquet", snap)(AnnSearch.collectCentroids)
+      .getOrElse(throw new IllegalStateException(
+        s"$indexDir/centroids.parquet holds no committed data (index mid-build?)"))
+
+  /** The cached centroid set as a tiny LOCAL DataFrame — for callers
+    * that feed the table into a join or a write without re-reading
+    * parquet. Columns (c_id, c_vec), the persisted schema. */
+  private def centroidFrame(spark: SparkSession, indexDir: String,
+                            snap: Snap = None): DataFrame = {
+    import spark.implicits._
+    val cs = centroidSet(spark, indexDir, snap)
+    cs.ids.indices.map(i => (cs.ids(i), cs.vecs(i).toSeq)).toDF("c_id", "c_vec")
+  }
+
+  /** Per-cell max radius, collected and cached under the geometry
+    * table's file fingerprint: appends add radius files and
+    * [[refreshGeometry]] replaces them — both re-key — so between
+    * mutations the probe side pays one listStatus instead of a
+    * groupBy-max Spark job per call. Empty when no geometry exists
+    * (legacy index) — readers π-default. */
+  private def cachedRadii(spark: SparkSession, indexDir: String,
+                          snap: Snap = None): Map[Long, Double] =
+    TableIndex.cachedDim[Map[Long, Double]](
+        "radii", spark, indexDir, "geometry.parquet", snap) { df =>
+      df.groupBy("cell").agg(max("r").as("r"))
+        .select(col("cell").cast("long"), col("r").cast("double"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }.getOrElse(Map.empty)
+
   private def bookRows(spark: SparkSession, book: PqBook): DataFrame = {
     import spark.implicits._
     book.books.zipWithIndex.flatMap { case (codewords, sub) =>
@@ -179,14 +219,20 @@ object IvfIndex {
   def loadBook(spark: SparkSession, indexDirOrRoot: String, snap: Snap = None): PqBook = {
     val indexDir = snap.map(_.dir).getOrElse(TableIndex.resolveDir(spark, indexDirOrRoot))
     if (snap.isEmpty) TableIndex.repair(spark, indexDir)
-    val rows = dimTable(spark, indexDir, "book.parquet", snap)
-      .select(col("sub").cast("int"), col("code").cast("int"), col("cw").cast("array<double>"))
-      .collect()
-    val m = rows.iterator.map(_.getInt(0)).max + 1
-    val ksub = rows.iterator.map(_.getInt(1)).max + 1
-    val books = Array.ofDim[Array[Double]](m, ksub)
-    rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
-    PqBook(m, books(0)(0).length, books.map(_.toArray))
+    // session-cached under the book table's file fingerprint — the
+    // centroidSet rationale: one write per generation, one read+parse
+    // per probe without the cache
+    TableIndex.cachedDim[PqBook]("pqbook", spark, indexDir, "book.parquet", snap) { df =>
+      val rows = df
+        .select(col("sub").cast("int"), col("code").cast("int"), col("cw").cast("array<double>"))
+        .collect()
+      val m = rows.iterator.map(_.getInt(0)).max + 1
+      val ksub = rows.iterator.map(_.getInt(1)).max + 1
+      val books = Array.ofDim[Array[Double]](m, ksub)
+      rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      PqBook(m, books(0)(0).length, books.map(_.toArray))
+    }.getOrElse(throw new IllegalStateException(
+      s"$indexDir/book.parquet holds no committed data (index mid-build?)"))
   }
 
   /** Append new vectors: encode with the PERSISTED centroids/codebook,
@@ -248,7 +294,10 @@ object IvfIndex {
         TableIndex.repair(spark, indexDir)
         TableIndex.assertNotTombstoned(spark, indexDir,
           newVectors.select(col("id").cast("long").as("n_id")), "n_id")
-        val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+        // session-cached dim tables rebuilt as local frames: the
+        // shard-cadence append pays no parquet read for tables written
+        // once per generation
+        val centroids = centroidFrame(spark, indexDir)
         val book = loadBook(spark, indexDir)
         // per-shard maxes appended; readers normalize with a max over rows.
         // A floats-bearing index gets the shard's float rows in the SAME
@@ -339,8 +388,7 @@ object IvfIndex {
           // within-batch earlier-id rule: exact pairs via the closure
           // (the persisted centroids block it; exactness holds for ANY
           // centroid table), rejecting the larger id of each pair
-          val centroids = spark.read.parquet(
-            s"${TableIndex.resolveDir(spark, indexDir)}/centroids.parquet")
+          val centroids = centroidFrame(spark, TableIndex.resolveDir(spark, indexDir))
           val dupBatch = AnnSearch.cosineNearPairs(b, centroids, tau)
             .select(col("b").as("id")).distinct()
           val decisions = b.select(col("id"))
@@ -387,8 +435,7 @@ object IvfIndex {
           val b = batch.toDF().localCheckpoint(true)
           val dupIdx = nearDupsExact(spark, indexDir, b, tau)
             .select(col("q_id").as("id")).distinct()
-          val centroids = spark.read.parquet(
-            s"${TableIndex.resolveDir(spark, indexDir)}/centroids.parquet")
+          val centroids = centroidFrame(spark, TableIndex.resolveDir(spark, indexDir))
           val dupBatch = AnnSearch.cosineNearPairs(b, centroids, tau)
             .select(col("b").as("id")).distinct()
           val decisions = b.select(col("id"))
@@ -738,15 +785,19 @@ object IvfIndex {
     * window). */
   private[graft] def cellGeometry(spark: SparkSession, indexDir: String,
                                   snap: Snap = None): DataFrame = {
-    val centroids = dimTable(spark, indexDir, "centroids.parquet", snap)
-      .select(col("c_id").cast("long").as("cell"),
-        col("c_vec").cast("array<double>").as("c_vec"))
-      .withColumn("c_nrm", AnnSearch.norm(col("c_vec")))
-    val radii = TableIndex.readTable(spark, indexDir, "geometry.parquet", snap)
-      .map(_.groupBy("cell").agg(max("r").as("r")))
-    radii.fold(centroids.withColumn("r", lit(math.Pi)))(rad =>
-      centroids.join(rad, Seq("cell"), "left")
-        .withColumn("r", coalesce(col("r"), lit(math.Pi))))
+    // assembled on the DRIVER from the cached collected dims (no
+    // parquet scan, no join job): between index mutations a probe's
+    // dim side costs two listStatus fingerprints instead of ~0.4 s of
+    // read+aggregate planning (dev/EmbStageProbe, before/after in
+    // SCALE.md). Radii merge exactly like the old plan: max over rows
+    // per cell, π when the cell has no row.
+    import spark.implicits._
+    val cs = centroidSet(spark, indexDir, snap)
+    val radii = cachedRadii(spark, indexDir, snap)
+    cs.ids.indices
+      .map(i => (cs.ids(i), cs.vecs(i).toSeq, cs.norms(i),
+        radii.getOrElse(cs.ids(i), math.Pi)))
+      .toDF("cell", "c_vec", "c_nrm", "r")
   }
 
   /** The candidate (q_id, cell) pairs of one [[nearDupsExact]] probe:
@@ -909,9 +960,8 @@ object IvfIndex {
     val snap = TableIndex.resolvePin(spark, indexDirOrRoot, snapshot, at)
     val indexDir = snap.map(_.dir).getOrElse(TableIndex.resolveDir(spark, indexDirOrRoot))
     if (snap.isEmpty) TableIndex.repair(spark, indexDir)
-    val centroids = dimTable(spark, indexDir, "centroids.parquet", snap)
     val book = loadBook(spark, indexDir, snap)
-    val cents = AnnSearch.collectCentroids(centroids)
+    val cents = centroidSet(spark, indexDir, snap) // session-cached collect
     val probes = queries
       .select(col("id").as("q_id"), col("vec").as("q_vec"), AnnSearch.norm(col("vec")).as("q_norm"))
       .withColumn("cell", explode(graft.functions.NearestCells.topCells(col("q_vec"), cents, nprobe)))

@@ -256,6 +256,69 @@ object TableIndex {
     bids
   }
 
+  // -- collected-dim-table cache ------------------------------------
+  // The per-probe constant cost of the index read paths is DRIVER-SIDE
+  // planning, not distributed compute (measured, dev/EmbStageProbe:
+  // reading + collecting an 81-row centroid table costs ~0.14 s per
+  // pass; the geometry join another ~0.25 s — against millisecond
+  // task time). At production shard cadence every processShard /
+  // nearDupsExact / search / appendInPlace call pays those constants
+  // again for tables that are written once per generation. Collected
+  // dim tables (centroids, PQ books, aggregated radii) are therefore
+  // cached for the session, keyed by the table's VISIBLE-FILE
+  // fingerprint — qualified path + each data file's (name,
+  // modificationTime, length), the [[readBaseBids]] discipline: a
+  // wipe()+rebuild at the same path re-keys (different files), an
+  // appended geometry wave re-keys (new files), a [[replaceTable]]
+  // re-keys (replaced files), and a snapshot exposing a different
+  // committed subset re-keys (the bid filter is applied to the file
+  // list before fingerprinting). The fingerprint costs one recursive
+  // listStatus of a dim directory (a handful of files — one namenode
+  // RPC) against the Spark read + collect it replaces.
+
+  private val dimRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Load-through cache of a COLLECTED dim table: returns `load` over
+    * the table's rows, cached under the visible-file fingerprint (and
+    * `tag`, so two collected shapes of one table don't collide). None
+    * when the table is absent or has no visible data file — callers
+    * keep their own fail-loud or default semantics. Only use for
+    * tables whose collected form is dim-table-sized; the cache holds
+    * strong references for the session. */
+  def cachedDim[A <: AnyRef](tag: String, spark: SparkSession, dir: String, table: String,
+                             snap: Option[Snapshot])(load: DataFrame => A): Option[A] = {
+    val t = new Path(new Path(dir), table)
+    val fs = fsOf(spark, t)
+    if (!fs.exists(t)) return None
+    val visible = listFilesRec(fs, t).filter { f =>
+      val nm = f.getPath.getName
+      if (nm.startsWith("_") || nm.startsWith(".")) false
+      else if (nm.startsWith("b_")) {
+        val i = nm.indexOf("__")
+        snap match {
+          case Some(s) => i > 2 && s.bids.contains(nm.substring(2, i))
+          case None    => true
+        }
+      } else true
+    }
+    if (visible.isEmpty) return None
+    val key = tag + "|" + fs.makeQualified(t).toString + "|" +
+      visible.map(f => s"${f.getPath.getName}#${f.getModificationTime}#${f.getLen}")
+        .sorted.mkString(",")
+    val cached = dimRowsCache.get(key)
+    if (cached != null) return Some(cached.asInstanceOf[A])
+    val df = snap match {
+      case Some(s) => snapshotTable(spark, s, table)
+      case None    => readTableIfExists(spark, dir, table)
+    }
+    df.map { d =>
+      val a = load(d)
+      dimRowsCache.put(key, a)
+      a
+    }
+  }
+
   /** Fold the current commit markers into one `_base.<ver+1>` file and
     * delete them — bounds `_commits` at O(1) entries between folds
     * instead of O(total batches ever). Ordering is superset-safe at
@@ -942,6 +1005,10 @@ object TableIndex {
     // generation's bids (see readBaseBids)
     val prefix = fs.makeQualified(p).toString + "/"
     baseBidsCache.keySet.removeIf(_.startsWith(prefix))
+    // same-JVM rebuild within mtime granularity: the dim cache's
+    // file-status keys could collide too — purge eagerly (keys are
+    // "tag|qualifiedTablePath|files", so match on the path segment)
+    dimRowsCache.keySet.removeIf(_.split("\\|", 3).lift(1).exists(_.startsWith(prefix)))
     ()
   }
 
