@@ -246,6 +246,10 @@ object IvfIndex {
              outDir: String): Unit = {
     val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     TableIndex.repair(spark, indexDir)
+    // captured BEFORE the reads: the new generation carries the
+    // source's committed-bid HISTORY (seeded below) so replayed
+    // pre-copy batch ids still skip after a manual pointer cutover
+    val srcBids = TableIndex.committedBids(spark, indexDir)
     val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
     val book = loadBook(spark, indexDir)
     val freshRadii = cellRadii(newVectors, centroids)
@@ -263,6 +267,7 @@ object IvfIndex {
         loadEncoded(spark, indexDir).unionByName(encode(newVectors, centroids, book)),
         Seq("cell")),
       ("geometry.parquet", geometry, Seq.empty)) ++ floats)
+    TableIndex.seedCommittedHistory(spark, outDir, srcBids)
     ()
   }
 
@@ -472,6 +477,7 @@ object IvfIndex {
              outDir: String): Unit = {
     val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     TableIndex.repair(spark, indexDir)
+    val srcBids = TableIndex.committedBids(spark, indexDir) // history carry (see append)
     // radii carry over STALE (an upper bound after removals) —
     // one-sided safe; [[refreshGeometry]] re-tightens. A pre-geometry
     // legacy index simply carries none (readers π-default).
@@ -489,6 +495,7 @@ object IvfIndex {
         loadEncoded(spark, indexDir)
           .join(ids.select(col("id").cast("long").as("n_id")), Seq("n_id"), "left_anti"),
         Seq("cell"))) ++ geometry ++ floats)
+    TableIndex.seedCommittedHistory(spark, outDir, srcBids)
     ()
   }
 

@@ -142,6 +142,10 @@ object IncrementalDedup {
                   k: Int = 32, n: Int = 3, bands: Int = 8): Unit = {
     val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
     TableIndex.repair(spark, indexDir)
+    // history carry: the new generation answers isCommitted for every
+    // source bid (seeded below), keeping replay exactly-once across a
+    // manual pointer cutover (the catchUpAndPublish discipline)
+    val srcBids = TableIndex.committedBids(spark, indexDir)
     val (kk, nn, bb) = params(spark, indexDir, k, n, bands)
     val base = survivors.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("text"))
     val fresh = indexRows(base, kk, nn, bb).map(t => t._1 -> t._2).toMap
@@ -166,6 +170,7 @@ object IncrementalDedup {
         liveTable(spark, indexDir, spark.read.parquet(s"$indexDir/shingles.parquet"))
           .unionByName(fresh("shingles.parquet")),
         Seq.empty)))
+    TableIndex.seedCommittedHistory(spark, outDir, srcBids)
     ()
   }
 

@@ -817,6 +817,19 @@ object TableIndex {
     // lease (seconds per shard) must not abort a publish that already
     // invested the full rewrite — appends keep their fail-fast
     withLeaseAwait(spark, srcDir, leaseWaitMs) {
+      // the pointer must still name the generation this publish was
+      // BUILT from: two concurrent publishers both pinning g0 would
+      // otherwise double-swap — and an append landing on the FIRST
+      // winner's generation between the two swaps would be silently
+      // absent from the second's (its catch-up lists only g0). The
+      // loser fails loud and re-runs against the current generation.
+      def q(x: String) = { val p = new Path(x); fsOf(spark, p).makeQualified(p).toString }
+      val cur = resolveGeneration(spark, root)
+      if (!cur.exists(c => q(c) == q(srcDir)))
+        throw new GenerationSupersededException(
+          s"cannot publish $genName: it was built from $srcDir but $root now points at " +
+            s"${cur.getOrElse("<none>")} — a concurrent publish won; re-run against the " +
+            "current generation")
       val late = (committedBids(spark, srcDir) -- pinned).toSeq.sorted
       carry(late)
       publishGeneration(spark, root, genName)

@@ -329,6 +329,54 @@ class SwapLinearizationSpec extends SparkSpec {
       "a failed catch-up must leave the OLD generation authoritative")
   }
 
+  test("concurrent DOUBLE-PUBLISH: the losing publisher fails loud instead of dropping the winner's appends") {
+    import spark.implicits._
+    val root = graft.util.TempDirs.scratch("swap_dblpub").toString
+    val df = Seq((1L, "a")).toDF("id", "v")
+    TableIndex.commitBatch(spark, s"$root/g0", "dp0", Seq(("t.parquet", df, Seq.empty)))
+    TableIndex.publishGeneration(spark, root, "g0")
+    // two publishers both pin g0 and build successors
+    val snap = TableIndex.openSnapshot(spark, s"$root/g0")
+    TableIndex.commitBatch(spark, s"$root/gA", "dpA", Seq(("t.parquet", df, Seq.empty)))
+    TableIndex.commitBatch(spark, s"$root/gB", "dpB", Seq(("t.parquet", df, Seq.empty)))
+    // publisher A wins the swap...
+    TableIndex.catchUpAndPublish(spark, root, s"$root/g0", "gA", snap.bids)
+    // ...an append lands on the new current generation...
+    TableIndex.commitBatch(spark, s"$root/gA", "dpX", Seq(("t.parquet", df, Seq.empty)),
+      requireCurrentOf = Some(root))
+    // ...and publisher B (still built from g0) must FAIL LOUD — its
+    // swap would silently drop dpX from every root reader
+    intercept[TableIndex.GenerationSupersededException] {
+      TableIndex.catchUpAndPublish(spark, root, s"$root/g0", "gB", snap.bids)
+    }
+    assert(TableIndex.resolveDir(spark, root) == s"$root/gA",
+      "the losing publish must not move the pointer")
+    assert(TableIndex.isCommitted(spark, s"$root/gA", "dpX"))
+  }
+
+  test("generation-copy forms carry the source's bid history: replayed pre-copy bids skip in the new generation") {
+    val d = docsDf
+    val base = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val shardA = d.filter(pmod(col("doc_id"), lit(3)) === 1).limit(30)
+    val shardB = d.filter(pmod(col("doc_id"), lit(3)) === 2).limit(30)
+    val g0 = graft.util.TempDirs.scratch("swap_copyhist_g0").toString
+    val g1 = graft.util.TempDirs.scratch("swap_copyhist_g1").toString
+    IncrementalDedup.buildIndex(base, "doc_id", "text", g0)
+    IncrementalDedup.updateIndexInPlace(spark, g0, shardA, "doc_id", "text",
+      batchId = Some("copyhist-a"))
+    // the generation-copy append re-files everything under one new bid
+    IncrementalDedup.updateIndex(spark, g0, shardB, "doc_id", "text", g1)
+    assert(TableIndex.isCommitted(spark, g1, "copyhist-a"),
+      "the generation copy must carry the source's committed-bid history")
+    // a stream replaying the pre-copy micro-batch against the NEW
+    // generation must skip — without the seeded history it re-appends
+    val before = spark.read.parquet(s"$g1/hashes.parquet").count()
+    IncrementalDedup.updateIndexInPlace(spark, g1, shardA, "doc_id", "text",
+      batchId = Some("copyhist-a"))
+    assert(spark.read.parquet(s"$g1/hashes.parquet").count() == before,
+      "replayed pre-copy batch re-appended into the generation copy")
+  }
+
   // ----------------------------------------------------------------
   // Retirement: vacuumGenerations + pointer-tmp fsck finding
   // ----------------------------------------------------------------
