@@ -326,4 +326,239 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  // ---------------------------------------------------------------
+  // Root-addressed walks: the GENERATION lifecycle under fuzz
+  // ---------------------------------------------------------------
+  // Same universes and brute-force models, but every operation
+  // addresses the POINTER ROOT, the compact/recluster actions run the
+  // full pinned-publish cycle with a randomly INJECTED late append
+  // (committed between the rewrite's pin and the swap — the lost-batch
+  // race catchUpAndPublish closes), replays cross generation swaps
+  // (the seeded history must answer them), and superseded generations
+  // are randomly vacuumed. The dir-addressed walks above stay as the
+  // plain-protocol baseline.
+
+  test("dedup index: ROOT-addressed walks with publish/catch-up/vacuum keep processShard == brute force (2 seeds)") {
+    import spark.implicits._
+    for (seed <- 21L to 22L) {
+      val rng = new scala.util.Random(seed)
+      val universe = (0 until 60).map(i => (seed * 1000 + i, mkDoc(rng)))
+      var nextSlice = 0
+      var live = Map.empty[Long, String]
+      var tableIds = Set.empty[Long]
+      val root = graft.util.TempDirs.scratch(s"fuzz_dedup_root_$seed").toString
+      val probeBase = Seq(
+        (90001L, universe(0)._2),
+        (90002L, universe(7)._2),
+        (90003L, universe(13)._2),
+        (90004L, universe(21)._2.split(" ").dropRight(1).mkString(" ") + " zzz"),
+        (90005L, mkDoc(rng)),
+        (90006L, mkDoc(rng)))
+      val probeDf = probeBase.toDF("doc_id", "text")
+      val first = universe.slice(0, 10)
+      IncrementalDedup.buildIndex(first.toDF("doc_id", "text"), "doc_id", "text", s"$root/g0")
+      graft.util.TableIndex.publishGeneration(spark, root, "g0")
+      live ++= first
+      tableIds ++= first.map(_._1)
+      nextSlice = 10
+
+      def bruteDecisions(): Map[Long, (Boolean, Boolean, Boolean)] = {
+        def norm(t: String) = t.toLowerCase.trim.replaceAll("\\s+", " ")
+        val liveNorms = live.values.map(norm).toSet
+        val liveSh = live.values.map(shingles).toSeq
+        probeBase.sortBy(_._1).foldLeft(Map.empty[Long, (Boolean, Boolean, Boolean)]) {
+          case (acc, (id, text)) =>
+            val earlier = probeBase.filter(_._1 < id)
+            val de = liveNorms.contains(norm(text)) ||
+              earlier.exists(e => norm(e._2) == norm(text))
+            val sh = shingles(text)
+            val dn = liveSh.exists(s => jaccard(s, sh) >= 0.8) ||
+              earlier.exists(e => jaccard(shingles(e._2), sh) >= 0.8)
+            acc + (id -> ((de, dn, !de && !dn)))
+        }
+      }
+      def engineDecisions(snapshot: Boolean = false): Map[Long, (Boolean, Boolean, Boolean)] =
+        IncrementalDedup.processShard(spark, root, probeDf, "doc_id", "text", tau = 0.8,
+            snapshot = snapshot)
+          .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))))
+          .toMap
+
+      // replays survive generation swaps now (seeded history), so the
+      // last committed bid is NOT reset at a compact — the even-step
+      // replay exercises the cross-swap skip
+      var lastReplay: Option[(String, Seq[(Long, String)])] = None
+      var genN = 0
+      for (step <- 1 to 6) {
+        val op = rng.nextInt(10)
+        if (op < 4 && nextSlice < universe.length) { // append via root
+          val batch = universe.slice(nextSlice, nextSlice + 5)
+          nextSlice += 5
+          IncrementalDedup.updateIndexInPlace(spark, root, batch.toDF("doc_id", "text"),
+            "doc_id", "text", batchId = Some(s"fzr_${seed}_$step"))
+          live ++= batch
+          tableIds ++= batch.map(_._1)
+          lastReplay = Some((s"fzr_${seed}_$step", batch))
+        } else if (op < 6 && live.size > 3) { // tombstone delete via root
+          val victims = rng.shuffle(live.keys.toSeq.sorted).take(1 + rng.nextInt(3))
+          IncrementalDedup.deleteInPlace(spark, root, victims.toDF("id"))
+          live --= victims
+        } else { // pinned compact-publish, RACED by a late append half the time
+          val cur = graft.util.TableIndex.resolveDir(spark, root)
+          val snap = graft.util.TableIndex.openSnapshot(spark, cur)
+          genN += 1
+          val gen = s"g$genN"
+          IncrementalDedup.compactIndex(spark, cur, s"$root/$gen", at = Some(snap))
+          if (rng.nextBoolean() && nextSlice < universe.length) {
+            // the race: a shard commits to the (still-current) old
+            // generation AFTER the rewrite read its tables
+            val late = universe.slice(nextSlice, nextSlice + 4)
+            nextSlice += 4
+            IncrementalDedup.updateIndexInPlace(spark, root, late.toDF("doc_id", "text"),
+              "doc_id", "text", batchId = Some(s"fzr_late_${seed}_$step"))
+            live ++= late
+            lastReplay = Some((s"fzr_late_${seed}_$step", late))
+          }
+          graft.util.TableIndex.catchUpAndPublish(spark, root, cur, gen, snap.bids)
+          tableIds = live.keySet // tombstones folded; late rows carried
+          if (rng.nextBoolean()) { // retire superseded generations
+            val swept = graft.util.TableIndex.vacuumGenerations(spark, root, graceMs = -1000L)
+            assert(!swept.contains(gen), "vacuum touched the current generation")
+          }
+        }
+        if (step % 2 == 0) {
+          graft.util.TableIndex.checkpointCommits(spark,
+            graft.util.TableIndex.resolveDir(spark, root))
+          lastReplay.foreach { case (bid, batch) =>
+            // may replay ACROSS a swap: the carried marker or the
+            // seeded history must answer it — a miss re-appends and
+            // the hashes-id check below catches the duplicates
+            IncrementalDedup.updateIndexInPlace(spark, root, batch.toDF("doc_id", "text"),
+              "doc_id", "text", batchId = Some(bid))
+          }
+        }
+        val curDir = graft.util.TableIndex.resolveDir(spark, root)
+        val hids = spark.read.parquet(s"$curDir/hashes.parquet")
+          .select("id").collect().map(_.getLong(0)).toSeq
+        assert(hids.sorted == tableIds.toSeq.sorted,
+          s"seed $seed step $step: hashes ids diverged from the model " +
+            s"(${hids.length} rows vs ${tableIds.size}) — lost or duplicated across a swap?")
+        val (got, want) = (engineDecisions(), bruteDecisions())
+        assert(got == want,
+          s"seed $seed step $step: root-addressed decisions diverged from brute force")
+        assert(engineDecisions(snapshot = true) == want,
+          s"seed $seed step $step: root-pinned snapshot decisions diverged")
+      }
+    }
+  }
+
+  test("ivf index: ROOT-addressed walks with compact/recluster publish + late appends keep nearDupsExact == brute force (2 seeds)") {
+    import spark.implicits._
+    for (seed <- 31L to 32L) {
+      val rng = new scala.util.Random(seed)
+      val universe = (0 until 80).map(i => (seed * 10000 + i, mkVec(seed * 10000 + i)))
+      val shard = (0 until 12).map(i => (96000L + i, mkVec(96000L + i)))
+      val shardDf = shard.toDF("id", "vec")
+      var nextSlice = 0
+      var live = Map.empty[Long, Array[Double]]
+      var tableIds = Set.empty[Long]
+      val root = graft.util.TempDirs.scratch(s"fuzz_ivf_root_$seed").toString
+      val first = universe.slice(0, 20)
+      val cents = Seq(
+        (0L, Seq(1.0, 0, 0, 0, 0, 0, 0, 0)),
+        (1L, Seq(1.0 / math.sqrt(2), 1.0 / math.sqrt(2), 0, 0, 0, 0, 0, 0))
+      ).toDF("c_id", "c_vec")
+      val book = AnnSearch.pqBook(first.toDF("id", "vec"), m = 8, stride = 2)
+      // floats-bearing: the recluster catch-up re-encodes late appends
+      IvfIndex.build(first.toDF("id", "vec"), cents, book, s"$root/g0", storeFloats = true)
+      graft.util.TableIndex.publishGeneration(spark, root, "g0")
+      live ++= first
+      tableIds ++= first.map(_._1)
+      nextSlice = 20
+
+      def brute(): Set[(Long, Long)] =
+        (for {
+          (qid, qv) <- shard; (nid, nv) <- live if qid != nid
+          d = qv.indices.map(i => qv(i) * nv(i)).sum
+          s = d / (math.sqrt(qv.map(x => x * x).sum) * math.sqrt(nv.map(x => x * x).sum))
+          if s >= 0.9
+        } yield (qid, nid)).toSet
+      def engine(snapshot: Boolean = false): Set[(Long, Long)] =
+        IvfIndex.nearDupsExact(spark, root, shardDf, tau = 0.9, snapshot = snapshot,
+            at = None)
+          .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      var lastReplay: Option[(String, Seq[(Long, Array[Double])])] = None
+      var genN = 0
+      for (step <- 1 to 6) {
+        val op = rng.nextInt(10)
+        if (op < 3 && nextSlice < universe.length) { // append via root
+          val batch = universe.slice(nextSlice, nextSlice + 8)
+          nextSlice += 8
+          IvfIndex.appendInPlace(spark, root, batch.toDF("id", "vec"),
+            batchId = Some(s"fzr_${seed}_$step"))
+          live ++= batch
+          tableIds ++= batch.map(_._1)
+          lastReplay = Some((s"fzr_${seed}_$step", batch))
+        } else if (op < 5 && live.size > 5) { // tombstone delete via root
+          val victims = rng.shuffle(live.keys.toSeq.sorted).take(1 + rng.nextInt(4))
+          IvfIndex.deleteInPlace(spark, root, victims.toDF("id"))
+          live --= victims
+        } else if (op < 7) { // geometry refresh via root (floats-bearing: own table)
+          IvfIndex.refreshGeometry(spark, root, spark.emptyDataFrame)
+        } else {
+          // pinned publish — compact (file-copy carry) or recluster
+          // (re-encode carry), raced by a late append half the time
+          val cur = graft.util.TableIndex.resolveDir(spark, root)
+          val snap = graft.util.TableIndex.openSnapshot(spark, cur)
+          genN += 1
+          val gen = s"g$genN"
+          val reclustered = rng.nextBoolean()
+          if (reclustered)
+            IvfIndex.recluster(spark, cur, spark.emptyDataFrame, s"$root/$gen",
+              stride = 7, iters = 1, at = Some(snap))
+          else
+            IvfIndex.compact(spark, cur, s"$root/$gen", at = Some(snap))
+          if (rng.nextBoolean() && nextSlice < universe.length) {
+            val late = universe.slice(nextSlice, nextSlice + 5)
+            nextSlice += 5
+            IvfIndex.appendInPlace(spark, root, late.toDF("id", "vec"),
+              batchId = Some(s"fzr_late_${seed}_$step"))
+            live ++= late
+            lastReplay = Some((s"fzr_late_${seed}_$step", late))
+          }
+          if (reclustered)
+            graft.util.TableIndex.catchUpAndPublishWith(spark, root, cur, gen, snap.bids)(
+              bids => IvfIndex.carryReencoded(spark, cur, s"$root/$gen", bids))
+          else
+            graft.util.TableIndex.catchUpAndPublish(spark, root, cur, gen, snap.bids)
+          tableIds = live.keySet
+          if (rng.nextBoolean()) {
+            val swept = graft.util.TableIndex.vacuumGenerations(spark, root, graceMs = -1000L)
+            assert(!swept.contains(gen), "vacuum touched the current generation")
+          }
+        }
+        if (step % 2 == 0) {
+          graft.util.TableIndex.checkpointCommits(spark,
+            graft.util.TableIndex.resolveDir(spark, root))
+          lastReplay.foreach { case (bid, batch) =>
+            IvfIndex.appendInPlace(spark, root, batch.toDF("id", "vec"), batchId = Some(bid))
+          }
+        }
+        val curDir = graft.util.TableIndex.resolveDir(spark, root)
+        val nids = spark.read.parquet(s"$curDir/encoded.parquet")
+          .select("n_id").collect().map(_.getLong(0)).toSeq
+        assert(nids.sorted == tableIds.toSeq.sorted,
+          s"seed $seed step $step: encoded ids diverged from the model " +
+            s"(${nids.length} rows vs ${tableIds.size}) — lost or duplicated across a swap?")
+        val (got, want) = (engine(), brute())
+        assert(got == want,
+          s"seed $seed step $step: root-addressed nearDupsExact diverged from brute force " +
+            s"(engine ${got.size} pairs, brute ${want.size})")
+        assert(engine(snapshot = true) == want,
+          s"seed $seed step $step: root-pinned snapshot probe diverged")
+        assert(want.nonEmpty, s"seed $seed step $step: degenerate walk — no true pairs left")
+      }
+    }
+  }
 }
