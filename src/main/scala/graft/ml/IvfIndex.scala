@@ -343,9 +343,10 @@ object IvfIndex {
     val salt = TableIndex.checkpointSalt(vectors.sparkSession, checkpointDir)
     vectors.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) TableIndex.awaitingLease() {
           appendInPlace(batch.sparkSession, indexDir, batch.toDF(),
             batchId = Some(f"s${salt}_$batchId%010d"))
+        }
       }
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -379,7 +380,7 @@ object IvfIndex {
     val salt = TableIndex.checkpointSalt(vecStream.sparkSession, checkpointDir)
     vecStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) TableIndex.awaitingLease() {
           val spark = batch.sparkSession
           val bid = f"s${salt}_$batchId%010d"
           val b = batch.toDF().localCheckpoint(true)
@@ -431,7 +432,7 @@ object IvfIndex {
     val salt = TableIndex.checkpointSalt(vecStream.sparkSession, checkpointDir)
     vecStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) TableIndex.awaitingLease() {
           val spark = batch.sparkSession
           require(loadFloats(spark, indexDir).isDefined,
             s"IvfIndex.dedupStream (self-contained form): $indexDir carries no floats table — " +

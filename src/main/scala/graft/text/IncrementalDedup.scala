@@ -244,7 +244,7 @@ object IncrementalDedup {
     val salt = TableIndex.checkpointSalt(docsStream.sparkSession, checkpointDir)
     docsStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) TableIndex.awaitingLease() {
           val spark = batch.sparkSession
           val bid = f"s${salt}_$batchId%010d"
           val b = batch.toDF().localCheckpoint(true)

@@ -463,15 +463,38 @@ object TableIndex {
   private val GenPointer = "_generation"
 
   /** The current generation's directory under `root`, if `root`
-    * carries a pointer. */
+    * carries a pointer.
+    *
+    * Bounded re-read on transient anomalies: the pointer swap is ONE
+    * atomic rename of the data file, but on a checksummed local
+    * filesystem the `.crc` sidecar moves in a separate step — a read
+    * landing in that microsecond window sees new data with the old
+    * checksum (ChecksumException), or no file between the sidecar
+    * shuffles. Both are mid-swap states, not corruption: re-read
+    * (the [[committedBids]] bounded-re-list discipline; found by the
+    * live appender-vs-publisher race spec). Persistent failure is a
+    * genuine FS fault and rethrows. */
   def resolveGeneration(spark: SparkSession, root: String): Option[String] = {
     val p = new Path(new Path(root), GenPointer)
     val fs = fsOf(spark, p)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val name = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-      finally in.close()
-    if (name.isEmpty) None else Some(new Path(new Path(root), name).toString)
+    var attempt = 0
+    while (true) {
+      try {
+        if (!fs.exists(p)) return None
+        val in = fs.open(p)
+        val name = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+          finally in.close()
+        return if (name.isEmpty) None else Some(new Path(new Path(root), name).toString)
+      } catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.EOFException |
+                  _: java.io.FileNotFoundException) =>
+          attempt += 1
+          if (attempt >= 5) throw e
+          Thread.sleep(20L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Follow a generation pointer ONE hop: a pointer-bearing root
@@ -646,6 +669,36 @@ object TableIndex {
     * re-resolving the root and retrying is always safe (batch ids
     * make the retry idempotent); [[mutateCurrent]] does exactly that. */
   final class GenerationSupersededException(msg: String) extends IllegalStateException(msg)
+
+  /** Thrown by a contended lease acquire: a LIVE writer holds the
+    * directory's writer lease. The fail-fast contract for concurrent
+    * production writers — but a typed exception, so callers whose
+    * retry IS safe (idempotent batch-id mutations: streaming sinks
+    * waiting out a publisher's catch-up window) can wait via
+    * [[awaitingLease]] without string-matching messages. */
+  final class LeaseContentionException(msg: String) extends IllegalStateException(msg)
+
+  /** Retry `body` while it fails on writer-lease contention, bounded
+    * by `waitMs` — for STREAMING micro-batch sinks: a maintenance
+    * publish holds the source generation's lease for its catch-up
+    * window (seconds-to-minutes), and without this a micro-batch
+    * firing inside that window would FAIL THE QUERY (the restart
+    * replays exactly-once, but a routine compaction must not be an
+    * operational event). Only for idempotent bodies (batch-id-guarded
+    * mutations); two genuinely concurrent writers still surface as
+    * the timeout rethrow. */
+  def awaitingLease[A](waitMs: Long = 10L * 60 * 1000)(body: => A): A = {
+    val deadline = System.currentTimeMillis() + waitMs
+    while (true) {
+      try return body
+      catch {
+        case e: LeaseContentionException =>
+          if (System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(200)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Run a mutation against the CURRENT generation of `dirOrRoot`,
     * retrying (bounded) when a concurrent generation swap supersedes
@@ -889,7 +942,7 @@ object TableIndex {
         true
       } catch { case _: java.io.IOException => false }
     def holderError(holder: Option[(String, Long)]): Nothing =
-      throw new IllegalStateException(
+      throw new LeaseContentionException(
         s"another writer holds the lease on index $dir" +
           holder.map { case (t, e) => s" (owner ${t.take(8)}…, expires in ${e - System.currentTimeMillis()} ms)" }.getOrElse("") +
           " — the index family is single-writer; serialize mutations or wait for the lease to expire")
@@ -993,7 +1046,7 @@ object TableIndex {
     while (token == null) {
       try token = acquireLease(spark, dir)
       catch {
-        case e: IllegalStateException =>
+        case e: LeaseContentionException =>
           if (System.currentTimeMillis() >= deadline) throw e
           Thread.sleep(200)
       }

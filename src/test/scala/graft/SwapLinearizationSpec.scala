@@ -417,6 +417,49 @@ class SwapLinearizationSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  // Streaming patience: a held lease delays a micro-batch, not the query
+  // ----------------------------------------------------------------
+
+  test("a streaming micro-batch WAITS OUT a maintenance-held writer lease instead of failing the query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = docsDf
+    val initial = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val arriving = d.filter(pmod(col("doc_id"), lit(4)) === 0).limit(20)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)].collect()
+    val idx = graft.util.TempDirs.scratch("lease_wait_idx").toString
+    IncrementalDedup.buildIndex(initial, "doc_id", "text", idx)
+    // a maintenance op (publisher catch-up window) holds the lease...
+    val token = TableIndex.acquireLease(spark, idx)
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val releaser = new Thread(() => {
+      Thread.sleep(2500)
+      released.set(true)
+      TableIndex.releaseLease(spark, idx, token)
+    })
+    releaser.setDaemon(true)
+    val mem = MemoryStream[(Long, String)]
+    val decDir = graft.util.TempDirs.scratch("lease_wait_dec").toString
+    val q = IncrementalDedup.dedupStream(idx, mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", decDir, graft.util.TempDirs.scratch("lease_wait_ckpt").toString,
+      tau = 0.8)
+    try {
+      // ...and the micro-batch firing inside the window must DELAY
+      // (awaitingLease re-runs the batch body; already-committed
+      // decisions skip by bid), not fail the query
+      releaser.start()
+      mem.addData(arriving.toIndexedSeq)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"stream failed on a transiently held lease: ${q.exception}")
+      assert(released.get(), "the batch completed before the lease was even released?")
+      assert(spark.read.parquet(s"$decDir/decisions.parquet").count() == arriving.length,
+        "the delayed micro-batch's decisions did not land")
+    } finally q.stop()
+  }
+
+  // ----------------------------------------------------------------
   // True concurrency: a live appender thread vs a publishing compactor
   // ----------------------------------------------------------------
 
