@@ -255,6 +255,21 @@ object Bench {
       .filter { case (label, _, _, _) => label == sfLabelMain || label == "sf1_synth" }
       .sortBy { case (label, _, _, _) => if (label == sfLabelMain) 0 else 1 }
       .map { case (label, _, _, (_, steady)) => (label, steady) }
+    // r15: FIRST-pass readings of the primary step's 5 heaviest cells
+    // (by steady time) on the stdout line — the flagship's first/min
+    // self-adjudication extended to the heavy tier (capstones,
+    // stream_distinct_hll). The r14 round's three ≥2× driver upticks
+    // all had to be adjudicated from the builder's local record; with
+    // first+steady in the driver record itself, a steady uptick whose
+    // first pass and same-step ext_cal stayed in band reads as a
+    // measurement-window artifact with no local cross-reference.
+    val extHeavyFirst = extRuns
+      .find { case (label, _, _, _) => label == sfLabelMain }
+      .map { case (_, _, _, (firstP, steadyP)) =>
+        val heavy = steadyP.sortBy { case (k, v) => (-v, k) }.take(5).map(_._1).toSet
+        firstP.filter { case (k, _) => heavy(k) }
+          .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      }.getOrElse("{}")
     val ext = extJson(_._2, cells)
     val extFirst = extJson(_._1, cells)
     // cal_drift = pre/post: ~1.0 means a stable host; ≫1 means the run
@@ -270,7 +285,7 @@ object Bench {
         if (slim) ""
         else s""""first_pass_total":${f"$firstTotal%.3f"},"tiled_first_cold":${f"$tiledFirstCold%.3f"},"""
       val sfLabel = if (slim) Paths.get(sfDir).getFileName.toString else sfDir
-      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$debt"tiled_first":${f"$tiledFirst%.3f"},"tiled_min":${f"$tiledMin%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"},"cal_drift":${f"$calDrift%.2f"},"drv_cal":${f"$drvCal%.3f"},"drv_cal_ext":$drvCalExt,"ext_cal":$extCal$extPart,"sf":"$sfLabel""""
+      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,$debt"tiled_first":${f"$tiledFirst%.3f"},"tiled_min":${f"$tiledMin%.3f"},"calibration_pre":${f"$calPre%.3f"},"calibration_post":${f"$calPost%.3f"},"cal_drift":${f"$calDrift%.2f"},"drv_cal":${f"$drvCal%.3f"},"drv_cal_ext":$drvCalExt,"ext_cal":$extCal,"ext_heavy_first":$extHeavyFirst$extPart,"sf":"$sfLabel""""
     }
     // stdout line: must fit the driver's 2000-char stdout tail window
     // (with the trailing ~75-char sbt status line) or the round's bench

@@ -800,6 +800,45 @@ object QueriesText {
       .select(col("id").as("doc_id"), col("dup_exact"), col("dup_near"), col("kept"))
   }
 
+  /** Generation RETIREMENT, driver-gated — the one generation op that
+    * was gated only by specs until r15. The row runs the full
+    * retirement story against the same from-scratch oracle as
+    * `dedup_incremental`: build g0 → publish → REGISTER A READER PIN
+    * on g0 ([[graft.util.TableIndex.pinSnapshot]]) → compactPublish
+    * (g0 superseded) → an aggressive vacuum (negative grace: cutoff in
+    * the future) MUST skip the pinned generation → release the pin →
+    * the same vacuum retires g0 → the root-addressed probe and fsck
+    * prove retirement deleted dead weight, not state. Row-count and
+    * existence guards fail the row loud on any vacuum misstep. */
+  private def dedupIncrementalVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val old = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+    val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    val root = graft.util.TempDirs.memoized(s"incr_vac_root:$dir", "graft_incr_vac").toString
+    if (graft.util.TableIndex.resolveGeneration(spark, root).isEmpty) {
+      IncrementalDedup.buildIndex(old, "doc_id", "text", s"$root/g0")
+      graft.util.TableIndex.publishGeneration(spark, root, "g0")
+      val pin = graft.util.TableIndex.pinSnapshot(spark, root) // a live reader holds g0
+      IncrementalDedup.compactPublish(spark, root) // g0 superseded
+      val v1 = graft.util.TableIndex.vacuumGenerations(spark, root, graceMs = -60000L)
+      require(!v1.contains("g0") && new java.io.File(s"$root/g0").exists(),
+        s"vacuum deleted a generation with a LIVE reader pin (deleted: $v1)")
+      // the pinned reader keeps answering from g0 while it is held
+      require(IncrementalDedup.processShard(spark, root, shard, "doc_id", "text",
+        tau = 0.8, at = Some(pin.snapshot)).count() > 0,
+        "the pinned reader's probe failed while its generation was pin-protected")
+      pin.close()
+      val v2 = graft.util.TableIndex.vacuumGenerations(spark, root, graceMs = -60000L)
+      require(v2.contains("g0") && !new java.io.File(s"$root/g0").exists(),
+        s"vacuum left an unpinned superseded generation (deleted: $v2)")
+    }
+    val audit = IncrementalDedup.fsckIndex(spark, root)
+    require(audit.isEmpty, s"post-vacuum root audits dirty: $audit")
+    IncrementalDedup.processShard(spark, root, shard, "doc_id", "text", tau = 0.8,
+      snapshot = true)
+      .select(col("id").as("doc_id"), col("dup_exact"), col("dup_near"), col("kept"))
+  }
+
   /** OFFLINE fsck as a DRIVER-GATED contract: zero findings on the
     * protocol-produced `dedup_incremental_fold` index (build → append
     * under an explicit bid → marker fold) is itself a hash-gateable
@@ -822,10 +861,26 @@ object QueriesText {
     java.nio.file.Files.copy(donor.toPath,
       new java.io.File(s"$copy/hashes.parquet/b_ghost__planted.parquet").toPath)
     val planted = IncrementalDedup.fsckIndex(spark, copy)
+    // r15: the repair loop, gated in the same row — fsckRepair must
+    // QUARANTINE the orphan (moved under _quarantine, never deleted)
+    // and leave the copy auditing CLEAN; plain reads of the repaired
+    // table return to the healthy row count (the orphan was valid
+    // parquet a plain reader would otherwise silently include)
+    val healthyRows = spark.read.parquet(s"$idxDir/hashes.parquet").count()
+    val actions = graft.util.TableIndex.fsckRepair(spark, copy)
+    val quarantined = actions.count { case (f, a) =>
+      f.kind == "orphan-file" && a.startsWith("quarantined") }
+    val afterRepair = IncrementalDedup.fsckIndex(spark, copy)
+    val repairedRows = spark.read.parquet(s"$copy/hashes.parquet").count()
+    require(repairedRows == healthyRows,
+      s"repaired copy's plain read diverged from healthy ($repairedRows vs $healthyRows)")
     Seq((healthy.size.toLong,
         "orphan-file",
-        planted.count(_.kind == "orphan-file").toLong))
-      .toDF("healthy_findings", "planted_kind", "planted_hits")
+        planted.count(_.kind == "orphan-file").toLong,
+        quarantined.toLong,
+        afterRepair.size.toLong))
+      .toDF("healthy_findings", "planted_kind", "planted_hits",
+        "orphan_quarantined", "repaired_findings")
   }
 
   private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
@@ -2525,6 +2580,7 @@ object QueriesText {
     "dedup_incremental_fold" -> (dedupIncrementalFold _),
     "dedup_incremental_gen" -> (dedupIncrementalGen _),
     "dedup_incremental_gen_race" -> (dedupIncrementalGenRace _),
+    "dedup_incremental_vacuum" -> (dedupIncrementalVacuum _),
     "fsck_conformance" -> (fsckConformance _),
     "quality_clf_train" -> (qualityClfTrain _),
     "corpus_pipeline_v7" -> (corpusPipelineV7 _),
@@ -3438,12 +3494,16 @@ object QueriesText {
     // from-scratch replay as the in-place rows
     "dedup_incremental_gen" -> dedupIncrementalOracle,
     "dedup_incremental_gen_race" -> dedupIncrementalOracle,
+    "dedup_incremental_vacuum" -> dedupIncrementalOracle,
     // the healthy protocol artifact audits clean; the planted orphan
-    // is named exactly once
+    // is named exactly once, quarantined exactly once by fsckRepair,
+    // and the repaired copy audits clean
     "fsck_conformance" ->
       """SELECT CAST(0 AS BIGINT) AS healthy_findings,
         |  'orphan-file' AS planted_kind,
-        |  CAST(1 AS BIGINT) AS planted_hits""".stripMargin,
+        |  CAST(1 AS BIGINT) AS planted_hits,
+        |  CAST(1 AS BIGINT) AS orphan_quarantined,
+        |  CAST(0 AS BIGINT) AS repaired_findings""".stripMargin,
     // v8 = the dedup_incremental decision chain + the classifier chain
     // trained on gen-1 only (WHERE on ct) + shard-survivor scoring +
     // the per-source rollup — one from-scratch replay of the whole

@@ -690,12 +690,23 @@ object IvfIndex {
     * refreshes from its OWN float table and ignores `corpus` (pass an
     * empty frame) — coverage holds by construction there. */
   def refreshGeometry(spark: SparkSession, indexDirOrRoot: String, corpus: DataFrame): Unit = {
-    val indexDir = TableIndex.resolveDir(spark, indexDirOrRoot)
-    TableIndex.repair(spark, indexDir)
-    val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
-    val live = liveVectors(spark, indexDir, corpus, op = "refreshGeometry")
-    TableIndex.replaceTable(spark, indexDir, TableIndex.newBatchId("geo"),
-      "geometry.parquet", cellRadii(live, centroids))
+    // stable bid across mutateCurrent retries: a refresh that loses the
+    // swap race and retries against the new generation must not leave a
+    // half-claimed bid behind
+    val bid = TableIndex.newBatchId("geo")
+    // root-addressed refreshes re-validate the pointer under the
+    // replaceTable lease (requireCurrentOf) and retry across a
+    // concurrent generation swap — without it a refresh racing a
+    // compactPublish committed into the superseded directory and was
+    // silently lost (stale-but-sound radii; wasted work), inconsistent
+    // with the appendInPlace/deleteInPlace discipline
+    TableIndex.mutateCurrent(spark, indexDirOrRoot) { (indexDir, reqCur) =>
+      TableIndex.repair(spark, indexDir)
+      val centroids = spark.read.parquet(s"$indexDir/centroids.parquet")
+      val live = liveVectors(spark, indexDir, corpus, op = "refreshGeometry")
+      TableIndex.replaceTable(spark, indexDir, bid,
+        "geometry.parquet", cellRadii(live, centroids), requireCurrentOf = reqCur)
+    }
     ()
   }
 

@@ -52,17 +52,26 @@ import org.apache.spark.sql.functions._
   * it would sit behind a committer that provides them, the same
   * requirement Spark's own FileOutputCommitter has.
   *
-  * Single-writer discipline (one appender per index directory) is
-  * ENFORCED by an advisory lease file: [[commitBatch]] and
-  * [[replaceTable]] acquire `dir/_writer.lease` (an atomic
-  * create-no-overwrite) for the duration of the mutation, so a second
-  * concurrent writer FAILS FAST instead of interleaving staged batches
-  * and repairs. A crashed writer's lease expires ([[LeaseMs]]) and the
-  * next writer steals it. The lease is advisory in the one way any
-  * lock on a rename-only filesystem must be: a steal decided during a
-  * long GC pause of the old holder can race — the protocol stays
+  * Write concurrency (r15 — the Delta/Iceberg stage-outside-the-lock
+  * posture): [[commitBatch]] stages its parquet OUTSIDE the index
+  * writer lease, under a per-batch STAGING lease
+  * (`_staging/<bid>/_stage.lease`, heartbeat-renewed) that tells
+  * [[repair]] a live stage from a torn one. The index lease
+  * (`dir/_writer.lease`, atomic create-no-overwrite) covers only the
+  * MOVE PHASE — repair + renames + marker + fold, metadata RPCs
+  * independent of data volume — so N producers appending different
+  * batches overlap their data writes fully and serialize only on the
+  * cheap move. A contended move FAILS FAST by default (a typed
+  * [[LeaseContentionException]]), or polls when the caller opts into
+  * `leaseWaitMs` (batch producers racing a publisher's catch-up
+  * window) / [[awaitingLease]] (streaming sinks). A crashed writer's
+  * lease expires ([[LeaseMs]]) and the next writer steals it; a
+  * crashed stager's stage lease expires and the next repair sweeps the
+  * dead stage. Both leases are advisory in the one way any lock on a
+  * rename-only filesystem must be: a steal decided during a long GC
+  * pause of the old holder can race — the protocol stays
   * crash-consistent regardless (the loser's batch is torn and rolls
-  * back), the lease exists to make the overlap LOUD.
+  * back), the leases exist to make the overlap LOUD.
   *
   * Readers have two postures. Plain reads ([[readTableIfExists]] and
   * the indexes' default paths) must not overlap an IN-FLIGHT commit:
@@ -279,6 +288,13 @@ object TableIndex {
   private val dimRowsCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
+  /** Test hook: the dim cache's live keys — the eviction spec pins
+    * "one live entry per (tag, table)" without reaching into the map. */
+  private[graft] def dimCacheKeys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    dimRowsCache.keySet.asScala.toSet
+  }
+
   /** Load-through cache of a COLLECTED dim table: returns `load` over
     * the table's rows, cached under the visible-file fingerprint (and
     * `tag`, so two collected shapes of one table don't collide). None
@@ -303,7 +319,8 @@ object TableIndex {
       } else true
     }
     if (visible.isEmpty) return None
-    val key = tag + "|" + fs.makeQualified(t).toString + "|" +
+    val keyPrefix = tag + "|" + fs.makeQualified(t).toString + "|"
+    val key = keyPrefix +
       visible.map(f => s"${f.getPath.getName}#${f.getModificationTime}#${f.getLen}")
         .sorted.mkString(",")
     val cached = dimRowsCache.get(key)
@@ -314,6 +331,14 @@ object TableIndex {
     }
     df.map { d =>
       val a = load(d)
+      // ONE live entry per (tag, table): every geometry append /
+      // refresh / generation swap re-keys, and a long-lived streaming
+      // driver at per-shard cadence would otherwise accumulate dead
+      // superseded entries for the whole session (strong references —
+      // only wipe() purged them before r15). Evicting on insert trades
+      // re-collection of a still-pinned OLD snapshot's dims (rare,
+      // dim-table-cheap) for bounded memory (always).
+      dimRowsCache.keySet.removeIf(k => k.startsWith(keyPrefix) && k != key)
       dimRowsCache.put(key, a)
       a
     }
@@ -587,14 +612,15 @@ object TableIndex {
     * sibling generation directories the pointer does not name and (b)
     * crashed publishers' `_generation.tmp.*` files, both only when
     * their newest contained file is older than `graceMs`. The grace
-    * window is the snapshot-retention policy ([[retireGeneration]]'s
-    * operator contract, time-based): a pinned handle on a superseded
-    * generation stays valid for at least the grace period after the
-    * generation last changed — the Delta-VACUUM posture, since a
-    * filesystem cannot enumerate live readers. The CURRENT generation
-    * is never touched (same guard as [[retireGeneration]]); a
-    * committed-but-unpublished successor younger than the grace is
-    * left for its publisher to finish. Returns what was deleted. */
+    * window is the snapshot-retention policy for UNREGISTERED readers
+    * (the Delta-VACUUM posture — a filesystem cannot enumerate them);
+    * readers that REGISTER a [[pinSnapshot]] pin are first-class:
+    * their generation is untouchable while the pin is live, no matter
+    * its age, and an expired pin (crashed reader) is swept here by the
+    * same age gate. The CURRENT generation is never touched (same
+    * guard as [[retireGeneration]]); a committed-but-unpublished
+    * successor younger than the grace is left for its publisher to
+    * finish. Returns what was deleted. */
   def vacuumGenerations(spark: SparkSession, root: String, graceMs: Long): Seq[String] = {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
@@ -604,18 +630,37 @@ object TableIndex {
           "pointer-rooted indexes (a plain directory has no superseded generations)"))
     val curQ = fs.makeQualified(new Path(cur))
     val cutoff = System.currentTimeMillis() - graceMs
+    // generations with UNEXPIRED reader pins are untouchable no matter
+    // their age — "retire only after readers drain" as a checked
+    // invariant, not an operator contract (see the reader-pin section)
+    val pinned = livePinnedGenerations(fs, root)
     val deleted = Seq.newBuilder[String]
     for (d <- fs.listStatus(rootP)) {
       val nm = d.getPath.getName
       val isStaleDir = d.isDirectory && !nm.startsWith("_") && !nm.startsWith(".") &&
-        fs.makeQualified(d.getPath) != curQ &&
+        fs.makeQualified(d.getPath) != curQ && !pinned.contains(nm) &&
         (d.getModificationTime +: listFilesRec(fs, d.getPath).map(_.getModificationTime))
           .max < cutoff
       val isStaleTmp = d.isFile && nm.startsWith(s"$GenPointer.tmp.") &&
         d.getModificationTime < cutoff
       if (isStaleDir || isStaleTmp) {
         fs.delete(d.getPath, true)
+        if (d.isDirectory) purgeCachesUnder(fs, d.getPath)
         deleted += nm
+      }
+    }
+    // EXPIRED pin files (crashed readers that never released) are
+    // stale protocol files like pointer-tmps: swept by the same age
+    // gate, so `_pins` stays bounded by the live-reader count
+    val pd = pinsDir(root)
+    if (fs.exists(pd)) {
+      val now = System.currentTimeMillis()
+      for (s <- fs.listStatus(pd)
+           if s.isFile && !s.getPath.getName.startsWith(".") &&
+             s.getModificationTime < cutoff &&
+             !readLease(fs, s.getPath).exists(_._2 >= now)) {
+        fs.delete(s.getPath, false)
+        deleted += s"_pins/${s.getPath.getName}"
       }
     }
     deleted.result()
@@ -635,7 +680,90 @@ object TableIndex {
     require(!current.exists(c => fsOf(spark, new Path(c)).makeQualified(new Path(c)) ==
         fs.makeQualified(target)),
       s"cannot retire the CURRENT generation $genName of $root — publish a successor first")
-    if (fs.exists(target)) { fs.delete(target, true); () }
+    require(!livePinnedGenerations(fs, root).contains(genName),
+      s"cannot retire generation $genName of $root — live reader pins hold it " +
+        "(release them, or let them expire); retirement must wait for readers to drain")
+    if (fs.exists(target)) { fs.delete(target, true); purgeCachesUnder(fs, target) }
+    ()
+  }
+
+  // ---------------------------------------------------------------
+  // Reader pins — retirement that can SEE its readers
+  // ---------------------------------------------------------------
+  // The grace window of vacuumGenerations is the Delta-VACUUM posture:
+  // a filesystem cannot enumerate live readers, so "retire only after
+  // readers drain" was an operator CONTRACT, checked by nothing. A
+  // reader pin turns it into a checked invariant: a long-running
+  // reader registers `root/_pins/<uuid>` (content: the pinned
+  // generation's name + a heartbeat-renewed expiry — the lease file
+  // format) and vacuum/retire REFUSE a generation with an unexpired
+  // pin. Expired pins (crashed readers) are swept by vacuum like any
+  // other stale protocol file, so the age-based fallback survives.
+  //
+  // OPT-IN by design, not wired into openSnapshot: a pin is one file
+  // create + a heartbeat thread, which is nothing for a session-long
+  // analytical reader but would be a write amplification disaster on
+  // the probe path (thousands of openSnapshot calls per second at
+  // production shard cadence, against a read path that is otherwise
+  // one listing). Short reads stay safe through the grace window,
+  // exactly as before.
+
+  private def pinsDir(root: String) = new Path(new Path(root), "_pins")
+
+  /** A registered reader pin: the pinned [[Snapshot]] plus the pin
+    * file's lifecycle. `close()` releases the pin (stops the heartbeat
+    * and deletes the file); an unreleased pin of a crashed reader
+    * expires and is swept by [[vacuumGenerations]]. */
+  final class ReaderPin private[util] (val snapshot: Snapshot,
+                                       releaseBody: () => Unit) extends AutoCloseable {
+    override def close(): Unit = releaseBody()
+  }
+
+  /** [[openSnapshot]] plus a REGISTERED pin on the resolved
+    * generation: while the pin is live (heartbeat-renewed `leaseMs`
+    * expiry), [[vacuumGenerations]] and [[retireGeneration]] refuse to
+    * delete that generation — the handle's files cannot vanish
+    * mid-read no matter how long the read runs or how short the
+    * vacuum grace is. On a PLAIN (pointer-less) directory this is just
+    * [[openSnapshot]] (nothing retires plain directories; close() is a
+    * no-op). Use for session-length readers; per-probe reads should
+    * keep using [[openSnapshot]] (see the section comment). */
+  def pinSnapshot(spark: SparkSession, dirOrRoot: String,
+                  leaseMs: Long = LeaseMs): ReaderPin = {
+    val snap = openSnapshot(spark, dirOrRoot)
+    snap.origin match {
+      case None => new ReaderPin(snap, () => ())
+      case Some(root) =>
+        val genName = new Path(snap.dir).getName
+        val fs = fsOf(spark, new Path(root))
+        val p = new Path(pinsDir(root),
+          "p" + java.util.UUID.randomUUID().toString.replace("-", ""))
+        // the pin file IS a lease file whose token is the generation
+        // name — readLease/renewLease work unchanged, and vacuum reads
+        // (generation, expiry) in one parse
+        val out = fs.create(p, false)
+        out.write(s"$genName ${System.currentTimeMillis() + leaseMs}".getBytes("UTF-8"))
+        out.close()
+        val hb = startHeartbeatAt(fs, p, genName, leaseMs)
+        new ReaderPin(snap, () => {
+          try hb.close() catch { case _: Throwable => () }
+          try { fs.delete(p, false); () } catch { case _: java.io.IOException => () }
+        })
+    }
+  }
+
+  /** The generation names held by UNEXPIRED reader pins under `root` —
+    * one `_pins` listing plus one small read per pin (readers are
+    * humans and sessions, not shards: the dir holds units, not
+    * thousands). */
+  private def livePinnedGenerations(fs: FileSystem, root: String): Set[String] = {
+    val pd = pinsDir(root)
+    if (!fs.exists(pd)) return Set.empty
+    val now = System.currentTimeMillis()
+    fs.listStatus(pd).iterator
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .flatMap(s => readLease(fs, s.getPath))
+      .filter(_._2 >= now).map(_._1).toSet
   }
 
   // ---------------------------------------------------------------
@@ -687,7 +815,7 @@ object TableIndex {
     * operational event). Only for idempotent bodies (batch-id-guarded
     * mutations); two genuinely concurrent writers still surface as
     * the timeout rethrow. */
-  def awaitingLease[A](waitMs: Long = 10L * 60 * 1000)(body: => A): A = {
+  def awaitingLease[A](waitMs: Long = LeaseWaitMs)(body: => A): A = {
     val deadline = System.currentTimeMillis() + waitMs
     while (true) {
       try return body
@@ -811,34 +939,53 @@ object TableIndex {
       for (bid <- bids.sorted if !isCommitted(spark, dstDir, bid)) {
         val pfx = prefix(bid)
         val stage = new Path(stagingDir(dstDir), bid)
-        val staged = Seq.newBuilder[String]
-        for (t <- tableDirs) {
-          val tq = fsS.makeQualified(t).toString
-          val files = listFilesRec(fsS, t).map(_.getPath).filter(_.getName.startsWith(pfx))
-          if (files.nonEmpty) {
-            staged += t.getName
-            for (f <- files) {
-              val rel = f.toString.stripPrefix(tq).stripPrefix("/")
-              val relParent = rel.lastIndexOf('/') match {
-                case -1 => ""
-                case i  => rel.substring(0, i)
+        // stage lease here too (the commitBatch discipline): the copy
+        // runs under the DST writer lease, but a plain READER's
+        // un-leased repair() must still see this stage as live, not
+        // roll it back mid-copy
+        val stageTok = claimLeaseFile(fsD, stageLeasePath(stage), LeaseMs,
+          s"staging of batch $bid under $dstDir")
+        val stageHb = startHeartbeatAt(fsD, stageLeasePath(stage), stageTok, LeaseMs)
+        try {
+          val staged = Seq.newBuilder[String]
+          for (t <- tableDirs) {
+            val tq = fsS.makeQualified(t).toString
+            val files = listFilesRec(fsS, t).map(_.getPath).filter(_.getName.startsWith(pfx))
+            if (files.nonEmpty) {
+              staged += t.getName
+              for (f <- files) {
+                val rel = f.toString.stripPrefix(tq).stripPrefix("/")
+                val relParent = rel.lastIndexOf('/') match {
+                  case -1 => ""
+                  case i  => rel.substring(0, i)
+                }
+                val destDir = if (relParent.isEmpty) new Path(stage, t.getName)
+                              else new Path(new Path(stage, t.getName), relParent)
+                fsD.mkdirs(destDir)
+                // staged WITHOUT the bid prefix — movePairs re-applies it,
+                // so the live name ends identical to the source's
+                org.apache.hadoop.fs.FileUtil.copy(
+                  fsS, f, fsD, new Path(destDir, f.getName.stripPrefix(pfx)), false, conf)
               }
-              val destDir = if (relParent.isEmpty) new Path(stage, t.getName)
-                            else new Path(new Path(stage, t.getName), relParent)
-              fsD.mkdirs(destDir)
-              // staged WITHOUT the bid prefix — movePairs re-applies it,
-              // so the live name ends identical to the source's
-              org.apache.hadoop.fs.FileUtil.copy(
-                fsS, f, fsD, new Path(destDir, f.getName.stripPrefix(pfx)), false, conf)
             }
           }
+          renameAll(fsD, staged.result().flatMap(t => movePairs(fsD, dstDir, bid, stage, t)))
+          val c = commitsDir(dstDir)
+          fsD.mkdirs(c)
+          fsD.create(new Path(c, bid), true).close()
+          maybeAutoFold(spark, dstDir)
+          fsD.delete(stage, true)
+        } catch {
+          case e: Throwable =>
+            // a failure mid-move leaves live-but-unmarked files — keep
+            // the stage dir (repair's rollback needs it) but kill its
+            // lease so it reads as DEAD immediately, not after expiry
+            try { fsD.delete(stageLeasePath(stage), false); () }
+            catch { case _: java.io.IOException => () }
+            throw e
+        } finally {
+          try stageHb.close() catch { case _: Throwable => () }
         }
-        renameAll(fsD, staged.result().flatMap(t => movePairs(fsD, dstDir, bid, stage, t)))
-        val c = commitsDir(dstDir)
-        fsD.mkdirs(c)
-        fsD.create(new Path(c, bid), true).close()
-        fsD.delete(stage, true)
-        maybeAutoFold(spark, dstDir)
       }
     }
   }
@@ -863,7 +1010,7 @@ object TableIndex {
     * pinned snapshot. Returns the late bids carried over. */
   def catchUpAndPublishWith(spark: SparkSession, root: String, srcDir: String,
                             genName: String, pinned: Set[String],
-                            leaseWaitMs: Long = 10L * 60 * 1000)
+                            leaseWaitMs: Long = LeaseWaitMs)
                            (carry: Seq[String] => Unit): Seq[String] = {
     seedCommittedHistory(spark, s"$root/$genName", pinned)
     // POLLING acquire, publisher-side only: a live appender's held
@@ -910,6 +1057,16 @@ object TableIndex {
     * to one torn (rolled-back) batch. */
   val LeaseMs: Long = 15L * 60 * 1000
 
+  /** Default bound for lease-polling waits ([[awaitingLease]], the
+    * publisher side of [[catchUpAndPublishWith]], bounded-wait
+    * commits). STRICTLY LONGER than [[LeaseMs]] plus an allowance: the
+    * operational event these waits exist to ride out is a CRASHED
+    * writer's orphaned lease, which only becomes stealable after
+    * LeaseMs — a wait bound shorter than that (the pre-r15 10 min
+    * default) would rethrow and fail a streaming query moments before
+    * the lease expired on its own. */
+  val LeaseWaitMs: Long = LeaseMs + 5L * 60 * 1000
+
   private def leasePath(dir: String) = new Path(s"$dir/_writer.lease")
 
   private def readLease(fs: FileSystem, p: Path): Option[(String, Long)] =
@@ -930,9 +1087,19 @@ object TableIndex {
     * is stolen. Returns the owner token for [[releaseLease]]. */
   private[graft] def acquireLease(spark: SparkSession, dir: String,
                                   leaseMs: Long = LeaseMs): String = {
-    val p = leasePath(dir)
-    val fs = fsOf(spark, p)
-    fs.mkdirs(new Path(dir))
+    fsOf(spark, new Path(dir)).mkdirs(new Path(dir))
+    claimLeaseFile(fsOf(spark, leasePath(dir)), leasePath(dir), leaseMs, s"index $dir")
+  }
+
+  /** Claim the lease FILE at `p` — atomic create-no-overwrite, expired
+    * leases stolen, read-back so two racing stealers resolve to one
+    * owner. Shared by the index writer lease and the per-batch STAGING
+    * lease ([[commitBatch]]'s stage-outside-the-lease shape): same
+    * file format, same steal discipline, same advisory caveat (a steal
+    * decided during a long GC pause of a live holder can race; the
+    * batch protocol stays crash-consistent — the loser's work is torn
+    * and rolls back — the lease makes the overlap LOUD). */
+  private def claimLeaseFile(fs: FileSystem, p: Path, leaseMs: Long, what: String): String = {
     val token = java.util.UUID.randomUUID().toString.replace("-", "")
     def tryCreate(): Boolean =
       try {
@@ -943,9 +1110,9 @@ object TableIndex {
       } catch { case _: java.io.IOException => false }
     def holderError(holder: Option[(String, Long)]): Nothing =
       throw new LeaseContentionException(
-        s"another writer holds the lease on index $dir" +
+        s"another writer holds the lease on $what" +
           holder.map { case (t, e) => s" (owner ${t.take(8)}…, expires in ${e - System.currentTimeMillis()} ms)" }.getOrElse("") +
-          " — the index family is single-writer; serialize mutations or wait for the lease to expire")
+          " — the lease is single-holder; serialize mutations or wait for it to expire")
     if (!tryCreate()) {
       // an unparseable/empty lease is usually a writer caught mid-
       // create or mid-renewal, not a corpse — re-read before treating
@@ -1007,7 +1174,13 @@ object TableIndex {
   private[graft] def startLeaseHeartbeat(spark: SparkSession, dir: String, token: String,
                                          leaseMs: Long = LeaseMs): AutoCloseable = {
     val p = leasePath(dir)
-    val fs = fsOf(spark, p)
+    startHeartbeatAt(fsOf(spark, p), p, token, leaseMs)
+  }
+
+  /** The heartbeat body, generic over the lease FILE — shared by the
+    * writer lease, the staging lease, and reader pins. */
+  private def startHeartbeatAt(fs: FileSystem, p: Path, token: String,
+                               leaseMs: Long): AutoCloseable = {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val t = new Thread(() => {
       while (!stop.get()) {
@@ -1068,12 +1241,20 @@ object TableIndex {
     // same path restarts base versioning, and a same-JVM rebuild can
     // land within the local FS's modification-time granularity — the
     // FileStatus-keyed cache alone could then serve the dead
-    // generation's bids (see readBaseBids)
+    // generation's bids (see readBaseBids). Same for the dim cache.
+    purgeCachesUnder(fs, p)
+  }
+
+  /** Drop every session-cached base-bid set and collected dim table
+    * keyed under `p` — run whenever a directory tree is DELETED
+    * ([[wipe]], [[vacuumGenerations]], [[retireGeneration]]): the
+    * entries can never be served again (their files are gone), and on
+    * a local FS a same-path rebuild within mtime granularity could
+    * even collide with them. Dim-cache keys are
+    * "tag|qualifiedTablePath|files" — match on the path segment. */
+  private def purgeCachesUnder(fs: FileSystem, p: Path): Unit = {
     val prefix = fs.makeQualified(p).toString + "/"
     baseBidsCache.keySet.removeIf(_.startsWith(prefix))
-    // same-JVM rebuild within mtime granularity: the dim cache's
-    // file-status keys could collide too — purge eagerly (keys are
-    // "tag|qualifiedTablePath|files", so match on the path segment)
     dimRowsCache.keySet.removeIf(_.split("\\|", 3).lift(1).exists(_.startsWith(prefix)))
     ()
   }
@@ -1095,14 +1276,38 @@ object TableIndex {
     out.result()
   }
 
+  /** The per-batch STAGING lease: `_staging/<bid>/_stage.lease`, the
+    * liveness marker that lets [[commitBatch]] stage its parquet
+    * OUTSIDE the index writer lease. A stage whose lease is LIVE
+    * (unexpired, heartbeat-renewed by its writer) is an in-progress
+    * commit — [[repair]] must skip it, or a concurrent writer's repair
+    * would roll back a batch that is still being written. A stage with
+    * an expired or absent lease is DEAD (the pre-r15 protocol staged
+    * under the index lease and wrote no stage lease, so legacy torn
+    * stages read as dead too) and repairs exactly as before. */
+  private def stageLeasePath(stage: Path) = new Path(stage, "_stage.lease")
+
+  private def stageIsLive(fs: FileSystem, stage: Path): Boolean =
+    readLease(fs, stageLeasePath(stage)).exists(_._2 >= System.currentTimeMillis())
+
   /** Restore "live dirs == committed batches": finish the cleanup of
     * committed batches, roll back torn ones. Idempotent; cheap when
-    * `_staging` is absent. */
+    * `_staging` is absent. Skips LIVE stages (see [[stageLeasePath]]):
+    * a writer staging outside the index lease is in progress, not
+    * torn — its files are invisible to readers until its own move
+    * phase, and if it dies its stage lease expires and the next repair
+    * sweeps it. This also closes (for the staging phase) the old
+    * documented hazard of a PLAIN reader's repair racing a live
+    * writer: the stage it would have rolled back now identifies
+    * itself as live. */
   def repair(spark: SparkSession, dir: String): Unit = {
     val st = stagingDir(dir)
     val fs = fsOf(spark, st)
     if (!fs.exists(st)) return
-    for (s <- fs.listStatus(st)) {
+    var skippedLive = false
+    for (s <- fs.listStatus(st)
+         if { val live = s.isDirectory && stageIsLive(fs, s.getPath)
+              if (live) skippedLive = true; !live }) {
       val bid = s.getPath.getName
       // an INVALID-named staging entry (leading '_'/'.', a '__', a
       // foreign charset) cannot have been created by commitBatch —
@@ -1120,17 +1325,27 @@ object TableIndex {
       if (valid && !isCommitted(spark, dir, bid)) {
         // torn batch: every moved file carries the bid in its name —
         // delete them wherever they landed, then the staged rows
-        val p = prefix(bid)
-        for (t <- fs.listStatus(new Path(dir))
-             if t.isDirectory && !t.getPath.getName.startsWith("_")) {
-          for (f <- listFilesRec(fs, t.getPath) if f.getPath.getName.startsWith(p))
-            fs.delete(f.getPath, false)
-        }
+        rollbackLiveFiles(fs, dir, bid)
       }
       fs.delete(s.getPath, true)
     }
-    fs.delete(st, true)
+    if (!skippedLive) fs.delete(st, true)
     ()
+  }
+
+  /** Delete every live `b_<bid>__` file of one batch — the rollback
+    * half of [[repair]], also run by [[commitBatch]]'s move phase
+    * directly: a torn EARLIER attempt of the same bid leaves live
+    * files whose staging dir is now OURS (live, so repair skips it) —
+    * without the explicit rollback the new marker would retroactively
+    * commit the torn attempt's files alongside the fresh ones. */
+  private def rollbackLiveFiles(fs: FileSystem, dir: String, bid: String): Unit = {
+    val p = prefix(bid)
+    for (t <- fs.listStatus(new Path(dir))
+         if t.isDirectory && !t.getPath.getName.startsWith("_")) {
+      for (f <- listFilesRec(fs, t.getPath) if f.getPath.getName.startsWith(p))
+        fs.delete(f.getPath, false)
+    }
   }
 
   /** The staged→live (src, dst) rename pairs of one table: partition
@@ -1193,56 +1408,128 @@ object TableIndex {
     } finally { pool.shutdown(); () }
   }
 
+  /** The root-addressed pointer re-validation shared by [[commitBatch]]
+    * and [[replaceTable]] — run UNDER the writer lease. The publisher
+    * ([[catchUpAndPublishWith]]) holds this same lease for its final
+    * late-bid listing + pointer rename, so the check LINEARIZES the
+    * swap-vs-append race: this mutation either lands before the
+    * publisher's listing (and is carried into the new generation, same
+    * bid) or throws here — never silently into a superseded directory
+    * no post-swap root reader will open. */
+  private def requireCurrent(spark: SparkSession, root: String, dir: String): Unit = {
+    def q(x: String) = { val p = new Path(x); fsOf(spark, p).makeQualified(p).toString }
+    val cur = resolveGeneration(spark, root)
+    if (!cur.exists(c => q(c) == q(dir)))
+      throw new GenerationSupersededException(
+        s"generation $dir of root $root was superseded (current: ${cur.getOrElse("<none>")}) " +
+          "before this mutation acquired the writer lease — nothing was committed; " +
+          "re-resolve the root and retry (mutateCurrent does this automatically)")
+  }
+
   /** Atomically commit one batch of rows across several tables.
     * `tables`: (tableName, rows, partitionColumns). Returns false (and
     * writes nothing) when `bid` is already committed — the replayed-
     * micro-batch case. Data files are only ever ADDED to the live
     * dirs; existing files are untouched (the O(shard) in-place-append
-    * contract). Holds the writer lease for the whole mutation — a
-    * second concurrent writer throws instead of interleaving.
+    * contract).
+    *
+    * STAGING RUNS OUTSIDE THE WRITER LEASE. The staged parquet write
+    * is the data-proportional part of a commit — minutes for a real
+    * shard, hours for a compaction — and the pre-r15 shape held the
+    * index's single write token for all of it, so concurrent shard
+    * producers serialized on data-write duration and the loser re-paid
+    * its ENTIRE write (the ingest-concurrency ceiling). Now each
+    * writer stages under its own per-batch STAGING lease
+    * ([[stageLeasePath]] — claimed atomically, heartbeat-renewed, so
+    * [[repair]] can tell a live stage from a torn one) and the index
+    * lease covers only the MOVE PHASE: repair + renames + marker +
+    * fold — metadata RPCs, independent of data volume. Two producers
+    * appending different batches overlap their writes fully and
+    * serialize only on the cheap move; the same-bid race (a replayed
+    * micro-batch fired twice concurrently) is caught by the staging
+    * lease claim itself.
+    *
     * `requireCurrentOf`: the generation ROOT this mutation resolved
     * `dir` from, when root-addressed — re-validated under the lease
-    * (see the in-body comment; [[GenerationSupersededException]]). */
+    * ([[requireCurrent]]; [[GenerationSupersededException]]).
+    * `leaseWaitMs` > 0 opts a BATCH caller into the polling acquire
+    * for the move phase (the [[awaitingLease]] posture, now cheap
+    * enough for batch writers because only the move waits): a shard
+    * producer racing a publisher's catch-up window retries the move
+    * instead of failing the job and re-paying the staged write. 0
+    * keeps the fail-fast contract — unless the session conf
+    * `spark.graft.commit.leaseWaitMs` is set, the opt-in for callers
+    * reaching commitBatch through the index APIs
+    * (`updateIndexInPlace`/`appendInPlace`) whose signatures don't
+    * thread a wait. */
   def commitBatch(spark: SparkSession, dir: String, bid: String,
                   tables: Seq[(String, DataFrame, Seq[String])],
-                  requireCurrentOf: Option[String] = None): Boolean = {
+                  requireCurrentOf: Option[String] = None,
+                  leaseWaitMs: Long = 0L): Boolean = {
     requireValidBid(bid)
     if (isCommitted(spark, dir, bid)) return false
-    withLease(spark, dir) {
-      // root-addressed mutation: re-validate the generation pointer
-      // UNDER the lease. catchUpAndPublish holds this same lease for
-      // its final late-bid listing + pointer rename, so the check
-      // LINEARIZES the swap-vs-append race: this commit either lands
-      // before the publisher's listing (and is carried into the new
-      // generation, same bid) or throws here — never silently into a
-      // superseded directory no post-swap root reader will open.
-      requireCurrentOf.foreach { root =>
-        def q(x: String) = { val p = new Path(x); fsOf(spark, p).makeQualified(p).toString }
-        val cur = resolveGeneration(spark, root)
-        if (!cur.exists(c => q(c) == q(dir)))
-          throw new GenerationSupersededException(
-            s"generation $dir of root $root was superseded (current: ${cur.getOrElse("<none>")}) " +
-              "before this mutation acquired the writer lease — nothing was committed; " +
-              "re-resolve the root and retry (mutateCurrent does this automatically)")
+    val fs = fsOf(spark, new Path(dir))
+    val stage = new Path(stagingDir(dir), bid)
+    // claim the stage FIRST: the lease file (atomic create-no-
+    // overwrite) is what stops a concurrent repair from sweeping the
+    // half-written stage, and what makes a concurrent same-bid commit
+    // fail loud instead of interleaving staged files
+    val stageTok = claimLeaseFile(fs, stageLeasePath(stage), LeaseMs,
+      s"staging of batch $bid under $dir")
+    val stageHb = startHeartbeatAt(fs, stageLeasePath(stage), stageTok, LeaseMs)
+    var moveStarted = false
+    var completed = false
+    try {
+      for ((table, df, parts) <- tables) {
+        val w = df.write.mode("overwrite")
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+          .parquet(new Path(stage, table).toString)
       }
-      if (isCommitted(spark, dir, bid)) false // re-check under the lease
-      else {
-        repair(spark, dir) // roll back a torn earlier attempt of this (or any) batch
-        val fs = fsOf(spark, new Path(dir))
-        val stage = new Path(stagingDir(dir), bid)
-        for ((table, df, parts) <- tables) {
-          val w = df.write.mode("overwrite")
-          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
-            .parquet(new Path(stage, table).toString)
+      // the index lease covers ONLY the move phase from here
+      def moveBody(): Boolean = {
+        requireCurrentOf.foreach(requireCurrent(spark, _, dir))
+        if (isCommitted(spark, dir, bid)) false // re-check under the lease
+        else {
+          repair(spark, dir) // dead stages roll back; live ones (incl. ours) skip
+          // a torn earlier attempt of THIS bid left files repair cannot
+          // attribute (its stage is ours now, live, skipped) — roll
+          // them back before moving the fresh ones, or the marker would
+          // commit both attempts' files
+          rollbackLiveFiles(fs, dir, bid)
+          moveStarted = true
+          renameAll(fs, tables.flatMap { case (table, _, _) => movePairs(fs, dir, bid, stage, table) })
+          val c = commitsDir(dir)
+          fs.mkdirs(c)
+          fs.create(new Path(c, bid), true).close() // the one atomic commit point
+          maybeAutoFold(spark, dir) // still under the lease
+          true
         }
-        renameAll(fs, tables.flatMap { case (table, _, _) => movePairs(fs, dir, bid, stage, table) })
-        val c = commitsDir(dir)
-        fs.mkdirs(c)
-        fs.create(new Path(c, bid), true).close() // the one atomic commit point
-        fs.delete(stage, true)
-        maybeAutoFold(spark, dir) // still under the lease
-        true
       }
+      val waitMs =
+        if (leaseWaitMs > 0L) leaseWaitMs
+        else spark.conf.getOption("spark.graft.commit.leaseWaitMs").map(_.toLong).getOrElse(0L)
+      val landed =
+        if (waitMs > 0L) withLeaseAwait(spark, dir, waitMs)(moveBody())
+        else withLease(spark, dir)(moveBody())
+      completed = true
+      landed
+    } finally {
+      try stageHb.close() catch { case _: Throwable => () }
+      try {
+        if (completed || !moveStarted) {
+          // committed (cleanup), lost a same-bid race (redundant), or
+          // failed before any rename (nothing live to roll back): the
+          // whole stage goes
+          fs.delete(stage, true)
+        } else {
+          // failed MID-MOVE: some files are live-but-unmarked — the
+          // stage dir must SURVIVE so repair() can roll them back, but
+          // it must read as DEAD now, not after the lease expires:
+          // delete only the stage lease
+          fs.delete(stageLeasePath(stage), false)
+        }
+        ()
+      } catch { case _: java.io.IOException => () } // expiry + repair is the backstop
     }
   }
 
@@ -1301,12 +1588,23 @@ object TableIndex {
     * staged files in, commit. NOT atomic end-to-end — callers must be
     * tables whose partial states are one-sided safe (cell radii: any
     * crash leaves a subset of old ∪ new rows per cell, and readers
-    * treat a missing radius as π — correct, just unpruned). */
+    * treat a missing radius as π — correct, just unpruned).
+    *
+    * Staging stays INSIDE the lease here, unlike [[commitBatch]]: the
+    * contract restricts this op to dim-table-sized payloads (radii),
+    * so the write adds milliseconds to the hold — and the delete-then-
+    * move sequence must not interleave with another writer anyway.
+    * `requireCurrentOf`: same root re-validation as [[commitBatch]] —
+    * a root-addressed refresh racing a generation swap must throw and
+    * retry ([[mutateCurrent]]) instead of committing into the
+    * superseded directory and being silently lost at cutover. */
   def replaceTable(spark: SparkSession, dir: String, bid: String,
-                   table: String, df: DataFrame): Boolean = {
+                   table: String, df: DataFrame,
+                   requireCurrentOf: Option[String] = None): Boolean = {
     requireValidBid(bid)
     if (isCommitted(spark, dir, bid)) return false
     withLease(spark, dir) {
+      requireCurrentOf.foreach(requireCurrent(spark, _, dir))
       if (isCommitted(spark, dir, bid)) false
       else {
         repair(spark, dir)
@@ -1474,8 +1772,11 @@ object TableIndex {
     *    neither committed nor staged — unreachable by [[repair]]
     *    (repair keys off staging dirs) yet VISIBLE to plain reads;
     *    the one state that silently corrupts a non-snapshot reader.
-    *  - `torn-batch`: a staged batch without a marker (repairable —
-    *    [[repair]] rolls it back; listed so the operator knows a
+    *  - `live-stage`: a staged batch whose staging lease is LIVE — a
+    *    writer is staging it right now, outside the index lease (the
+    *    r15 commit shape); normal operation, listed for forensics.
+    *  - `torn-batch`: a DEAD staged batch without a marker (repairable
+    *    — [[repair]] rolls it back; listed so the operator knows a
     *    writer died).
     *  - `unfinished-clean`: a staged batch WITH its marker (repair
     *    finishes the cleanup; benign).
@@ -1495,11 +1796,12 @@ object TableIndex {
     if (!fs.exists(p)) return Seq.empty
     val out = Seq.newBuilder[FsckFinding]
     val committed = committedBids(spark, dir)
-    val staged: Set[String] = {
+    val stagedStatus: Seq[org.apache.hadoop.fs.FileStatus] = {
       val st = stagingDir(dir)
-      if (!fs.exists(st)) Set.empty
-      else fs.listStatus(st).iterator.map(_.getPath.getName).toSet
+      if (!fs.exists(st)) Seq.empty
+      else fs.listStatus(st).toSeq
     }
+    val staged: Set[String] = stagedStatus.map(_.getPath.getName).toSet
     for (t <- fs.listStatus(p)
          if t.isDirectory && !t.getPath.getName.startsWith("_")) {
       for (f <- listFilesRec(fs, t.getPath)) {
@@ -1514,8 +1816,14 @@ object TableIndex {
         }
       }
     }
-    for (bid <- staged)
-      out += (try {
+    for (s <- stagedStatus) {
+      val bid = s.getPath.getName
+      out += (if (s.isDirectory && stageIsLive(fs, s.getPath))
+        // a writer is staging this batch RIGHT NOW, outside the index
+        // lease (the r15 commit shape) — normal operation, listed for
+        // forensics only; repair skips it
+        FsckFinding("live-stage", bid)
+      else try {
         requireValidBid(bid)
         FsckFinding(if (committed.contains(bid)) "unfinished-clean" else "torn-batch", bid)
       } catch {
@@ -1523,6 +1831,7 @@ object TableIndex {
         // foreign writer) — repair deletes it without a live rollback
         case _: IllegalArgumentException => FsckFinding("invalid-bid", bid)
       })
+    }
     val lp = leasePath(dir)
     if (fs.exists(lp)) readLease(fs, lp) match {
       case Some((tok, exp)) if exp < System.currentTimeMillis() =>
@@ -1535,6 +1844,83 @@ object TableIndex {
       for (s <- fs.listStatus(c) if s.getPath.getName.startsWith("_tmp."))
         out += FsckFinding("tmp-leftover", s.getPath.toString)
     out.result()
+  }
+
+  /** [[fsck]] (plus [[rootFindings]] when `dirOrRoot` carries a
+    * generation pointer) with the documented remedy APPLIED per
+    * finding kind — the incident loop the diagnostic opened, closed:
+    *
+    *  - `orphan-file` → QUARANTINED (moved under `_quarantine/`, never
+    *    deleted — the file may be the only copy of rows an operator
+    *    wants back; quarantining removes it from every reader's view,
+    *    which is the correctness fix);
+    *  - `torn-batch` / `unfinished-clean` / `invalid-bid` → [[repair]]
+    *    (rollback / finish cleanup / sweep — the existing remedies);
+    *  - `tmp-leftover` / `pointer-tmp` → swept (inert temps);
+    *  - `stale-lease` → resolved by this tool's own lease acquire
+    *    (the expired lease is stolen and released on exit);
+    *  - `live-stage` → SKIPPED (a writer is staging it right now);
+    *  - `unpublished-generation` → SKIPPED (age-gated by design —
+    *    [[vacuumGenerations]] retires it after the grace window; a
+    *    young one may be a publisher about to finish);
+    *  - `dangling-pointer` → SKIPPED (republish-or-restore is an
+    *    operator decision the tool must not guess).
+    *
+    * Runs under the writer lease — repairing an index under a LIVE
+    * writer throws contention rather than racing it. Returns each
+    * finding with the action taken; a second [[fsck]] after this call
+    * reports only the skipped kinds. */
+  def fsckRepair(spark: SparkSession, dirOrRoot: String): Seq[(FsckFinding, String)] = {
+    val resolved = resolveDir(spark, dirOrRoot)
+    val fs = fsOf(spark, new Path(resolved))
+    // snapshot the lease state BEFORE acquiring: our own acquire is the
+    // remedy for an expired lease (steal + release-on-exit), but it
+    // happens before the in-lease fsck runs — without the pre-read the
+    // report would silently lose the finding it fixed
+    val preLease: Seq[FsckFinding] = {
+      val lp = leasePath(resolved)
+      if (!fs.exists(lp)) Seq.empty
+      else readLease(fs, lp) match {
+        case Some((tok, exp)) if exp < System.currentTimeMillis() =>
+          Seq(FsckFinding("stale-lease", s"owner ${tok.take(8)}… expired $exp"))
+        case _ => Seq.empty
+      }
+    }
+    withLease(spark, resolved) {
+      val findings = preLease ++ rootFindings(spark, dirOrRoot) ++ fsck(spark, resolved)
+      lazy val quarantine = new Path(new Path(resolved),
+        s"_quarantine/q${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}")
+      var repaired = false
+      findings.map { f =>
+        f -> (f.kind match {
+          case "orphan-file" =>
+            val src = new Path(f.detail)
+            if (!fs.exists(src)) "already gone"
+            else {
+              fs.mkdirs(quarantine)
+              val dst = new Path(quarantine, src.getName)
+              if (fs.rename(src, dst)) s"quarantined to $dst"
+              else "quarantine rename FAILED — file left in place"
+            }
+          case "torn-batch" | "unfinished-clean" | "invalid-bid" =>
+            if (!repaired) { repair(spark, resolved); repaired = true }
+            "repaired (rolled back / cleaned / swept)"
+          case "tmp-leftover" =>
+            fs.delete(new Path(f.detail), false); "swept"
+          case "pointer-tmp" =>
+            fs.delete(new Path(new Path(dirOrRoot), f.detail), false); "swept"
+          case "stale-lease" =>
+            "resolved (stolen by this repair's own lease acquire, released on exit)"
+          case "live-stage" =>
+            "skipped (a writer is staging this batch right now)"
+          case "unpublished-generation" =>
+            "skipped (age-gated: vacuumGenerations retires it after the grace window)"
+          case "dangling-pointer" =>
+            "skipped (operator decision: republish the generation or restore the pointer)"
+          case _ => "skipped (no automatic remedy)"
+        })
+      }
+    }
   }
 
   /** Size-targeted output partitioning for a compaction rewrite:
@@ -1611,14 +1997,21 @@ object TableIndex {
     val widths = bytes.map { case (k, b) =>
       k -> math.max(1, math.ceil(b / total * n).toInt)
     }
-    val widthCol = coalesce(
-      element_at(
-        map(widths.toSeq.sortBy(_._1).flatMap { case (k, w) => Seq(lit(k), lit(w)) }: _*),
-        col(key).cast("string")),
-      lit(1))
-    val salt = pmod(xxhash64(tiebreaks.map(col): _*), widthCol.cast("long"))
-    df.withColumn("__graft_salt", salt)
+    // widths as a BROADCAST-joined dim frame, not a literal map() over
+    // every key value: the literal form built one expression-node pair
+    // per partition value, which at a production nlist of 30k–100k
+    // cells is a 100k+-node expression tree per compaction — analysis
+    // cost and codegen-size risk on exactly the 100× path this
+    // operator exists for. The widths frame is one driver-side row per
+    // partition value and the join stays map-side (broadcast), so the
+    // salt is still computed in the scan stage with no extra shuffle.
+    import spark.implicits._
+    val widthsDf = broadcast(
+      widths.toSeq.map { case (k, w) => (k, w.toLong) }.toDF("__graft_wkey", "__graft_width"))
+    df.join(widthsDf, col(key).cast("string") === col("__graft_wkey"), "left")
+      .withColumn("__graft_salt",
+        pmod(xxhash64(tiebreaks.map(col): _*), coalesce(col("__graft_width"), lit(1L))))
       .repartition(math.max(n, widths.values.sum), col(key), col("__graft_salt"))
-      .drop("__graft_salt")
+      .drop("__graft_wkey", "__graft_width", "__graft_salt")
   }
 }

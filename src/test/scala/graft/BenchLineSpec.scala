@@ -19,9 +19,10 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   // the r12 driver line measured 500 chars without the extended block;
-  // drv_cal_ext adds ~60, the r14 "tiled_min" flagship key ~19, and
-  // headline values could widen by ~50 — 700 stays a conservative
-  // ceiling for the core
+  // drv_cal_ext adds ~60, the r14 "tiled_min" flagship key ~19, the
+  // r15 "ext_heavy_first" block (5 heaviest cells, ~30 chars each)
+  // ~190, and headline values could widen by ~50 — 900 stays a
+  // conservative ceiling for the core
   private def mkLine(coreLen: Int): String => String =
     ext => "{" + "x" * coreLen + ext + "}"
 
@@ -30,7 +31,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(tiers.nonEmpty)
     // tiers are richest-first and strictly shrinking in the tail
     assert(tiers.sliding(2).forall { case Seq(a, b) => a.length >= b.length; case _ => true })
-    val line = Bench.pickStdoutLine(mkLine(700), tiers)
+    val line = Bench.pickStdoutLine(mkLine(900), tiers)
     assert(line.length <= 1860, s"picked line overflows the tail window: ${line.length}")
     assert(line.contains("\"extended\":{"), "tiered trim still dropped the whole extended block")
     assert(Bench.extendedFamily.exists(n => line.contains("\"" + n + "\":")),
@@ -39,12 +40,12 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("the full 2-step block is chosen when it fits; one step when it does not") {
     val small = Seq("sf0.1" -> Seq("a" -> 1.0, "b" -> 2.0), "sf1_synth" -> Seq("a" -> 3.0))
-    val line = Bench.pickStdoutLine(mkLine(700), Bench.extendedTiers(small))
+    val line = Bench.pickStdoutLine(mkLine(900), Bench.extendedTiers(small))
     assert(line.contains("sf1_synth"), "a fitting 2-step block was trimmed")
-    // the worst-case block cannot fit both steps in the remaining ~1150
+    // the worst-case block cannot fit both steps in the remaining ~950
     // chars (30 cells x ~30 chars x 2 steps) — the tier that wins must
     // still carry the PRIMARY step
-    val big = Bench.pickStdoutLine(mkLine(700), Bench.extendedTiers(worstSteps))
+    val big = Bench.pickStdoutLine(mkLine(900), Bench.extendedTiers(worstSteps))
     assert(big.contains("\"sf0.1\":{"), "the primary step vanished from the trimmed block")
     assert(!big.contains("sf1_synth") || big.length <= 1860)
   }
@@ -66,7 +67,7 @@ class BenchLineSpec extends AnyFunSuite {
   test("empty or cell-less steps yield no tiers (and the line is just the core)") {
     assert(Bench.extendedTiers(Seq.empty).isEmpty)
     assert(Bench.extendedTiers(Seq("sf0.1" -> Seq.empty)).isEmpty)
-    val line = Bench.pickStdoutLine(mkLine(700), Bench.extendedTiers(Seq.empty))
+    val line = Bench.pickStdoutLine(mkLine(900), Bench.extendedTiers(Seq.empty))
     assert(!line.contains("extended"))
   }
 }

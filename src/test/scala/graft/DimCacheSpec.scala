@@ -62,8 +62,14 @@ class DimCacheSpec extends SparkSpec {
     val refreshed = radiiOf(idx)
     assert(refreshed.forall { case (c, r) => r <= after.getOrElse(c, math.Pi) + 1e-12 },
       "refresh must tighten (or keep) every radius")
-    assert(refreshed != after || after == refreshed,
-      "sanity: refresh read through the cache")
+    // the cache served the REFRESHED table, not a stale entry: compare
+    // against a from-parquet groupBy-max recomputation (cache-free)
+    val fromDisk = spark.read.parquet(s"$idx/geometry.parquet")
+      .groupBy("cell").agg(max("r").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(refreshed == fromDisk,
+      s"cached radii diverged from the on-disk geometry after refresh: " +
+        s"cached=$refreshed disk=$fromDisk")
 
     // wipe + rebuild at the SAME path with DIFFERENT centroids: every
     // cached dim (centroids, book, radii) must re-key — a stale
@@ -78,6 +84,29 @@ class DimCacheSpec extends SparkSpec {
     assert(cells1 != cells2,
       "rebuild with a different stride must surface its own centroid set " +
         "(equal sets would mean the dead generation's dims were served)")
+  }
+
+  test("dim cache keeps ONE live entry per (tag, table) across repeated mutations") {
+    val all = embs.localCheckpoint(true)
+    val base = all.filter(col("id") % 5 === 0)
+    val idx = graft.util.TempDirs.scratch("dimcache_evict").toString
+    IvfIndex.build(base,
+      AnnSearch.kmeansCentroidsExact(base, stride = 7, iters = 1),
+      AnnSearch.pqBook(base, m = 4, stride = 7), idx)
+    def radiiKeys() = TableIndex.dimCacheKeys
+      .filter(k => k.startsWith("radii|") && k.contains(idx))
+    radiiOf(idx) // warm
+    assert(radiiKeys().size == 1)
+    // every appended geometry wave re-keys the fingerprint — without
+    // insert-time eviction a long-lived streaming driver at per-shard
+    // cadence accumulates one dead entry per shard for the session
+    for (m <- 1 to 3) {
+      val shard = all.filter(col("id") % 5 === m).limit(20)
+      IvfIndex.appendInPlace(spark, idx, shard, batchId = Some(s"evict-$m"))
+      radiiOf(idx)
+      assert(radiiKeys().size == 1,
+        s"superseded dim-cache entries accumulated after mutation $m: ${radiiKeys()}")
+    }
   }
 
   test("cached dims leave results ≡ brute force across a mutate-probe-mutate sequence") {

@@ -66,6 +66,68 @@ class FsckSpec extends SparkSpec {
     assert(!new java.io.File(s"$idx/_staging/__bogus").exists())
   }
 
+  test("fsckRepair applies the documented remedy per kind; the repaired index audits clean") {
+    import spark.implicits._
+    val idx = graft.util.TempDirs.scratch("fsck_repair").toString
+    IncrementalDedup.buildIndex(docsDf.limit(100), "doc_id", "text", idx)
+    val shard = docsDf.limit(140).filter(pmod(col("doc_id"), lit(4)) === 0)
+    val healthyProbe = IncrementalDedup
+      .processShard(spark, idx, shard, "doc_id", "text", tau = 0.8)
+      .collect().map(_.toString).sorted.toSeq
+
+    // plant one of each repairable kind:
+    //  - orphan bid-file (quarantined, not deleted)
+    val orphan = new java.io.File(s"$idx/hashes.parquet/b_rep-ghost__part-0.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](80, 65, 82, 49))
+    //  - torn staged batch (rolled back)
+    new java.io.File(s"$idx/_staging/rep-torn").mkdirs()
+    //  - invalid-named staging entry (swept)
+    new java.io.File(s"$idx/_staging/__rep-bogus").mkdirs()
+    //  - crashed fold's temp (swept)
+    java.nio.file.Files.write(new java.io.File(s"$idx/_commits/_tmp.rep").toPath, "x".getBytes)
+    //  - expired writer lease (resolved by the repair's own acquire)
+    java.nio.file.Files.write(new java.io.File(s"$idx/_writer.lease").toPath,
+      s"deadtoken ${System.currentTimeMillis() - 60000}".getBytes("UTF-8"))
+
+    val actions = TableIndex.fsckRepair(spark, idx)
+    val byKind = actions.map { case (f, a) => f.kind -> a }.toMap
+    assert(byKind("orphan-file").startsWith("quarantined"), s"$byKind")
+    assert(byKind.contains("torn-batch") && byKind.contains("invalid-bid") &&
+      byKind.contains("tmp-leftover") && byKind.contains("stale-lease"), s"$byKind")
+
+    // repaired index audits clean...
+    val after = TableIndex.fsck(spark, idx)
+    assert(after.isEmpty, s"repaired index still flags: $after")
+    // ...the orphan survives in quarantine (moved aside, never deleted)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk) else Seq(f)
+    assert(walk(new java.io.File(s"$idx/_quarantine"))
+      .exists(_.getName == "b_rep-ghost__part-0.parquet"),
+      "the orphan was not preserved under _quarantine")
+    // ...and probe decisions equal the healthy index's (the quarantined
+    // orphan is out of every reader's view)
+    val probeAfter = IncrementalDedup
+      .processShard(spark, idx, shard, "doc_id", "text", tau = 0.8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probeAfter == healthyProbe, "repair changed probe decisions")
+
+    // root-addressed: a crashed publisher's pointer-tmp is swept; the
+    // unpublished sibling generation is named but SKIPPED (age-gated)
+    val root = graft.util.TempDirs.scratch("fsck_repair_root").toString
+    IncrementalDedup.buildIndex(docsDf.limit(40), "doc_id", "text", s"$root/g0")
+    TableIndex.publishGeneration(spark, root, "g0")
+    IncrementalDedup.compactIndex(spark, s"$root/g0", s"$root/g1")
+    java.nio.file.Files.write(new java.io.File(s"$root/_generation.tmp.crashed").toPath,
+      "g1".getBytes("UTF-8"))
+    val rootActions = TableIndex.fsckRepair(spark, root)
+    val rootByKind = rootActions.map { case (f, a) => f.kind -> a }.toMap
+    assert(rootByKind("pointer-tmp") == "swept", s"$rootByKind")
+    assert(rootByKind("unpublished-generation").startsWith("skipped"), s"$rootByKind")
+    assert(!new java.io.File(s"$root/_generation.tmp.crashed").exists())
+    assert(new java.io.File(s"$root/g1").exists(),
+      "fsckRepair must not delete an unpublished generation (vacuum's age-gated job)")
+  }
+
   test("ivf index: cell orphans and floats parity breaks are named") {
     import spark.implicits._
     val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -191,6 +191,51 @@ class GenerationSpec extends SparkSpec {
     assert(TableIndex.rootFindings(spark, plain).isEmpty)
   }
 
+  test("reader pins: a pinned generation survives vacuum and refuses retirement; release frees it") {
+    val root = graft.util.TempDirs.scratch("gen_pins").toString
+    val d = docsDf.limit(80)
+    val shard = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+    IncrementalDedup.buildIndex(d, "doc_id", "text", s"$root/g0")
+    TableIndex.publishGeneration(spark, root, "g0")
+    val before = rowsOf(
+      IncrementalDedup.processShard(spark, root, shard, "doc_id", "text", tau = 0.8))
+    // a session-length reader REGISTERS its pin before the swap
+    val pin = TableIndex.pinSnapshot(spark, root)
+    assert(pin.snapshot.dir == s"$root/g0")
+    IncrementalDedup.compactPublish(spark, root)
+    // g0 is superseded and OLD (negative grace puts the cutoff in the
+    // future) — but the live pin must hold it against vacuum AND retire
+    val d1 = TableIndex.vacuumGenerations(spark, root, graceMs = -60000L)
+    assert(!d1.contains("g0") && new java.io.File(s"$root/g0").exists(),
+      s"vacuum deleted a generation with a LIVE reader pin (deleted=$d1)")
+    val e = intercept[IllegalArgumentException] {
+      TableIndex.retireGeneration(spark, root, "g0")
+    }
+    assert(e.getMessage.contains("reader pins"), e.getMessage)
+    // the pinned handle keeps answering from its generation throughout
+    assert(rowsOf(IncrementalDedup.processShard(spark, root, shard, "doc_id", "text",
+      tau = 0.8, at = Some(pin.snapshot))) == before,
+      "the pinned reader's probe diverged while its generation was pin-protected")
+    // release: the generation becomes retirable, and vacuum takes it
+    pin.close()
+    val d2 = TableIndex.vacuumGenerations(spark, root, graceMs = -60000L)
+    assert(d2.contains("g0") && !new java.io.File(s"$root/g0").exists(),
+      s"vacuum skipped an unpinned superseded generation (deleted=$d2)")
+    // a CRASHED reader's pin (expired, never released) does not hold
+    // the generation and is itself swept by the age gate
+    val pins = new java.io.File(s"$root/_pins"); pins.mkdirs()
+    java.nio.file.Files.write(new java.io.File(pins, "pforged").toPath,
+      s"gX ${System.currentTimeMillis() - 60000}".getBytes("UTF-8"))
+    val d3 = TableIndex.vacuumGenerations(spark, root, graceMs = -60000L)
+    assert(d3.contains("_pins/pforged"), s"expired pin not swept (deleted=$d3)")
+    // a pin on a PLAIN (pointer-less) directory is a no-op handle
+    val plain = graft.util.TempDirs.scratch("gen_pins_plain").toString
+    IncrementalDedup.buildIndex(d, "doc_id", "text", plain)
+    val plainPin = TableIndex.pinSnapshot(spark, plain)
+    assert(plainPin.snapshot.origin.isEmpty)
+    plainPin.close() // must not throw
+  }
+
   test("resolvePin: cross-index handles still throw; root/generation mixed addressing resolves") {
     val rootA = graft.util.TempDirs.scratch("gen_pin_a").toString
     val rootB = graft.util.TempDirs.scratch("gen_pin_b").toString

@@ -160,6 +160,34 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
           live ++= batch
           tableIds ++= batch.map(_._1)
           lastReplay = Some((bid, batch))
+        } else if (op == 8 && nextSlice + 6 <= universe.length) {
+          // CONCURRENT PRODUCERS (r15: staging runs outside the index
+          // lease) — two threads append different batches at once with
+          // the bounded move-phase wait; both must land, neither may
+          // roll the other back, under whatever state the walk reached
+          val b1 = universe.slice(nextSlice, nextSlice + 3)
+          val b2 = universe.slice(nextSlice + 3, nextSlice + 6)
+          nextSlice += 6
+          val dfs = Seq((s"fz_ca_${seed}_$step", b1.toDF("doc_id", "text")),
+                        (s"fz_cb_${seed}_$step", b2.toDF("doc_id", "text")))
+          spark.conf.set("spark.graft.commit.leaseWaitMs", "60000")
+          try {
+            val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+            val threads = dfs.map { case (bid, df) =>
+              val t = new Thread(() => {
+                try IncrementalDedup.updateIndexInPlace(spark, dir, df,
+                  "doc_id", "text", batchId = Some(bid))
+                catch { case e: Throwable => errs.add(e) }
+              })
+              t.setDaemon(true); t.start(); t
+            }
+            threads.foreach(_.join(120000))
+            assert(errs.isEmpty,
+              s"seed $seed step $step: concurrent producers failed: ${errs.toArray.toList}")
+          } finally spark.conf.unset("spark.graft.commit.leaseWaitMs")
+          live ++= b1 ++ b2
+          tableIds ++= (b1 ++ b2).map(_._1)
+          lastReplay = Some((s"fz_cb_${seed}_$step", b2))
         } else { // compact into a fresh generation
           val out = graft.util.TempDirs.scratch(s"fuzz_dedup_${seed}_c$step").toString
           IncrementalDedup.compactIndex(spark, dir, out)
