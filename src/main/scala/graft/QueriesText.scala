@@ -2493,13 +2493,21 @@ object QueriesText {
     }
     // encode at the same shingle granularity the vocabulary was
     // learned on (the words-array seam; the guard keeps short docs at
-    // an empty array — sequence(0, n<0) would go DESCENDING)
+    // an empty array — sequence(0, n<0) would go DESCENDING).
+    // The token extraction is projected ONCE ahead of the shingle
+    // expression: the old single-expression form named
+    // regexp_extract_all three times (size guard, sequence bound,
+    // slice source) and the slice's copy sits inside a lambda where
+    // subexpression elimination cannot hoist it — three regex sweeps
+    // of every document per row for one logical extraction.
+    val toks = d.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("tk"))
     val shingles = expr(
-      """CASE WHEN size(regexp_extract_all(lower(text), '[a-z]+', 0)) >= 3
-        |THEN transform(sequence(0, size(regexp_extract_all(lower(text), '[a-z]+', 0)) - 3),
-        |  i -> array_join(slice(regexp_extract_all(lower(text), '[a-z]+', 0), i + 1, 3), '_'))
+      """CASE WHEN size(tk) >= 3
+        |THEN transform(sequence(0, size(tk) - 3),
+        |  i -> array_join(slice(tk, i + 1, 3), '_'))
         |ELSE cast(array() AS array<string>) END""".stripMargin)
-    graft.text.Bpe.encodeCountsOf(d, "doc_id", shingles, merges)
+    graft.text.Bpe.encodeCountsOf(toks, "doc_id", shingles, merges)
   }
 
   /** The token-ID emission kernel at production vocabulary size: 1,000

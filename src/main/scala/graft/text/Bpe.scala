@@ -51,6 +51,12 @@ object Bpe {
 
   val EndOfWord = "</w>"
 
+  /** Cap on the typed encode paths' per-partition word→encoding memo
+    * (see [[encodeCountsOf]]): ~1M entries of short strings is tens of
+    * MB per task — cheap insurance; a vocabulary that overflows it
+    * degrades gracefully to unmemoized sweeps for the cold tail. */
+  private[text] val memoMaxEntries = 1 << 20
+
   final case class Merge(step: Long, lhs: String, rhs: String, merged: String, pair_count: Long)
 
   /** One vocabulary row: dense `token_id`, the symbol's surface string,
@@ -117,26 +123,38 @@ object Bpe {
   def learnMergesFromCounts(words: DataFrame, nMerges: Int,
                             pinEvery: Int = 16): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    // ONE Spark action per merge: the pairCounts collect below both
+    // picks the best pair AND (as a side effect of reading `vocab`)
+    // materializes the current generation's cache, so the explicit
+    // per-merge `vocab.count()` the loop used to run is redundant work
+    // (measured: it doubled the job waves of a loop whose cost is
+    // almost entirely job-wave scheduling — the vocabulary table is
+    // tiny next to the corpus at every scale). The previous
+    // generation's cache must stay alive until the CURRENT one is
+    // materialized (the new cache computes from it), so unpersist runs
+    // one generation behind.
     var vocab = initSeqs(words).cache()
-    vocab.count()
+    var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
       val best = pairCounts(vocab).orderBy(desc("c"), col("l"), col("r")).limit(1).collect()
+      // `vocab` is materialized now — its parent cache can go
+      prev.foreach(_.unpersist(blocking = false))
+      prev = None
       best match {
         case Array(Row(l: String, r: String, c: Long)) =>
           merges += Merge(step.toLong, l, r, l + r, c)
-          val prev = vocab
           val applied = vocab.withColumn(
             "seq", replace(col("seq"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+          prev = Some(vocab)
           vocab = (if (step % pinEvery == 0) Pin(applied) else applied).cache()
-          vocab.count()
-          prev.unpersist(blocking = false)
         case _ => exhausted = true
       }
       step += 1
     }
+    prev.foreach(_.unpersist(blocking = false))
     vocab.unpersist(blocking = false)
     merges.result()
   }
@@ -274,10 +292,33 @@ object Bpe {
         s"duplicate (lhs, rhs) pair in merge sequence: the rank-map encode " +
           s"path cannot replay a pair merged at two steps (${merges.size} merges, " +
           s"${ranked.size} distinct pairs)")
+      // Per-PARTITION word→count memo: the encode kernel is a pure
+      // function of (word, merge table), and natural corpora are
+      // Zipfian — the same words recur millions of times — so
+      // re-running the O(merges-applied × word length) sweep per
+      // OCCURRENCE wastes almost every call. Bounded (memoMaxEntries)
+      // so a pathological vocabulary (unsplit CJK, binary noise)
+      // degrades to the unmemoized sweep instead of an executor OOM;
+      // Zipf puts the hot words in the memo long before any bound
+      // binds. Bit-identical output (BpeSpec pins memo ≡ direct).
       base.select(col("doc_id"), col("ws"))
         .as[(Long, Seq[String])]
-        .map { case (id, ws) =>
-          (id, ws.size.toLong, ws.iterator.map(w => encodeWordSeq(w, ranked)).sum)
+        .mapPartitions { it =>
+          val memo = new java.util.HashMap[String, java.lang.Long]()
+          it.map { case (id, ws) =>
+            var total = 0L
+            val wi = ws.iterator
+            while (wi.hasNext) {
+              val w = wi.next()
+              var c = memo.get(w)
+              if (c == null) {
+                c = java.lang.Long.valueOf(encodeWordSeq(w, ranked))
+                if (memo.size < memoMaxEntries) memo.put(w, c)
+              }
+              total += c.longValue()
+            }
+            (id, ws.size.toLong, total)
+          }
         }
         .toDF("doc_id", "n_words", "n_subwords")
     }
@@ -349,10 +390,25 @@ object Bpe {
       require(ranked.size == merges.size,
         s"duplicate (lhs, rhs) pair in merge sequence (${merges.size} merges, " +
           s"${ranked.size} distinct pairs)")
+      // same per-partition word→ids memo as the counts path (see
+      // encodeCountsOf): pure kernel + Zipfian reuse, bounded fallback
       base.as[(Long, Seq[String])]
-        .map { case (id, ws) =>
-          (id, ws.iterator.flatMap(w =>
-            encodeWordSymbols(w, ranked).iterator.map(s => idByString.getOrElse(s, -1))).toSeq)
+        .mapPartitions { it =>
+          val memo = new java.util.HashMap[String, Array[Int]]()
+          it.map { case (id, ws) =>
+            val out = Seq.newBuilder[Int]
+            val wi = ws.iterator
+            while (wi.hasNext) {
+              val w = wi.next()
+              var ids = memo.get(w)
+              if (ids == null) {
+                ids = encodeWordSymbols(w, ranked).map(s => idByString.getOrElse(s, -1))
+                if (memo.size < memoMaxEntries) memo.put(w, ids)
+              }
+              out ++= ids
+            }
+            (id, out.result())
+          }
         }
         .toDF("doc_id", "ids")
     }

@@ -181,6 +181,32 @@ class BpeSpec extends SparkSpec {
     assert(viaTyped == expect)
   }
 
+  test("typed-path memo: heavy word repetition within one partition encodes identically (r15)") {
+    // r15: the typed paths memoize word→encoding per partition. The
+    // memo is a pure-function cache, so output must be bit-identical
+    // to the expression chain on a corpus built to HIT it constantly:
+    // few distinct words, thousands of occurrences, one partition.
+    val texts = (0 until 200).map { i =>
+      val ws = Seq("low", "lower", "newest", "banana", "aaa", "ana")
+      (0 until 50).map(j => ws((i + j) % ws.length)).mkString(" ")
+    }
+    val d = docsDf(texts).repartition(1)
+    val merges = Bpe.learnMerges(d, "text", nMerges = 10)
+    val viaExpr = Bpe.encodeCounts(d, "doc_id", "text", merges, maxExprMerges = 64)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val viaTyped = Bpe.encodeCounts(d, "doc_id", "text", merges, maxExprMerges = 0)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaExpr == viaTyped)
+    val vocab = Bpe.vocabEntries(Bpe.baseSymbols(Bpe.wordCounts(d, "text")), merges)
+    val words = org.apache.spark.sql.functions.expr(
+      "regexp_extract_all(lower(text), '[a-z]+', 0)")
+    val idsExpr = Bpe.encodeIds(d, "doc_id", words, merges, vocab, maxExprMerges = 64)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val idsTyped = Bpe.encodeIds(d, "doc_id", words, merges, vocab, maxExprMerges = 0)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(idsExpr == idsTyped)
+  }
+
   test("learnLocal refuses a word table past its driver-heap cap with a named error") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val words = Bpe.wordCounts(d, "text")
