@@ -14,10 +14,10 @@ import scala.util.chaining._
   */
 object QueriesText {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  private def embs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def embs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
@@ -2271,7 +2271,7 @@ object QueriesText {
     * curationKept) → semantic (embedding) closure keep → ExactSubstr
     * span removal. Returns (k2 = surviving docs, spanned = their
     * span-reduced text). */
-  private def tokenizerCapstoneFront(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def tokenizerCapstoneFront(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val kept = curationKept(spark, dir)
     val emb = embs(spark, dir).join(kept.select(col("doc_id").as("id")), Seq("id"))
     val centroids = AnnSearch.strideCentroids(emb, 25)
@@ -2292,7 +2292,7 @@ object QueriesText {
 
   /** The raw-corpus 12-merge tokenizer the capstones train before
     * curation (tokenizers are trained on the raw corpus). */
-  private def capstoneMerges(spark: SparkSession, dir: String): Seq[graft.text.Bpe.Merge] = {
+  private[graft] def capstoneMerges(spark: SparkSession, dir: String): Seq[graft.text.Bpe.Merge] = {
     import spark.implicits._
     graft.text.Bpe.learnLocalMerges(
       graft.text.Bpe.wordCounts(docs(spark, dir), "text"), nMerges = 12)
