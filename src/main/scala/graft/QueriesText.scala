@@ -2144,17 +2144,66 @@ object QueriesText {
       .withColumn("lang_pred", TextOps.langId(col("text")))
       .filter(col("lang_pred") === "en" && col("quality") > 0.5 && col("n_tokens") >= 30)
       .select("doc_id", "source", "text")
-    val qw = q.withColumn("w", TextOps.tokens(col("text")))
-    val repKeep = qw.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("nb"))
-      .filter(col("mx") * 50 <= col("nb") * 3)
-      .select("doc_id")
-    val q2 = q.join(repKeep, Seq("doc_id"))
+    // Gopher bigram gate as a TYPED per-row predicate (r16): mx = the
+    // maximum multiplicity of any bigram within the doc (one hashmap
+    // pass over the normalized tokens) and nb = #bigrams — the exact
+    // values the old explode → groupBy(doc, g) → groupBy(doc) chain
+    // aggregated, so the kept set is identical (same integer
+    // comparison mx·50 ≤ nb·3; dev.RepGateProbe pins symdiff = 0 on
+    // both fixtures). A repetition gate is per-document by definition;
+    // computing it row-locally removes two exchanges AND the repKeep
+    // join from every capstone (§2.4 remove shuffles outright — at
+    // 100 TB the old form exchanged one row per distinct (doc, bigram)
+    // for what is local work). Typed Scala, not array-expression HOFs:
+    // the HOF form (sorted-run-length fold) measured 26 s vs 0.9 s for
+    // the aggregate it replaced — interpreted per-element lambdas lose
+    // to one codegen'd exchange; the typed predicate (0.2 s) does not.
+    // Normalization replicates TextOps.tokens exactly, the proven
+    // [[MinHashLsh.shingleSets]] parity recipe (trim spaces only,
+    // lower, collapse \s+, split on single space).
+    val q2 = Pin {
+      import spark.implicits._
+      q.select(col("doc_id").cast("long"), col("source").cast("string"),
+          col("text").cast("string"))
+        .as[(Long, String, String)]
+        .filter { (row: (Long, String, String)) =>
+          val text = row._3
+          val stripped = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+          val norm = stripped.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+          val toks = norm.split(" ", -1)
+          // docs with < 2 tokens produce no bigram row in the old
+          // aggregate and are dropped by its inner join; unreachable
+          // here anyway (q keeps n_tokens >= 30)
+          if (toks.length < 2) false
+          else {
+            val counts = new java.util.HashMap[String, Int](toks.length * 2)
+            var i = 0
+            var mx = 1
+            while (i < toks.length - 1) {
+              val g = toks(i) + " " + toks(i + 1)
+              val c = counts.getOrDefault(g, 0) + 1
+              counts.put(g, c)
+              if (c > mx) mx = c
+              i += 1
+            }
+            mx.toLong * 50 <= (toks.length - 1).toLong * 3
+          }
+        }
+        .toDF("doc_id", "source", "text")
+    }
+    // PIN the two fan-out points of the curation front (r16; measured
+    // with dev.CapstoneProbe at sf0.1): without barriers the
+    // quality+langId filter subtree `q` re-executes ~5× and the
+    // bigram-gate/exact-dedup subtrees 2-3× across this function's
+    // consumers (exactKept, kept1 feeds both the LSH shingle pass and
+    // the final anti-join) — 7.5 s of the 12.3 s corpus_pipeline_v4
+    // cell was this one function. q2 and kept1 are
+    // curated-corpus-sized (the same order as the final survivor table
+    // this function already pins), so the barriers are the natural
+    // materialization points.
     val exactKept = q2.groupBy(TextOps.normText(col("text")).as("t"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val kept1 = q2.join(exactKept, Seq("doc_id"))
+    val kept1 = Pin(q2.join(exactKept, Seq("doc_id")))
     val pairs = MinHashLsh.verifiedPairs(kept1, "doc_id", "text", tau = 0.8)
     val comp = MinHashLsh.components(pairs)
     val drop = comp
@@ -2298,6 +2347,24 @@ object QueriesText {
       graft.text.Bpe.wordCounts(docs(spark, dir), "text"), nMerges = 12)
   }
 
+  /** [[capstoneMerges]] plus the id vocabulary from ONE collected word
+    * table (r16): v6 previously ran the full-corpus word count twice —
+    * once inside learnLocalMerges' guarded collect and once for
+    * baseSymbols' distinct-char aggregate. The base alphabet is a pure
+    * function of the already-collected word table, so derive it
+    * locally ([[graft.text.Bpe.baseSymbolsLocal]] — proven equal to
+    * the aggregate form by BpeSpec) and save a corpus pass + a
+    * collect wave. */
+  private[graft] def capstoneMergesAndVocab(
+      spark: SparkSession, dir: String): (Seq[graft.text.Bpe.Merge], Seq[graft.text.Bpe.VocabEntry]) = {
+    val words = graft.text.Bpe.collectWordsGuarded(
+      graft.text.Bpe.wordCounts(docs(spark, dir), "text"))
+    val merges = graft.text.Bpe.learnMergesLocal(words, nMerges = 12)
+    val vocab = graft.text.Bpe.vocabEntries(
+      graft.text.Bpe.baseSymbolsLocal(words.iterator.map(_._1)), merges)
+    (merges, vocab)
+  }
+
   /** Packing + per-source shard stats over per-doc subword weights —
     * the shared back half of capstones v5/v6. `enc` must carry
     * (doc_id, n_subwords [, extra agg columns pre-summed via
@@ -2325,7 +2392,15 @@ object QueriesText {
 
   private def corpusPipelineV5(spark: SparkSession, dir: String): DataFrame = {
     val (k2, spanned) = tokenizerCapstoneFront(spark, dir)
-    val enc = graft.text.Bpe.encodeCounts(spanned, "doc_id", "kept_text", capstoneMerges(spark, dir))
+    // maxExprMerges = 0: force the TYPED memoized encode kernel (r16).
+    // The nested-replace expression chain is the ORACLE-PARITY form,
+    // but its per-word transform/aggregate lambdas are interpreted
+    // (CodegenFallback) and re-sweep every occurrence; the typed path
+    // memoizes per distinct word and is proven bit-identical by
+    // BpeSpec — the capstone measures the pipeline, not the
+    // SQL-replayable form, so it takes the fast kernel.
+    val enc = graft.text.Bpe.encodeCounts(spanned, "doc_id", "kept_text",
+        capstoneMerges(spark, dir), maxExprMerges = 0)
       .filter(col("n_subwords") > 0)
       .select(col("doc_id"), col("n_subwords"))
     packByCounts(spark, k2, enc, Seq.empty)
@@ -2342,14 +2417,27 @@ object QueriesText {
     * sums on top of the v5 chain. */
   private def corpusPipelineV6(spark: SparkSession, dir: String): DataFrame = {
     val (k2, spanned) = tokenizerCapstoneFront(spark, dir)
-    val merges = capstoneMerges(spark, dir)
-    val wc = graft.text.Bpe.wordCounts(docs(spark, dir), "text")
-    val vocab = graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wc), merges)
+    // one-pass tokenizer derivation (merges + id vocabulary from a
+    // single collected word table — the old form word-counted the
+    // corpus twice); see capstoneMergesAndVocab
+    val (merges, vocab) = capstoneMergesAndVocab(spark, dir)
+    // per-doc length + id checksum via explode → hash aggregate (r16):
+    // the previous `aggregate(ids, 0L, (a, x) -> a + x)` array fold is
+    // an interpreted (CodegenFallback) per-element lambda — measured
+    // 0.76 s vs 0.08 s for this stage at sf0.1. The explode form
+    // partial-aggregates map-side (each doc's ids sit in one row, so
+    // the exchange carries ONE row per doc) and codegens end to end;
+    // n_subwords = count ≡ size(ids) and doc_id_sum = sum ≡ the fold,
+    // both exact long arithmetic, so the rollup is unchanged.
+    // maxExprMerges = 0: typed memoized id kernel, proven ≡ the
+    // expression chain by BpeSpec (see corpusPipelineV5's note)
     val enc = graft.text.Bpe.encodeIds(spanned, "doc_id",
-        regexp_extract_all(lower(col("kept_text")), lit("[a-z]+"), lit(0)), merges, vocab)
+        regexp_extract_all(lower(col("kept_text")), lit("[a-z]+"), lit(0)), merges, vocab,
+        maxExprMerges = 0)
       .filter(size(col("ids")) > 0)
-      .select(col("doc_id"), size(col("ids")).cast("long").as("n_subwords"),
-        expr("aggregate(ids, 0L, (a, x) -> a + x)").as("doc_id_sum"))
+      .select(col("doc_id"), explode(col("ids")).as("tid"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_subwords"), sum(col("tid").cast("long")).as("doc_id_sum"))
     packByCounts(spark, k2, enc, Seq(sum(col("doc_id_sum")).as("id_sum")))
   }
 

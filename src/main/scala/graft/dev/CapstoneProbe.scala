@@ -35,7 +35,7 @@ object CapstoneProbe {
     import graft.QueriesText.{docs, embs, curationKept, tokenizerCapstoneFront, capstoneMerges}
     import graft.text.{ExactSubstr, MinHashLsh, TextOps}
     import graft.ml.AnnSearch
-    import graft.util.Pin
+
 
     // --- curation sub-stages (replicated from curationKept, same code) ---
     val d = docs(spark, dir)
@@ -91,6 +91,43 @@ object CapstoneProbe {
     val spannedM = spanned.localCheckpoint(false)
     steady("encodeCounts(spanned)")(
       graft.text.Bpe.encodeCounts(spannedM, "doc_id", "kept_text", merges).count())
+
+    // --- r16: the pieces the materialized-input cells above hide ---
+    // fresh front: re-runs curationKept + closure + pins per rep, the
+    // cost every capstone actually pays before its back half
+    steady("front fresh (k2 only)")(tokenizerCapstoneFront(spark, dir)._1.count())
+    steady("front fresh (+spans)")(tokenizerCapstoneFront(spark, dir)._2.count())
+    // v6 stages on the materialized spanned table
+    val wcDf = graft.text.Bpe.wordCounts(docs(spark, dir), "text")
+    steady("v6 vocab (wc+baseSyms)") {
+      graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wcDf), merges).length.toLong
+    }
+    val vocab = graft.text.Bpe.vocabEntries(graft.text.Bpe.baseSymbols(wcDf), merges)
+    steady("encodeIds(spanned)")(
+      graft.text.Bpe.encodeIds(spannedM, "doc_id",
+        regexp_extract_all(lower(col("kept_text")), lit("[a-z]+"), lit(0)), merges, vocab)
+        .count())
+    steady("encodeIds+idsum(spanned)")(
+      graft.text.Bpe.encodeIds(spannedM, "doc_id",
+        regexp_extract_all(lower(col("kept_text")), lit("[a-z]+"), lit(0)), merges, vocab)
+        .filter(size(col("ids")) > 0)
+        .select(col("doc_id"), size(col("ids")).cast("long").as("n_subwords"),
+          expr("aggregate(ids, 0L, (a, x) -> a + x)").as("doc_id_sum"))
+        .count())
+    // v4 back half: packing + rollup over a materialized slim table
+    val k2M = k2.localCheckpoint(false)
+    val slimM = k2M.select("doc_id", "source")
+      .join(spannedM.select(col("doc_id"),
+        (col("n_tokens") - col("n_removed")).as("n_toks")), Seq("doc_id"))
+      .localCheckpoint(false)
+    steady("pack+rollup(slim)") {
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val packed = graft.text.Packing.packSequences(slimM, "doc_id", "n_toks",
+        budget = 512, parts = parts)
+      val spansC = packed.groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_spans"))
+      slimM.join(spansC, Seq("doc_id")).groupBy("source")
+        .agg(count(lit(1)).as("n_docs")).count()
+    }
 
     // --- full cells for reference ---
     for (cell <- Seq("corpus_pipeline_v4", "corpus_pipeline_v5", "corpus_pipeline_v6",

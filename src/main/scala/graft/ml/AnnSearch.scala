@@ -155,13 +155,20 @@ object AnnSearch {
     * NOTHING shuffles (the old crossJoin + top-1 window form shuffled
     * nlist × corpus bytes). Materialize the result and reuse it across
     * query batches. */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = collectCentroids(centroids)
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignWith(corpus, collectCentroids(centroids))
+
+  /** [[ivfAssign]] against an ALREADY-COLLECTED centroid set — the seam
+    * that lets a caller holding a [[CentroidSet]] (the closure: it
+    * needs the set for its own probe expressions anyway) assign without
+    * a second collect action re-evaluating the centroid subtree (r16;
+    * for the capstones that subtree is embeddings ⋈ curated-survivors,
+    * re-run once per collect). */
+  def ivfAssignWith(corpus: DataFrame, cents: CentroidSet): DataFrame =
     corpus.select(
       NearestCells.topCells(col("vec"), cents, 1).getItem(0).as("cell"),
       col("id").as("n_id"),
       col("vec").as("n_vec"))
-  }
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, exact-score
     * the candidates in those cells. */
@@ -296,8 +303,8 @@ object AnnSearch {
     * (map-side argmax), the vector widened to double, and its norm —
     * materialized once (localCheckpoint) because the geometry
     * aggregate and the chunk grouping both read it. */
-  private def closureAssigned(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    ivfAssign(corpus, centroids)
+  private def closureAssigned(corpus: DataFrame, cents: CentroidSet): DataFrame =
+    ivfAssignWith(corpus, cents)
       .select(col("cell"), col("n_id"),
         col("n_vec").cast("array<double>").as("n_vec"),
         norm(col("n_vec")).as("n_nrm"))
@@ -310,7 +317,7 @@ object AnnSearch {
     * blocking prunes hard" claim. */
   def closureCellPairStats(corpus: DataFrame, centroids: DataFrame, tau: Double): (Long, Long) = {
     val chunkTarget = confLong(corpus.sparkSession, "spark.graft.nearpairs.chunkTarget", 512L).max(1L)
-    val assigned = closureAssigned(corpus, centroids)
+    val assigned = closureAssigned(corpus, collectCentroids(centroids))
     val geom = closureGeomDf(assigned, centroids, chunkTarget)
     val m = geom.count()
     (closureCandidates(geom, tau).count(), m * (m + 1) / 2)
@@ -367,7 +374,10 @@ object AnnSearch {
     val cents = collectCentroids(centroids)
     require(cents.ids.nonEmpty, "cosineNearPairs: empty centroid table")
     val dim = cents.vecs.head.length
-    val assigned = closureAssigned(corpus, centroids)
+    // reuse the already-collected set: a second collectCentroids here
+    // was a second collect ACTION re-running the centroid subtree
+    // (embeddings ⋈ survivors in the capstones) per closure call
+    val assigned = closureAssigned(corpus, cents)
     val chunkTarget = confLong(spark, "spark.graft.nearpairs.chunkTarget", 512L).max(1L)
     val geom = closureGeomDf(assigned, centroids, chunkTarget)
     val cand = closureCandidates(geom, tau)
@@ -381,6 +391,9 @@ object AnnSearch {
     // guard could say anything). 50M tuples ≈ 2 GB materialized —
     // far beyond any sane closure, far below a silent death.
     val maxChunkPairs = confLong(spark, "spark.graft.nearpairs.maxChunkPairs", 50000000L)
+    // guard AND corpus size in ONE action (r16: the corpus-size
+    // aggregate was a second job wave; both are one-row aggregates
+    // over the checkpointed geometry, so a cross join fuses them)
     val guard = cand.agg(
       count(lit(1)).as("pairs"),
       // nch·(nch+1)/2 via shiftright — Spark's `/` is DOUBLE division
@@ -388,6 +401,7 @@ object AnnSearch {
       coalesce(sum(when(col("ca") === col("cb"),
           shiftright(col("ncha").cast("long") * (col("ncha").cast("long") + 1L), 1))
         .otherwise(col("ncha").cast("long") * col("nchb").cast("long"))), lit(0L)).as("planned"))
+      .crossJoin(geom.agg(coalesce(sum("cnt"), lit(0L)).as("n")))
       .head()
     val nCandPairs = guard.getLong(0)
     val plannedPairs = guard.getLong(1)
@@ -397,7 +411,7 @@ object AnnSearch {
         "closure is effectively all-pairs on this data — raise tau, pre-block with a " +
         "sketch (MinHash/SimHash), use more/tighter centroids (k-means refinement), or " +
         "raise spark.graft.nearpairs.{chunkTarget,maxChunkPairs} deliberately.")
-    val n = geom.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    val n = guard.getLong(2)
     // materialize the (guard-bounded) chunk-pair table so the scoring
     // join reads a compact checkpointed table instead of replaying the
     // candidate nested-loop join per downstream stage

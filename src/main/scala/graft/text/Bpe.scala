@@ -338,6 +338,27 @@ object Bpe {
     (chars.toSeq :+ EndOfWord).distinct.sorted
   }
 
+  /** [[baseSymbols]] computed locally from an already-collected word
+    * iterator (r16): same inventory — per-codepoint symbols (the
+    * aggregate form's `regexp_extract_all(word, '.', 0)` splits on
+    * codepoints) plus the end-of-word marker, distinct, sorted. Lets a
+    * caller that already holds the guarded word-table collect (the
+    * learnLocal path) derive the alphabet without a second corpus
+    * pass. BpeSpec pins equality with the aggregate form. */
+  def baseSymbolsLocal(words: Iterator[String]): Seq[String] = {
+    val set = scala.collection.mutable.SortedSet.empty[String]
+    words.foreach { w =>
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        set += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+    }
+    set += EndOfWord
+    set.toSeq
+  }
+
   /** Dense token-id vocabulary: base symbols (sorted) take ids 0..B-1,
     * merge i's merged symbol takes id B+i-1 — the standard BPE vocab
     * layout (one new symbol per merge). Two different merges CAN

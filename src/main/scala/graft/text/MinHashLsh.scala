@@ -175,8 +175,16 @@ object MinHashLsh {
     // barrier it would be computed twice into the edge cache (measured
     // ~5 s doubled at the synth step)
     val p = pairs.select(col("a"), col("b")).localCheckpoint(false)
+    // the edge set is STATIC across rounds but joined by dst every
+    // round — partition and sort it ONCE before caching (r16): the
+    // cached scan reports hashpartitioning(dst)/sorted-by-dst, so each
+    // round's sort-merge join moves and sorts only the (changing)
+    // label table, never the edges (§2.4: two operations keyed the
+    // same way share one exchange; here k rounds share one).
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst"))
+      .sortWithinPartitions("dst")
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -200,14 +208,18 @@ object MinHashLsh {
       // localCheckpoint, not cache: the doubling self-join would
       // otherwise double the LOGICAL plan every round — analysis time
       // grows 2^i and the driver spins. Checkpointing cuts lineage so
-      // each round's plan is flat. (eager=true also materializes, so
-      // the subsequent actions reuse it.)
+      // each round's plan is flat. LAZY (eager=false): the `changed`
+      // count below reads every partition of `updated` anyway, so that
+      // one action both materializes the checkpoint and answers the
+      // convergence test — ONE job wave per round instead of two (the
+      // same action-halving the BPE merge loop got in r15; iterative
+      // loops at any scale are priced in job waves).
       val updated = stepped
         .join(
           stepped.select(col("id").as("component"), col("component").as("pc")),
           Seq("component"), "left")
         .select(col("id"), coalesce(col("pc"), col("component")).as("next"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = updated
         .join(labels.withColumnRenamed("component", "prev"), Seq("id"))
         .filter(col("next") =!= col("prev")).count()
@@ -270,16 +282,22 @@ object MinHashLsh {
     // canonical-orientation pass both read the pair subtree
     val p = pairs.select(col("a"), col("b")).localCheckpoint(false)
     val nodes = p.select(col("a").as("id"))
-      .unionByName(p.select(col("b").as("id"))).distinct().cache()
-    // canonical orientation: u > v (self-pairs dropped)
+      .unionByName(p.select(col("b").as("id"))).distinct()
+    // canonical orientation: u > v (self-pairs dropped). LAZY
+    // checkpoint: the initial checksum below reads every partition, so
+    // one action materializes AND fingerprints the edge set.
     var edges = p
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var converged = false
     var i = 0
-    var sumOld = checksum(edges)
+    // no INITIAL checksum action (r16): start from a sentinel and let
+    // round 1's checksum double as the edge materialization. An
+    // already-converged input then costs one extra (no-op) round
+    // instead of every call paying an extra job wave up front.
+    var sumOld: Option[(Long, Long)] = None
     while (!converged && i < maxIter) {
       // large-star over the UNDIRECTED neighborhood: node n, neighbor w
       val nbrs = edges.select(col("u").as("n"), col("v").as("w"))
@@ -287,22 +305,31 @@ object MinHashLsh {
       val withMin = nbrs
         .withColumn("m", min(least(col("w"), col("n"))).over(
           org.apache.spark.sql.expressions.Window.partitionBy("n")))
+      // no distinct() here: the edge set is distinct each round, so
+      // large-star emits exactly one row per undirected edge (only the
+      // smaller endpoint n passes w > n), and the handful of (w, m)
+      // collisions from different n with the same minimum neither
+      // change small-star's per-n min nor survive small's own distinct
+      // — dropping the pass removes one full edge-set exchange per
+      // round (§2.4: remove shuffles outright).
       val large = withMin
         .filter(col("w") > col("n"))
         .select(col("w").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star on the large→small orientation: all neighbors < u
       val smallNbrs = large.select(col("u").as("n"), col("v").as("w"))
       val sMin = smallNbrs
         .withColumn("m", min(col("w")).over(
           org.apache.spark.sql.expressions.Window.partitionBy("n")))
+      // LAZY checkpoint: the checksum action below reads every
+      // partition of `small`, materializing the checkpoint in the same
+      // job — one wave per round instead of two (see [[components]]).
       val small = sMin.select(col("n").as("u"), col("m").as("v"))
         .unionByName(
           sMin.filter(col("w") =!= col("m")).select(col("w").as("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // converged when the round was a no-op on the edge set. Detected
       // with a SET CHECKSUM over the freshly checkpointed edges — one
       // cheap scan-and-aggregate (no join, no shuffle of the edge set).
@@ -310,14 +337,14 @@ object MinHashLsh {
       // full outer diff — paid once at the fixpoint, not every round —
       // so convergence remains exact, not probabilistic.
       val sumNew = checksum(small)
-      if (sumNew == sumOld) {
+      if (sumOld.contains(sumNew)) {
         val diff = edges.withColumn("l", lit(1))
           .join(small.withColumn("r", lit(1)), Seq("u", "v"), "full_outer")
           .filter(col("l").isNull || col("r").isNull)
           .count()
         converged = diff == 0
       }
-      sumOld = sumNew
+      sumOld = Some(sumNew)
       edges = small
       i += 1
     }
@@ -325,12 +352,16 @@ object MinHashLsh {
       throw new IllegalStateException(
         s"componentsStar() did not converge in $maxIter large/small-star rounds")
     // the converged edge set is a union of stars: u → component minimum;
-    // centers (and any isolated canonical nodes) map to themselves
-    val labels = nodes
+    // centers (and any isolated canonical nodes) map to themselves.
+    // Lazily checkpointed: every consumer reads this node-sized table
+    // at least once, and the capstones' keep/drop pattern reads it
+    // TWICE (labels ⋈ min-per-component) — the barrier makes the
+    // second read a block fetch instead of a re-run of the node-union
+    // + final join.
+    nodes
       .join(edges.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
-    nodes.unpersist()
-    labels
+      .localCheckpoint(false)
   }
 
   /** Cluster-aware dedup: keep the smallest doc id of every duplicate
